@@ -1,0 +1,75 @@
+#!/usr/bin/env python3
+"""Local stand-in for the driver's correctness gate: read each
+SparkEntry query's parquet dump (written by graft.Verify) and compare to
+the DuckDB result of the matching oracle SQL over the same test tables.
+Usage: check_oracle.py <sfDir> <verifyOutDir>
+"""
+import sys, json, glob, os
+import duckdb
+import pandas as pd
+
+sfdir, outdir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders",
+          "lineitem","events","documents","embeddings"]:
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
+
+oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
+
+def canon(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+    return df
+
+fails = 0
+for name in sorted(oracle):
+    files = glob.glob(os.path.join(outdir, name, "*.parquet"))
+    if not files:
+        print(f"FAIL {name}: no spark output"); fails += 1; continue
+    spark_df = canon(pd.concat([pd.read_parquet(f) for f in files]))
+    try:
+        duck_df = canon(con.sql(oracle[name]).df())
+    except Exception as e:
+        print(f"FAIL {name}: oracle error {e}"); fails += 1; continue
+    if list(spark_df.columns) != list(duck_df.columns):
+        print(f"FAIL {name}: cols spark={list(spark_df.columns)} duck={list(duck_df.columns)}")
+        fails += 1; continue
+    if len(spark_df) != len(duck_df):
+        print(f"FAIL {name}: rows spark={len(spark_df)} duck={len(duck_df)}")
+        fails += 1; continue
+    # value compare (exact, like a hash compare would be)
+    bad = []
+    for c in spark_df.columns:
+        a, b = spark_df[c], duck_df[c]
+        try:
+            if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
+                eq = (a.astype(float).fillna(-1e308) == b.astype(float).fillna(-1e308)).all()
+            else:
+                eq = (a.astype(str) == b.astype(str)).all()
+        except Exception:
+            eq = (a.astype(str) == b.astype(str)).all()
+        if not eq:
+            n_mismatch = int((a.astype(str) != b.astype(str)).sum())
+            bad.append((c, n_mismatch))
+    if bad:
+        print(f"FAIL {name}: value mismatch {bad}")
+        for c, _ in bad[:2]:
+            m = spark_df[c].astype(str) != duck_df[c].astype(str)
+            print("  spark:", spark_df[m][c].head(3).tolist(),
+                  " duck:", duck_df[m][c].head(3).tolist())
+        fails += 1
+    else:
+        print(f"OK   {name} ({len(spark_df)} rows)")
+
+# rows-only queries (no oracle): just check non-empty
+for p in sorted(glob.glob(os.path.join(outdir, "*"))):
+    name = os.path.basename(p)
+    if not os.path.isdir(p) or name in oracle:
+        continue
+    files = glob.glob(os.path.join(p, "*.parquet"))
+    n = sum(len(pd.read_parquet(f)) for f in files) if files else 0
+    print(("OK  " if n > 0 else "FAIL") + f" {name} rows-only ({n} rows)")
+    if n == 0: fails += 1
+
+print(f"\n{fails} failures")
+sys.exit(1 if fails else 0)
