@@ -6,7 +6,10 @@ import org.apache.spark.sql.functions._
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
 
-  private def allDefs: Seq[QueryDef] = graft.operators.Relational.all
+  private def allDefs: Seq[QueryDef] =
+    graft.operators.Relational.all ++ graft.operators.Dedup.all ++
+      graft.operators.Similarity.all ++ graft.operators.TextAnalysis.all ++
+      graft.operators.Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Exercises the reference's end-to-end shape (SURVEY.md §7 step 1):

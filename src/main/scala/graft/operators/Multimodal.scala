@@ -1,0 +1,99 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Dataset, SparkSession}
+import graft.{QueryDef, Tables}
+import graft.functions.Rounding.r4
+
+/** Multimodal column handling: media payloads as opaque `binary` columns
+  * with typed metadata, plus a batched decode/feature-extract stage.
+  *
+  * The decode step is a DETERMINISTIC FAKE (no image/audio libs in this
+  * container): it derives a byte histogram + checksum from the blob. The
+  * Spark-side plumbing is the real design — typed Dataset, binary column,
+  * batched mapPartitions (the shape a JNI/py-batch decoder needs: amortize
+  * per-batch init, bounded memory per task), metadata travels beside the
+  * blob so pruning `feat` columns never drags blob bytes through a shuffle.
+  */
+object Multimodal {
+
+  /** A media row: opaque payload + typed metadata (SURVEY.md §1.4 maps the
+    * reference's `Message[[]byte]` envelope to exactly this shape). */
+  final case class MediaRecord(doc_id: Long, blob: Array[Byte], mime: String,
+      width: Int, height: Int)
+
+  final case class MediaFeatures(doc_id: Long, n_bytes: Int, checksum: Long,
+      mean_byte: Double, hist8: Array[Double])
+
+  /** Deterministic stand-in for a real decoder (would be libjpeg/ffmpeg via
+    * a per-batch native call). Pure function of the bytes. */
+  private[operators] def decodeStub(r: MediaRecord): MediaFeatures = {
+    val hist = new Array[Double](8)
+    var sum = 0L
+    var crc = 17L
+    var i = 0
+    while (i < r.blob.length) {
+      val b = r.blob(i) & 0xff
+      hist(b >> 5) += 1
+      sum += b
+      crc = crc * 31 + b
+      i += 1
+    }
+    val n = math.max(r.blob.length, 1)
+    MediaFeatures(r.doc_id, r.blob.length, crc,
+      sum.toDouble / n, hist.map(_ / n))
+  }
+
+  /** Build the typed media dataset from `documents` (text bytes stand in
+    * for media payloads; metadata is derived deterministically). */
+  def mediaDataset(s: SparkSession, d: String): Dataset[MediaRecord] = {
+    import s.implicits._
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text").cast("binary").as("blob"),
+        lit("text/plain").as("mime"),
+        (col("n_chars") % 640).cast("int").as("width"),
+        (col("n_chars") % 480).cast("int").as("height"))
+      .as[MediaRecord]
+  }
+
+  // ---------------------------------------------------------------- m01
+  /** Metadata projection over the binary column — shows blob columns
+    * coexisting with relational ops (oracle-matched via octet_length). */
+  val m01Meta = QueryDef(
+    "m01_multimodal_meta",
+    (s, d) => {
+      mediaDataset(s, d).toDF()
+        .select(col("doc_id"), octet_length(col("blob")).as("n_bytes"),
+          col("mime"), col("width"), col("height"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, CAST(octet_length(CAST(text AS BLOB)) AS INT) AS n_bytes,
+           |  'text/plain' AS mime,
+           |  CAST(n_chars % 640 AS INT) AS width,
+           |  CAST(n_chars % 480 AS INT) AS height
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
+  // ---------------------------------------------------------------- m02
+  /** Batched decode + feature extraction via mapPartitions: batches of 64
+    * records per decoder call (the real-world shape for native/python
+    * decoders), features emitted as typed rows. Rows-only: the checksum
+    * family is engine-specific. */
+  val m02Features = QueryDef(
+    "m02_multimodal_features",
+    (s, d) => {
+      import s.implicits._
+      mediaDataset(s, d)
+        .mapPartitions { it =>
+          // batch boundary models per-batch decoder init/teardown
+          it.grouped(64).flatMap { batch => batch.map(decodeStub) }
+        }
+        .toDF()
+        .select(col("doc_id"), col("n_bytes"), col("checksum"),
+          r4(col("mean_byte")).as("mean_byte"),
+          r4(element_at(col("hist8"), 1)).as("hist_0"))
+        .orderBy("doc_id")
+    },
+    None)
+
+  val all: Seq[QueryDef] = Seq(m01Meta, m02Features)
+}

@@ -341,12 +341,14 @@ object Relational {
   val q16Except = QueryDef(
     "q16_setop_except",
     (s, d) => {
-      Tables.customer(s, d).select(col("c_nationkey").as("nk"))
-        .except(Tables.supplier(s, d).select(col("s_nationkey").as("nk")))
-        .orderBy("nk")
+      Tables.customer(s, d).select(col("c_custkey").as("ck"))
+        .except(Tables.orders(s, d).filter(col("o_totalprice") > 300000)
+          .select(col("o_custkey").as("ck")))
+        .orderBy("ck")
     },
-    Some("""SELECT c_nationkey AS nk FROM customer
-           |EXCEPT SELECT s_nationkey FROM supplier ORDER BY nk""".stripMargin))
+    Some("""SELECT c_custkey AS ck FROM customer
+           |EXCEPT SELECT o_custkey FROM orders WHERE o_totalprice > 300000
+           |ORDER BY ck""".stripMargin))
 
   // ---------------------------------------------------------------- q17
   /** String scalar battery: substring/upper/length/concat_ws/regexp/replace —

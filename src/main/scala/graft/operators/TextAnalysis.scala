@@ -1,0 +1,128 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.functions.{TextFunctions => T}
+import graft.functions.Rounding.r4
+
+/** Text-analysis operators over `documents` (north-star surface):
+  * language ID (stopword n-gram heuristic), quality scoring, token
+  * counting (whitespace + regex-lexer), and rolling-hash fingerprints.
+  * All pure per-row projections — no shuffle, no model, perfectly
+  * parallel at any scale.
+  */
+object TextAnalysis {
+
+  private def langScoreCols = T.stopwords.map { case (lang, words) =>
+    lang -> T.stopwordHits(col("text"), words).as(s"s_$lang")
+  }
+
+  private def sqlScore(words: Seq[String]): String =
+    s"CAST(len(regexp_extract_all(lower(text), '\\b(${words.mkString("|")})\\b')) AS INT)"
+
+  // ---------------------------------------------------------------- t01
+  /** Heuristic language ID: per-language stopword hit counts, winner =
+    * first language (in list order) attaining the max score. */
+  val t01LangId = QueryDef(
+    "t01_text_langid",
+    (s, d) => {
+      val scored = Tables.documents(s, d)
+        .select(col("doc_id") +: col("lang").as("lang_actual") +:
+          langScoreCols.map(_._2): _*)
+      val scores = T.stopwords.map { case (l, _) => col(s"s_$l") }
+      val m = greatest(scores: _*)
+      val pred = T.stopwords.map(_._1).foldRight(lit("und")) {
+        case (l, elseCol) => when(col(s"s_$l") === m, l).otherwise(elseCol)
+      }
+      // foldRight builds WHEN en THEN .. WHEN es THEN .. — first-match wins
+      scored.withColumn("lang_pred", pred)
+        .orderBy("doc_id")
+    },
+    Some {
+      // DuckDB lateral column aliases let `m` reference the s_* aliases.
+      val scoreExprs = T.stopwords.map { case (l, ws) => s"${sqlScore(ws)} AS s_$l" }
+      val m = T.stopwords.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
+      val cases = T.stopwords.map { case (l, _) => s"WHEN s_$l = m THEN '$l'" }
+      s"""SELECT doc_id, lang_actual, ${T.stopwords.map(x => "s_" + x._1).mkString(", ")},
+         |  CASE ${cases.mkString(" ")} ELSE 'und' END AS lang_pred
+         |FROM (SELECT doc_id, lang AS lang_actual, ${scoreExprs.mkString(", ")}, $m AS m
+         |      FROM documents)
+         |ORDER BY doc_id""".stripMargin
+    })
+
+  // ---------------------------------------------------------------- t02
+  /** Quality scoring: token count, mean token length, stopword ratio,
+    * punctuation ratio, blended [0,1] score. */
+  val t02Quality = QueryDef(
+    "t02_text_quality",
+    (s, d) => {
+      val n = T.nTokens(col("text"))
+      val stopHits = T.stopwordHits(col("text"), T.stopwords.flatMap(_._2).distinct)
+      val meanLen = (length(col("text")) - n + 1).cast("double") / n.cast("double")
+      val stopRatio = stopHits.cast("double") / n.cast("double")
+      val punct = size(regexp_extract_all(col("text"), lit("[.,!?;:]"), lit(0)))
+      val punctRatio = punct.cast("double") / length(col("text")).cast("double")
+      val quality = least(lit(1.0), n.cast("double") / 100.0) * 0.5 +
+        least(lit(1.0), stopRatio * 4) * 0.3 + (lit(1.0) - punctRatio) * 0.2
+      Tables.documents(s, d)
+        .select(col("doc_id"), n.as("n_tokens"),
+          r4(meanLen).as("mean_tok_len"), r4(stopRatio).as("stop_ratio"),
+          r4(punctRatio).as("punct_ratio"), r4(quality).as("quality"))
+        .orderBy("doc_id")
+    },
+    Some {
+      val allStops = T.stopwords.flatMap(_._2).distinct.mkString("|")
+      s"""SELECT doc_id, CAST(n AS INT) AS n_tokens,
+         |  round((length(text) - n + 1) / CAST(n AS DOUBLE), 4) AS mean_tok_len,
+         |  round(stop_hits / CAST(n AS DOUBLE), 4) AS stop_ratio,
+         |  round(punct / CAST(length(text) AS DOUBLE), 4) AS punct_ratio,
+         |  round(least(1.0, n / 100.0) * 0.5 +
+         |        least(1.0, (stop_hits / CAST(n AS DOUBLE)) * 4) * 0.3 +
+         |        (1.0 - punct / CAST(length(text) AS DOUBLE)) * 0.2, 4) AS quality
+         |FROM (SELECT doc_id, text,
+         |        CAST(len(string_split(text, ' ')) AS DOUBLE) AS n,
+         |        CAST(len(regexp_extract_all(lower(text), '\\b($allStops)\\b')) AS DOUBLE) AS stop_hits,
+         |        CAST(len(regexp_extract_all(text, '[.,!?;:]')) AS DOUBLE) AS punct
+         |      FROM documents)
+         |ORDER BY doc_id""".stripMargin
+    })
+
+  // ---------------------------------------------------------------- t03
+  /** Token counting three ways: whitespace split, [a-z]+ word lexer,
+    * BPE-ish lexer (letter runs | digit runs | single symbols). */
+  val t03TokenCount = QueryDef(
+    "t03_text_tokens",
+    (s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(T.tokens(col("text"))).as("n_ws"),
+          T.wordCount(col("text")).as("n_words"),
+          T.bpeTokenCount(col("text")).as("n_bpe"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+           |  CAST(len(string_split(text, ' ')) AS INT) AS n_ws,
+           |  CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS INT) AS n_words,
+           |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS INT) AS n_bpe
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
+  // ---------------------------------------------------------------- t04
+  /** Rolling polynomial content hash (Rabin-Karp over token xxhash64s,
+    * mod 2^61-1): order-sensitive doc fingerprint, cheap to extend to
+    * windowed shingle hashing. Rows-only (hash family engine-specific). */
+  val t04RollingHash = QueryDef(
+    "t04_text_rolling_hash",
+    (s, d) => {
+      // modulus small enough that acc*B + h never overflows a long
+      val P = lit(2147483647L) // 2^31 - 1
+      val B = lit(1000003L)
+      val rolled = aggregate(T.tokens(col("text")), lit(0L),
+        (acc, t) => pmod(acc * B + pmod(xxhash64(t), P), P))
+      Tables.documents(s, d)
+        .select(col("doc_id"), rolled.as("content_hash"))
+        .orderBy("doc_id")
+    },
+    None)
+
+  val all: Seq[QueryDef] = Seq(t01LangId, t02Quality, t03TokenCount, t04RollingHash)
+}

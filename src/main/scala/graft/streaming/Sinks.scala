@@ -1,0 +1,60 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.storage.StorageLevel
+
+/** Destination connectors (SURVEY.md §2 rows 17, 20, 23) on Spark sinks.
+  * Delivery contract: the reference is at-least-once with ack-after-
+  * durable-write (types.go:104-113); Spark's epoch commit to the sink's
+  * log is a strict superset (exactly-once for replayable source +
+  * idempotent sink) — documented divergence, not emulated (SURVEY.md §4).
+  */
+object Sinks {
+
+  /** Printer sink (printer.go:10-43): value + delimiter to stdout. */
+  def printer(df: DataFrame): Unit =
+    df.select(col("value").cast("string")).show(1000, truncate = false)
+
+  /** S3-style sink (s3.go:20-162): batches as gzip NDJSON objects under
+    * time-partitioned keys `prefix/yyyy/MM/dd/HH/` (s3.go:143-148).
+    * Implemented as foreachBatch (= `Flusher.Flush`, batcher.go:30-38)
+    * writing gzip text; `prefix` can be any Hadoop-FS URI (s3a:// in prod,
+    * file:// in tests — same code path).
+    *
+    * Uniqueness/sortability of the reference's `<ksuid>_<unix>.gz` object
+    * names is provided by Spark's task-attempt file naming + batchId. */
+  def gzipTimePartitioned(df: DataFrame, prefix: String, batchId: Long): Unit = {
+    val hourPath = java.time.format.DateTimeFormatter.ofPattern("yyyy/MM/dd/HH")
+      .withZone(java.time.ZoneOffset.UTC).format(java.time.Instant.now())
+    df.select(col("value").cast("string"))
+      .write.mode("append").option("compression", "gzip")
+      .text(s"$prefix/$hourPath/batch_$batchId")
+  }
+
+  /** Batcher semantics (batcher.go:58-400) as a micro-batch writer:
+    * FlushFrequency → processing-time trigger; FlushLength → source rate
+    * limit (maxFilesPerTrigger/maxOffsetsPerTrigger, set on the source);
+    * error policy Raise → exception propagates and fails the query;
+    * ErrDontAck → batch not committed, retried from checkpoint (Spark's
+    * native behavior). FlushParallelism>1 has no micro-batch equivalent —
+    * epochs are sequential by design (SURVEY.md §4). */
+  def batched(df: DataFrame, checkpoint: String, flushFrequencyMs: Long)(
+      flush: (DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
+    df.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime(flushFrequencyMs))
+      .foreachBatch(flush)
+
+  /** Fan-out (`MultiDestination`, multidest.go:9-49): write one epoch to
+    * every sink inside a single foreachBatch — persist once, write n
+    * times, commit once. The all-or-nothing ack (ackFn(ack, n),
+    * multidest.go:20-31) is exactly "epoch commits only after every write
+    * succeeded". */
+  def multi(sinks: Seq[(DataFrame, Long) => Unit])(df: DataFrame, batchId: Long): Unit = {
+    df.persist(StorageLevel.MEMORY_AND_DISK)
+    try sinks.foreach(s => s(df, batchId))
+    finally df.unpersist()
+  }
+}

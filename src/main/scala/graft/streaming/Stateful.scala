@@ -1,0 +1,61 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoder}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Stateful streaming operators (SURVEY.md §2.2 streaming row): event-time
+  * windows, watermarked dedup, session windows, custom state machines.
+  * The reference has NO event time and NO state store (batcher is
+  * processing-time count/timer batching only, batcher.go:244-274) — this
+  * is the §2.2 extension surface on Structured Streaming primitives.
+  *
+  * Scale posture: all state lives in the state store (RocksDB-backed on a
+  * real cluster), partitioned by grouping key; watermarks bound state
+  * growth; no driver-side state anywhere.
+  */
+object Stateful {
+
+  /** Tumbling/sliding event-time window counts with late-data bound. */
+  def windowedCounts(df: DataFrame, tsCol: String, watermark: String,
+      windowDur: String, slide: Option[String] = None): DataFrame = {
+    val w = slide.map(sl => window(col(tsCol), windowDur, sl))
+      .getOrElse(window(col(tsCol), windowDur))
+    df.withWatermark(tsCol, watermark)
+      .groupBy(w, col("event_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Streaming exact dedup with bounded state: dropDuplicates on the id
+    * column; the watermark lets Spark evict ids older than the horizon
+    * (the streaming analog of hash-dedup at rest). */
+  def dedupStream(df: DataFrame, tsCol: String, watermark: String,
+      idCols: Seq[String]): DataFrame =
+    df.withWatermark(tsCol, watermark).dropDuplicates(idCols :+ tsCol)
+
+  /** Session windows: gap-based grouping per user. */
+  def sessionize(df: DataFrame, tsCol: String, watermark: String,
+      gap: String): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .groupBy(session_window(col(tsCol), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_value"))
+
+  /** Custom state machine via flatMapGroupsWithState: running per-key
+    * count + total emitted on every update — the general template for
+    * enrich/accumulate handlers the reference would write imperatively. */
+  final case class KeyState(n: Long, total: Double)
+  final case class Enriched(key: Long, n: Long, total: Double)
+
+  def runningTotals(ds: Dataset[(Long, Double)])(
+      implicit e1: Encoder[KeyState], e2: Encoder[Enriched],
+      e3: Encoder[Long]): Dataset[Enriched] =
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (key: Long, rows: Iterator[(Long, Double)], state: GroupState[KeyState]) =>
+          val prev = state.getOption.getOrElse(KeyState(0L, 0.0))
+          val batch = rows.toSeq
+          val next = KeyState(prev.n + batch.size, prev.total + batch.map(_._2).sum)
+          state.update(next)
+          Iterator.single(Enriched(key, next.n, next.total))
+      }
+}

@@ -1,0 +1,97 @@
+package graft
+
+import java.util.concurrent.atomic.AtomicInteger
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.{StreamingQueryException, Trigger}
+import graft.streaming.Sinks
+
+/** Batcher semantics (x/batcher/batcher.go, batcher_test.go:37-379) as
+  * micro-batch trigger/epoch tests:
+  *  - flushes receive full batches (Flusher.Flush = foreachBatch);
+  *  - flush error with Raise policy kills the pipeline (batcher.go:126-132);
+  *  - fan-out writes every sink before the epoch commits (multidest.go:20-31).
+  */
+class BatcherSpec extends SparkSpec {
+
+  test("foreachBatch receives batches; all rows flushed exactly once") {
+    val s = spark
+    import s.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val input = MemoryStream[Int]
+    input.addData(1 to 100: _*)
+    val flushed = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val nFlushes = new AtomicInteger(0)
+
+    val q = input.toDF()
+      .writeStream.option("checkpointLocation", tmpDir("batcher_ck"))
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        nFlushes.incrementAndGet()
+        df.collect().foreach(r => flushed.add(r.getInt(0)))
+      }.start()
+    q.awaitTermination(60000)
+
+    import scala.jdk.CollectionConverters._
+    assert(flushed.asScala.toSeq.sorted == (1 to 100), "all rows flushed once")
+    assert(nFlushes.get() >= 1)
+  }
+
+  test("flush error (Raise policy) fails the query — batcher.go:126-132") {
+    val s = spark
+    import s.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val input = MemoryStream[Int]
+    input.addData(1, 2, 3)
+    val q = input.toDF()
+      .writeStream.option("checkpointLocation", tmpDir("batcher_err_ck"))
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (_: org.apache.spark.sql.DataFrame, _: Long) =>
+        throw new RuntimeException("flush failed")
+      }.start()
+    val err = intercept[StreamingQueryException] { q.awaitTermination() }
+    assert(err.getMessage.contains("flush failed") ||
+      err.getCause.getMessage.contains("flush failed"))
+  }
+
+  test("fan-out: every sink sees the epoch; commit only after all writes") {
+    val s = spark
+    import s.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val input = MemoryStream[Int]
+    input.addData(1 to 10: _*)
+    val sinkA = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val sinkB = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+    val writers: Seq[(org.apache.spark.sql.DataFrame, Long) => Unit] = Seq(
+      (df, _) => df.collect().foreach(r => sinkA.add(r.getInt(0))),
+      (df, _) => df.collect().foreach(r => sinkB.add(r.getInt(0))))
+
+    val q = input.toDF()
+      .writeStream.option("checkpointLocation", tmpDir("fanout_ck"))
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch(Sinks.multi(writers) _).start()
+    q.awaitTermination(60000)
+
+    import scala.jdk.CollectionConverters._
+    assert(sinkA.asScala.toSeq.sorted == (1 to 10))
+    assert(sinkB.asScala.toSeq.sorted == (1 to 10))
+  }
+
+  test("gzip time-partitioned sink writes hour-keyed gzip objects (s3.go:143-148)") {
+    val s = spark
+    import s.implicits._
+    val out = tmpDir("gzsink")
+    val df = Seq("r1", "r2", "r3").toDF("value")
+    Sinks.gzipTimePartitioned(df, out, batchId = 7L)
+    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(out)).iterator()
+    import scala.jdk.CollectionConverters._
+    val gz = files.asScala.filter(_.toString.endsWith(".gz")).toList
+    assert(gz.nonEmpty, "gzip objects written")
+    // key scheme prefix/yyyy/MM/dd/HH/batch_7
+    assert(gz.head.toString.matches(".*/\\d{4}/\\d{2}/\\d{2}/\\d{2}/batch_7/.*"))
+    val back = s.read.option("compression", "gzip").text(out + "/*/*/*/*/batch_7")
+    assert(back.collect().map(_.getString(0)).sorted.toSeq == Seq("r1", "r2", "r3"))
+  }
+}

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions => T, VectorFunctions => V}
+
+/** Unit checks for the column-function libraries (vector math, shingles,
+  * fingerprints, language ID) on literal DataFrames. */
+class FunctionsSpec extends SparkSpec {
+
+  test("cosine similarity of known vectors") {
+    val s = spark
+    import s.implicits._
+    val df = Seq((Seq(1.0f, 0.0f), Seq(1.0f, 0.0f), 1.0),
+      (Seq(1.0f, 0.0f), Seq(0.0f, 1.0f), 0.0),
+      (Seq(1.0f, 1.0f), Seq(1.0f, 0.0f), math.sqrt(0.5))).toDF("a", "b", "want")
+    val got = df.select(V.cosine(col("a"), col("b")).as("c"), col("want"))
+      .collect()
+    got.foreach(r => assert(math.abs(r.getDouble(0) - r.getDouble(1)) < 1e-12))
+  }
+
+  test("srp bucket is deterministic and within range") {
+    val s = spark
+    import s.implicits._
+    val planes = V.planesLit(8, 4)
+    val df = Seq(Seq(0.5f, -0.2f, 0.1f, 0.9f), Seq(-0.5f, 0.2f, -0.1f, -0.9f))
+      .toDF("e")
+    val b = df.select(V.srpBucket(col("e"), planes).as("b")).as[Long].collect()
+    assert(b.forall(x => x >= 0 && x < 256))
+    // antipodal vectors land in complementary buckets
+    assert(b(0) + b(1) == 255)
+  }
+
+  test("shingles: 3-grams with distinct + short-doc edge cases") {
+    val s = spark
+    import s.implicits._
+    val df = Seq("a b c d", "a b", "x").toDF("text")
+      .withColumn("toks", T.tokens(col("text")))
+    val got = df.select(T.shingles(col("toks"), 3).as("sh"))
+      .as[Seq[String]].collect().toSeq
+    assert(got(0) == Seq("a b c", "b c d"))
+    assert(got(1) == Seq.empty)
+    assert(got(2) == Seq.empty)
+  }
+
+  test("fingerprint canonicalizes case and whitespace") {
+    val s = spark
+    import s.implicits._
+    val df = Seq(("Hello   World", "hello world"), ("  a  b ", "a b"))
+      .toDF("x", "y")
+    val got = df.select((T.fingerprint(col("x")) === T.fingerprint(col("y"))).as("eq"))
+      .as[Boolean].collect()
+    assert(got.forall(identity))
+  }
+
+  test("language ID picks the language with most stopword hits") {
+    val s = spark
+    import s.implicits._
+    val df = Seq("the cat and the dog of the house",
+      "el perro y la casa de que el gato").toDF("text")
+    val got = df.select(T.langId(col("text")).as("l")).as[String].collect().toSeq
+    assert(got == Seq("en", "es"))
+  }
+
+  test("rolling token stats: word and bpe-ish counts") {
+    val s = spark
+    import s.implicits._
+    val df = Seq("abc 123 x-y").toDF("text")
+    val got = df.select(T.wordCount(col("text")).as("w"),
+      T.bpeTokenCount(col("text")).as("b")).collect().head
+    assert(got.getInt(0) == 3)     // abc, x, y
+    assert(got.getInt(1) == 5)     // abc, 123, x, -, y
+  }
+}

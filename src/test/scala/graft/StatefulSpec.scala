@@ -1,0 +1,92 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import graft.streaming.Stateful
+
+/** Stateful streaming operators: watermark dedup, session windows,
+  * flatMapGroupsWithState running totals (SURVEY.md §2.2 streaming row).
+  */
+class StatefulSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  test("streaming dedup drops re-delivered ids (dropDuplicates + watermark)") {
+    val s = spark
+    import s.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val input = MemoryStream[(Long, Timestamp)]
+    input.addData((1L, ts(0)), (2L, ts(1)), (1L, ts(0)), (3L, ts(2)), (2L, ts(1)))
+    val df = input.toDF().toDF("event_id", "ts")
+    val q = Stateful.dedupStream(df, "ts", "10 minutes", Seq("event_id"))
+      .writeStream.format("memory").queryName("dedup_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = s.sql("SELECT event_id FROM dedup_out").as[Long].collect().sorted
+    assert(got.toSeq == Seq(1L, 2L, 3L))
+  }
+
+  test("session window groups events within gap per user") {
+    val s = spark
+    import s.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    // user 7: events at 10:00,10:02,10:03 (one session), 10:30 (new session)
+    input.addData((7L, ts(0), 1.0), (7L, ts(2), 2.0), (7L, ts(3), 3.0), (7L, ts(30), 4.0))
+    val df = input.toDF().toDF("user_id", "ts", "value")
+    val q = Stateful.sessionize(df, "ts", "1 hour", "5 minutes")
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = s.sql("SELECT n_events, sum_value FROM sess_out ORDER BY n_events")
+      .as[(Long, Double)].collect().toSeq
+    assert(got == Seq((1L, 4.0), (3L, 6.0)))
+  }
+
+  test("flatMapGroupsWithState keeps running totals across micro-batches") {
+    val s = spark
+    import s.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val input = MemoryStream[(Long, Double)]
+    val q = Stateful.runningTotals(input.toDS())
+      .writeStream.format("memory").queryName("state_out")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.ProcessingTime(100)).start()
+
+    input.addData((1L, 10.0), (1L, 5.0), (2L, 1.0))
+    q.processAllAvailable()
+    input.addData((1L, 1.0))
+    q.processAllAvailable()
+    q.stop()
+
+    val rows = s.sql("SELECT key, n, total FROM state_out")
+      .as[(Long, Long, Double)].collect().toSeq
+    // second emission for key 1 must carry state from the first batch
+    assert(rows.contains((1L, 3L, 16.0)), s"expected accumulated state, got $rows")
+    assert(rows.contains((2L, 1L, 1.0)))
+  }
+
+  test("event-time tumbling window counts with watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val input = MemoryStream[(Timestamp, String)]
+    input.addData((ts(0), "click"), (ts(1), "click"), (ts(12), "view"))
+    val df = input.toDF().toDF("ts", "event_type")
+    val q = Stateful.windowedCounts(df, "ts", "1 minute", "10 minutes")
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val got = s.sql("SELECT event_type, n FROM win_out ORDER BY event_type")
+      .as[(String, Long)].collect().toSeq
+    assert(got == Seq(("click", 2L), ("view", 1L)))
+  }
+}
