@@ -22,20 +22,38 @@ object TextAnalysis {
 
   // ---------------------------------------------------------------- t01
   /** Heuristic language ID: per-language stopword hit counts, winner =
-    * first language (in list order) attaining the max score. */
+    * first language (in list order) attaining the max score.
+    *
+    * Implemented as tokenize-once → explode → broadcast join against the
+    * (word, lang) stopword table → pivot counts: one pass over the text
+    * instead of one regex scan per language (5× fewer text traversals; at
+    * corpus scale the join side is a broadcast of a few dozen rows).
+    * Splitting on non-word chars makes token equality exactly equivalent
+    * to the oracle's \b(w1|w2|…)\b regex counting. */
   val t01LangId = QueryDef(
     "t01_text_langid",
     (s, d) => {
-      val scored = Tables.documents(s, d)
-        .select(col("doc_id") +: col("lang").as("lang_actual") +:
-          langScoreCols.map(_._2): _*)
-      val scores = T.stopwords.map { case (l, _) => col(s"s_$l") }
+      val langs = T.stopwords.map(_._1)
+      val wordLang = s.createDataFrame(
+        T.stopwords.flatMap { case (l, ws) => ws.map(w => (w, l)) })
+        .toDF("tok", "sw_lang")
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang").as("lang_actual"), col("text"))
+      val hits = docs
+        .select(col("doc_id"),
+          explode(split(lower(col("text")), "[^a-z0-9_]+")).as("tok"))
+        .join(broadcast(wordLang), Seq("tok"))
+        .groupBy("doc_id").pivot("sw_lang", langs).count()
+      val joined = docs.join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id") +: col("lang_actual") +:
+          langs.map(l => coalesce(col(l), lit(0L)).cast("int").as(s"s_$l")): _*)
+      val scores = langs.map(l => col(s"s_$l"))
       val m = greatest(scores: _*)
-      val pred = T.stopwords.map(_._1).foldRight(lit("und")) {
+      val pred = langs.foldRight(lit("und")) {
         case (l, elseCol) => when(col(s"s_$l") === m, l).otherwise(elseCol)
       }
       // foldRight builds WHEN en THEN .. WHEN es THEN .. — first-match wins
-      scored.withColumn("lang_pred", pred)
+      joined.withColumn("lang_pred", pred)
         .orderBy("doc_id")
     },
     Some {

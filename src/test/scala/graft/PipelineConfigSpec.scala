@@ -1,0 +1,51 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import graft.streaming.PipelineConfig
+import graft.streaming.PipelineConfig.{PipelineConf, SinkConf, SourceConf}
+
+/** Config-driven pipeline assembly (reference daemon surface,
+  * README.md:149-311): declarative source/sink configs wired into running
+  * queries, including the scanner→memory and eventlog-filter paths. */
+class PipelineConfigSpec extends SparkSpec {
+
+  test("scanner source → memory sink round trip via config") {
+    val dir = tmpDir("cfg_scanner")
+    Files.write(Paths.get(dir, "a.txt"), "m1\nm2\nm3".getBytes("UTF-8"))
+    val conf = PipelineConf(
+      SourceConf("scanner", Map("path" -> dir, "topic" -> "t1")),
+      SinkConf("memory", Map("name" -> "cfg_out")),
+      checkpoint = tmpDir("cfg_ck"), triggerMs = 100)
+    val q = PipelineConfig.run(spark, conf,
+      transformSql = Some("SELECT CAST(value AS STRING) AS v, topic FROM src"))
+    q.processAllAvailable(); q.stop()
+    val got = spark.sql("SELECT v FROM cfg_out").collect().map(_.getString(0)).sorted
+    assert(got.toSeq == Seq("m1", "m2", "m3"))
+  }
+
+  test("eventlog source applies the XPath-analog filter predicate") {
+    val s = spark
+    val dir = tmpDir("cfg_evt")
+    val rows = Seq(
+      """{"system":{"provider":{"name":"Security","guid":"g1"},"eventId":"4625","channel":"Security","computer":"host1","timeCreated":{"systemTime":"2024-01-01T10:00:00.000Z"}},"eventDataMap":{"user":"alice"},"eventData":["a"],"userData":{}}""",
+      """{"system":{"provider":{"name":"App","guid":"g2"},"eventId":"1000","channel":"Application","computer":"host1","timeCreated":{"systemTime":"2024-01-01T11:00:00.000Z"}},"eventDataMap":{"user":"bob"},"eventData":[],"userData":{}}""")
+    Files.write(Paths.get(dir, "events.json"), rows.mkString("\n").getBytes("UTF-8"))
+    val conf = PipelineConf(
+      // filter = the reference's XPath query (event_logs.go:58) as SQL
+      SourceConf("eventlog", Map("path" -> dir, "query" -> "system.eventId = '4625'")),
+      SinkConf("memory", Map("name" -> "evt_out")),
+      checkpoint = tmpDir("evt_ck"), triggerMs = 100)
+    val q = PipelineConfig.run(spark, conf)
+    q.processAllAvailable(); q.stop()
+    val got = s.sql("SELECT system.eventId, eventDataMap['user'] FROM evt_out").collect()
+    assert(got.length == 1)
+    assert(got.head.getString(0) == "4625" && got.head.getString(1) == "alice")
+  }
+
+  test("unknown kinds fail fast with a clear error") {
+    val e = intercept[IllegalArgumentException] {
+      PipelineConfig.source(spark, SourceConf("nats"))
+    }
+    assert(e.getMessage.contains("nats"))
+  }
+}
