@@ -28,8 +28,14 @@ object VectorFunctions {
   /** L2 norm. */
   def norm(a: Column): Column = sqrt(normSq(a))
 
-  /** Cosine similarity = dot / (|a| * |b|). */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Cosine similarity = dot / (|a| * |b|) — native codegen'd expression
+    * (one fused loop; see graft.expressions.CosineSimilarity). */
+  def cosine(a: Column, b: Column): Column =
+    graft.expressions.VectorExpressions.cosine(a, b)
+
+  /** HOF formulation of cosine — numerically identical to `cosine`, kept
+    * as the pure-builtin fallback and for differential testing. */
+  def cosineHof(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
   /** Euclidean distance. */
   def l2Distance(a: Column, b: Column): Column =

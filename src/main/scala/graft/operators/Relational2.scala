@@ -1,0 +1,178 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession, Encoder, Encoders}
+import org.apache.spark.sql.expressions.{Aggregator, Window}
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.functions.Rounding.{r2, r4}
+
+/** Second relational battery: outer joins, custom UDAF (Aggregator),
+  * generators (explode/UDTF analog of the reference Handler), RANGE
+  * window frames, exact percentiles, and statistical aggregates.
+  */
+object Relational2 {
+
+  // ---------------------------------------------------------------- q29
+  /** Left outer join preserving unmatched left rows (null-filled right),
+    * aggregated so null handling is visible in the result. */
+  val q29OuterJoin = QueryDef(
+    "q29_outer_join",
+    (s, d) => {
+      val cust = Tables.customer(s, d)
+      val big = Tables.orders(s, d).filter(col("o_totalprice") > 250000)
+      cust.join(big, cust("c_custkey") === big("o_custkey"), "left")
+        .groupBy("c_nationkey")
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("o_orderkey")).as("n_matched"),
+          r2(sum(coalesce(col("o_totalprice"), lit(0.0)))).as("sum_big"))
+        .orderBy("c_nationkey")
+    },
+    Some("""SELECT c_nationkey, count(*) AS n_rows,
+           |  count(o_orderkey) AS n_matched,
+           |  round(sum(coalesce(o_totalprice, 0.0)), 2) AS sum_big
+           |FROM customer
+           |LEFT JOIN (SELECT * FROM orders WHERE o_totalprice > 250000) o
+           |  ON c_custkey = o_custkey
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  // ---------------------------------------------------------------- q30
+  /** Full outer join over two aggregates (nation-level customer vs
+    * supplier balances) — unmatched rows on both sides survive. */
+  val q30FullOuter = QueryDef(
+    "q30_full_outer_join",
+    (s, d) => {
+      val c = Tables.customer(s, d).filter(col("c_acctbal") > 9000)
+        .groupBy(col("c_nationkey").as("nk")).agg(count(lit(1)).as("n_cust"))
+      val p = Tables.supplier(s, d).filter(col("s_acctbal") > 9000)
+        .groupBy(col("s_nationkey").as("nk")).agg(count(lit(1)).as("n_supp"))
+      c.join(p, Seq("nk"), "full_outer")
+        .select(col("nk"), coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"))
+        .orderBy("nk")
+    },
+    Some("""SELECT coalesce(c.nk, p.nk) AS nk,
+           |  coalesce(n_cust, 0) AS n_cust, coalesce(n_supp, 0) AS n_supp
+           |FROM (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer
+           |      WHERE c_acctbal > 9000 GROUP BY 1) c
+           |FULL OUTER JOIN (SELECT s_nationkey AS nk, count(*) AS n_supp
+           |      FROM supplier WHERE s_acctbal > 9000 GROUP BY 1) p
+           |  USING (nk)
+           |ORDER BY nk""".stripMargin))
+
+  // ---------------------------------------------------------------- q31
+  /** Custom typed UDAF via Aggregator (SURVEY.md §2.2 UDF/UDAF row):
+    * geometric mean — partial state (sum of logs, count) merges
+    * associatively, so Catalyst runs it as a partial+final hash agg
+    * exactly like a built-in. Oracle: exp(avg(ln(x))). */
+  val geomean: Aggregator[Double, (Double, Long), Double] =
+    new Aggregator[Double, (Double, Long), Double] {
+      def zero: (Double, Long) = (0.0, 0L)
+      def reduce(b: (Double, Long), a: Double): (Double, Long) =
+        (b._1 + math.log(a), b._2 + 1)
+      def merge(x: (Double, Long), y: (Double, Long)): (Double, Long) =
+        (x._1 + y._1, x._2 + y._2)
+      def finish(b: (Double, Long)): Double =
+        if (b._2 == 0) 0.0 else math.exp(b._1 / b._2)
+      def bufferEncoder: Encoder[(Double, Long)] =
+        Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong)
+      def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+    }
+
+  val q31Udaf = QueryDef(
+    "q31_udaf_geomean",
+    (s, d) => {
+      val gm = udaf(geomean)
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(r4(gm(col("l_extendedprice"))).as("geomean_price"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag,
+           |  round(exp(avg(ln(l_extendedprice))), 4) AS geomean_price,
+           |  count(*) AS n
+           |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  // ---------------------------------------------------------------- q32
+  /** Generator / UDTF analog (the reference Handler's 1→n shape,
+    * types.go:127-135, in SQL form): explode tokens, aggregate global
+    * token frequencies — the classic wordcount as a lateral view. */
+  val q32Explode = QueryDef(
+    "q32_explode_wordcount",
+    (s, d) => {
+      Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("tok"))
+        .limit(20)
+    },
+    Some("""SELECT tok, count(*) AS n
+           |FROM (SELECT unnest(string_split(text, ' ')) AS tok FROM documents)
+           |GROUP BY 1 ORDER BY n DESC, tok LIMIT 20""".stripMargin))
+
+  // ---------------------------------------------------------------- q33
+  /** RANGE window frame over a numeric ordering: sum of all order values
+    * within 10k below the current row's price, per customer. */
+  val q33RangeFrame = QueryDef(
+    "q33_range_frame",
+    (s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_totalprice")
+        .rangeBetween(-10000L, Window.currentRow)
+      Tables.orders(s, d)
+        .withColumn("near_sum", r2(sum("o_totalprice").over(w)))
+        .withColumn("near_n", count(lit(1)).over(w))
+        .select(col("o_custkey"), col("o_orderkey"),
+          r2(col("o_totalprice")).as("price"), col("near_sum"), col("near_n"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey, round(o_totalprice, 2) AS price,
+           |  round(sum(o_totalprice) OVER w, 2) AS near_sum,
+           |  count(*) OVER w AS near_n
+           |FROM orders
+           |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice
+           |  RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW)
+           |ORDER BY o_custkey, o_orderkey""".stripMargin))
+
+  // ---------------------------------------------------------------- q34
+  /** Exact interpolated percentiles (median/p90) per group. */
+  val q34Percentiles = QueryDef(
+    "q34_percentiles",
+    (s, d) => {
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(r2(expr("percentile(o_totalprice, 0.5)")).as("median_price"),
+          r2(expr("percentile(o_totalprice, 0.9)")).as("p90_price"),
+          count(lit(1)).as("n"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority,
+           |  round(quantile_cont(o_totalprice, 0.5), 2) AS median_price,
+           |  round(quantile_cont(o_totalprice, 0.9), 2) AS p90_price,
+           |  count(*) AS n
+           |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  // ---------------------------------------------------------------- q35
+  /** Statistical aggregate battery: stddev/variance/correlation/covariance. */
+  val q35Stats = QueryDef(
+    "q35_stats",
+    (s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_linestatus")
+        .agg(r4(stddev_samp(col("l_quantity"))).as("sd_qty"),
+          r4(var_samp(col("l_discount"))).as("var_disc"),
+          r4(corr(col("l_quantity"), col("l_extendedprice"))).as("corr_qty_price"),
+          r4(covar_samp(col("l_quantity"), col("l_tax"))).as("covar_qty_tax"),
+          count(lit(1)).as("n"))
+        .orderBy("l_linestatus")
+    },
+    Some("""SELECT l_linestatus,
+           |  round(stddev_samp(l_quantity), 4) AS sd_qty,
+           |  round(var_samp(l_discount), 4) AS var_disc,
+           |  round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+           |  round(covar_samp(l_quantity, l_tax), 4) AS covar_qty_tax,
+           |  count(*) AS n
+           |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q29OuterJoin, q30FullOuter, q31Udaf, q32Explode,
+    q33RangeFrame, q34Percentiles, q35Stats)
+}

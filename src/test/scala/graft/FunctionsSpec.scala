@@ -70,4 +70,16 @@ class FunctionsSpec extends SparkSpec {
     assert(got.getInt(0) == 3)     // abc, x, y
     assert(got.getInt(1) == 5)     // abc, 123, x, -, y
   }
+  test("native cosine expression is bit-identical to the HOF formulation") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(3)
+    val vecs = Seq.fill(50)((Seq.fill(64)(rnd.nextFloat() - 0.5f),
+      Seq.fill(64)(rnd.nextFloat() - 0.5f)))
+    val df = vecs.toDF("a", "b")
+    val diff = df.select((V.cosine(col("a"), col("b")) -
+      V.cosineHof(col("a"), col("b"))).as("d"))
+      .agg(max(abs(col("d")))).as[Double].collect().head
+    assert(diff == 0.0, s"expected bitwise-equal cosine, max diff $diff")
+  }
 }
