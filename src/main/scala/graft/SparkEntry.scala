@@ -8,7 +8,7 @@ object SparkEntry {
 
   private def allDefs: Seq[QueryDef] =
     graft.operators.Relational.all ++ graft.operators.Relational2.all ++
-      graft.operators.Dedup.all ++
+      graft.operators.Skew.all ++ graft.operators.Dedup.all ++
       graft.operators.Similarity.all ++ graft.operators.TextAnalysis.all ++
       graft.operators.Multimodal.all
 

@@ -173,6 +173,46 @@ object Relational2 {
            |  count(*) AS n
            |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  // ---------------------------------------------------------------- q37
+  /** Batch sessionization via gap detection: a session break is a >10min
+    * silence per user; session_id = running count of breaks (classic
+    * lag + conditional cumsum — one shuffle on user_id, no state store
+    * needed at rest; the streaming twin is Stateful.sessionize). */
+  val q37Sessionize = QueryDef(
+    "q37_sessionize",
+    (s, d) => {
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.events(s, d)
+        .withColumn("gap_s",
+          unix_micros(col("ts")) - unix_micros(lag("ts", 1).over(byUser)))
+        .withColumn("is_break",
+          when(col("gap_s").isNull || col("gap_s") > 600L * 1000000L, 1L).otherwise(0L))
+        .withColumn("session_seq", sum("is_break").over(run))
+        .groupBy("user_id", "session_seq")
+        .agg(count(lit(1)).as("n_events"), r2(sum("value")).as("sum_value"),
+          min("event_id").as("first_event"))
+        .orderBy("user_id", "session_seq")
+    },
+    Some("""WITH gapped AS (
+           |  SELECT user_id, event_id, value, ts,
+           |    epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) AS gap_s
+           |  FROM events
+           |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+           |marked AS (
+           |  SELECT *, CASE WHEN gap_s IS NULL OR gap_s > 600 * 1000000
+           |                 THEN 1 ELSE 0 END AS is_break
+           |  FROM gapped),
+           |sessions AS (
+           |  SELECT *, sum(is_break) OVER (PARTITION BY user_id
+           |    ORDER BY ts, event_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+           |  FROM marked)
+           |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+           |  count(*) AS n_events, round(sum(value), 2) AS sum_value,
+           |  min(event_id) AS first_event
+           |FROM sessions GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q29OuterJoin, q30FullOuter, q31Udaf, q32Explode,
-    q33RangeFrame, q34Percentiles, q35Stats)
+    q33RangeFrame, q34Percentiles, q35Stats, q37Sessionize)
 }

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
 import graft.functions.{TextFunctions => T}
-import graft.functions.Rounding.r4
+import graft.functions.Rounding.{r4, r6}
 
 /** Text-analysis operators over `documents` (north-star surface):
   * language ID (stopword n-gram heuristic), quality scoring, token
@@ -142,5 +142,46 @@ object TextAnalysis {
     },
     None)
 
-  val all: Seq[QueryDef] = Seq(t01LangId, t02Quality, t03TokenCount, t04RollingHash)
+  // ---------------------------------------------------------------- t05
+  /** TF-IDF top terms per document: tf from explode+count, df from a
+    * distinct doc-token count, idf = ln(N/df). Two hash-agg shuffles and
+    * one key-equi-join — the scalable formulation (no per-doc vocabulary
+    * maps on the driver). Top-3 terms per doc by (score, term) rank. */
+  val t05TfIdf = QueryDef(
+    "t05_text_tfidf",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val nDf = docs.agg(countDistinct("doc_id").cast("double").as("n"))
+      val tokens = docs.select(col("doc_id"),
+        explode(split(col("text"), " ")).as("tok"))
+      val tf = tokens.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("tok"))
+      tf.join(df, Seq("tok"))
+        .crossJoin(broadcast(nDf)) // scalar broadcast, no driver action
+        .withColumn("score", col("tf") * log(col("n") / col("df")))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select(col("doc_id"), col("rank"), col("tok"), r6(col("score")).as("score"))
+        .orderBy("doc_id", "rank")
+    },
+    Some("""WITH tokens AS (
+           |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+           |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tokens GROUP BY 1, 2),
+           |df AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+           |n AS (SELECT CAST(count(DISTINCT doc_id) AS DOUBLE) AS n FROM documents),
+           |scored AS (
+           |  SELECT doc_id, tok, tf * ln(n / df) AS score
+           |  FROM tf JOIN df USING (tok) CROSS JOIN n),
+           |ranked AS (
+           |  SELECT doc_id, tok, score, row_number() OVER
+           |    (PARTITION BY doc_id ORDER BY score DESC, tok) AS rank
+           |  FROM scored)
+           |SELECT doc_id, rank, tok, round(score, 6) AS score
+           |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin))
+
+  val all: Seq[QueryDef] =
+    Seq(t01LangId, t02Quality, t03TokenCount, t04RollingHash, t05TfIdf)
 }

@@ -1,0 +1,50 @@
+package graft
+
+/** Plan-shape regression tests: the optimizations the 100 TB design relies
+  * on must stay visible in the physical plan — pushdown reaching the
+  * parquet scan, dimension joins staying broadcast, top-k staying
+  * TakeOrdered, and the native cosine staying codegen'd.
+  */
+class PlanSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q02: filter and projection push into the parquet scan") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)") ||
+      p.contains("GreaterThan(l_discount,0.08)"), p.take(800))
+    assert(p.contains("ReadSchema") && !p.contains("l_returnflag"),
+      "scan must prune unused columns")
+  }
+
+  test("q06: dimension chain joins are broadcast, not shuffled") {
+    val p = plan("q06_broadcast_join")
+    assert(p.contains("BroadcastHashJoin"), p.take(500))
+    assert(!p.contains("SortMergeJoin"), "star dims must not sort-merge")
+  }
+
+  test("q13: global sort+limit runs as TakeOrderedAndProject") {
+    val p = plan("q13_sort_limit")
+    assert(p.contains("TakeOrderedAndProject"), p.take(500))
+  }
+
+  test("s01: native cosine expression appears in the plan (codegen path)") {
+    val p = plan("s01_sim_topk")
+    assert(p.contains("cosine_similarity"), p.take(800))
+  }
+
+  test("d03: minhash plan has no cartesian/nested-loop join") {
+    val p = plan("d03_dedup_minhash_lsh")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "candidate generation must stay equi-join/window based")
+  }
+
+  test("q36: salted aggregation is a two-level hash aggregate") {
+    val p = plan("q36_salted_agg")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      "expect partial+final aggs at both salt and key level")
+  }
+}
