@@ -51,10 +51,25 @@ object VectorFunctions {
     aggregate(planes, lit(0L),
       (acc, plane) => acc * 2 + when(dot(emb, plane) >= 0, 1L).otherwise(0L))
 
-  /** Deterministic ±1 hyperplane matrix literal (nPlanes × dim), seeded. */
-  def planesLit(nPlanes: Int, dim: Int, seed: Long = 42L): Column = {
-    val rnd = new scala.util.Random(seed)
-    val m = Array.fill(nPlanes, dim)(if (rnd.nextBoolean()) 1.0 else -1.0)
-    typedlit(m.map(_.toSeq).toSeq)
+  /** Codegen'd SRP bucket: one native dot-product loop per plane, Horner
+    * bit-packing — identical buckets to `srpBucket` (same plane order,
+    * same sequential fold) but stays in whole-stage codegen instead of
+    * interpreted HOF eval (~10× on wide fan-ins). */
+  def srpBucketFast(emb: Column, planes: Seq[Seq[Double]]): Column = {
+    val e = toDouble(emb)
+    planes.foldLeft(lit(0L)) { (acc, p) =>
+      acc * 2 + when(graft.expressions.VectorExpressions.dot(e, typedlit(p)) >= 0, 1L)
+        .otherwise(0L)
+    }
   }
+
+  /** Deterministic ±1 hyperplane matrix (nPlanes × dim), seeded. */
+  def planesSeq(nPlanes: Int, dim: Int, seed: Long = 42L): Seq[Seq[Double]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(nPlanes)(Seq.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
+  }
+
+  /** Same matrix as a literal column (HOF path). */
+  def planesLit(nPlanes: Int, dim: Int, seed: Long = 42L): Column =
+    typedlit(planesSeq(nPlanes, dim, seed))
 }

@@ -13,10 +13,6 @@ import graft.functions.Rounding.{r4, r6}
   */
 object TextAnalysis {
 
-  private def langScoreCols = T.stopwords.map { case (lang, words) =>
-    lang -> T.stopwordHits(col("text"), words).as(s"s_$lang")
-  }
-
   private def sqlScore(words: Seq[String]): String =
     s"CAST(len(regexp_extract_all(lower(text), '\\b(${words.mkString("|")})\\b')) AS INT)"
 

@@ -30,7 +30,9 @@ class ScannerSpec extends SparkSpec {
   }
 
   test("property: split(join(xs, d), d) == xs (scalacheck)") {
-    val tok = Gen.nonEmptyListOf(Gen.alphaNumChar).map(_.mkString)
+    // letters only: a token containing the delimiter (e.g. "a0x0b" vs
+    // delim "0x0") would legitimately split — not a scanner defect
+    val tok = Gen.nonEmptyListOf(Gen.alphaChar).map(_.mkString)
     val prop = Prop.forAll(Gen.nonEmptyListOf(tok), Gen.oneOf("\n", "|", "##", "0x0")) {
       (xs: List[String], d: String) =>
         xs.isEmpty || roundTrip(xs, d).sorted == xs.sorted
