@@ -1,0 +1,153 @@
+package graft.connectors
+
+import java.util
+import scala.collection.mutable.ArrayBuffer
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.ArrayBasedMapData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** MQTT-shaped DataSource V2 micro-batch source (SURVEY.md §2 rows 21-22 —
+  * "the one connector that genuinely needs custom source code in Spark").
+  *
+  * The BROKER LAYER IS A DETERMINISTIC IN-JVM STUB (`MessageBus`) because
+  * this environment has no network egress and no MQTT client jar; a real
+  * deployment replaces `MessageBus` with a Paho subscription feeding the
+  * same append-only per-topic log (payload + messageID key, exactly the
+  * envelope mqtt.go:212-225 builds). Everything Spark-side is real DSv2:
+  * offset tracking, checkpoint-driven replay, range-partitioned batch
+  * planning, and per-epoch commit — i.e. the reference's ack contract
+  * (ack after durable delivery, types.go:48-57) expressed as epoch commits.
+  *
+  * Usage:
+  *   spark.readStream.format("graft.connectors.MqttLikeSource")
+  *     .option("topic", "t").load()
+  * Schema: the canonical envelope (key, topic, value binary, attributes).
+  */
+class MqttLikeSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    MqttLikeSource.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new MqttTable(properties.getOrDefault("topic", "#"))
+}
+
+object MqttLikeSource {
+  val schema: StructType = StructType(Seq(
+    StructField("key", StringType),
+    StructField("topic", StringType),
+    StructField("value", BinaryType),
+    StructField("attributes", MapType(StringType, StringType))))
+}
+
+/** In-JVM append-only per-topic message log — the stand-in for a broker
+  * session. `committed` mirrors the broker-side QoS ack watermark: it
+  * advances only when Spark commits an epoch, never blocks replay from
+  * an older checkpoint (the log is retained). */
+object MessageBus {
+  private val logs = new java.util.concurrent.ConcurrentHashMap[String, ArrayBuffer[(String, Array[Byte])]]()
+  private val committed = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+
+  private def log(topic: String): ArrayBuffer[(String, Array[Byte])] =
+    logs.computeIfAbsent(topic, _ => ArrayBuffer.empty)
+
+  def publish(topic: String, key: String, payload: Array[Byte]): Unit =
+    log(topic).synchronized { log(topic) += ((key, payload)) }
+
+  def size(topic: String): Long = log(topic).synchronized { log(topic).size.toLong }
+
+  def range(topic: String, from: Long, until: Long): Seq[(String, Array[Byte])] =
+    log(topic).synchronized { log(topic).slice(from.toInt, until.toInt).toSeq }
+
+  def ack(topic: String, upTo: Long): Unit = committed.put(topic, upTo)
+  def acked(topic: String): Long = committed.getOrDefault(topic, 0L)
+  def reset(topic: String): Unit = { logs.remove(topic); committed.remove(topic) }
+}
+
+private class MqttTable(topic: String) extends Table with SupportsRead {
+  override def name(): String = s"mqtt-like:$topic"
+  override def schema(): StructType = MqttLikeSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        override def readSchema(): StructType = MqttLikeSource.schema
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new MqttMicroBatchStream(topic)
+      }
+    }
+}
+
+private case class BusOffset(n: Long) extends Offset {
+  override def json(): String = s"""{"offset":$n}"""
+}
+
+/** Micro-batch contract: latestOffset polls the log head (the poller
+  * loop, SURVEY.md §3.3); planInputPartitions splits the offset range
+  * into parallel slices; commit advances the broker ack watermark —
+  * ack-after-durable-write at epoch granularity. */
+private class MqttMicroBatchStream(topic: String)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+  private val Parallelism = 4
+  // Trigger.AvailableNow snapshots the log head once, then drains up to it
+  @volatile private var availableNowEnd: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowEnd = Some(MessageBus.size(topic))
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def reportLatestOffset(): Offset = BusOffset(MessageBus.size(topic))
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
+    BusOffset(availableNowEnd.getOrElse(MessageBus.size(topic)))
+
+  override def initialOffset(): Offset = BusOffset(0L)
+  override def latestOffset(): Offset =
+    BusOffset(availableNowEnd.getOrElse(MessageBus.size(topic)))
+  override def deserializeOffset(json: String): Offset =
+    BusOffset("""\d+""".r.findFirstIn(json).get.toLong)
+  override def commit(end: Offset): Unit =
+    MessageBus.ack(topic, end.asInstanceOf[BusOffset].n)
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val lo = start.asInstanceOf[BusOffset].n
+    val hi = end.asInstanceOf[BusOffset].n
+    if (hi <= lo) Array.empty
+    else {
+      val step = math.max(1L, (hi - lo) / Parallelism)
+      (lo until hi by step).map { s =>
+        BusPartition(topic, s, math.min(s + step, hi)): InputPartition
+      }.toArray
+    }
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new PartitionReaderFactory {
+      override def createReader(p: InputPartition): PartitionReader[InternalRow] = {
+        val bp = p.asInstanceOf[BusPartition]
+        new PartitionReader[InternalRow] {
+          private val rows = MessageBus.range(bp.topic, bp.from, bp.until).iterator
+          private var current: (String, Array[Byte]) = _
+          override def next(): Boolean = { val h = rows.hasNext; if (h) current = rows.next(); h }
+          override def get(): InternalRow = new GenericInternalRow(Array[Any](
+            UTF8String.fromString(current._1),
+            UTF8String.fromString(bp.topic),
+            current._2,
+            new ArrayBasedMapData(
+              org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array.empty[UTF8String]),
+              org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array.empty[UTF8String]))))
+          override def close(): Unit = ()
+        }
+      }
+    }
+}
+
+private case class BusPartition(topic: String, from: Long, until: Long)
+  extends InputPartition

@@ -38,6 +38,11 @@ object PipelineConfig {
     case "parquet" =>
       spark.readStream.schema(
         spark.read.parquet(c.options("path")).schema).parquet(c.options("path"))
+    case "mqtt" =>
+      // DSv2 micro-batch source (graft.connectors.MqttLikeSource); the
+      // broker layer is the in-JVM MessageBus stub — see connector docs
+      spark.readStream.format("graft.connectors.MqttLikeSource")
+        .option("topic", c.options.getOrElse("topic", "#")).load()
     case "eventlog" =>
       spark.readStream
         .schema(org.apache.spark.sql.types.StructType.fromDDL(Sources.eventLogSchema))

@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.streaming.Trigger
+import graft.connectors.MessageBus
+
+/** DSv2 MQTT-shaped source: envelope schema, exactly-once delivery across
+  * epochs, offset tracking across restarts, and the epoch-commit ack
+  * watermark (the reference's QoS ack, mqtt.go:212-225 / types.go:48-57).
+  */
+class MqttLikeSourceSpec extends SparkSpec {
+
+  private def read(topic: String) =
+    spark.readStream.format("graft.connectors.MqttLikeSource")
+      .option("topic", topic).load()
+
+  test("delivers published envelopes exactly once with key/topic/value") {
+    val s = spark
+    import s.implicits._
+    MessageBus.reset("t1")
+    (1 to 25).foreach(i => MessageBus.publish("t1", s"mid-$i", s"payload-$i".getBytes))
+
+    val ck = tmpDir("mqtt_ck")
+    val q = read("t1").writeStream.format("memory").queryName("mq_out")
+      .option("checkpointLocation", ck).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+
+    val rows = s.sql("SELECT key, topic, CAST(value AS STRING) FROM mq_out").collect()
+    assert(rows.length == 25)
+    assert(rows.map(_.getString(2)).sorted.toSeq == (1 to 25).map(i => s"payload-$i").sorted)
+    assert(rows.forall(_.getString(1) == "t1"))
+    assert(rows.map(_.getString(0)).distinct.length == 25, "unique message ids")
+
+    // The engine calls MicroBatchStream.commit lazily (when the next epoch
+    // is constructed), so AvailableNow termination leaves the watermark at
+    // the previous epoch. Verify the ack contract itself directly: commit
+    // advances the broker watermark to the committed offset.
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val table = new graft.connectors.MqttLikeSource()
+      .getTable(null, Array.empty, java.util.Map.of("topic", "t1"))
+      .asInstanceOf[org.apache.spark.sql.connector.catalog.SupportsRead]
+    val stream = table.newScanBuilder(CaseInsensitiveStringMap.empty()).build()
+      .toMicroBatchStream(tmpDir("mqtt_ack_ck"))
+    stream.commit(stream.deserializeOffset("""{"offset":25}"""))
+    assert(MessageBus.acked("t1") == 25L, s"acked=${MessageBus.acked("t1")}")
+  }
+
+  test("offset tracking across restarts: only new messages on second run") {
+    val s = spark
+    import s.implicits._
+    MessageBus.reset("t2")
+    (1 to 10).foreach(i => MessageBus.publish("t2", s"a$i", s"old-$i".getBytes))
+
+    val ck = tmpDir("mqtt_ck2")
+    val first = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val q1 = read("t2").writeStream
+      .option("checkpointLocation", ck).trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.selectExpr("CAST(value AS STRING)").collect()
+          .foreach(r => first.add(r.getString(0)))
+      }.start()
+    q1.awaitTermination(60000)
+    assert(first.size == 10)
+
+    (1 to 5).foreach(i => MessageBus.publish("t2", s"b$i", s"new-$i".getBytes))
+    val second = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val q2 = read("t2").writeStream
+      .option("checkpointLocation", ck).trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        df.selectExpr("CAST(value AS STRING)").collect()
+          .foreach(r => second.add(r.getString(0)))
+      }.start()
+    q2.awaitTermination(60000)
+
+    import scala.jdk.CollectionConverters._
+    assert(second.asScala.toSeq.sorted == (1 to 5).map(i => s"new-$i").sorted,
+      s"second run must deliver only the 5 new messages, got ${second.asScala.toSeq}")
+  }
+}
