@@ -36,7 +36,8 @@ class MqttLikeSource extends TableProvider {
     MqttLikeSource.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
-    new MqttTable(properties.getOrDefault("topic", "#"))
+    new MqttTable(properties.getOrDefault("topic", "#"),
+      Option(properties.get("maxRowsPerTrigger")).map(_.toLong))
 }
 
 object MqttLikeSource {
@@ -71,7 +72,8 @@ object MessageBus {
   def reset(topic: String): Unit = { logs.remove(topic); committed.remove(topic) }
 }
 
-private class MqttTable(topic: String) extends Table with SupportsRead {
+private class MqttTable(topic: String, maxRows: Option[Long])
+    extends Table with SupportsRead {
   override def name(): String = s"mqtt-like:$topic"
   override def schema(): StructType = MqttLikeSource.schema
   override def capabilities(): util.Set[TableCapability] =
@@ -81,7 +83,7 @@ private class MqttTable(topic: String) extends Table with SupportsRead {
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = MqttLikeSource.schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new MqttMicroBatchStream(topic)
+          new MqttMicroBatchStream(topic, maxRows)
       }
     }
 }
@@ -93,8 +95,10 @@ private case class BusOffset(n: Long) extends Offset {
 /** Micro-batch contract: latestOffset polls the log head (the poller
   * loop, SURVEY.md §3.3); planInputPartitions splits the offset range
   * into parallel slices; commit advances the broker ack watermark —
-  * ack-after-durable-write at epoch granularity. */
-private class MqttMicroBatchStream(topic: String)
+  * ack-after-durable-write at epoch granularity. `maxRows` = the
+  * reference batcher's FlushLength (batcher.go:50-57), honored through
+  * DSv2 admission control by capping each epoch at start + maxRows. */
+private class MqttMicroBatchStream(topic: String, maxRows: Option[Long])
     extends MicroBatchStream with SupportsTriggerAvailableNow {
   private val Parallelism = 4
   // Trigger.AvailableNow snapshots the log head once, then drains up to it
@@ -102,10 +106,18 @@ private class MqttMicroBatchStream(topic: String)
 
   override def prepareForTriggerAvailableNow(): Unit =
     availableNowEnd = Some(MessageBus.size(topic))
-  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  override def getDefaultReadLimit: ReadLimit =
+    maxRows.map(n => ReadLimit.maxRows(n)).getOrElse(ReadLimit.allAvailable())
   override def reportLatestOffset(): Offset = BusOffset(MessageBus.size(topic))
-  override def latestOffset(start: Offset, limit: ReadLimit): Offset =
-    BusOffset(availableNowEnd.getOrElse(MessageBus.size(topic)))
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val head = availableNowEnd.getOrElse(MessageBus.size(topic))
+    val capped = limit match {
+      case r: org.apache.spark.sql.connector.read.streaming.ReadMaxRows =>
+        math.min(head, start.asInstanceOf[BusOffset].n + r.maxRows())
+      case _ => head
+    }
+    BusOffset(capped)
+  }
 
   override def initialOffset(): Offset = BusOffset(0L)
   override def latestOffset(): Offset =

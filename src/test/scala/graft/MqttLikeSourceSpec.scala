@@ -75,4 +75,25 @@ class MqttLikeSourceSpec extends SparkSpec {
     assert(second.asScala.toSeq.sorted == (1 to 5).map(i => s"new-$i").sorted,
       s"second run must deliver only the 5 new messages, got ${second.asScala.toSeq}")
   }
+  test("maxRowsPerTrigger caps epochs (FlushLength, batcher.go:50-57)") {
+    MessageBus.reset("t3")
+    (1 to 100).foreach(i => MessageBus.publish("t3", s"m$i", s"p-$i".getBytes))
+    val nBatches = new java.util.concurrent.atomic.AtomicInteger(0)
+    val nRows = new java.util.concurrent.atomic.AtomicInteger(0)
+    val maxSeen = new java.util.concurrent.atomic.AtomicInteger(0)
+    val q = spark.readStream.format("graft.connectors.MqttLikeSource")
+      .option("topic", "t3").option("maxRowsPerTrigger", "30").load()
+      .writeStream.option("checkpointLocation", tmpDir("mqtt_ck3"))
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (df: org.apache.spark.sql.DataFrame, _: Long) =>
+        val n = df.count().toInt
+        nBatches.incrementAndGet(); nRows.addAndGet(n)
+        maxSeen.updateAndGet(m => math.max(m, n))
+        ()
+      }.start()
+    q.awaitTermination(60000)
+    assert(nRows.get() == 100, s"all rows delivered, got ${nRows.get()}")
+    assert(maxSeen.get() <= 30, s"epoch exceeded FlushLength: ${maxSeen.get()}")
+    assert(nBatches.get() >= 4, s"expected >=4 capped epochs, got ${nBatches.get()}")
+  }
 }
