@@ -213,6 +213,47 @@ object Relational2 {
            |  min(event_id) AS first_event
            |FROM sessions GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
+  // ---------------------------------------------------------------- q38
+  /** Pivot: event-type counts as columns per user band. Spark's pivot
+    * with explicit values = conditional aggregation (the oracle form). */
+  val q38Pivot = QueryDef(
+    "q38_pivot",
+    (s, d) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      Tables.events(s, d)
+        .groupBy((col("user_id") % 10).as("user_band"))
+        .pivot("event_type", types)
+        .count()
+        .select(col("user_band") +:
+          types.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+        .orderBy("user_band")
+    },
+    Some("""SELECT user_id % 10 AS user_band,
+           |  count(*) FILTER (WHERE event_type = 'click') AS click,
+           |  count(*) FILTER (WHERE event_type = 'error') AS error,
+           |  count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           |  count(*) FILTER (WHERE event_type = 'signup') AS signup,
+           |  count(*) FILTER (WHERE event_type = 'view') AS view
+           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  // ---------------------------------------------------------------- q39
+  /** Unpivot/melt: wide numeric measures to long (entity, measure, value). */
+  val q39Unpivot = QueryDef(
+    "q39_unpivot",
+    (s, d) => {
+      Tables.part(s, d)
+        .select(col("p_partkey"), col("p_size").cast("double").as("p_size"),
+          col("p_retailprice"))
+        .unpivot(Array(col("p_partkey")),
+          Array(col("p_size"), col("p_retailprice")), "measure", "value")
+        .orderBy("p_partkey", "measure")
+    },
+    Some("""SELECT p_partkey, 'p_size' AS measure, CAST(p_size AS DOUBLE) AS value
+           |FROM part
+           |UNION ALL
+           |SELECT p_partkey, 'p_retailprice', p_retailprice FROM part
+           |ORDER BY p_partkey, measure""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q29OuterJoin, q30FullOuter, q31Udaf, q32Explode,
-    q33RangeFrame, q34Percentiles, q35Stats, q37Sessionize)
+    q33RangeFrame, q34Percentiles, q35Stats, q37Sessionize, q38Pivot, q39Unpivot)
 }
