@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** SQL-surface registration of the native expressions, and bucketed
+  * co-located joins (the at-rest layout that removes the shuffle from
+  * repeated fact-fact joins at scale). */
+class ExtensionsSpec extends SparkSpec {
+
+  test("cosine_similarity and dot_product are callable from SQL") {
+    GraftExtensions.register(spark)
+    val r = spark.sql(
+      """SELECT cosine_similarity(array(1.0d, 0.0d), array(1.0d, 0.0d)) AS c,
+        |       dot_product(array(1.0d, 2.0d), array(3.0d, 4.0d)) AS d""".stripMargin)
+      .collect().head
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(r.getDouble(1) == 11.0)
+  }
+
+  test("bucketed tables co-locate the join: no shuffle exchange in the plan") {
+    val s = spark
+    import s.implicits._
+    val wh = tmpDir("warehouse") // external-table paths; warehouse conf is static
+    s.sql("DROP TABLE IF EXISTS b_orders")
+    s.sql("DROP TABLE IF EXISTS b_lineitem")
+
+    Tables.orders(s, "/root/testdata/sf0.001")
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .option("path", s"$wh/b_orders").saveAsTable("b_orders")
+    Tables.lineitem(s, "/root/testdata/sf0.001")
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .option("path", s"$wh/b_lineitem").saveAsTable("b_lineitem")
+
+    // disable broadcast so the join must pick a non-broadcast strategy;
+    // bucketing should then satisfy the distribution with ZERO exchanges
+    val prevThreshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = s.table("b_orders").join(s.table("b_lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+        .groupBy("o_orderpriority").count()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning(o_orderkey") &&
+        !plan.contains("Exchange hashpartitioning(l_orderkey"),
+        s"bucketed join must not re-shuffle join keys:\n${plan.take(1200)}")
+      assert(joined.collect().map(_.getLong(1)).sum == 6000L)
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+    }
+  }
+}
