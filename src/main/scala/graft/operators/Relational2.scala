@@ -254,6 +254,51 @@ object Relational2 {
            |SELECT p_partkey, 'p_retailprice', p_retailprice FROM part
            |ORDER BY p_partkey, measure""".stripMargin))
 
+  // ---------------------------------------------------------------- q40
+  /** Window navigation battery: first/last/nth value over an explicit
+    * full-partition frame (deterministic ordering). */
+  val q40WindowNav = QueryDef(
+    "q40_window_nav",
+    (s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, d)
+        .withColumn("first_key", first("o_orderkey").over(w))
+        .withColumn("last_key", last("o_orderkey").over(w))
+        .withColumn("second_key", nth_value(col("o_orderkey"), 2).over(w))
+        .select(col("o_custkey"), col("o_orderkey"),
+          col("first_key"), col("last_key"), col("second_key"))
+        .orderBy("o_custkey", "o_orderkey")
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+           |  first_value(o_orderkey) OVER w AS first_key,
+           |  last_value(o_orderkey) OVER w AS last_key,
+           |  nth_value(o_orderkey, 2) OVER w AS second_key
+           |FROM orders
+           |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+           |  ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+           |ORDER BY o_custkey, o_orderkey""".stripMargin))
+
+  // ---------------------------------------------------------------- q41
+  /** Collect aggregation with deterministic ordering: sorted distinct set
+    * folded to a string (collect_set order is engine-defined, so the
+    * sort happens before the fold on both sides). */
+  val q41CollectAgg = QueryDef(
+    "q41_collect_agg",
+    (s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(concat_ws(",", sort_array(collect_set(col("l_linestatus")))).as("statuses"),
+          countDistinct(col("l_linestatus")).as("n_statuses"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag,
+           |  array_to_string(list_sort(list(DISTINCT l_linestatus)), ',') AS statuses,
+           |  count(DISTINCT l_linestatus) AS n_statuses, count(*) AS n
+           |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q29OuterJoin, q30FullOuter, q31Udaf, q32Explode,
-    q33RangeFrame, q34Percentiles, q35Stats, q37Sessionize, q38Pivot, q39Unpivot)
+    q33RangeFrame, q34Percentiles, q35Stats, q37Sessionize, q38Pivot, q39Unpivot,
+    q40WindowNav, q41CollectAgg)
 }
