@@ -82,4 +82,15 @@ class FunctionsSpec extends SparkSpec {
       .agg(max(abs(col("d")))).as[Double].collect().head
     assert(diff == 0.0, s"expected bitwise-equal cosine, max diff $diff")
   }
+  test("scalar udf: registered, callable from SQL, equals the builtin") {
+    val s = spark
+    import s.implicits._
+    val lenUdf = udf((x: String) => x.length)
+    s.udf.register("my_len", lenUdf)
+    val df = Seq("abc", "hello").toDF("x")
+      .withColumn("a", lenUdf(col("x")))
+      .withColumn("b", length(col("x")))
+    assert(df.filter(col("a") =!= col("b")).count() == 0)
+    assert(s.sql("SELECT my_len('spark')").collect().head.getInt(0) == 5)
+  }
 }

@@ -89,4 +89,51 @@ class StatefulSpec extends SparkSpec {
       .as[(String, Long)].collect().toSeq
     assert(got == Seq(("click", 2L), ("view", 1L)))
   }
+  test("sliding event-time windows produce overlapping buckets") {
+    val s = spark
+    import s.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val input = MemoryStream[(Timestamp, String)]
+    input.addData((ts(0), "click"), (ts(7), "click"))
+    val df = input.toDF().toDF("ts", "event_type")
+    val q = Stateful.windowedCounts(df, "ts", "1 minute", "10 minutes",
+        slide = Some("5 minutes"))
+      .writeStream.format("memory").queryName("slide_out")
+      .outputMode(OutputMode.Complete())
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    // 10:00 event -> windows [09:55,10:05),[10:00,10:10); 10:07 -> [10:00,10:10),[10:05,10:15)
+    val got = s.sql("SELECT n FROM slide_out ORDER BY window.start")
+      .as[Long].collect().toSeq
+    assert(got == Seq(1L, 2L, 1L), s"overlapping window counts, got $got")
+  }
+
+  test("ForeachWriter sink: open/process/close per partition, all rows delivered") {
+    val s = spark
+    import s.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val input = MemoryStream[Int]
+    input.addData(1 to 50: _*)
+    val q = input.toDS().writeStream
+      .option("checkpointLocation", tmpDir("fw_ck"))
+      .trigger(Trigger.AvailableNow())
+      .foreach(new org.apache.spark.sql.ForeachWriter[Int] {
+        def open(partitionId: Long, epochId: Long): Boolean = { ForeachSink.opens.incrementAndGet(); true }
+        def process(v: Int): Unit = ForeachSink.rows.add(v)
+        def close(errorOrNull: Throwable): Unit = ForeachSink.closes.incrementAndGet()
+      }).start()
+    q.awaitTermination(60000)
+    import scala.jdk.CollectionConverters._
+    assert(ForeachSink.rows.asScala.toSeq.sorted == (1 to 50))
+    assert(ForeachSink.opens.get() == ForeachSink.closes.get() && ForeachSink.opens.get() >= 1)
+  }
+}
+
+/** Shared state for the ForeachWriter test (writer is serialized per task). */
+object ForeachSink {
+  val rows = new java.util.concurrent.ConcurrentLinkedQueue[Int]()
+  val opens = new java.util.concurrent.atomic.AtomicInteger(0)
+  val closes = new java.util.concurrent.atomic.AtomicInteger(0)
 }
