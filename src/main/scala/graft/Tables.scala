@@ -36,7 +36,12 @@ object Tables {
   val all: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
-  /** Register every table as a temp view (for spark.sql-based operators). */
+  /** Register every table as a temp view (for spark.sql-based operators).
+    * Goes through the per-table accessors so `events` gets its
+    * nanos→micros timestamp handling instead of a raw scan. */
   def registerViews(s: SparkSession, d: String): Unit =
-    all.foreach(n => load(s, d, n).createOrReplaceTempView(n))
+    all.foreach { n =>
+      val df = if (n == "events") events(s, d) else load(s, d, n)
+      df.createOrReplaceTempView(n)
+    }
 }

@@ -41,11 +41,8 @@ class MqttLikeSource extends TableProvider {
 }
 
 object MqttLikeSource {
-  val schema: StructType = StructType(Seq(
-    StructField("key", StringType),
-    StructField("topic", StringType),
-    StructField("value", BinaryType),
-    StructField("attributes", MapType(StringType, StringType))))
+  /** The canonical envelope schema (single definition: core.Msg). */
+  val schema: StructType = graft.core.Msg.byteSchema
 }
 
 /** In-JVM append-only per-topic message log — the stand-in for a broker

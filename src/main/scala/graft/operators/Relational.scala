@@ -24,16 +24,8 @@ import graft.{QueryDef, Tables}
   */
 object Relational {
 
-  import org.apache.spark.sql.Column
-
-  /** Round to 2/4 decimals the way DuckDB does (`std::round(x*10^d)/10^d`
-    * on the binary double). Spark's own `round(x, d)` goes through
-    * BigDecimal(shortest-decimal-repr) HALF_UP, which disagrees with the
-    * oracle on values whose decimal repr sits on a `.xx5` boundary
-    * (e.g. 14015.55 * 0.9). `round(y)` at scale 0 is bit-compatible with
-    * C++ std::round for every double, so this formulation hash-matches. */
-  private def r2(c: Column): Column = round(c * 100) / 100
-  private def r4(c: Column): Column = round(c * 10000) / 10000
+  // DuckDB-bit-compatible rounding — single shared definition
+  import graft.functions.Rounding.{r2, r4}
 
   // ---------------------------------------------------------------- q01
   /** TPC-H Q1-style pricing summary: hash aggregate with map-side combine;

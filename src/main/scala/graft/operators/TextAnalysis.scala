@@ -70,12 +70,11 @@ object TextAnalysis {
   val t02Quality = QueryDef(
     "t02_text_quality",
     (s, d) => {
+      // single source of truth: the TextFunctions quality-metric library
       val n = T.nTokens(col("text"))
-      val stopHits = T.stopwordHits(col("text"), T.stopwords.flatMap(_._2).distinct)
-      val meanLen = (length(col("text")) - n + 1).cast("double") / n.cast("double")
-      val stopRatio = stopHits.cast("double") / n.cast("double")
-      val punct = size(regexp_extract_all(col("text"), lit("[.,!?;:]"), lit(0)))
-      val punctRatio = punct.cast("double") / length(col("text")).cast("double")
+      val meanLen = T.meanTokenLen(col("text"))
+      val stopRatio = T.stopwordRatio(col("text"))
+      val punctRatio = T.punctRatio(col("text"))
       val quality = least(lit(1.0), n.cast("double") / 100.0) * 0.5 +
         least(lit(1.0), stopRatio * 4) * 0.3 + (lit(1.0) - punctRatio) * 0.2
       Tables.documents(s, d)

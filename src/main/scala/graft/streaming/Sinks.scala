@@ -13,9 +13,12 @@ import org.apache.spark.storage.StorageLevel
   */
 object Sinks {
 
-  /** Printer sink (printer.go:10-43): value + delimiter to stdout. */
-  def printer(df: DataFrame): Unit =
-    df.select(col("value").cast("string")).show(1000, truncate = false)
+  /** Printer sink (printer.go:10-43): value + delimiter to stdout —
+    * every row, streamed through the driver without materializing the
+    * whole result (matches the reference's per-message write loop). */
+  def printer(df: DataFrame, delim: String = "\n"): Unit =
+    df.select(col("value").cast("string")).toLocalIterator()
+      .forEachRemaining(r => print(r.getString(0) + delim))
 
   /** S3-style sink (s3.go:20-162): batches as gzip NDJSON objects under
     * time-partitioned keys `prefix/yyyy/MM/dd/HH/` (s3.go:143-148).

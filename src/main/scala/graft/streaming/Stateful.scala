@@ -26,12 +26,14 @@ object Stateful {
       .agg(count(lit(1)).as("n"))
   }
 
-  /** Streaming exact dedup with bounded state: dropDuplicates on the id
-    * column; the watermark lets Spark evict ids older than the horizon
+  /** Streaming exact dedup with bounded state: id-only dedup via
+    * dropDuplicatesWithinWatermark — a re-delivery with a shifted
+    * timestamp (arrival-time stamping after a retry) is still dropped,
+    * and state for ids older than the watermark horizon is evicted
     * (the streaming analog of hash-dedup at rest). */
   def dedupStream(df: DataFrame, tsCol: String, watermark: String,
       idCols: Seq[String]): DataFrame =
-    df.withWatermark(tsCol, watermark).dropDuplicates(idCols :+ tsCol)
+    df.withWatermark(tsCol, watermark).dropDuplicatesWithinWatermark(idCols)
 
   /** Session windows: gap-based grouping per user. */
   def sessionize(df: DataFrame, tsCol: String, watermark: String,

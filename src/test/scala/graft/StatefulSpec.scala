@@ -19,7 +19,9 @@ class StatefulSpec extends SparkSpec {
     implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
 
     val input = MemoryStream[(Long, Timestamp)]
-    input.addData((1L, ts(0)), (2L, ts(1)), (1L, ts(0)), (3L, ts(2)), (2L, ts(1)))
+    // re-deliveries carry SHIFTED timestamps (retry with arrival-time
+    // stamping) — id-only dedup must still drop them
+    input.addData((1L, ts(0)), (2L, ts(1)), (1L, ts(3)), (3L, ts(2)), (2L, ts(4)))
     val df = input.toDF().toDF("event_id", "ts")
     val q = Stateful.dedupStream(df, "ts", "10 minutes", Seq("event_id"))
       .writeStream.format("memory").queryName("dedup_out")
