@@ -298,7 +298,31 @@ object Relational2 {
            |  count(DISTINCT l_linestatus) AS n_statuses, count(*) AS n
            |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  // ---------------------------------------------------------------- q42
+  /** Correlated scalar subquery (orders at >2× their customer's average):
+    * Catalyst decorrelates this into an aggregate + join — the optimizer
+    * capability itself is what's under test; identical SQL runs on both
+    * engines. */
+  val q42CorrelatedSubquery = QueryDef(
+    "q42_correlated_subquery",
+    (s, d) => {
+      graft.Tables.registerViews(s, d)
+      s.sql("""SELECT o_orderkey, o_custkey,
+              |  round(o_totalprice * 100) / 100 AS price
+              |FROM orders o
+              |WHERE o_totalprice > (SELECT 2 * avg(o2.o_totalprice)
+              |                      FROM orders o2
+              |                      WHERE o2.o_custkey = o.o_custkey)
+              |ORDER BY o_orderkey""".stripMargin)
+    },
+    Some("""SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+           |FROM orders o
+           |WHERE o_totalprice > (SELECT 2 * avg(o2.o_totalprice)
+           |                      FROM orders o2
+           |                      WHERE o2.o_custkey = o.o_custkey)
+           |ORDER BY o_orderkey""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q29OuterJoin, q30FullOuter, q31Udaf, q32Explode,
     q33RangeFrame, q34Percentiles, q35Stats, q37Sessionize, q38Pivot, q39Unpivot,
-    q40WindowNav, q41CollectAgg)
+    q40WindowNav, q41CollectAgg, q42CorrelatedSubquery)
 }
