@@ -322,7 +322,74 @@ object Relational2 {
            |                      WHERE o2.o_custkey = o.o_custkey)
            |ORDER BY o_orderkey""".stripMargin))
 
+  // ---------------------------------------------------------------- q43
+  /** String battery 2: padding, case, char translation, edit distance,
+    * field extraction. */
+  val q43StringFuncs2 = QueryDef(
+    "q43_string_funcs2",
+    (s, d) => {
+      Tables.part(s, d)
+        .select(col("p_partkey"),
+          lpad(col("p_brand"), 12, "_").as("brand_pad"),
+          reverse(col("p_name")).as("name_rev"),
+          translate(col("p_type"), "aeiou", "AEIOU").as("type_vowels"),
+          levenshtein(col("p_brand"), lit("Brand#33")).as("brand_dist"),
+          substring_index(col("p_type"), " ", 1).as("type_first"))
+        .orderBy("p_partkey")
+    },
+    Some("""SELECT p_partkey,
+           |  lpad(p_brand, 12, '_') AS brand_pad,
+           |  reverse(p_name) AS name_rev,
+           |  translate(p_type, 'aeiou', 'AEIOU') AS type_vowels,
+           |  CAST(levenshtein(p_brand, 'Brand#33') AS INT) AS brand_dist,
+           |  split_part(p_type, ' ', 1) AS type_first
+           |FROM part ORDER BY p_partkey""".stripMargin))
+
+  // ---------------------------------------------------------------- q44
+  /** Math battery 2: trig, exponent, sign, modulo, greatest/least. */
+  val q44MathFuncs2 = QueryDef(
+    "q44_math_funcs2",
+    (s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_linestatus")
+        .agg(r4(sum(sin(col("l_quantity")))).as("sum_sin"),
+          r4(sum(atan2(col("l_quantity"), col("l_extendedprice")))).as("sum_atan2"),
+          r4(sum(exp(col("l_discount")))).as("sum_exp_disc"),
+          sum(signum(col("l_discount") - 0.05).cast("long")).as("sum_sign"),
+          r4(sum(pmod(col("l_quantity"), lit(7.0)))).as("sum_mod7"),
+          r2(sum(greatest(col("l_tax"), col("l_discount")))).as("sum_max_rate"))
+        .orderBy("l_linestatus")
+    },
+    Some("""SELECT l_linestatus,
+           |  round(sum(sin(l_quantity)), 4) AS sum_sin,
+           |  round(sum(atan2(l_quantity, l_extendedprice)), 4) AS sum_atan2,
+           |  round(sum(exp(l_discount)), 4) AS sum_exp_disc,
+           |  CAST(sum(CAST(sign(l_discount - 0.05) AS BIGINT)) AS BIGINT) AS sum_sign,
+           |  round(sum(fmod(fmod(l_quantity, 7) + 7, 7)), 4) AS sum_mod7,
+           |  round(sum(greatest(l_tax, l_discount)), 2) AS sum_max_rate
+           |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  // ---------------------------------------------------------------- q45
+  /** Date battery 2: interval arithmetic, day difference, month-end. */
+  val q45DateFuncs2 = QueryDef(
+    "q45_date_funcs2",
+    (s, d) => {
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          (col("o_orderdate") + expr("INTERVAL 90 DAYS")).cast("date").as("due_date"),
+          datediff(lit("2002-01-01").cast("date"), col("o_orderdate").cast("date"))
+            .as("age_days"),
+          last_day(col("o_orderdate")).as("month_end"))
+        .orderBy("o_orderkey")
+    },
+    Some("""SELECT o_orderkey,
+           |  CAST(o_orderdate + INTERVAL 90 DAY AS DATE) AS due_date,
+           |  CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2002-01-01') AS INT) AS age_days,
+           |  last_day(CAST(o_orderdate AS DATE)) AS month_end
+           |FROM orders ORDER BY o_orderkey""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q29OuterJoin, q30FullOuter, q31Udaf, q32Explode,
     q33RangeFrame, q34Percentiles, q35Stats, q37Sessionize, q38Pivot, q39Unpivot,
-    q40WindowNav, q41CollectAgg, q42CorrelatedSubquery)
+    q40WindowNav, q41CollectAgg, q42CorrelatedSubquery, q43StringFuncs2,
+    q44MathFuncs2, q45DateFuncs2)
 }

@@ -48,4 +48,22 @@ class PipelineConfigSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("nats"))
   }
+  test("end-to-end daemon: scanner dir -> SQL transform -> gzip object sink") {
+    val s = spark
+    val inDir = tmpDir("daemon_in")
+    java.nio.file.Files.write(java.nio.file.Paths.get(inDir, "log.txt"),
+      "evt1\nevt2\nevt3".getBytes("UTF-8"))
+    val outPrefix = tmpDir("daemon_out")
+    val conf = PipelineConf(
+      SourceConf("scanner", Map("path" -> inDir, "topic" -> "syslog")),
+      SinkConf("s3", Map("prefix" -> outPrefix)),
+      checkpoint = tmpDir("daemon_ck"), triggerMs = 100)
+    val q = PipelineConfig.run(spark, conf,
+      transformSql = Some(
+        "SELECT upper(CAST(value AS STRING)) AS value FROM src WHERE CAST(value AS STRING) != 'evt2'"))
+    q.processAllAvailable(); q.stop()
+    val back = s.read.text(outPrefix + "/*/*/*/*/*")
+      .collect().map(_.getString(0)).sorted
+    assert(back.toSeq == Seq("EVT1", "EVT3"), s"gzip objects content: ${back.toSeq}")
+  }
 }
