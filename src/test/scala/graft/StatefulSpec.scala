@@ -3,6 +3,7 @@ package graft
 import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+import org.apache.spark.sql.functions.col
 import graft.streaming.Stateful
 
 /** Stateful streaming operators: watermark dedup, session windows,
@@ -130,6 +131,35 @@ class StatefulSpec extends SparkSpec {
     import scala.jdk.CollectionConverters._
     assert(ForeachSink.rows.asScala.toSeq.sorted == (1 to 50))
     assert(ForeachSink.opens.get() == ForeachSink.closes.get() && ForeachSink.opens.get() >= 1)
+  }
+  test("late rows beyond the watermark are dropped (append mode)") {
+    val s = spark
+    import s.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val input = MemoryStream[(Timestamp, String)]
+    val q = Stateful.windowedCounts(input.toDF().toDF("ts", "event_type"),
+        "ts", "10 minutes", "10 minutes")
+      .select(col("window.start").as("ws"), col("event_type"), col("n"))
+      .writeStream.format("memory").queryName("late_out")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.ProcessingTime(50)).start()
+
+    // batch 1: events at 10:00 and 10:30 -> watermark advances to 10:20,
+    // closing window [10:00, 10:10) with n=1
+    input.addData((ts(0), "a"), (ts(30), "a")); q.processAllAvailable()
+    // batch 2: LATE event at 10:05 — its window is already finalized
+    input.addData((ts(5), "a")); q.processAllAvailable()
+    // batch 3: advance watermark past 10:40 to close the 10:30 window
+    input.addData((ts(59), "a")); q.processAllAvailable()
+    q.stop()
+
+    val got = s.sql("SELECT ws, n FROM late_out ORDER BY ws")
+      .as[(Timestamp, Long)].collect().toSeq
+    // the late 10:05 row must NOT appear anywhere: 10:00 window stays 1
+    assert(got.headOption.contains((ts(0), 1L)),
+      s"late row leaked into a closed window: $got")
+    assert(got.map(_._2).sum == 2L, s"emitted counts: $got")
   }
 }
 
