@@ -43,5 +43,25 @@ object Skew {
            |  count(*) AS n
            |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(q36SaltedAgg)
+  // ---------------------------------------------------------------- q46
+  /** Deterministic hash sampling (~10%): rows where the first md5 hex
+    * digit of the key is '0' or '1' (16ths → 12.5%). Unlike TABLESAMPLE
+    * or rand(), the sample is stable across engines, retries, and
+    * partitionings — the property a reproducible training-data pipeline
+    * needs — and the same md5 runs in the oracle. */
+  val q46HashSample = QueryDef(
+    "q46_hash_sample",
+    (s, d) => {
+      Tables.lineitem(s, d)
+        .filter(substring(md5(concat_ws("-", col("l_orderkey"), col("l_linenumber"))), 1, 1)
+          .isin("0", "1"))
+        .agg(count(lit(1)).as("n_sampled"),
+          r2(sum("l_extendedprice")).as("sum_price"))
+    },
+    Some("""SELECT count(*) AS n_sampled,
+           |  round(sum(l_extendedprice), 2) AS sum_price
+           |FROM lineitem
+           |WHERE substring(md5(l_orderkey || '-' || l_linenumber), 1, 1) IN ('0', '1')""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q36SaltedAgg, q46HashSample)
 }
