@@ -12,8 +12,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * `spark.sql.files.maxPartitionBytes`.
   */
 object Tables {
+  // Memoize per (session, dir, table): spark.read.parquet lists files and
+  // reads footers eagerly for schema; across a 60-query run that fixed
+  // cost dominates small-SF planning. DataFrames are immutable plans, so
+  // sharing one per table is safe; keying on the session identity avoids
+  // leaking plans across restarted sessions.
+  private val cache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String, String), DataFrame]
+
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    cache.getOrElseUpdate((System.identityHashCode(spark), dir, name),
+      spark.read.parquet(s"$dir/$name.parquet"))
 
   def region(s: SparkSession, d: String): DataFrame   = load(s, d, "region")
   def nation(s: SparkSession, d: String): DataFrame   = load(s, d, "nation")
