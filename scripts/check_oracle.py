@@ -18,6 +18,11 @@ oracle = json.load(open(os.path.join(outdir, "oracle_sql.json")))
 
 def canon(df):
     df = df.reindex(sorted(df.columns), axis=1)
+    # arrays/lists are unhashable for sorting — stringify object columns
+    for c in df.columns:
+        if df[c].dtype == object:
+            df[c] = df[c].map(lambda v: str(list(v)) if hasattr(v, "__len__")
+                              and not isinstance(v, (str, bytes)) else v)
     df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
     return df
 

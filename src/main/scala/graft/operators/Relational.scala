@@ -556,7 +556,10 @@ object Relational {
     None)
 
   // ---------------------------------------------------------------- q28
-  /** Map function battery (rows-only: DuckDB's MAP surface diverges). */
+  /** Map function battery. DuckDB's MAP type diverges, but every output
+    * column here is a plain scalar/array, so the oracle states the
+    * expected values directly — verifying Spark's map construction,
+    * key listing, and element lookup end to end. */
   val q28MapFuncs = QueryDef(
     "q28_map_funcs",
     (s, d) => {
@@ -564,12 +567,17 @@ object Relational {
         .withColumn("m", map(lit("type"), col("event_type"),
           lit("bucket"), when(col("value") < 100, "lo").otherwise("hi")))
         .select(col("event_id"),
-          map_keys(col("m")).as("ks"),
+          concat_ws(",", map_keys(col("m"))).as("ks"),
           element_at(col("m"), "type").as("type_val"),
+          element_at(col("m"), "bucket").as("bucket_val"),
           size(map_values(col("m"))).as("n_vals"))
         .orderBy("event_id")
     },
-    None)
+    Some("""SELECT event_id, 'type,bucket' AS ks,
+           |  event_type AS type_val,
+           |  CASE WHEN value < 100 THEN 'lo' ELSE 'hi' END AS bucket_val,
+           |  2 AS n_vals
+           |FROM events ORDER BY event_id""".stripMargin))
 
   val all: Seq[QueryDef] = Seq(
     q01PricingSummary, q02FilterProject, q03JoinAgg, q04SemiJoin, q05AntiJoin,
