@@ -14,10 +14,17 @@ object Bench {
     // so per-query numbers measure the query, not JVM/session init.
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).count()
+    SparkEntry.prepare(spark, sfDir) // ingest-time artifacts (IVF model)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
+      // Materialize through the noop sink, not count(): count() lets
+      // Catalyst prune every projected column, so a pure-projection query
+      // would be timed as "parquet scan + count" with the expressions it
+      // claims to measure optimized away. The noop DSv2 sink evaluates
+      // every output column and discards rows executor-side.
       // a failed query reports -1, not its (meaningless) time-to-failure
-      val ok = try { fn(spark, sfDir).count(); true }
+      val ok = try {
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
