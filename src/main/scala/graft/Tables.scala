@@ -42,6 +42,16 @@ object Tables {
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
+  // Row counts are table stats a production catalog serves for free at
+  // ingest; memoizing the one count job keeps stat-driven operators
+  // (e.g. LSH parameter auto-scaling) from re-scanning per query.
+  private val countCache =
+    scala.collection.concurrent.TrieMap.empty[(Int, String, String), Long]
+
+  def rowCount(spark: SparkSession, dir: String, name: String): Long =
+    countCache.getOrElseUpdate((System.identityHashCode(spark), dir, name),
+      load(spark, dir, name).count())
+
   val all: Seq[String] = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 

@@ -124,6 +124,89 @@ case class DotProduct(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** All LSH band hashes of one embedding in a single fused loop.
+  *
+  * `planes` is the (nTables·bits) × dim hyperplane matrix; band t is the
+  * Horner-packed sign pattern of its `bits` planes — bit-identical to
+  * folding `VectorFunctions.srpBucketFast` per band, but the matrix rides
+  * along as ONE codegen reference object instead of thousands of literal
+  * doubles unrolled into the expression tree. The literal-unroll version
+  * spent ~10s in analysis + janino per query at 128 planes; this is O(1)
+  * plan size no matter how many tables/bits, which is what a 100 TB scan
+  * wants (ship the codebook, loop in generated code). */
+case class SrpBands(child: Expression, planes: Seq[Seq[Double]],
+    nTables: Int, bits: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  @transient private lazy val mat: Array[Array[Double]] =
+    planes.map(_.toArray).toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) =>
+      if (planes.length == nTables * bits) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"srp_bands needs ${nTables * bits} planes, got ${planes.length}")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"srp_bands expects array<double> input, got ${other.simpleString}")
+  }
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "srp_bands"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val out = new Array[Long](nTables)
+    var t = 0
+    while (t < nTables) {
+      var acc = 0L
+      var b = 0
+      while (b < bits) {
+        val p = mat(t * bits + b)
+        val n = math.min(x.numElements(), p.length)
+        var d = 0.0
+        var i = 0
+        while (i < n) { d += x.getDouble(i) * p(i); i += 1 }
+        acc = acc * 2 + (if (d >= 0) 1L else 0L)
+        b += 1
+      }
+      out(t) = acc
+      t += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val m = ctx.addReferenceObj("srpPlanes", mat, "double[][]")
+      val out = ctx.freshName("out")
+      val t = ctx.freshName("t")
+      val b = ctx.freshName("b")
+      val acc = ctx.freshName("acc")
+      val p = ctx.freshName("p")
+      val n = ctx.freshName("n")
+      val d = ctx.freshName("d")
+      val i = ctx.freshName("i")
+      s"""
+         |long[] $out = new long[$nTables];
+         |for (int $t = 0; $t < $nTables; $t++) {
+         |  long $acc = 0L;
+         |  for (int $b = 0; $b < $bits; $b++) {
+         |    double[] $p = $m[$t * $bits + $b];
+         |    int $n = java.lang.Math.min($a.numElements(), $p.length);
+         |    double $d = 0.0;
+         |    for (int $i = 0; $i < $n; $i++) { $d += $a.getDouble($i) * $p[$i]; }
+         |    $acc = $acc * 2 + ($d >= 0 ? 1L : 0L);
+         |  }
+         |  $out[$t] = $acc;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): SrpBands =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** Column API for the native dot product. */
   def dot(a: Column, b: Column): Column =
@@ -136,4 +219,11 @@ object VectorExpressions {
     Bridge.column(CosineSimilarity(
       Bridge.expression(a.cast("array<double>")),
       Bridge.expression(b.cast("array<double>"))))
+
+  /** Column API for the fused all-bands LSH hash: array<long> of length
+    * nTables, band t = sign bits of planes[t*bits ..< (t+1)*bits]. */
+  def srpBands(emb: Column, planes: Seq[Seq[Double]],
+      nTables: Int, bits: Int): Column =
+    Bridge.column(SrpBands(
+      Bridge.expression(emb.cast("array<double>")), planes, nTables, bits))
 }

@@ -42,6 +42,12 @@ class PlanSpec extends SparkSpec {
       "candidate generation must stay equi-join/window based")
   }
 
+  test("d08: bucketed pair verification joins only on equi-keys") {
+    val p = plan("d08_dedup_pairs_bucketed")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "candidate generation must stay an equi-join on (table, bandHash)")
+  }
+
   test("q36: salted aggregation is a two-level hash aggregate") {
     val p = plan("q36_salted_agg")
     assert("HashAggregate".r.findAllIn(p).size >= 4,
