@@ -120,9 +120,12 @@ object TextAnalysis {
            |FROM documents ORDER BY doc_id""".stripMargin))
 
   // ---------------------------------------------------------------- t04
-  /** Rolling polynomial content hash (Rabin-Karp over token xxhash64s,
-    * mod 2^61-1): order-sensitive doc fingerprint, cheap to extend to
-    * windowed shingle hashing. Rows-only (hash family engine-specific). */
+  /** Rolling polynomial content hash (Rabin-Karp over md5-derived token
+    * hashes, mod 2^31-1): order-sensitive doc fingerprint, cheap to extend
+    * to windowed shingle hashing. The base hash (first 8 md5 hex chars as
+    * int) and the fold are replayed exactly by the DuckDB oracle
+    * (list_reduce seeds with the first element, which equals the
+    * 0·B + h₁ first step of Spark's aggregate since h₁ < P). */
   val t04RollingHash = QueryDef(
     "t04_text_rolling_hash",
     (s, d) => {
@@ -130,12 +133,18 @@ object TextAnalysis {
       val P = lit(2147483647L) // 2^31 - 1
       val B = lit(1000003L)
       val rolled = aggregate(T.tokens(col("text")), lit(0L),
-        (acc, t) => pmod(acc * B + pmod(xxhash64(t), P), P))
+        (acc, t) => (acc * B +
+          conv(substring(md5(t), 1, 8), 16, 10).cast("long") % P) % P)
       Tables.documents(s, d)
         .select(col("doc_id"), rolled.as("content_hash"))
         .orderBy("doc_id")
     },
-    None)
+    Some("""SELECT doc_id,
+           |  list_reduce(
+           |    list_transform(string_split(text, ' '),
+           |      t -> ('0x' || substr(md5(t), 1, 8))::BIGINT % 2147483647),
+           |    (acc, x) -> (acc * 1000003 + x) % 2147483647) AS content_hash
+           |FROM documents ORDER BY doc_id""".stripMargin))
 
   // ---------------------------------------------------------------- t05
   /** TF-IDF top terms per document: tf from explode+count, df from a

@@ -32,12 +32,40 @@ class DedupQualitySpec extends SparkSpec {
       .filter(col("jaccard") >= 0.5).select("a_id", "b_id")
       .collect().map(r => (r.getLong(0), r.getLong(1)))
     val sh = SparkEntry.queries("d04_dedup_simhash")(spark, sf)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     val dists = strong.map { case (a, b) =>
-      java.lang.Long.bitCount(sh(a) ^ sh(b))
+      sh(a).zip(sh(b)).count { case (x, y) => x != y }
     }
     info(s"simhash hamming distances for near-dup pairs: ${dists.toSeq.sorted.mkString(",")}")
     assert(dists.forall(_ <= 16),
       s"near-dup pairs should be within 16/64 bits, got ${dists.toSeq}")
+  }
+
+  test("minhash cluster labels are transitive across a bucket chain") {
+    // Build A~B~C where A and C share NO band bucket: the hash family is
+    // deterministic, so search perturbation offsets until the premise
+    // holds, then assert the fixpoint unites the full chain (a single
+    // propagation pass would leave C labeled B).
+    import spark.implicits._
+    def doc(k: Int, changed: Map[Int, String]): String =
+      Seq.tabulate(40)(i => changed.getOrElse(i, s"w${k}_$i")).mkString(" ")
+    val found = (0 until 60).iterator.map { k =>
+      val a = doc(k, Map.empty)
+      val b = doc(k, (18 to 23).map(i => i -> s"x$i").toMap)
+      val c = doc(k, ((18 to 23).map(i => i -> s"x$i") ++
+        (6 to 11).map(i => i -> s"y$i")).toMap)
+      val docs = Seq((1L, a), (2L, b), (3L, c)).toDF("doc_id", "text")
+      val bands = graft.operators.Dedup.minhashBands(docs)
+        .collect().map(r => r.getLong(0) -> r.getString(1))
+      val byDoc = bands.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      (k, docs, byDoc(1L) & byDoc(2L), byDoc(2L) & byDoc(3L), byDoc(1L) & byDoc(3L))
+    }.find { case (_, _, ab, bc, ac) => ab.nonEmpty && bc.nonEmpty && ac.isEmpty }
+    assert(found.nonEmpty, "no offset produced an A~B~C chain with A,C disjoint")
+    val (k, docs, _, _, _) = found.get
+    info(s"chain premise satisfied at offset $k")
+    val labels = graft.operators.Dedup.minhashClusters(docs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L),
+      s"chain must collapse to one cluster, got $labels")
   }
 }
