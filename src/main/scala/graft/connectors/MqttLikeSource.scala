@@ -52,6 +52,12 @@ object MqttLikeSource {
 object MessageBus {
   private val logs = new java.util.concurrent.ConcurrentHashMap[String, ArrayBuffer[(String, Array[Byte])]]()
   private val committed = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+  // (topic, partitionId, epochId) triples already appended by a publisher —
+  // the broker-side dedup a real deployment gets from MQTT QoS 2 / packet
+  // identifiers (mqtt.go:64-67 qos option). Lets an epoch replayed from an
+  // uncommitted checkpoint re-publish without duplicating.
+  private val delivered =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Long, Long)]()
 
   private def log(topic: String): ArrayBuffer[(String, Array[Byte])] =
     logs.computeIfAbsent(topic, _ => ArrayBuffer.empty)
@@ -59,14 +65,69 @@ object MessageBus {
   def publish(topic: String, key: String, payload: Array[Byte]): Unit =
     log(topic).synchronized { log(topic) += ((key, payload)) }
 
+  /** Idempotent per-(partition, epoch) batch publish: appends only the
+    * first time a given (topic, partition, epoch) is delivered. */
+  def publishEpoch(topic: String, partitionId: Long, epochId: Long,
+      rows: Seq[(String, Array[Byte])]): Unit =
+    if (delivered.add((topic, partitionId, epochId)))
+      log(topic).synchronized { log(topic) ++= rows }
+
+  def epochDelivered(topic: String, partitionId: Long, epochId: Long): Boolean =
+    delivered.contains((topic, partitionId, epochId))
+
   def size(topic: String): Long = log(topic).synchronized { log(topic).size.toLong }
 
   def range(topic: String, from: Long, until: Long): Seq[(String, Array[Byte])] =
     log(topic).synchronized { log(topic).slice(from.toInt, until.toInt).toSeq }
 
+  def payloads(topic: String): Seq[String] =
+    range(topic, 0L, size(topic)).map(p => new String(p._2, "UTF-8"))
+
   def ack(topic: String, upTo: Long): Unit = committed.put(topic, upTo)
   def acked(topic: String): Long = committed.getOrDefault(topic, 0L)
-  def reset(topic: String): Unit = { logs.remove(topic); committed.remove(topic) }
+  def reset(topic: String): Unit = {
+    logs.remove(topic); committed.remove(topic)
+    delivered.removeIf(_._1 == topic)
+  }
+}
+
+/** MQTT-shaped publisher sink (`mqtt.Destination.Send`, mqtt.go:167-176:
+  * a per-message `client.Publish(topic, qos, retained, msg.Value)` loop).
+  * Spark side: a ForeachWriter running on executors, buffering the
+  * partition and handing it to the broker in `close` only on success —
+  * publish-after-complete-partition plus the broker's (partition, epoch)
+  * dedup gives exactly-once into the bus, the QoS-2 analog. Rows may be
+  * the canonical envelope (key/value used) or any schema with a `value`
+  * column castable to binary. */
+class MqttLikePublisher(topic: String)
+    extends org.apache.spark.sql.ForeachWriter[org.apache.spark.sql.Row] {
+  private var buf: ArrayBuffer[(String, Array[Byte])] = _
+  private var pid: Long = _
+  private var eid: Long = _
+
+  override def open(partitionId: Long, epochId: Long): Boolean = {
+    pid = partitionId; eid = epochId; buf = ArrayBuffer.empty
+    // replayed epoch already delivered by a previous attempt → skip
+    !MessageBus.epochDelivered(topic, partitionId, epochId)
+  }
+
+  override def process(row: org.apache.spark.sql.Row): Unit = {
+    val names = row.schema.fieldNames
+    val key =
+      if (names.contains("key") && !row.isNullAt(row.fieldIndex("key")))
+        row.get(row.fieldIndex("key")).toString
+      else null
+    val payload = row.get(row.fieldIndex("value")) match {
+      case b: Array[Byte] => b
+      case s: String => s.getBytes("UTF-8")
+      case other => String.valueOf(other).getBytes("UTF-8")
+    }
+    buf += ((key, payload))
+  }
+
+  override def close(errorOrNull: Throwable): Unit =
+    if (errorOrNull == null && buf != null)
+      MessageBus.publishEpoch(topic, pid, eid, buf.toSeq)
 }
 
 private class MqttTable(topic: String, maxRows: Option[Long])

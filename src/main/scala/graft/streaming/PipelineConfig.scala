@@ -10,10 +10,13 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   *
   * Reference config kinds → here:
   *  - sources `scanner`/`syslog`/`journald` → delimited text dirs;
-  *    `mqtt`/`eventlog` → kafka-shaped / JSON-lines stand-ins;
-  *    plus `rate` and `parquet`;
-  *  - destinations `printer` → console; `s3` → gzip time-partitioned
-  *    objects; `mqtt` → kafka-shaped; plus `memory`/`parquet`.
+  *    `mqtt` → DSv2 micro-batch connector; `eventlog` → JSON-lines with
+  *    pushed filter; plus `rate`, `parquet`, and wishlist `kafka`
+  *    (passthrough to Spark's connector);
+  *  - destinations `printer` → console; `s3`/`r2` → gzip time-
+  *    partitioned objects; `mqtt` → executor-side publisher;
+  *    `runreveal` → webhook POST with error policies; plus
+  *    `memory`/`parquet`.
   *
   * Config is a plain Map (parse JSON/HOCON however the host app likes —
   * deliberately no parser dependency here; zero-dependency library).
@@ -26,13 +29,20 @@ object PipelineConfig {
       source: SourceConf,
       sink: SinkConf,
       checkpoint: String,
-      triggerMs: Long = 1000L) // FlushFrequency default 1s (batcher.go:137)
+      triggerMs: Long = 1000L, // FlushFrequency default 1s (batcher.go:137)
+      availableNow: Boolean = false) // drain-then-stop (scanner EOF analog)
 
   /** Build the source DataFrame (streaming). */
   def source(spark: SparkSession, c: SourceConf): DataFrame = c.kind match {
-    case "scanner" =>
+    // syslog (README.md:166-173) and journald (README.md:180-185) are
+    // newline-delimited record streams; on Spark both land on the same
+    // delimited-text file stream the scanner uses (the socket/journal
+    // tail is the ingestion agent's job), tagged with their own topic.
+    // The reference's `addr`/`contentType` options are accepted as
+    // inert metadata — there's no listener to bind in a library.
+    case "scanner" | "syslog" | "journald" =>
       Sources.scannerStream(spark, c.options("path"),
-        c.options.getOrElse("delim", "\n"), c.options.getOrElse("topic", "scanner"))
+        c.options.getOrElse("delim", "\n"), c.options.getOrElse("topic", c.kind))
     case "rate" =>
       Sources.poller(spark, c.options.getOrElse("rowsPerSecond", "100").toInt)
     case "parquet" =>
@@ -48,6 +58,15 @@ object PipelineConfig {
         .schema(org.apache.spark.sql.types.StructType.fromDDL(Sources.eventLogSchema))
         .json(c.options("path"))
         .where(c.options.getOrElse("query", "true")) // XPath filter analog
+    // Wishlist kind (README.md:301-311) that is a one-liner on Spark:
+    // options pass through verbatim (kafka.bootstrap.servers, subscribe,
+    // …). Requires spark-sql-kafka on the classpath — absent here, the
+    // provider lookup fails with Spark's own actionable error rather
+    // than "unknown kind".
+    case "kafka" =>
+      c.options.foldLeft(spark.readStream.format("kafka")) {
+        case (r, (k, v)) => r.option(k, v)
+      }.load()
     case other => throw new IllegalArgumentException(s"unknown source kind: $other")
   }
 
@@ -55,14 +74,26 @@ object PipelineConfig {
   def start(spark: SparkSession, conf: PipelineConf, df: DataFrame): StreamingQuery = {
     val w = df.writeStream
       .option("checkpointLocation", conf.checkpoint)
-      .trigger(Trigger.ProcessingTime(conf.triggerMs))
+      .trigger(if (conf.availableNow) Trigger.AvailableNow()
+        else Trigger.ProcessingTime(conf.triggerMs))
     (conf.sink.kind match {
-      case "console" => w.format("console")
+      case "console" | "printer" => w.format("console")
       case "memory" => w.format("memory").queryName(conf.sink.options("name"))
       case "parquet" => w.format("parquet").option("path", conf.sink.options("path"))
-      case "s3" =>
-        val prefix = conf.sink.options("prefix")
+      case "s3" | "r2" => // r2 = same S3-compatible sink (README.md:159)
+        val prefix = conf.sink.options.getOrElse("prefix",
+          conf.sink.options("bucketName")) // reference option name
         w.foreachBatch((b: DataFrame, id: Long) => Sinks.gzipTimePartitioned(b, prefix, id))
+      case "mqtt" => // mqtt.Destination (mqtt.go:105-176)
+        w.foreach(Sinks.mqttPublisher(conf.sink.options.getOrElse("topic", "#")))
+      case "runreveal" => // webhook POST (README.md:245-251)
+        val url = conf.sink.options("webhookURL")
+        val policy = conf.sink.options.getOrElse("onError", "dontAck") match {
+          case "raise" => Webhook.ErrorPolicy.Raise
+          case "discard" => Webhook.ErrorPolicy.Discard
+          case _ => Webhook.ErrorPolicy.DontAck
+        }
+        w.foreachBatch((b: DataFrame, id: Long) => Webhook.flush(url, policy)(b, id))
       case other => throw new IllegalArgumentException(s"unknown sink kind: $other")
     }).start()
   }

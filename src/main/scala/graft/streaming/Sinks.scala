@@ -50,6 +50,20 @@ object Sinks {
       .trigger(Trigger.ProcessingTime(flushFrequencyMs))
       .foreachBatch(flush)
 
+  /** MQTT publisher sink (`mqtt.Destination`, mqtt.go:105-176): rows
+    * published to the broker topic from executors, exactly-once via the
+    * broker's (partition, epoch) dedup — see MqttLikePublisher docs.
+    * Usage: `df.writeStream.foreach(Sinks.mqttPublisher("t"))`. */
+  def mqttPublisher(topic: String): graft.connectors.MqttLikePublisher =
+    new graft.connectors.MqttLikePublisher(topic)
+
+  /** Webhook destination (the daemon's `runreveal` kind) — see
+    * graft.streaming.Webhook for the POST semantics + error policies. */
+  def webhook(url: String,
+      policy: Webhook.ErrorPolicy = Webhook.ErrorPolicy.DontAck)(
+      df: DataFrame, epochId: Long): Unit =
+    Webhook.flush(url, policy)(df, epochId)
+
   /** Fan-out (`MultiDestination`, multidest.go:9-49): write one epoch to
     * every sink inside a single foreachBatch — persist once, write n
     * times, commit once. The all-or-nothing ack (ackFn(ack, n),

@@ -48,6 +48,39 @@ class PipelineConfigSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("nats"))
   }
+
+  test("syslog/journald kinds accept verbatim reference-daemon-shaped configs") {
+    val dir = tmpDir("cfg_syslog")
+    Files.write(Paths.get(dir, "s.log"), "sys1\nsys2".getBytes("UTF-8"))
+    // README.md:166-185 shapes: syslog carries addr/contentType, journald
+    // carries nothing — both accepted, inert options ignored
+    val conf = PipelineConf(
+      SourceConf("syslog", Map("path" -> dir, "addr" -> "0.0.0.0:5514",
+        "contentType" -> "application/syslog")),
+      SinkConf("memory", Map("name" -> "syslog_out")),
+      checkpoint = tmpDir("syslog_ck"), availableNow = true)
+    PipelineConfig.run(spark, conf,
+      transformSql = Some("SELECT CAST(value AS STRING) AS v, topic FROM src"))
+      .awaitTermination(60000)
+    val got = spark.sql("SELECT v, topic FROM syslog_out").collect()
+    assert(got.map(_.getString(0)).sorted.toSeq == Seq("sys1", "sys2"))
+    assert(got.forall(_.getString(1) == "syslog"), "topic defaults to the kind")
+    // journald builds on the same path
+    val j = PipelineConfig.source(spark, SourceConf("journald", Map("path" -> dir)))
+    assert(j.isStreaming && j.schema.fieldNames.contains("value"))
+  }
+
+  test("kafka kind is recognized and fails only on the missing connector jar") {
+    // wishlist kind (README.md:301-311): registered as a passthrough to
+    // Spark's connector; without spark-sql-kafka on the classpath the
+    // provider lookup fails with Spark's own error, not "unknown kind"
+    val e = intercept[Exception] {
+      PipelineConfig.source(spark, SourceConf("kafka",
+        Map("kafka.bootstrap.servers" -> "localhost:9092", "subscribe" -> "t")))
+    }
+    assert(!e.getMessage.contains("unknown source kind"))
+    assert(e.getMessage.toLowerCase.contains("kafka"))
+  }
   test("end-to-end daemon: scanner dir -> SQL transform -> gzip object sink") {
     val s = spark
     val inDir = tmpDir("daemon_in")

@@ -1,0 +1,153 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.{StreamingQueryException, Trigger}
+
+import graft.connectors.MessageBus
+import graft.streaming.{PipelineConfig, ProcessorMetrics, Webhook, WebhookStub}
+import graft.streaming.PipelineConfig.{PipelineConf, SinkConf, SourceConf}
+
+/** The reference's conformance-suite instantiation for the MQTT
+  * destination (test/stream_test.go:57-75: random payloads through
+  * src → pipe → mqtt dst, all delivered) plus the webhook ("runreveal")
+  * destination's batcher error policies (batcher.go:16-21, 358-381) and
+  * the processor metrics listener (processor.go:91-120). */
+class SinkConformanceSpec extends SparkSpec {
+
+  test("mqtt round trip: source topic → pipeline → publisher topic, exactly-once across restart") {
+    MessageBus.reset("rt_src"); MessageBus.reset("rt_dst")
+    val rnd = new scala.util.Random(7)
+    val first = Seq.fill(25)(rnd.alphanumeric.take(20).mkString)
+    first.zipWithIndex.foreach { case (p, i) =>
+      MessageBus.publish("rt_src", s"m$i", p.getBytes("UTF-8")) }
+
+    val ck = tmpDir("rt_ck")
+    val conf = PipelineConf(
+      SourceConf("mqtt", Map("topic" -> "rt_src")),
+      SinkConf("mqtt", Map("topic" -> "rt_dst")),
+      checkpoint = ck, availableNow = true)
+    PipelineConfig.run(spark, conf).awaitTermination(60000)
+    assert(MessageBus.payloads("rt_dst").sorted == first.sorted,
+      "first run delivers all 25 payloads")
+
+    // restart from the same checkpoint: only the 10 new messages flow
+    val second = Seq.fill(10)(rnd.alphanumeric.take(20).mkString)
+    second.zipWithIndex.foreach { case (p, i) =>
+      MessageBus.publish("rt_src", s"n$i", p.getBytes("UTF-8")) }
+    PipelineConfig.run(spark, conf).awaitTermination(60000)
+
+    val got = MessageBus.payloads("rt_dst")
+    assert(got.sorted == (first ++ second).sorted,
+      s"exactly-once across restart: expected 35, got ${got.size}")
+    assert(got.distinct.size == got.size, "no duplicates in the destination topic")
+  }
+
+  test("webhook DontAck: failed epoch not committed, retried from checkpoint, no loss/dupes") {
+    val s = spark
+    import s.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    val url = "https://api.example.test/webhook-dontack"
+    WebhookStub.reset(url)
+    WebhookStub.failNext(url, 1) // remote 503s once, then recovers
+
+    val input = MemoryStream[String]
+    input.addData("e1", "e2", "e3")
+    val ck = tmpDir("wh_ck")
+    def run() = input.toDF().coalesce(1).selectExpr("value")
+      .writeStream.option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch((df: org.apache.spark.sql.DataFrame, id: Long) =>
+        Webhook.flush(url, Webhook.ErrorPolicy.DontAck)(df, id))
+      .start()
+
+    val q1 = run()
+    val err = intercept[StreamingQueryException] { q1.awaitTermination() }
+    assert(Option(err.getCause).exists(_.isInstanceOf[Webhook.RetryableFlushException]),
+      s"DontAck surfaces as the retryable marker, got ${err.getCause}")
+    assert(WebhookStub.delivered(url).isEmpty, "failed post delivered nothing")
+
+    val q2 = run() // same checkpoint: uncommitted epoch replays
+    q2.awaitTermination(60000)
+    assert(WebhookStub.delivered(url).sorted == Seq("e1", "e2", "e3"),
+      s"retried epoch delivered exactly once, got ${WebhookStub.delivered(url)}")
+    assert(WebhookStub.attempts(url) == 2, "one failed + one successful post")
+  }
+
+  test("webhook Discard: error swallowed, epoch commits, batch dropped") {
+    val s = spark
+    import s.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    val url = "https://api.example.test/webhook-discard"
+    WebhookStub.reset(url)
+    WebhookStub.failNext(url, 1)
+
+    val input = MemoryStream[String]
+    input.addData("d1", "d2")
+    val q = input.toDF().coalesce(1).selectExpr("value")
+      .writeStream.option("checkpointLocation", tmpDir("whd_ck"))
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch((df: org.apache.spark.sql.DataFrame, id: Long) =>
+        Webhook.flush(url, Webhook.ErrorPolicy.Discard)(df, id))
+      .start()
+    q.awaitTermination(60000) // no exception: policy swallows the failure
+    assert(WebhookStub.delivered(url).isEmpty && WebhookStub.discarded(url) == 1,
+      "batch dropped and recorded as discarded")
+  }
+
+  test("webhook Raise: flush error fails the query") {
+    val s = spark
+    import s.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    val url = "https://api.example.test/webhook-raise"
+    WebhookStub.reset(url)
+    WebhookStub.failNext(url, 1)
+
+    val input = MemoryStream[String]
+    input.addData("r1")
+    val q = input.toDF().coalesce(1).selectExpr("value")
+      .writeStream.option("checkpointLocation", tmpDir("whr_ck"))
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch((df: org.apache.spark.sql.DataFrame, id: Long) =>
+        Webhook.flush(url, Webhook.ErrorPolicy.Raise)(df, id))
+      .start()
+    intercept[StreamingQueryException] { q.awaitTermination() }
+  }
+
+  test("runreveal config kind: daemon-shaped webhook destination end-to-end") {
+    val url = "https://api.runreveal.test/ingest"
+    WebhookStub.reset(url)
+    val dir = tmpDir("rr_in")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, "a.log"),
+      "w1\nw2".getBytes("UTF-8"))
+    val conf = PipelineConf(
+      SourceConf("scanner", Map("path" -> dir)),
+      SinkConf("runreveal", Map("webhookURL" -> url)), // README.md:245-251 shape
+      checkpoint = tmpDir("rr_ck"), availableNow = true)
+    PipelineConfig.run(spark, conf,
+      transformSql = Some("SELECT CAST(value AS STRING) AS value FROM src"))
+      .awaitTermination(60000)
+    assert(WebhookStub.delivered(url).sorted == Seq("w1", "w2"))
+  }
+
+  test("processor metrics listener observes per-epoch spans (processor.go:91-120)") {
+    val s = spark
+    import s.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    val m = ProcessorMetrics.attach(s)
+    try {
+      val input = MemoryStream[Int]
+      input.addData(1 to 50: _*)
+      val q = input.toDF().writeStream.format("memory").queryName("metrics_out")
+        .option("checkpointLocation", tmpDir("metrics_ck"))
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      // listener bus is async — poll briefly
+      val deadline = System.nanoTime() + 10L * 1000 * 1000 * 1000
+      while (m.spans.isEmpty && System.nanoTime() < deadline) Thread.sleep(50)
+      val mine = m.spans.filter(_.queryName == "metrics_out")
+      assert(mine.nonEmpty, "listener observed progress for the query")
+      assert(mine.map(_.srcRecvRows).sum == 50, "src.recv rows accounted")
+      assert(mine.forall(_.fullMs >= 0) && mine.exists(_.handlerHandleMs >= 0))
+    } finally s.streams.removeListener(m)
+  }
+}
