@@ -20,7 +20,11 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).count()
     SparkEntry.prepare(spark, sfDir) // ingest-time artifacts (IVF model)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional args = query-name prefixes for targeted local timing;
+    // the driver passes none and benches everything
+    val wanted = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => args.isEmpty || args.exists(n.startsWith) }
+    val results = wanted.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // Materialize through the noop sink, not count(): count() lets
       // Catalyst prune every projected column, so a pure-projection query
