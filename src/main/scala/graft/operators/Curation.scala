@@ -1,0 +1,223 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{QueryDef, Tables}
+import graft.functions.{TextFunctions => T}
+import graft.functions.Rounding.{r4, r6}
+
+/** Corpus-curation operators for large-scale training-data pipelines:
+  * train/test decontamination, stratified sampling, domain-mix weighting,
+  * PII redaction, and repetition detection. These are the operations run
+  * over a raw crawl between ingest and training; all are formulated as
+  * projections + equi-joins + window functions, so they hold their shape
+  * at 100 TB (no all-pairs work, no driver-side state).
+  */
+object Curation {
+
+  // ---------------------------------------------------------------- x01
+  /** Train/test decontamination: flag training documents that share any
+    * 8-token n-gram with a held-out benchmark set (the standard guard
+    * against evaluation leakage in pretraining corpora). The benchmark
+    * membership is a deterministic md5 sample (~1/16th) so both engines
+    * — and any retry — pick the identical set.
+    *
+    * Scale shape: posting-list equi-join on the shingle (like d05), so
+    * work is ∝ Σ matches, never |train| × |bench|. The benchmark n-gram
+    * set is the join's build side; real benchmark suites are tiny
+    * relative to a crawl, hence the broadcast hint — at 100 TB the train
+    * side streams map-side with zero shuffle of the corpus itself. */
+  val x01Decontaminate = QueryDef(
+    "x01_decontaminate",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), T.tokens(col("text")).as("toks"),
+          (substring(md5(col("doc_id").cast("string")), 1, 1) === "0").as("is_bench"))
+      val sh = docs.select(col("doc_id"), col("is_bench"),
+        explode(T.shingles(col("toks"), 8)).as("g"))
+      val bench = sh.filter(col("is_bench")).select("g").distinct()
+      val hits = sh.filter(!col("is_bench"))
+        .join(broadcast(bench), Seq("g"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_shared")) // shingles are distinct per doc
+      docs.filter(!col("is_bench")).select("doc_id")
+        .join(hits, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+          (coalesce(col("n_shared"), lit(0L)) > 0).cast("int").as("contaminated"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id, string_split(text, ' ') AS t,
+           |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0' AS is_bench
+           |  FROM documents),
+           |sh AS (SELECT doc_id, is_bench,
+           |    unnest(list_distinct(list_transform(range(1, greatest(len(t)-7, 0)+1),
+           |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+           |           t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7]))) AS g
+           |  FROM toks),
+           |bench AS (SELECT DISTINCT g FROM sh WHERE is_bench),
+           |hits AS (SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shared
+           |  FROM sh s JOIN bench USING (g) WHERE NOT s.is_bench GROUP BY 1)
+           |SELECT t.doc_id, COALESCE(h.n_shared, 0) AS n_shared,
+           |  CAST(COALESCE(h.n_shared, 0) > 0 AS INT) AS contaminated
+           |FROM toks t LEFT JOIN hits h USING (doc_id)
+           |WHERE NOT t.is_bench ORDER BY doc_id""".stripMargin))
+
+  // ---------------------------------------------------------------- x02
+  /** Stratified deterministic sampling: keep ⌈20%⌉ of every
+    * (lang, source) stratum, selected by md5 order — reproducible across
+    * engines, retries, and partitionings (rand()/TABLESAMPLE are
+    * neither), and guaranteed non-empty per stratum via the ceiling.
+    * One window shuffle on the stratum key; at 100 TB the per-stratum
+    * ordering is the only cost and AQE splits skewed strata. */
+  val x02StratifiedSample = QueryDef(
+    "x02_stratified_sample",
+    (s, d) => {
+      val byStratum = Window.partitionBy("lang", "source")
+      val w = byStratum.orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"), col("source"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n_grp", count(lit(1)).over(byStratum))
+        .filter(col("rn") <= ceil(col("n_grp") * 0.2))
+        .select(col("doc_id"), col("lang"), col("source"), col("rn").cast("int").as("rn"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id, lang, source, CAST(rn AS INT) AS rn FROM (
+           |  SELECT doc_id, lang, source,
+           |    row_number() OVER (PARTITION BY lang, source
+           |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+           |    count(*) OVER (PARTITION BY lang, source) AS n_grp
+           |  FROM documents)
+           |WHERE rn <= ceil(n_grp * 0.2) ORDER BY doc_id""".stripMargin))
+
+  // ---------------------------------------------------------------- x03
+  /** Domain-mix weighting: per-source resampling weight that would flatten
+    * the corpus to a uniform source mix (the degenerate but standard
+    * target; any target vector drops in). weight > 1 ⇒ upsample.
+    * Two tiny aggregates + a scalar broadcast — no corpus shuffle. */
+  val x03DomainMix = QueryDef(
+    "x03_domain_mix",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val totals = docs.agg(count(lit(1)).cast("double").as("n_total"),
+        countDistinct("source").cast("double").as("n_sources"))
+      docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+        .crossJoin(broadcast(totals))
+        .select(col("source"), col("n_docs"),
+          r6(col("n_docs") / col("n_total")).as("actual_frac"),
+          r6((col("n_total") / col("n_sources")) / col("n_docs")).as("mix_weight"))
+        .orderBy("source")
+    },
+    Some("""WITH tot AS (SELECT CAST(count(*) AS DOUBLE) AS n_total,
+           |    CAST(count(DISTINCT source) AS DOUBLE) AS n_sources FROM documents)
+           |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           |  round(count(*) / n_total, 6) AS actual_frac,
+           |  round((n_total / n_sources) / count(*), 6) AS mix_weight
+           |FROM documents CROSS JOIN tot
+           |GROUP BY source, n_total, n_sources ORDER BY source""".stripMargin))
+
+  // ---------------------------------------------------------------- t06
+  /** PII redaction: scrub emails and IPv4 addresses, report counts and
+    * the redacted content hash. The corpus is synthetic (no real PII), so
+    * the query plants deterministic PII spans for ~1/3 of docs first —
+    * identically in both engines — then redacts them; the spec asserts
+    * the redaction semantics on crafted literals. Regexes are in the
+    * RE2 ∩ java.util.regex dialect (no lookaround, no backrefs) so Spark,
+    * DuckDB, and any RE2-based engine agree. Pure per-row projection. */
+  val emailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val ipRe = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val t06PiiRedact = QueryDef(
+    "t06_pii_redact",
+    (s, d) => {
+      val id = col("doc_id").cast("string")
+      val planted = concat(col("text"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit(" contact user"), id, lit("@mail.example.com asap"))).otherwise(lit("")),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(lit(" via 10.0."), pmod(col("doc_id"), lit(256)).cast("string"),
+            lit(".17 gateway"))).otherwise(lit("")))
+      Tables.documents(s, d)
+        .withColumn("aug", planted)
+        .select(col("doc_id"),
+          regexp_count(col("aug"), lit(emailRe)).cast("int").as("n_emails"),
+          regexp_count(col("aug"), lit(ipRe)).cast("int").as("n_ips"),
+          md5(regexp_replace(regexp_replace(col("aug"), emailRe, "<EMAIL>"),
+            ipRe, "<IP>")).as("redacted_hash"))
+        .orderBy("doc_id")
+    },
+    Some(s"""SELECT doc_id,
+            |  CAST(len(regexp_extract_all(aug, '$emailRe')) AS INT) AS n_emails,
+            |  CAST(len(regexp_extract_all(aug, '$ipRe')) AS INT) AS n_ips,
+            |  md5(regexp_replace(regexp_replace(aug, '$emailRe', '<EMAIL>', 'g'),
+            |    '$ipRe', '<IP>', 'g')) AS redacted_hash
+            |FROM (SELECT doc_id, text ||
+            |    (CASE WHEN doc_id % 3 = 0 THEN ' contact user' ||
+            |      CAST(doc_id AS VARCHAR) || '@mail.example.com asap' ELSE '' END) ||
+            |    (CASE WHEN doc_id % 5 = 0 THEN ' via 10.0.' ||
+            |      CAST(doc_id % 256 AS VARCHAR) || '.17 gateway' ELSE '' END) AS aug
+            |  FROM documents)
+            |ORDER BY doc_id""".stripMargin))
+
+  // ---------------------------------------------------------------- t07
+  /** Repetition detection (the Gopher-style quality heuristics): duplicate
+    * token fraction, most-frequent-token share, and most-frequent-bigram
+    * share per document. High values mark boilerplate/spam for filtering.
+    * Two explode→hash-agg passes + equi-joins back on doc_id — linear,
+    * no cross-doc work at all. */
+  val t07Repetition = QueryDef(
+    "t07_repetition",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), T.tokens(col("text")).as("toks"))
+      val base = docs.select(col("doc_id"),
+        size(col("toks")).as("n_toks"),
+        size(array_distinct(col("toks"))).as("n_distinct"))
+      val topTok = docs.select(col("doc_id"), explode(col("toks")).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max("c").as("top_tok"))
+      // adjacent (non-distinct) bigrams: zip tokens with their successors
+      val bigrams = docs.select(col("doc_id"),
+        explode(filter(
+          zip_with(col("toks"),
+            slice(col("toks"), lit(2), greatest(size(col("toks")) - 1, lit(0))),
+            (a, b) => when(b.isNull, lit(null)).otherwise(concat(a, lit(" "), b))),
+          x => x.isNotNull)).as("bg"))
+        .groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id").agg(max("c").as("top_bg"))
+      base.join(topTok, Seq("doc_id"), "left")
+        .join(bigrams, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_toks"),
+          r4(lit(1.0) - col("n_distinct") / col("n_toks").cast("double")).as("dup_tok_frac"),
+          r4(coalesce(col("top_tok"), lit(0L)) / col("n_toks").cast("double")).as("top_tok_share"),
+          when(col("n_toks") > 1,
+            r4(coalesce(col("top_bg"), lit(0L)) / (col("n_toks") - 1).cast("double")))
+            .otherwise(lit(0.0)).as("top_bigram_share"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+           |base AS (SELECT doc_id, len(t) AS n_toks, len(list_distinct(t)) AS n_distinct
+           |  FROM toks),
+           |tc AS (SELECT doc_id, max(c) AS top_tok FROM (
+           |    SELECT doc_id, tok, count(*) AS c
+           |    FROM (SELECT doc_id, unnest(t) AS tok FROM toks) GROUP BY 1, 2)
+           |  GROUP BY 1),
+           |bc AS (SELECT doc_id, max(c) AS top_bg FROM (
+           |    SELECT doc_id, bg, count(*) AS c
+           |    FROM (SELECT doc_id, unnest(list_transform(range(1, greatest(len(t)-1, 0)+1),
+           |        i -> t[i] || ' ' || t[i+1])) AS bg FROM toks) GROUP BY 1, 2)
+           |  GROUP BY 1)
+           |SELECT b.doc_id, CAST(b.n_toks AS INT) AS n_toks,
+           |  round(1.0 - b.n_distinct / CAST(b.n_toks AS DOUBLE), 4) AS dup_tok_frac,
+           |  round(COALESCE(tc.top_tok, 0) / CAST(b.n_toks AS DOUBLE), 4) AS top_tok_share,
+           |  CASE WHEN b.n_toks > 1 THEN
+           |    round(COALESCE(bc.top_bg, 0) / CAST(b.n_toks - 1 AS DOUBLE), 4)
+           |  ELSE 0.0 END AS top_bigram_share
+           |FROM base b LEFT JOIN tc USING (doc_id) LEFT JOIN bc USING (doc_id)
+           |ORDER BY doc_id""".stripMargin))
+
+  val all: Seq[QueryDef] =
+    Seq(x01Decontaminate, x02StratifiedSample, x03DomainMix,
+      t06PiiRedact, t07Repetition)
+}

@@ -1,0 +1,115 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantics gates for the corpus-curation operators (Curation.scala).
+  * The oracle rows prove cross-engine agreement; these tests prove the
+  * operators do what a pipeline needs them to do — redact actual PII
+  * spans, flag actual contamination/repetition, keep strata non-empty —
+  * on inputs crafted to exercise the interesting paths. */
+class CurationSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("pii redaction scrubs emails and ipv4 and counts them") {
+    import spark.implicits._
+    val df = Seq(
+      "reach me at jane.doe+spam@corp.example.org or on 192.168.0.12 today",
+      "no pii here at all",
+      "two mails a@b.io c@d.net and ips 10.1.2.3 8.8.8.8").toDF("text")
+    val redacted = df.select(
+      regexp_count(col("text"), lit(graft.operators.Curation.emailRe)).as("ne"),
+      regexp_count(col("text"), lit(graft.operators.Curation.ipRe)).as("ni"),
+      regexp_replace(regexp_replace(col("text"),
+        graft.operators.Curation.emailRe, "<EMAIL>"),
+        graft.operators.Curation.ipRe, "<IP>").as("red"))
+      .collect()
+    assert(redacted(0).getInt(0) == 1 && redacted(0).getInt(1) == 1)
+    assert(redacted(0).getString(2) ==
+      "reach me at <EMAIL> or on <IP> today")
+    assert(redacted(1).getInt(0) == 0 && redacted(1).getInt(1) == 0)
+    assert(redacted(1).getString(2) == "no pii here at all")
+    assert(redacted(2).getInt(0) == 2 && redacted(2).getInt(1) == 2)
+    assert(redacted(2).getString(2) == "two mails <EMAIL> <EMAIL> and ips <IP> <IP>")
+  }
+
+  test("registered pii query plants and redacts deterministically") {
+    val out = SparkEntry.queries("t06_pii_redact")(spark, sf)
+    val rows = out.collect()
+    assert(rows.length > 0)
+    // every doc_id % 15 == 0 has both an email and an ip planted
+    val both = rows.filter(r => r.getLong(0) % 15 == 0)
+    assert(both.nonEmpty && both.forall(r => r.getInt(1) >= 1 && r.getInt(2) >= 1))
+    val neither = rows.filter(r => r.getLong(0) % 3 != 0 && r.getLong(0) % 5 != 0)
+    assert(neither.nonEmpty && neither.forall(r => r.getInt(1) == 0 && r.getInt(2) == 0))
+  }
+
+  test("decontamination flags the planted near-duplicates of bench docs") {
+    // ground truth: d05's verified near-dup pairs that straddle the bench
+    // boundary (one side in the md5-sampled benchmark set) must be flagged
+    val bench = Tables.documents(spark, sf)
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 1) === "0")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val nearDup = SparkEntry.queries("d05_ngram_jaccard")(spark, sf)
+      .filter(col("jaccard") >= 0.5).collect()
+      .flatMap(r => Seq(r.getLong(0) -> r.getLong(1), r.getLong(1) -> r.getLong(0)))
+      .filter { case (train, b) => bench.contains(b) && !bench.contains(train) }
+      .map(_._1).toSet
+    val flagged = SparkEntry.queries("x01_decontaminate")(spark, sf)
+      .filter(col("contaminated") === 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    info(s"straddling near-dup train docs: ${nearDup.size}, flagged: ${flagged.size}")
+    assert(nearDup.subsetOf(flagged),
+      s"unflagged contaminated docs: ${nearDup.diff(flagged)}")
+    // and bench docs themselves never appear in the training output
+    assert(flagged.intersect(bench).isEmpty)
+  }
+
+  test("stratified sample keeps every stratum at ~20%, deterministically") {
+    val docs = Tables.documents(spark, sf)
+    val strata = docs.groupBy("lang", "source").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    val out1 = SparkEntry.queries("x02_stratified_sample")(spark, sf)
+    val got = out1.groupBy("lang", "source").count().collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // every stratum present, sized exactly ceil(n * 0.2)
+    strata.foreach { case (k, n) =>
+      assert(got.getOrElse(k, 0L) == math.ceil(n * 0.2).toLong,
+        s"stratum $k: n=$n sampled=${got.getOrElse(k, 0L)}")
+    }
+    // deterministic: a second run picks the identical doc set
+    val ids1 = out1.select("doc_id").collect().map(_.getLong(0)).toSet
+    val ids2 = SparkEntry.queries("x02_stratified_sample")(spark, sf)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids1 == ids2)
+  }
+
+  test("domain mix weights flatten the source distribution") {
+    val rows = SparkEntry.queries("x03_domain_mix")(spark, sf).collect()
+    assert(rows.length > 1)
+    // resampling by mix_weight equalizes mass: n_docs * weight is constant
+    val masses = rows.map(r => r.getLong(1) * r.getDouble(3))
+    assert(masses.max / masses.min < 1.001,
+      s"weighted masses not flat: ${masses.toSeq}")
+    // actual fractions sum to ~1
+    val fracSum = rows.map(_.getDouble(2)).sum
+    assert(math.abs(fracSum - 1.0) < 0.01)
+  }
+
+  test("repetition metrics rank a degenerate doc above normal corpus docs") {
+    import spark.implicits._
+    // crafted: a spam doc (one token repeated) vs a all-distinct doc
+    val crafted = Seq(
+      (1L, Seq.fill(50)("buy").mkString(" ")),
+      (2L, (1 to 50).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val dir = tmpDir("curation-rep")
+    crafted.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("t07_repetition")(spark, dir).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getDouble(2) > 0.9)   // dup_tok_frac
+    assert(out(1L).getDouble(3) == 1.0)  // top_tok_share
+    assert(out(1L).getDouble(4) == 1.0)  // top_bigram_share
+    assert(out(2L).getDouble(2) == 0.0)
+    assert(out(2L).getDouble(3) < 0.05)
+  }
+}
