@@ -37,7 +37,8 @@ class MqttLikeSource extends TableProvider {
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
     new MqttTable(properties.getOrDefault("topic", "#"),
-      Option(properties.get("maxRowsPerTrigger")).map(_.toLong))
+      Option(properties.get("maxRowsPerTrigger")).map(_.toLong),
+      Option(properties.get("partitions")).map(_.toInt).getOrElse(4))
 }
 
 object MqttLikeSource {
@@ -130,7 +131,7 @@ class MqttLikePublisher(topic: String)
       MessageBus.publishEpoch(topic, pid, eid, buf.toSeq)
 }
 
-private class MqttTable(topic: String, maxRows: Option[Long])
+private class MqttTable(topic: String, maxRows: Option[Long], parallelism: Int)
     extends Table with SupportsRead {
   override def name(): String = s"mqtt-like:$topic"
   override def schema(): StructType = MqttLikeSource.schema
@@ -141,7 +142,7 @@ private class MqttTable(topic: String, maxRows: Option[Long])
       override def build(): Scan = new Scan {
         override def readSchema(): StructType = MqttLikeSource.schema
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new MqttMicroBatchStream(topic, maxRows)
+          new MqttMicroBatchStream(topic, maxRows, parallelism)
       }
     }
 }
@@ -156,9 +157,10 @@ private case class BusOffset(n: Long) extends Offset {
   * ack-after-durable-write at epoch granularity. `maxRows` = the
   * reference batcher's FlushLength (batcher.go:50-57), honored through
   * DSv2 admission control by capping each epoch at start + maxRows. */
-private class MqttMicroBatchStream(topic: String, maxRows: Option[Long])
+private class MqttMicroBatchStream(topic: String, maxRows: Option[Long],
+    parallelism: Int)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
-  private val Parallelism = 4
+  private val Parallelism = parallelism
   // Trigger.AvailableNow snapshots the log head once, then drains up to it
   @volatile private var availableNowEnd: Option[Long] = None
 
