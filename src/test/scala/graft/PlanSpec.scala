@@ -48,6 +48,14 @@ class PlanSpec extends SparkSpec {
       "candidate generation must stay an equi-join on (table, bandHash)")
   }
 
+  test("x01: decontamination joins the benchmark n-gram set by equi-key") {
+    val p = plan("x01_decontaminate")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "contamination check must stay a posting-list equi-join")
+    assert(p.contains("BroadcastHashJoin"),
+      "benchmark n-gram set should be the broadcast build side")
+  }
+
   test("q36: salted aggregation is a two-level hash aggregate") {
     val p = plan("q36_salted_agg")
     assert("HashAggregate".r.findAllIn(p).size >= 4,
