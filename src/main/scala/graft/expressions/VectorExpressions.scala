@@ -207,6 +207,213 @@ case class SrpBands(child: Expression, planes: Seq[Seq[Double]],
     copy(child = newChild)
 }
 
+/** Product-quantization encode: split the vector into `m` contiguous
+  * subvectors of `subDim` dims and emit, per subvector, the index of the
+  * nearest (L2) of its `k` codebook centroids — the 4-bit/8-bit code
+  * word every PQ-based vector index stores instead of the raw floats.
+  *
+  * At 100 TB this runs ONCE at ingest: the persisted code table is
+  * m bytes/vector vs 4·dim for the floats (32× smaller at m=8, dim=64),
+  * which is what makes exhaustive candidate scans affordable. The
+  * codebook rides along as one codegen reference object (same reasoning
+  * as SrpBands — O(1) plan size). */
+case class PqEncode(child: Expression, codebook: Seq[Seq[Double]],
+    m: Int, k: Int, subDim: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  @transient private lazy val cb: Array[Array[Double]] =
+    codebook.map(_.toArray).toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) =>
+      if (codebook.length == m * k) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"pq_encode needs ${m * k} codebook rows, got ${codebook.length}")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pq_encode expects array<double> input, got ${other.simpleString}")
+  }
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+  override def prettyName: String = "pq_encode"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val out = new Array[Int](m)
+    var mi = 0
+    while (mi < m) {
+      var best = 0; var bestD = Double.MaxValue
+      var ki = 0
+      while (ki < k) {
+        val c = cb(mi * k + ki)
+        var dist = 0.0; var i = 0
+        while (i < subDim) {
+          val diff = x.getDouble(mi * subDim + i) - c(i)
+          dist += diff * diff; i += 1
+        }
+        if (dist < bestD) { bestD = dist; best = ki }
+        ki += 1
+      }
+      out(mi) = best; mi += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val c = ctx.addReferenceObj("pqCodebook", cb, "double[][]")
+      val out = ctx.freshName("out")
+      val mi = ctx.freshName("mi")
+      val ki = ctx.freshName("ki")
+      val best = ctx.freshName("best")
+      val bestD = ctx.freshName("bestD")
+      val cent = ctx.freshName("cent")
+      val dist = ctx.freshName("dist")
+      val diff = ctx.freshName("diff")
+      val i = ctx.freshName("i")
+      s"""
+         |int[] $out = new int[$m];
+         |for (int $mi = 0; $mi < $m; $mi++) {
+         |  int $best = 0; double $bestD = Double.MAX_VALUE;
+         |  for (int $ki = 0; $ki < $k; $ki++) {
+         |    double[] $cent = $c[$mi * $k + $ki];
+         |    double $dist = 0.0;
+         |    for (int $i = 0; $i < $subDim; $i++) {
+         |      double $diff = $a.getDouble($mi * $subDim + $i) - $cent[$i];
+         |      $dist += $diff * $diff;
+         |    }
+         |    if ($dist < $bestD) { $bestD = $dist; $best = $ki; }
+         |  }
+         |  $out[$mi] = $best;
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+    copy(child = newChild)
+}
+
+/** Per-query ADC lookup table: L2² distance from each of the query's
+  * subvectors to every codebook centroid, flattened as array<double> of
+  * length m·k (entry mi·k + ki). Computed once per QUERY row — the whole
+  * point of asymmetric distance computation: the per-candidate cost
+  * collapses to `m` table lookups (PqAdc) instead of `dim` multiplies. */
+case class PqLut(child: Expression, codebook: Seq[Seq[Double]],
+    m: Int, k: Int, subDim: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  @transient private lazy val cb: Array[Array[Double]] =
+    codebook.map(_.toArray).toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) =>
+      if (codebook.length == m * k) TypeCheckResult.TypeCheckSuccess
+      else TypeCheckResult.TypeCheckFailure(
+        s"pq_lut needs ${m * k} codebook rows, got ${codebook.length}")
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"pq_lut expects array<double> input, got ${other.simpleString}")
+  }
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "pq_lut"
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val out = new Array[Double](m * k)
+    var mi = 0
+    while (mi < m) {
+      var ki = 0
+      while (ki < k) {
+        val c = cb(mi * k + ki)
+        var dist = 0.0; var i = 0
+        while (i < subDim) {
+          val diff = x.getDouble(mi * subDim + i) - c(i)
+          dist += diff * diff; i += 1
+        }
+        out(mi * k + ki) = dist; ki += 1
+      }
+      mi += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val c = ctx.addReferenceObj("pqCodebook", cb, "double[][]")
+      val out = ctx.freshName("out")
+      val mi = ctx.freshName("mi")
+      val ki = ctx.freshName("ki")
+      val cent = ctx.freshName("cent")
+      val dist = ctx.freshName("dist")
+      val diff = ctx.freshName("diff")
+      val i = ctx.freshName("i")
+      s"""
+         |double[] $out = new double[$m * $k];
+         |for (int $mi = 0; $mi < $m; $mi++) {
+         |  for (int $ki = 0; $ki < $k; $ki++) {
+         |    double[] $cent = $c[$mi * $k + $ki];
+         |    double $dist = 0.0;
+         |    for (int $i = 0; $i < $subDim; $i++) {
+         |      double $diff = $a.getDouble($mi * $subDim + $i) - $cent[$i];
+         |      $dist += $diff * $diff;
+         |    }
+         |    $out[$mi * $k + $ki] = $dist;
+         |  }
+         |}
+         |${ev.value} = org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PqLut =
+    copy(child = newChild)
+}
+
+/** Asymmetric-distance scan step: approximate L2² between a query (via
+  * its LUT) and a PQ-coded vector = Σ_mi lut[mi·k + codes[mi]] — `m`
+  * array lookups per candidate, no floating-point vector math at all.
+  * This is the inner loop of every PQ index scan. */
+case class PqAdc(left: Expression, right: Expression, k: Int)
+    extends BinaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(org.apache.spark.sql.types.IntegerType, _),
+            ArrayType(DoubleType, _)) => TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"pq_adc expects (array<int> codes, array<double> lut), " +
+          s"got (${l.simpleString}, ${r.simpleString})")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "pq_adc"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val codes = a.asInstanceOf[ArrayData]
+    val lut = b.asInstanceOf[ArrayData]
+    var acc = 0.0; var mi = 0
+    val m = codes.numElements()
+    while (mi < m) { acc += lut.getDouble(mi * k + codes.getInt(mi)); mi += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val acc = ctx.freshName("acc")
+      val mi = ctx.freshName("mi")
+      val m = ctx.freshName("m")
+      s"""
+         |double $acc = 0.0;
+         |int $m = $a.numElements();
+         |for (int $mi = 0; $mi < $m; $mi++) {
+         |  $acc += $b.getDouble($mi * $k + $a.getInt($mi));
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): PqAdc =
+    copy(left = newLeft, right = newRight)
+}
+
 object VectorExpressions {
   /** Column API for the native dot product. */
   def dot(a: Column, b: Column): Column =
@@ -226,4 +433,21 @@ object VectorExpressions {
       nTables: Int, bits: Int): Column =
     Bridge.column(SrpBands(
       Bridge.expression(emb.cast("array<double>")), planes, nTables, bits))
+
+  /** Column API for PQ encoding: array<int> of m codebook indices. */
+  def pqEncode(emb: Column, codebook: Seq[Seq[Double]],
+      m: Int, k: Int, subDim: Int): Column =
+    Bridge.column(PqEncode(
+      Bridge.expression(emb.cast("array<double>")), codebook, m, k, subDim))
+
+  /** Column API for the per-query ADC lookup table (array<double>, m·k). */
+  def pqLut(emb: Column, codebook: Seq[Seq[Double]],
+      m: Int, k: Int, subDim: Int): Column =
+    Bridge.column(PqLut(
+      Bridge.expression(emb.cast("array<double>")), codebook, m, k, subDim))
+
+  /** Column API for the ADC distance: Σ lut[mi·k + codes[mi]]. */
+  def pqAdc(codes: Column, lut: Column, k: Int): Column =
+    Bridge.column(PqAdc(
+      Bridge.expression(codes), Bridge.expression(lut), k))
 }

@@ -388,8 +388,59 @@ object Relational2 {
            |  last_day(CAST(o_orderdate AS DATE)) AS month_end
            |FROM orders ORDER BY o_orderkey""".stripMargin))
 
+  // ---------------------------------------------------------------- q47
+  /** Recursive CTE (Spark 4's WITH RECURSIVE): generate a month spine over
+    * the TPC-H order-date domain and gap-fill order counts/revenue per
+    * month — the canonical time-series gap-fill that plain GROUP BY can't
+    * express (empty months must appear). The recursion is coarse (one
+    * step per YEAR, depth 7) with the 12 months expanded per step:
+    * Spark executes one plan iteration per recursion step, so depth is
+    * the cost driver — recurse coarse, expand fine (depth-84 month-wise
+    * recursion spends ~4s of pure iteration overhead for the same rows).
+    * The orders aggregate stays a single hash-agg shuffle joined
+    * broadcast-side to the spine, so the shape is identical at 100 TB.
+    * Engines differ only in date-arithmetic spelling; the recursion is
+    * the same. */
+  val q47RecursiveCte = QueryDef(
+    "q47_recursive_cte",
+    (s, d) => {
+      graft.Tables.registerViews(s, d)
+      s.sql("""WITH RECURSIVE years(ystart) AS (
+              |  SELECT DATE '1992-01-01'
+              |  UNION ALL
+              |  SELECT add_months(ystart, 12) FROM years
+              |  WHERE ystart < DATE '1998-01-01'),
+              |months AS (
+              |  SELECT add_months(ystart, i) AS month
+              |  FROM years LATERAL VIEW explode(sequence(0, 11)) t AS i)
+              |SELECT m.month, COALESCE(o.n_orders, 0) AS n_orders,
+              |  COALESCE(o.revenue, 0.0) AS revenue
+              |FROM months m LEFT JOIN (
+              |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+              |    count(*) AS n_orders,
+              |    round(sum(o_totalprice) * 100) / 100 AS revenue
+              |  FROM orders GROUP BY 1) o USING (month)
+              |ORDER BY m.month""".stripMargin)
+    },
+    Some("""WITH RECURSIVE years(ystart) AS (
+           |  SELECT DATE '1992-01-01'
+           |  UNION ALL
+           |  SELECT CAST(ystart + INTERVAL 12 MONTH AS DATE) FROM years
+           |  WHERE ystart < DATE '1998-01-01'),
+           |months AS (
+           |  SELECT CAST(ystart + CAST(i AS INT) * INTERVAL 1 MONTH AS DATE) AS month
+           |  FROM years CROSS JOIN (SELECT unnest(range(0, 12)) AS i))
+           |SELECT m.month, COALESCE(o.n_orders, 0) AS n_orders,
+           |  COALESCE(o.revenue, 0.0) AS revenue
+           |FROM months m LEFT JOIN (
+           |  SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+           |    CAST(count(*) AS BIGINT) AS n_orders,
+           |    round(sum(o_totalprice), 2) AS revenue
+           |  FROM orders GROUP BY 1) o USING (month)
+           |ORDER BY m.month""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q29OuterJoin, q30FullOuter, q31Udaf, q32Explode,
     q33RangeFrame, q34Percentiles, q35Stats, q37Sessionize, q38Pivot, q39Unpivot,
     q40WindowNav, q41CollectAgg, q42CorrelatedSubquery, q43StringFuncs2,
-    q44MathFuncs2, q45DateFuncs2)
+    q44MathFuncs2, q45DateFuncs2, q47RecursiveCte)
 }

@@ -28,4 +28,14 @@ class RecallSpec extends SparkSpec {
     assert(ivfRecall >= 0.5, f"IVF recall collapsed: $ivfRecall%.2f")
     assert(lshRecall >= 0.1, f"LSH recall collapsed: $lshRecall%.2f")
   }
+
+  test("PQ+ADC ANN recall@10 vs exact brute force") {
+    val exact = topk("s01_sim_topk")
+    val pq = topk("s04_sim_ann_pq")
+    val recall = exact.keys.count(pq.contains).toDouble / exact.size
+    info(f"recall@10 — pq(adc, rerank=64): $recall%.2f")
+    // 8×4-bit codes quantize hard, but the 64-candidate exact re-rank
+    // recovers the true neighbors the ADC scan surfaces.
+    assert(recall >= 0.5, f"PQ recall collapsed: $recall%.2f")
+  }
 }
