@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.expressions.{CosineSimilarity, DotProduct}
+import graft.expressions.{CosineSimilarity, DotProduct, PqAdc}
 
 /** SparkSessionExtensions entry point: makes the native vector expressions
   * available to pure-SQL users as `cosine_similarity(a, b)` and
@@ -37,7 +37,18 @@ object GraftExtensions {
       twoArg("cosine_similarity", CosineSimilarity(_, _))),
     ("dot_product",
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-      twoArg("dot_product", DotProduct(_, _))))
+      twoArg("dot_product", DotProduct(_, _))),
+    // pq_adc(codes, lut, k): k must be a literal (it shapes the generated
+    // loop). The encode/LUT builders stay Column-API-only — they close
+    // over an ingest-time codebook, which SQL literals can't express.
+    ("pq_adc",
+      new ExpressionInfo(classOf[PqAdc].getName, "pq_adc"),
+      {
+        case Seq(a, b, k) if k.foldable =>
+          PqAdc(a, b, k.eval(null).asInstanceOf[Number].intValue())
+        case other => throw new IllegalArgumentException(
+          s"pq_adc expects (codes, lut, <literal k>), got ${other.size} args")
+      }))
 
   /** Register on a live session (temp functions in its registry). */
   def register(spark: SparkSession): Unit =

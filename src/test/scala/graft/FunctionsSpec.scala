@@ -82,6 +82,45 @@ class FunctionsSpec extends SparkSpec {
       .agg(max(abs(col("d")))).as[Double].collect().head
     assert(diff == 0.0, s"expected bitwise-equal cosine, max diff $diff")
   }
+  test("pq encode/lut/adc invariants") {
+    val s = spark
+    import s.implicits._
+    val E = graft.expressions.VectorExpressions
+    val m = 4; val k = 4; val subDim = 2 // 8-dim vectors
+    val rnd = new scala.util.Random(11)
+    val codebook: Seq[Seq[Double]] = Seq.fill(m * k)(Seq.fill(subDim)(rnd.nextDouble() - 0.5))
+    val vecs = Seq.fill(40)(Seq.fill(8)(rnd.nextFloat() - 0.5f))
+    val df = vecs.toDF("e")
+    val out = df.select(
+      E.pqEncode(col("e"), codebook, m, k, subDim).as("codes"),
+      E.pqLut(col("e"), codebook, m, k, subDim).as("lut"))
+      .withColumn("adc", E.pqAdc(col("codes"), col("lut"), k))
+      .collect()
+    out.foreach { r =>
+      val codes = r.getSeq[Int](0)
+      val lut = r.getSeq[Double](1)
+      assert(codes.length == m && codes.forall(c => c >= 0 && c < k))
+      assert(lut.length == m * k && lut.forall(_ >= 0.0))
+      // encode picks the argmin of the vector's OWN lut per subspace
+      (0 until m).foreach { mi =>
+        val sub = lut.slice(mi * k, (mi + 1) * k)
+        assert(sub(codes(mi)) == sub.min)
+      }
+      // self-ADC = sum of per-subspace minimal distances
+      val want = (0 until m).map(mi => lut.slice(mi * k, (mi + 1) * k).min).sum
+      assert(math.abs(r.getDouble(2) - want) < 1e-12)
+    }
+  }
+
+  test("pq_adc is callable from SQL once extensions are registered") {
+    val s = spark
+    GraftExtensions.register(s)
+    val got = s.sql(
+      "SELECT pq_adc(array(1, 0), CAST(array(10.0, 20.0, 5.0, 7.0) AS ARRAY<DOUBLE>), 2)")
+      .collect().head.getDouble(0)
+    assert(got == 25.0) // lut[0*2+1] + lut[1*2+0] = 20 + 5
+  }
+
   test("scalar udf: registered, callable from SQL, equals the builtin") {
     val s = spark
     import s.implicits._
