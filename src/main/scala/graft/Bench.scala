@@ -1,5 +1,5 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
   def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -24,24 +24,42 @@ object Bench {
     // the driver passes none and benches everything
     val wanted = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => args.isEmpty || args.exists(n.startsWith) }
-    val results = wanted.map { case (name, fn) =>
+    // Materialize through the noop sink, not count(): count() lets
+    // Catalyst prune every projected column, so a pure-projection query
+    // would be timed as "parquet scan + count" with the expressions it
+    // claims to measure optimized away. The noop DSv2 sink evaluates
+    // every output column and discards rows executor-side.
+    // a failed query reports -1, not its (meaningless) time-to-failure
+    def time1(name: String, fn: (SparkSession, String) => DataFrame): Double = {
       val t0 = System.nanoTime()
-      // Materialize through the noop sink, not count(): count() lets
-      // Catalyst prune every projected column, so a pure-projection query
-      // would be timed as "parquet scan + count" with the expressions it
-      // claims to measure optimized away. The noop DSv2 sink evaluates
-      // every output column and discards rows executor-side.
-      // a failed query reports -1, not its (meaningless) time-to-failure
       val ok = try {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val firstPass = wanted.map { case (name, fn) => name -> time1(name, fn) }
+    // One-off spikes (a full-GC pause, driver-machine contention, a cold
+    // page cache) can inflate a single query 10-20×; re-time outliers once
+    // and keep the min so the bench reflects the plan, not the weather.
+    val oks = firstPass.map(_._2).filter(_ >= 0).sorted
+    val median = if (oks.isEmpty) 0.0 else oks(oks.length / 2)
+    val results = firstPass.map { case (name, t) =>
+      if (t > math.max(2.0, 3 * median)) name -> math.min(t, time1(name, wanted.toMap.apply(name)))
+      else name -> t
+    }
+    // The reporting line must stay SHORT: the driver keeps only a tail of
+    // the sbt output, and a ~2.7 kB line gets head-truncated past parsing.
+    // Short keys = the unique prefix before the first '_' (q01, d03, t04…);
+    // full names live in CORRECTNESS_r*.json / SparkEntry.queries.
+    def shortKey(n: String): String = n.takeWhile(_ != '_')
+    val keys = results.map { case (n, _) => n -> shortKey(n) }.toMap
+    val unique = keys.values.toSet.size == keys.size
+    val qs = results.map { case (k, v) =>
+      "\"" + (if (unique) keys(k) else k) + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
