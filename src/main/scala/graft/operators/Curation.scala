@@ -217,7 +217,78 @@ object Curation {
            |FROM base b LEFT JOIN tc USING (doc_id) LEFT JOIN bc USING (doc_id)
            |ORDER BY doc_id""".stripMargin))
 
+  // ---------------------------------------------------------------- x04
+  /** Fuzzy decontamination: where x01 flags ANY shared 8-gram, this
+    * scores how much of each training doc is covered by some benchmark
+    * doc — containment(d, b) = |shingles(d) ∩ shingles(b)| / |shingles(d)|
+    * — and reports the best-matching benchmark doc. Binary overlap
+    * over-flags (one idiom in common); containment ≥ 0.5 is the usual
+    * "this is substantially the eval document" cut.
+    *
+    * Scale shape: same posting-list equi-join as x01/d05 (work ∝ shingle
+    * matches, never |train|×|bench|), then one window over the candidate
+    * pairs — which are few by construction. Benchmark side broadcast. */
+  val x04ContainmentScore = QueryDef(
+    "x04_decontaminate_fuzzy",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), T.tokens(col("text")).as("toks"),
+          (substring(md5(col("doc_id").cast("string")), 1, 1) === "0").as("is_bench"))
+      val sh = docs.select(col("doc_id"), col("is_bench"),
+        explode(T.shingles(col("toks"), 8)).as("g"))
+      val nsh = sh.filter(!col("is_bench"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_g")) // shingles distinct per doc
+      val bench = sh.filter(col("is_bench"))
+        .select(col("doc_id").as("bench_id"), col("g"))
+      val pairs = sh.filter(!col("is_bench"))
+        .join(broadcast(bench), Seq("g"))
+        .groupBy("doc_id", "bench_id").agg(count(lit(1)).as("shared"))
+        .join(nsh, Seq("doc_id"))
+        .withColumn("containment", col("shared") / col("n_g"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("containment").desc, col("bench_id"))
+      val best = pairs.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("doc_id"), col("bench_id"), col("shared"), col("containment"))
+      docs.filter(!col("is_bench")).select("doc_id")
+        .join(best, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("bench_id").as("best_bench"),
+          coalesce(col("shared"), lit(0L)).as("n_shared"),
+          r4(coalesce(col("containment"), lit(0.0))).as("containment"),
+          (coalesce(col("containment"), lit(0.0)) >= 0.5).cast("int").as("flagged"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id, string_split(text, ' ') AS t,
+           |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0' AS is_bench
+           |  FROM documents),
+           |sh AS (SELECT doc_id, is_bench,
+           |    unnest(list_distinct(list_transform(range(1, greatest(len(t)-7, 0)+1),
+           |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+           |           t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7]))) AS g
+           |  FROM toks),
+           |nsh AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_g
+           |  FROM sh WHERE NOT is_bench GROUP BY 1),
+           |pairs AS (
+           |  SELECT s.doc_id, b.doc_id AS bench_id,
+           |    CAST(count(*) AS BIGINT) AS shared
+           |  FROM sh s JOIN sh b USING (g)
+           |  WHERE NOT s.is_bench AND b.is_bench GROUP BY 1, 2),
+           |scored AS (
+           |  SELECT p.doc_id, p.bench_id, p.shared,
+           |    p.shared / CAST(n.n_g AS DOUBLE) AS containment
+           |  FROM pairs p JOIN nsh n USING (doc_id)),
+           |best AS (
+           |  SELECT *, row_number() OVER (PARTITION BY doc_id
+           |    ORDER BY containment DESC, bench_id) AS rk FROM scored)
+           |SELECT t.doc_id, b.bench_id AS best_bench,
+           |  COALESCE(b.shared, 0) AS n_shared,
+           |  round(COALESCE(b.containment, 0), 4) AS containment,
+           |  CAST(COALESCE(b.containment, 0) >= 0.5 AS INT) AS flagged
+           |FROM toks t LEFT JOIN (SELECT * FROM best WHERE rk = 1) b USING (doc_id)
+           |WHERE NOT t.is_bench ORDER BY t.doc_id""".stripMargin))
+
   val all: Seq[QueryDef] =
     Seq(x01Decontaminate, x02StratifiedSample, x03DomainMix,
-      t06PiiRedact, t07Repetition)
+      t06PiiRedact, t07Repetition, x04ContainmentScore)
 }

@@ -95,5 +95,46 @@ object Multimodal {
     },
     None)
 
-  val all: Seq[QueryDef] = Seq(m01Meta, m02Features)
+  // ---------------------------------------------------------------- m03
+  /** Frame sampling over an opaque media payload: treat the blob as a
+    * sequence of fixed-size frames (256 B stands in for a codec's frame
+    * table), keep every 4th frame, and fingerprint the sampled bytes —
+    * the video-pipeline shape (sample → decode → embed) with the decode
+    * stubbed as an md5 over the frame's actual bytes.
+    *
+    * Scale shape: `sequence` + `explode` fan out row-local (no shuffle,
+    * no driver state); the blob is sliced lazily per sampled frame, so
+    * unsampled bytes are never copied. The whole query is a narrow
+    * projection over the scan. The corpus is ASCII, so byte slicing ==
+    * substring and the md5 replays exactly in the oracle. */
+  val m03FrameSample = QueryDef(
+    "m03_frame_sample",
+    (s, d) => {
+      val FrameBytes = 256
+      val Stride = 4
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          (length(col("text")).cast("int") / FrameBytes).cast("int").as("n_frames"))
+        .filter(col("n_frames") > 0)
+        .select(col("doc_id"), col("text"), col("n_frames"),
+          explode(sequence(lit(0), col("n_frames") - 1, lit(Stride))).as("frame_idx"))
+        .select(col("doc_id"), col("n_frames"), col("frame_idx"),
+          (col("frame_idx") * FrameBytes).as("byte_off"),
+          md5(col("text").substr(col("frame_idx") * FrameBytes + 1, lit(FrameBytes))
+            .cast("binary")).as("frame_fp"))
+        .orderBy("doc_id", "frame_idx")
+    },
+    Some("""WITH sized AS (
+           |  SELECT doc_id, text, CAST(length(text) // 256 AS INT) AS n_frames
+           |  FROM documents WHERE length(text) // 256 > 0),
+           |frames AS (
+           |  SELECT doc_id, text, n_frames,
+           |    CAST(unnest(range(0, n_frames, 4)) AS INT) AS frame_idx
+           |  FROM sized)
+           |SELECT doc_id, n_frames, frame_idx,
+           |  CAST(frame_idx * 256 AS INT) AS byte_off,
+           |  md5(substring(text, frame_idx * 256 + 1, 256)) AS frame_fp
+           |FROM frames ORDER BY doc_id, frame_idx""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(m01Meta, m02Features, m03FrameSample)
 }

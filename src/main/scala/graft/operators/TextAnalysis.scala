@@ -186,6 +186,44 @@ object TextAnalysis {
            |SELECT doc_id, rank, tok, round(score, 6) AS score
            |FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin))
 
+  // ---------------------------------------------------------------- t08
+  /** Unigram language-model scoring: per-document mean token
+    * log-probability under the corpus's own unigram distribution —
+    * the classic cheap fluency/quality signal (gibberish and boilerplate
+    * both score low) used to filter pretraining corpora.
+    *
+    * mean_logprob(doc) = Σ_tok tf·ln(c_tok / total) / n_toks, computed
+    * from the same (doc, tok) tf aggregate TF-IDF uses: two hash-agg
+    * shuffles + one equi-join on the token. In production the unigram
+    * table is a bounded artifact (top-k vocab + OOV floor) broadcast from
+    * ingest; here it comes from the corpus itself in the same query. */
+  val t08UnigramLm = QueryDef(
+    "t08_unigram_logprob",
+    (s, d) => {
+      val tokens = Tables.documents(s, d).select(col("doc_id"),
+        explode(T.tokens(col("text"))).as("tok"))
+      val tf = tokens.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val uni = tf.groupBy("tok").agg(sum("tf").as("c"))
+      val total = uni.agg(sum("c").cast("double").as("total"))
+      tf.join(uni, Seq("tok"))
+        .crossJoin(broadcast(total)) // scalar broadcast, no driver action
+        .groupBy("doc_id")
+        .agg(sum("tf").as("n_toks"),
+          r4(sum(col("tf") * log(col("c") / col("total"))) / sum("tf"))
+            .as("mean_logprob"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH tokens AS (
+           |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+           |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tokens GROUP BY 1, 2),
+           |uni AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY 1),
+           |total AS (SELECT CAST(sum(c) AS DOUBLE) AS total FROM uni)
+           |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_toks,
+           |  round(sum(tf * ln(c / total)) / sum(tf), 4) AS mean_logprob
+           |FROM tf JOIN uni USING (tok) CROSS JOIN total
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
   val all: Seq[QueryDef] =
-    Seq(t01LangId, t02Quality, t03TokenCount, t04RollingHash, t05TfIdf)
+    Seq(t01LangId, t02Quality, t03TokenCount, t04RollingHash, t05TfIdf,
+      t08UnigramLm)
 }

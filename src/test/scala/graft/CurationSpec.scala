@@ -65,6 +65,37 @@ class CurationSpec extends SparkSpec {
     assert(flagged.intersect(bench).isEmpty)
   }
 
+  test("fuzzy decontamination scores containment and flags true near-copies") {
+    val bench = Tables.documents(spark, sf)
+      .filter(substring(md5(col("doc_id").cast("string")), 1, 1) === "0")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val rows = SparkEntry.queries("x04_decontaminate_fuzzy")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    // benchmark docs never appear on the training side; containment ∈ [0,1]
+    assert(rows.forall(r => !bench.contains(r.getLong(0))))
+    assert(rows.forall(r => r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0))
+    // best_bench, when present, is an actual benchmark doc
+    assert(rows.filter(!_.isNullAt(1)).forall(r => bench.contains(r.getLong(1))))
+    // containment(d,b) = |∩|/|shingles(d)| ≥ jaccard(d,b), so every
+    // verified near-dup (d05 jaccard ≥ 0.5) straddling the bench boundary
+    // must come out flagged (containment ≥ 0.5)
+    val nearDup = SparkEntry.queries("d05_ngram_jaccard")(spark, sf)
+      .filter(col("jaccard") >= 0.5).collect()
+      .flatMap(r => Seq(r.getLong(0) -> r.getLong(1), r.getLong(1) -> r.getLong(0)))
+      .filter { case (train, b) => bench.contains(b) && !bench.contains(train) }
+      .map(_._1).toSet
+    val flagged = rows.filter(_.getInt(4) == 1).map(_.getLong(0)).toSet
+    info(s"straddling near-dup train docs: ${nearDup.size}, fuzzy-flagged: ${flagged.size}")
+    assert(nearDup.subsetOf(flagged),
+      s"near-copies not flagged: ${nearDup.diff(flagged)}")
+    // and the fuzzy flag is strictly more precise than x01's any-overlap
+    // flag: flagged ⊆ contaminated
+    val anyOverlap = SparkEntry.queries("x01_decontaminate")(spark, sf)
+      .filter(col("contaminated") === 1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(flagged.subsetOf(anyOverlap))
+  }
+
   test("stratified sample keeps every stratum at ~20%, deterministically") {
     val docs = Tables.documents(spark, sf)
     val strata = docs.groupBy("lang", "source").count().collect()

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Semantics gates for the SCD2 history build (Temporal.scala). The
+  * oracle row proves cross-engine agreement; this proves the output IS a
+  * valid type-2 dimension: per key, versions are consecutive, periods
+  * tile the timeline with no overlap, exactly one open period exists,
+  * adjacent periods differ in the tracked attribute, and run lengths
+  * account for every source event. */
+class TemporalSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("scd2 periods tile each user's timeline") {
+    val hist = SparkEntry.queries("q48_scd2")(spark, sf).collect()
+    val events = Tables.events(spark, sf)
+      .groupBy("user_id").agg(count(lit(1)).as("n")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    assert(hist.nonEmpty)
+    hist.groupBy(_.getLong(0)).foreach { case (user, rows) =>
+      val byVersion = rows.sortBy(_.getInt(4))
+      // versions are 1..k with no gaps
+      assert(byVersion.map(_.getInt(4)).toSeq == (1 to rows.length))
+      // exactly one open (is_current) period, and it is the last one
+      val current = byVersion.filter(_.getInt(5) == 1)
+      assert(current.length == 1 && current.head.getInt(4) == rows.length)
+      assert(current.head.isNullAt(3)) // open period has no valid_to
+      byVersion.sliding(2).foreach {
+        case Array(a, b) =>
+          // period close == next period open (no gap, no overlap)
+          assert(a.getTimestamp(3) == b.getTimestamp(2))
+          // a new version exists only because the attribute changed
+          assert(a.getString(1) != b.getString(1))
+        case _ => ()
+      }
+      // run lengths account for every event of the user
+      assert(byVersion.map(_.getLong(6)).sum == events(user))
+    }
+  }
+}
