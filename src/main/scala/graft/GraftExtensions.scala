@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
 import graft.expressions.{CosineSimilarity, DotProduct, PqAdc}
 
 /** SparkSessionExtensions entry point: makes the native vector expressions
@@ -41,6 +42,25 @@ object GraftExtensions {
     // pq_adc(codes, lut, k): k must be a literal (it shapes the generated
     // loop). The encode/LUT builders stay Column-API-only — they close
     // over an ingest-time codebook, which SQL literals can't express.
+    // Spark ships BloomFilterAggregate / BloomFilterMightContain for its
+    // own runtime join pruning but leaves them out of the SQL registry;
+    // exposing them lets a query build the semi-join pruning plan
+    // EXPLICITLY when the optimizer can't inject it (e.g. the dim keys
+    // come from a pipeline the filter-injection rule can't see through).
+    // bloom_filter_agg(xxhash64(k) [, est_items [, num_bits]]) → binary;
+    // might_contain(<scalar-subquery bloom>, xxhash64(k)) → boolean.
+    ("bloom_filter_agg",
+      new ExpressionInfo(classOf[BloomFilterAggregate].getName, "bloom_filter_agg"),
+      {
+        case Seq(child) => new BloomFilterAggregate(child)
+        case Seq(child, est) => new BloomFilterAggregate(child, est)
+        case Seq(child, est, bits) => new BloomFilterAggregate(child, est, bits)
+        case other => throw new IllegalArgumentException(
+          s"bloom_filter_agg expects 1-3 arguments, got ${other.size}")
+      }),
+    ("might_contain",
+      new ExpressionInfo(classOf[BloomFilterMightContain].getName, "might_contain"),
+      twoArg("might_contain", BloomFilterMightContain(_, _))),
     ("pq_adc",
       new ExpressionInfo(classOf[PqAdc].getName, "pq_adc"),
       {

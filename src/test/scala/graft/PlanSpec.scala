@@ -56,6 +56,19 @@ class PlanSpec extends SparkSpec {
       "benchmark n-gram set should be the broadcast build side")
   }
 
+  test("q49: bloom pruning filters the fact scan ahead of the join") {
+    val p = plan("q49_bloom_prune_join")
+    // the might_contain predicate must sit on the lineitem side BEFORE
+    // the join — i.e. in a Filter over the fact scan, fed by the
+    // scalar-subquery bloom — not be evaluated post-join
+    assert(p.contains("might_contain"), p.take(800))
+    val filterIdx = p.indexOf("might_contain")
+    val joinIdx = p.indexOf("Join")
+    assert(joinIdx >= 0 && filterIdx > joinIdx,
+      "bloom filter must appear below (after, in tree print order) the join")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q36: salted aggregation is a two-level hash aggregate") {
     val p = plan("q36_salted_agg")
     assert("HashAggregate".r.findAllIn(p).size >= 4,
