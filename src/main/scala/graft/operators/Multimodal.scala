@@ -76,8 +76,13 @@ object Multimodal {
   // ---------------------------------------------------------------- m02
   /** Batched decode + feature extraction via mapPartitions: batches of 64
     * records per decoder call (the real-world shape for native/python
-    * decoders), features emitted as typed rows. Rows-only: the checksum
-    * family is engine-specific. */
+    * decoders), features emitted as typed rows.
+    *
+    * Oracle-matched (round 3): the polynomial checksum's Java `Long`
+    * wraparound is replayed in the oracle with HUGEINT mod-2^64
+    * arithmetic + a signed fold, and the byte walk as an ord() list over
+    * the (all-ASCII) payload — proving the JVM-side decoder plumbing
+    * byte-for-byte against an independent engine. */
   val m02Features = QueryDef(
     "m02_multimodal_features",
     (s, d) => {
@@ -93,7 +98,25 @@ object Multimodal {
           r4(element_at(col("hist8"), 1)).as("hist_0"))
         .orderBy("doc_id")
     },
-    None)
+    Some("""WITH bytes AS (
+           |  SELECT doc_id,
+           |    list_transform(range(1, length(text)+1),
+           |      i -> ord(substr(text, i, 1))) AS bs,
+           |    length(text) AS n
+           |  FROM documents),
+           |acc AS (
+           |  SELECT doc_id, bs, n,
+           |    list_reduce(
+           |      list_prepend(17::HUGEINT, list_transform(bs, b -> b::HUGEINT)),
+           |      (a, b) -> (a * 31 + b) % 18446744073709551616::HUGEINT) AS crc
+           |  FROM bytes)
+           |SELECT doc_id, CAST(n AS INT) AS n_bytes,
+           |  CAST(CASE WHEN crc >= 9223372036854775808::HUGEINT
+           |            THEN crc - 18446744073709551616::HUGEINT ELSE crc END
+           |       AS BIGINT) AS checksum,
+           |  round(CAST(list_sum(bs) AS DOUBLE) / n, 4) AS mean_byte,
+           |  round(CAST(len(list_filter(bs, b -> b < 32)) AS DOUBLE) / n, 4) AS hist_0
+           |FROM acc ORDER BY doc_id""".stripMargin))
 
   // ---------------------------------------------------------------- m03
   /** Frame sampling over an opaque media payload: treat the blob as a

@@ -48,6 +48,25 @@ object PipelineConfig {
     case "parquet" =>
       spark.readStream.schema(
         spark.read.parquet(c.options("path")).schema).parquet(c.options("path"))
+    // Structured file-stream kinds for the two wire formats the
+    // reference's deser layer targets (JSON via TransformUnmarshalJSON,
+    // types.go:163-167; delimited records via the scanner): schema comes
+    // from an explicit `schema` DDL option, or is inferred once from the
+    // existing files (a batch-read of footers/samples at pipeline build —
+    // NOT per micro-batch).
+    case "jsonl" | "json" =>
+      val schema = c.options.get("schema")
+        .map(org.apache.spark.sql.types.StructType.fromDDL)
+        .getOrElse(spark.read.json(c.options("path")).schema)
+      spark.readStream.schema(schema).json(c.options("path"))
+    case "csv" =>
+      val header = c.options.getOrElse("header", "true")
+      val schema = c.options.get("schema")
+        .map(org.apache.spark.sql.types.StructType.fromDDL)
+        .getOrElse(spark.read.option("header", header)
+          .option("inferSchema", "true").csv(c.options("path")).schema)
+      spark.readStream.schema(schema).option("header", header)
+        .csv(c.options("path"))
     case "mqtt" =>
       // DSv2 micro-batch source (graft.connectors.MqttLikeSource); the
       // broker layer is the in-JVM MessageBus stub — see connector docs

@@ -42,6 +42,33 @@ class PipelineConfigSpec extends SparkSpec {
     assert(got.head.getString(0) == "4625" && got.head.getString(1) == "alice")
   }
 
+  test("jsonl and csv file-stream kinds read with explicit or inferred schema") {
+    // jsonl with explicit DDL schema (no inference scan)
+    val jdir = tmpDir("cfg_jsonl")
+    Files.write(Paths.get(jdir, "a.jsonl"),
+      "{\"k\":\"a\",\"v\":1}\n{\"k\":\"b\",\"v\":2}".getBytes("UTF-8"))
+    val jconf = PipelineConf(
+      SourceConf("jsonl", Map("path" -> jdir, "schema" -> "k STRING, v INT")),
+      SinkConf("memory", Map("name" -> "jsonl_out")),
+      checkpoint = tmpDir("jsonl_ck"), triggerMs = 100)
+    val jq = PipelineConfig.run(spark, jconf)
+    jq.processAllAvailable(); jq.stop()
+    assert(spark.sql("SELECT k, v FROM jsonl_out ORDER BY k").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSeq == Seq("a" -> 1, "b" -> 2))
+
+    // csv with header + inferred schema (one batch inference at build)
+    val cdir = tmpDir("cfg_csv")
+    Files.write(Paths.get(cdir, "a.csv"), "k,v\nx,10\ny,20".getBytes("UTF-8"))
+    val cconf = PipelineConf(
+      SourceConf("csv", Map("path" -> cdir)),
+      SinkConf("memory", Map("name" -> "csv_out")),
+      checkpoint = tmpDir("csv_ck"), triggerMs = 100)
+    val cq = PipelineConfig.run(spark, cconf)
+    cq.processAllAvailable(); cq.stop()
+    assert(spark.sql("SELECT k, v FROM csv_out ORDER BY k").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSeq == Seq("x" -> 10, "y" -> 20))
+  }
+
   test("unknown kinds fail fast with a clear error") {
     val e = intercept[IllegalArgumentException] {
       PipelineConfig.source(spark, SourceConf("nats"))
