@@ -60,4 +60,45 @@ object Stateful {
           state.update(next)
           Iterator.single(Enriched(key, next.n, next.total))
       }
+
+  /** Streaming SCD2: the incremental twin of the batch history build
+    * (operators/Temporal.q48Scd2). Per-key state carries the one OPEN
+    * period; an attribute change closes it (emitted downstream, append
+    * mode) and opens the next. State is O(1) per key — the closed
+    * history lives in the sink, not the state store.
+    *
+    * Ordering contract: rows are applied in (ts, event_id) order within
+    * each micro-batch; cross-batch order must be non-decreasing per key
+    * (the CDC-source contract — a log-sequence-ordered feed). Handling
+    * arbitrary out-of-order arrival needs watermark-bounded buffering in
+    * the state, which trades state size for reordering slack. */
+  final case class Scd2State(eventType: String, validFrom: java.sql.Timestamp,
+      version: Int, nEvents: Long)
+  final case class Scd2Period(user_id: Long, event_type: String,
+      valid_from: java.sql.Timestamp, valid_to: java.sql.Timestamp,
+      version: Int, n_events: Long)
+
+  /** Input rows: (user_id, ts, event_id, event_type). */
+  def scd2Stream(ds: Dataset[(Long, java.sql.Timestamp, Long, String)])(
+      implicit e1: Encoder[Scd2State], e2: Encoder[Scd2Period],
+      e3: Encoder[Long]): Dataset[Scd2Period] =
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, rows: Iterator[(Long, java.sql.Timestamp, Long, String)],
+         state: GroupState[Scd2State]) =>
+          var st = state.getOption.orNull
+          val out = scala.collection.mutable.ArrayBuffer.empty[Scd2Period]
+          rows.toSeq.sortBy(r => (r._2.getTime, r._2.getNanos, r._3)).foreach {
+            case (_, ts, _, et) => st match {
+              case null => st = Scd2State(et, ts, 1, 1L)
+              case s if s.eventType == et => st = s.copy(nEvents = s.nEvents + 1)
+              case s =>
+                out += Scd2Period(user, s.eventType, s.validFrom, ts,
+                  s.version, s.nEvents)
+                st = Scd2State(et, ts, s.version + 1, 1L)
+            }
+          }
+          if (st != null) state.update(st)
+          out.iterator
+      }
 }
