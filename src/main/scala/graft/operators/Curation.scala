@@ -288,7 +288,42 @@ object Curation {
            |FROM toks t LEFT JOIN (SELECT * FROM best WHERE rk = 1) b USING (doc_id)
            |WHERE NOT t.is_bench ORDER BY t.doc_id""".stripMargin))
 
+  // ---------------------------------------------------------------- x05
+  /** Deterministic weighted sampling without replacement (Efraimidis-
+    * Spirakis): each doc draws u ∈ (0,1) from its md5 (not rand() — the
+    * draw replays identically across engines, retries, and
+    * partitionings) and is ranked by ln(u)/w with weight w = n_chars;
+    * the top-k by that key IS a weighted sample without replacement.
+    * Length-weighting is the standard token-budget-proportional document
+    * draw for corpus mixing.
+    *
+    * Scale shape: a pure projection + global top-k (TakeOrderedAndProject
+    * — per-partition heaps, no full sort, no shuffle of the corpus); a
+    * per-stratum variant swaps the limit for one row_number window. */
+  val x05WeightedSample = QueryDef(
+    "x05_weighted_sample",
+    (s, d) => {
+      val k = 100
+      val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") + 0.5) / 4294967296.0
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("n_chars").as("weight"),
+          (log(u) / col("n_chars")).as("skey"))
+        .orderBy(col("skey").desc, col("doc_id"))
+        .limit(k)
+        .select(col("doc_id"), col("weight"), r6(col("skey")).as("skey"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH keyed AS (
+           |  SELECT doc_id, n_chars AS weight,
+           |    ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           |        + 0.5) / 4294967296.0) / n_chars AS skey
+           |  FROM documents),
+           |topk AS (SELECT * FROM keyed ORDER BY skey DESC, doc_id LIMIT 100)
+           |SELECT doc_id, weight, round(skey, 6) AS skey
+           |FROM topk ORDER BY doc_id""".stripMargin))
+
   val all: Seq[QueryDef] =
     Seq(x01Decontaminate, x02StratifiedSample, x03DomainMix,
-      t06PiiRedact, t07Repetition, x04ContainmentScore)
+      t06PiiRedact, t07Repetition, x04ContainmentScore, x05WeightedSample)
 }

@@ -63,5 +63,31 @@ object Skew {
            |FROM lineitem
            |WHERE substring(md5(l_orderkey || '-' || l_linenumber), 1, 1) IN ('0', '1')""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(q36SaltedAgg, q46HashSample)
+  // ---------------------------------------------------------------- q50
+  /** Equi-width histogram: fixed-width value buckets with count and the
+    * observed [lo, hi] per bucket — the one-pass distribution profile a
+    * planner/quality monitor reads. One hash-agg shuffle on the bucket id
+    * (bounded cardinality), counts combine map-side; at 100 TB this is
+    * the cheapest full-scan statistic there is. (Bucketing is spelled
+    * floor(x/width) — engine-portable, unlike width_bucket which the
+    * oracle engine lacks.) */
+  val q50Histogram = QueryDef(
+    "q50_histogram",
+    (s, d) => {
+      val width = 5500.0
+      Tables.lineitem(s, d)
+        .withColumn("bucket", floor(col("l_extendedprice") / width).cast("int"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"),
+          r2(min("l_extendedprice")).as("lo"),
+          r2(max("l_extendedprice")).as("hi"))
+        .orderBy("bucket")
+    },
+    Some("""SELECT CAST(floor(l_extendedprice / 5500.0) AS INT) AS bucket,
+           |  count(*) AS n,
+           |  round(min(l_extendedprice), 2) AS lo,
+           |  round(max(l_extendedprice), 2) AS hi
+           |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q36SaltedAgg, q46HashSample, q50Histogram)
 }

@@ -223,7 +223,36 @@ object TextAnalysis {
            |FROM tf JOIN uni USING (tok) CROSS JOIN total
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
+  // ---------------------------------------------------------------- t09
+  /** Token-distribution entropy per document:
+    * H = -Σ (tf/n)·ln(tf/n) = ln(n) - Σ tf·ln(tf) / n — low entropy
+    * flags repetitive/templated text, high entropy flags noise; the
+    * complement of t07's explicit repetition ratios. The closed form
+    * needs only sum(tf·ln tf) and sum(tf), so it is two hash-agg
+    * shuffles — (doc, tok) then doc — with map-side combine. */
+  val t09TokenEntropy = QueryDef(
+    "t09_token_entropy",
+    (s, d) => {
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(T.tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+        .groupBy("doc_id")
+        .agg(sum("tf").as("n_toks"),
+          r4(log(sum("tf")) - sum(col("tf") * log(col("tf"))) / sum("tf"))
+            .as("entropy"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH tf AS (
+           |  SELECT doc_id, tok, count(*) AS tf
+           |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+           |        FROM documents)
+           |  GROUP BY 1, 2)
+           |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_toks,
+           |  round(ln(CAST(sum(tf) AS DOUBLE)) - sum(tf * ln(tf)) / sum(tf), 4)
+           |    AS entropy
+           |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
   val all: Seq[QueryDef] =
     Seq(t01LangId, t02Quality, t03TokenCount, t04RollingHash, t05TfIdf,
-      t08UnigramLm)
+      t08UnigramLm, t09TokenEntropy)
 }
