@@ -439,8 +439,67 @@ object Relational2 {
            |  FROM orders GROUP BY 1) o USING (month)
            |ORDER BY m.month""".stripMargin))
 
+  // ---------------------------------------------------------------- q51
+  /** NOT IN with NULLs — the three-valued-logic trap: against a null-free
+    * subquery NOT IN is a plain anti join, but one NULL in the subquery
+    * makes `x NOT IN (...)` never-true and the result EMPTY. Engines that
+    * compile NOT IN to a naive anti join silently return wrong rows;
+    * Spark plans a null-aware anti join (broadcast NAAJ) for exactly this
+    * case. Both counts in one row: the null-free count is positive, the
+    * with-nulls count must be exactly 0 — and the oracle agrees from the
+    * same SQL semantics. */
+  val q51NotInNulls = QueryDef(
+    "q51_not_in_nulls",
+    (s, d) => {
+      graft.Tables.registerViews(s, d)
+      s.sql("""SELECT
+              |  (SELECT count(*) FROM customer
+              |   WHERE c_custkey NOT IN
+              |     (SELECT o_custkey FROM orders WHERE o_totalprice > 400000))
+              |    AS n_clean,
+              |  (SELECT count(*) FROM customer
+              |   WHERE c_custkey NOT IN
+              |     (SELECT CASE WHEN o_totalprice <= 400000 THEN o_custkey END
+              |      FROM orders))
+              |    AS n_with_nulls""".stripMargin)
+    },
+    Some("""SELECT
+           |  (SELECT CAST(count(*) AS BIGINT) FROM customer
+           |   WHERE c_custkey NOT IN
+           |     (SELECT o_custkey FROM orders WHERE o_totalprice > 400000))
+           |    AS n_clean,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM customer
+           |   WHERE c_custkey NOT IN
+           |     (SELECT CASE WHEN o_totalprice <= 400000 THEN o_custkey END
+           |      FROM orders))
+           |    AS n_with_nulls""".stripMargin))
+
+  // ---------------------------------------------------------------- q52
+  /** Correlated LATERAL subquery with ORDER BY + LIMIT — the "top-n rows
+    * of B per row of A" join shape SQL users reach for before they know
+    * window functions. Catalyst decorrelates it (DomainJoin → rank filter
+    * over a single shuffle), so it costs the same as the q08 window
+    * formulation rather than one subquery execution per outer row. */
+  val q52LateralTopN = QueryDef(
+    "q52_lateral_topn",
+    (s, d) => {
+      graft.Tables.registerViews(s, d)
+      s.sql("""SELECT n.n_name, t.s_name, t.s_acctbal
+              |FROM nation n,
+              |LATERAL (SELECT s_name, s_acctbal FROM supplier
+              |         WHERE s_nationkey = n.n_nationkey
+              |         ORDER BY s_acctbal DESC, s_name LIMIT 2) t
+              |ORDER BY n.n_name, t.s_acctbal DESC, t.s_name""".stripMargin)
+    },
+    Some("""SELECT n.n_name, t.s_name, t.s_acctbal
+           |FROM nation n,
+           |LATERAL (SELECT s_name, s_acctbal FROM supplier
+           |         WHERE s_nationkey = n.n_nationkey
+           |         ORDER BY s_acctbal DESC, s_name LIMIT 2) t
+           |ORDER BY n.n_name, t.s_acctbal DESC, t.s_name""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q29OuterJoin, q30FullOuter, q31Udaf, q32Explode,
     q33RangeFrame, q34Percentiles, q35Stats, q37Sessionize, q38Pivot, q39Unpivot,
     q40WindowNav, q41CollectAgg, q42CorrelatedSubquery, q43StringFuncs2,
-    q44MathFuncs2, q45DateFuncs2, q47RecursiveCte)
+    q44MathFuncs2, q45DateFuncs2, q47RecursiveCte, q51NotInNulls, q52LateralTopN)
 }
