@@ -89,5 +89,39 @@ object Skew {
            |  round(max(l_extendedprice), 2) AS hi
            |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(q36SaltedAgg, q46HashSample, q50Histogram)
+  // ---------------------------------------------------------------- q53
+  /** One-pass table profile — the data-quality snapshot a pipeline
+    * monitor computes per partition-load: row count, per-column null
+    * counts, exact distinct counts for the low-cardinality columns, and
+    * value ranges. A single stacked aggregation: one scan, one
+    * reduce-to-one-row (count-distincts expand internally, still
+    * shuffle-bounded by column cardinality, never by row count). */
+  val q53Profile = QueryDef(
+    "q53_profile",
+    (s, d) => {
+      Tables.orders(s, d).agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("o_custkey").isNull.cast("long")).as("null_custkey"),
+        sum(col("o_orderstatus").isNull.cast("long")).as("null_status"),
+        countDistinct("o_orderstatus").as("ndv_status"),
+        countDistinct("o_orderpriority").as("ndv_priority"),
+        r2(min("o_totalprice")).as("min_price"),
+        r2(max("o_totalprice")).as("max_price"),
+        min(to_date(col("o_orderdate"))).as("min_date"),
+        max(to_date(col("o_orderdate"))).as("max_date"))
+    },
+    Some("""SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS null_custkey,
+           |  CAST(sum(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS null_status,
+           |  CAST(count(DISTINCT o_orderstatus) AS BIGINT) AS ndv_status,
+           |  CAST(count(DISTINCT o_orderpriority) AS BIGINT) AS ndv_priority,
+           |  round(min(o_totalprice), 2) AS min_price,
+           |  round(max(o_totalprice), 2) AS max_price,
+           |  CAST(min(o_orderdate) AS DATE) AS min_date,
+           |  CAST(max(o_orderdate) AS DATE) AS max_date
+           |FROM orders""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q36SaltedAgg, q46HashSample, q50Histogram, q53Profile)
 }
