@@ -74,4 +74,32 @@ object Sinks {
     try sinks.foreach(s => s(df, batchId))
     finally df.unpersist()
   }
+
+  /** Materialized streaming aggregate: maintain a queryable parquet table
+    * from an update-mode aggregation by overwriting exactly the
+    * partitions whose groups changed this epoch (dynamic partition
+    * overwrite). The partition columns MUST be the full grouping key —
+    * then each partition holds one group, the overwrite is a pure upsert,
+    * and replaying an epoch after a crash rewrites the same partitions
+    * with the same content: idempotent, hence exactly-once end-to-end
+    * without a transactional table format. This is the micro-batch
+    * MERGE-free upsert pattern for plain-parquet lakehouses; at 100 TB
+    * the partition count is the group-key cardinality, so pick the key
+    * accordingly (window × low-card dims), not a high-card id. */
+  def materializedAgg(agg: DataFrame, checkpoint: String, path: String,
+      partitionCols: Seq[String], triggerMs: Long = 100L): StreamingQuery =
+    agg.writeStream
+      .outputMode("update")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.ProcessingTime(triggerMs))
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val conf = batch.sparkSession.conf
+        val prev = conf.getOption("spark.sql.sources.partitionOverwriteMode")
+        conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        try batch.write.mode("overwrite")
+          .partitionBy(partitionCols: _*).parquet(path)
+        finally conf.set("spark.sql.sources.partitionOverwriteMode",
+          prev.getOrElse("static"))
+      }
+      .start()
 }
