@@ -32,13 +32,19 @@ object TextFunctions {
     * per element in interpreted HOF eval, which turns an O(n) shingle pass
     * into O(n²)·(cost of toks). Pass an *attribute* column (bind the
     * split() to a column first) for the same reason. */
-  def shingles(toks: Column, k: Int): Column = {
+  def shingles(toks: Column, k: Int): Column =
+    array_distinct(shinglesAll(toks, k))
+
+  /** Like [[shingles]] but keeps every occurrence (and its order) — for
+    * operators that count intra-document repeats (e.g. repeated-passage
+    * detection), where collapsing duplicates would lose the signal. */
+  def shinglesAll(toks: Column, k: Int): Column = {
     val n = size(toks)
     val joined = (2 to k).foldLeft(toks) { (acc, j) =>
       zip_with(acc, slice(toks, lit(j), greatest(n - j + 1, lit(0))),
         (a, b) => when(a.isNull || b.isNull, lit(null)).otherwise(concat(a, lit(" "), b)))
     }
-    array_distinct(filter(joined, x => x.isNotNull))
+    filter(joined, x => x.isNotNull)
   }
 
   /** Per-language stopword lists for the n-gram/stopword language-ID
