@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession, Encoder, Encoders}
 import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
-import graft.functions.Rounding.{r2, r4}
+import graft.functions.Rounding.{r2, r4, r6}
 
 /** Second relational battery: outer joins, custom UDAF (Aggregator),
   * generators (explode/UDTF analog of the reference Handler), RANGE
@@ -498,8 +498,46 @@ object Relational2 {
            |         ORDER BY s_acctbal DESC, s_name LIMIT 2) t
            |ORDER BY n.n_name, t.s_acctbal DESC, t.s_name""".stripMargin))
 
+  // ---------------------------------------------------------------- q54
+  /** Distribution windows — ntile / percent_rank / cume_dist, the
+    * quantile-assignment trio q34's exact percentiles don't cover.
+    * Deterministic because the window order is a total order (price,
+    * orderkey); rolled up per (priority, decile) so the output stays
+    * small at any SF. */
+  val q54DistWindows = QueryDef(
+    "q54_dist_windows",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy("o_totalprice", "o_orderkey")
+      graft.Tables.orders(s, d)
+        .select(col("o_orderpriority"), col("o_totalprice"),
+          ntile(10).over(w).as("decile"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"))
+        .groupBy("o_orderpriority", "decile")
+        .agg(count(lit(1)).as("n"),
+          r2(min("o_totalprice")).as("lo"), r2(max("o_totalprice")).as("hi"),
+          r6(max("pr")).as("max_pr"), r6(max("cd")).as("max_cd"))
+        .orderBy("o_orderpriority", "decile")
+    },
+    Some("""WITH ranked AS (
+           |  SELECT o_orderpriority, o_totalprice,
+           |    ntile(10) OVER w AS decile,
+           |    percent_rank() OVER w AS pr,
+           |    cume_dist() OVER w AS cd
+           |  FROM orders
+           |  WINDOW w AS (PARTITION BY o_orderpriority
+           |               ORDER BY o_totalprice, o_orderkey))
+           |SELECT o_orderpriority, CAST(decile AS INT) AS decile,
+           |  CAST(count(*) AS BIGINT) AS n,
+           |  round(min(o_totalprice), 2) AS lo, round(max(o_totalprice), 2) AS hi,
+           |  round(max(pr), 6) AS max_pr, round(max(cd), 6) AS max_cd
+           |FROM ranked GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q29OuterJoin, q30FullOuter, q31Udaf, q32Explode,
     q33RangeFrame, q34Percentiles, q35Stats, q37Sessionize, q38Pivot, q39Unpivot,
     q40WindowNav, q41CollectAgg, q42CorrelatedSubquery, q43StringFuncs2,
-    q44MathFuncs2, q45DateFuncs2, q47RecursiveCte, q51NotInNulls, q52LateralTopN)
+    q44MathFuncs2, q45DateFuncs2, q47RecursiveCte, q51NotInNulls, q52LateralTopN,
+    q54DistWindows)
 }
