@@ -323,7 +323,58 @@ object Curation {
            |SELECT doc_id, weight, round(skey, 6) AS skey
            |FROM topk ORDER BY doc_id""".stripMargin))
 
+  // ---------------------------------------------------------------- x06
+  /** Sequence packing (token-offset sharding): lay the corpus out as a
+    * contiguous token tape — per shard, in deterministic md5 order — and
+    * assign each document to the fixed-size context window its first
+    * token lands in. This is the planning step for training-sequence
+    * packing: the per-bin doc/token counts and fill ratios are exactly
+    * the packer's work manifest, and the md5 order is reproducible
+    * across engines, retries, and repartitionings.
+    *
+    * Scale shape: the running token offset is a cumulative-sum window
+    * partitioned by shard (= source), so packing parallelizes across
+    * shards — no global single-partition sort, no driver accumulation.
+    * One exchange for the window (reused by the groupBy on the same
+    * leading key), then a bounded-cardinality aggregate. */
+  val x06PackSequences = QueryDef(
+    "x06_pack_sequences",
+    (s, d) => {
+      val ctx = 2048.0
+      val w = Window.partitionBy("source")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          size(T.tokens(col("text"))).as("tok"))
+        .withColumn("cum", sum("tok").over(w))
+        .select(col("source"),
+          floor((col("cum") - col("tok")) / lit(ctx)).cast("long").as("bin"),
+          col("tok"))
+        .groupBy("source", "bin")
+        .agg(count(lit(1)).as("n_docs"), sum("tok").as("tokens"),
+          r4(sum("tok") / lit(ctx)).as("fill_ratio"),
+          sum(when(col("tok") > 2048, 1).otherwise(0)).as("n_overflow"))
+        .orderBy("source", "bin")
+    },
+    Some("""WITH d AS (
+           |  SELECT doc_id, source,
+           |         len(string_split(text, ' ')) AS tok FROM documents),
+           |c AS (
+           |  SELECT source, tok, sum(tok) OVER (PARTITION BY source
+           |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           |    ROWS UNBOUNDED PRECEDING) AS cum
+           |  FROM d)
+           |SELECT source, CAST(floor((cum - tok) / 2048.0) AS BIGINT) AS bin,
+           |  CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(tok) AS BIGINT) AS tokens,
+           |  round(sum(tok) / 2048.0 * 10000) / 10000 AS fill_ratio,
+           |  CAST(sum(CASE WHEN tok > 2048 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_overflow
+           |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
   val all: Seq[QueryDef] =
     Seq(x01Decontaminate, x02StratifiedSample, x03DomainMix,
-      t06PiiRedact, t07Repetition, x04ContainmentScore, x05WeightedSample)
+      t06PiiRedact, t07Repetition, x04ContainmentScore, x05WeightedSample,
+      x06PackSequences)
 }

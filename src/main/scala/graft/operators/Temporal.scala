@@ -71,5 +71,138 @@ object Temporal {
            |WINDOW w2 AS (PARTITION BY user_id ORDER BY rn)
            |ORDER BY user_id, version""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(q48Scd2)
+  // ---------------------------------------------------------------- q55
+  /** Time-series gap fill: bucket each user's events into a 6-hour grid,
+    * densify the grid (sequence-explode of the user's observed range),
+    * then fill the holes two ways — forward-fill (last observation
+    * carried forward) and linear interpolation between the surrounding
+    * observations. The standard sensor/metric repair step before any
+    * per-entity model sees the series.
+    *
+    * Scale shape: the spine explode is per-user (no driver loop, no
+    * global range), the left join shuffles on (user_id, bucket), and
+    * both fill windows share ONE partition+order (user_id, hr) so the
+    * carry columns cost a single exchange + sort. State per row is four
+    * scalars — no collect_list of the series. */
+  val q55GapFill = QueryDef(
+    "q55_gap_fill",
+    (s, d) => {
+      val sparse = Tables.events(s, d)
+        .select(col("user_id"),
+          floor(col("ts").cast("long") / 21600).as("hr"), col("value"))
+        .groupBy("user_id", "hr").agg(avg("value").as("v"))
+      val spine = sparse.groupBy("user_id")
+        .agg(min("hr").as("mn"), max("hr").as("mx"))
+        .select(col("user_id"), explode(sequence(col("mn"), col("mx"))).as("hr"))
+      val wP = Window.partitionBy("user_id").orderBy("hr")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wN = Window.partitionBy("user_id").orderBy("hr")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      import graft.functions.Rounding.r4
+      spine.join(sparse, Seq("user_id", "hr"), "left")
+        .select(col("user_id"), col("hr"), col("v"),
+          last("v", ignoreNulls = true).over(wP).as("pv"),
+          last(when(col("v").isNotNull, col("hr")), ignoreNulls = true)
+            .over(wP).as("ph"),
+          first("v", ignoreNulls = true).over(wN).as("nv"),
+          first(when(col("v").isNotNull, col("hr")), ignoreNulls = true)
+            .over(wN).as("nh"))
+        .select(col("user_id"), col("hr"),
+          col("v").isNotNull.cast("int").as("observed"),
+          r4(coalesce(col("pv"), col("nv"))).as("v_ffill"),
+          r4(when(col("pv").isNull, col("nv"))
+            .when(col("nv").isNull, col("pv"))
+            .when(col("nh") === col("ph"), col("pv"))
+            .otherwise(col("pv") + (col("nv") - col("pv")) *
+              (col("hr") - col("ph")) / (col("nh") - col("ph"))))
+            .as("v_interp"))
+        .orderBy("user_id", "hr")
+    },
+    Some("""WITH sparse AS (
+           |  SELECT user_id, CAST(floor(epoch(ts)/21600.0) AS BIGINT) AS hr,
+           |         avg(value) AS v
+           |  FROM events GROUP BY 1, 2),
+           |spine AS (
+           |  SELECT user_id, unnest(range(mn, mx + 1)) AS hr
+           |  FROM (SELECT user_id, min(hr) AS mn, max(hr) AS mx
+           |        FROM sparse GROUP BY 1)),
+           |grid AS (
+           |  SELECT s.user_id, s.hr, p.v FROM spine s
+           |  LEFT JOIN sparse p ON s.user_id = p.user_id AND s.hr = p.hr),
+           |carried AS (
+           |  SELECT user_id, hr, v,
+           |    last_value(v IGNORE NULLS) OVER wp AS pv,
+           |    last_value(CASE WHEN v IS NOT NULL THEN hr END IGNORE NULLS)
+           |      OVER wp AS ph,
+           |    first_value(v IGNORE NULLS) OVER wn AS nv,
+           |    first_value(CASE WHEN v IS NOT NULL THEN hr END IGNORE NULLS)
+           |      OVER wn AS nh
+           |  FROM grid
+           |  WINDOW
+           |    wp AS (PARTITION BY user_id ORDER BY hr ROWS UNBOUNDED PRECEDING),
+           |    wn AS (PARTITION BY user_id ORDER BY hr
+           |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+           |SELECT user_id, hr, CAST(v IS NOT NULL AS INT) AS observed,
+           |  round(COALESCE(pv, nv) * 10000) / 10000 AS v_ffill,
+           |  round(CASE WHEN pv IS NULL THEN nv
+           |             WHEN nv IS NULL THEN pv
+           |             WHEN nh = ph THEN pv
+           |             ELSE pv + (nv - pv) * (hr - ph) / (nh - ph)
+           |        END * 10000) / 10000 AS v_interp
+           |FROM carried ORDER BY user_id, hr""".stripMargin))
+
+  // ---------------------------------------------------------------- q56
+  /** OHLC resampling: collapse the raw event stream into 6-hour candles
+    * per event_type — open/close by event order (ts, event_id tie-break),
+    * high/low/mean/volume over the bucket. The canonical downsampling
+    * step for dashboards and time-series feature tables.
+    *
+    * Scale shape: open/close come from two row_number windows over the
+    * SAME partition keys the final groupBy uses, so the whole query is
+    * one exchange on (event_type, bucket) — the windows and the hash
+    * aggregate reuse the partitioning; no self-join against min/max-ts
+    * rows (the naive formulation, which would re-shuffle twice). */
+  val q56Ohlc = QueryDef(
+    "q56_ohlc",
+    (s, d) => {
+      import graft.functions.Rounding.r2
+      val w1 = Window.partitionBy("event_type", "bucket")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val w2 = Window.partitionBy("event_type", "bucket")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      Tables.events(s, d)
+        .select(col("event_type"),
+          floor(col("ts").cast("long") / 21600).as("bucket"),
+          col("ts"), col("event_id"), col("value"))
+        .withColumn("rn_a", row_number().over(w1))
+        .withColumn("rn_d", row_number().over(w2))
+        .groupBy("event_type", "bucket")
+        .agg(max(when(col("rn_a") === 1, col("value"))).as("open"),
+          max("value").as("high"), min("value").as("low"),
+          max(when(col("rn_d") === 1, col("value"))).as("close"),
+          count(lit(1)).as("n_events"),
+          r2(avg("value")).as("mean_value"),
+          r2(sum("value")).as("volume"))
+        .orderBy("event_type", "bucket")
+    },
+    Some("""WITH base AS (
+           |  SELECT event_type, CAST(floor(epoch(ts)/21600.0) AS BIGINT) AS bucket,
+           |         ts, event_id, value,
+           |    row_number() OVER (PARTITION BY event_type,
+           |      CAST(floor(epoch(ts)/21600.0) AS BIGINT)
+           |      ORDER BY ts ASC, event_id ASC) AS rn_a,
+           |    row_number() OVER (PARTITION BY event_type,
+           |      CAST(floor(epoch(ts)/21600.0) AS BIGINT)
+           |      ORDER BY ts DESC, event_id DESC) AS rn_d
+           |  FROM events)
+           |SELECT event_type, bucket,
+           |  max(CASE WHEN rn_a = 1 THEN value END) AS open,
+           |  max(value) AS high, min(value) AS low,
+           |  max(CASE WHEN rn_d = 1 THEN value END) AS close,
+           |  CAST(count(*) AS BIGINT) AS n_events,
+           |  round(avg(value) * 100) / 100 AS mean_value,
+           |  round(sum(value) * 100) / 100 AS volume
+           |FROM base GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q48Scd2, q55GapFill, q56Ohlc)
 }
