@@ -11,7 +11,8 @@ object SparkEntry {
       graft.operators.Skew.all ++ graft.operators.Dedup.all ++
       graft.operators.Similarity.all ++ graft.operators.TextAnalysis.all ++
       graft.operators.Multimodal.all ++ graft.operators.Curation.all ++
-      graft.operators.Temporal.all ++ graft.operators.Pruning.all
+      graft.operators.Temporal.all ++ graft.operators.Pruning.all ++
+      graft.operators.Behavioral.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Exercises the reference's end-to-end shape (SURVEY.md §7 step 1):

@@ -1,0 +1,116 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.{QueryDef, Tables}
+import graft.functions.Rounding.r4
+
+/** Behavioral / product-analytics operators over the event stream: the
+  * ordered funnel and the cohort-retention matrix. These are the two
+  * queries every event-analytics engine (the reference's domain —
+  * keyed, timestamped envelopes) is ultimately asked for, and both
+  * reduce to per-key aggregates + equi-joins, so they hold their shape
+  * on an arbitrarily large event log.
+  */
+object Behavioral {
+
+  // ---------------------------------------------------------------- q57
+  /** Ordered funnel: view → click → purchase, each step strictly AFTER
+    * the user's previous step (not merely "did both") — the sequencing
+    * is what makes this a funnel and not three filters. Step k is the
+    * per-user min event time of the step type among events after the
+    * user's step-(k-1) time.
+    *
+    * Scale shape: each step is filter → per-user hash-agg → equi-join on
+    * user_id with the (strictly smaller) previous step table; no window
+    * over the raw log, no per-user event collection. The final counts
+    * are three scalars; conversion comes from one lag over a 3-row
+    * frame. */
+  val q57Funnel = QueryDef(
+    "q57_funnel",
+    (s, d) => {
+      val ev = Tables.events(s, d).select("user_id", "event_type", "ts")
+      val s1 = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t1"))
+      val s2 = ev.filter(col("event_type") === "click")
+        .join(s1, "user_id").filter(col("ts") > col("t1"))
+        .groupBy("user_id").agg(min("ts").as("t2"))
+      val s3 = ev.filter(col("event_type") === "purchase")
+        .join(s2, "user_id").filter(col("ts") > col("t2"))
+        .groupBy("user_id").agg(min("ts").as("t3"))
+      val steps = s1.agg(count(lit(1)).as("users"))
+        .select(lit(1).as("step"), lit("view").as("step_name"), col("users"))
+        .unionByName(s2.agg(count(lit(1)).as("users"))
+          .select(lit(2).as("step"), lit("click").as("step_name"), col("users")))
+        .unionByName(s3.agg(count(lit(1)).as("users"))
+          .select(lit(3).as("step"), lit("purchase").as("step_name"),
+            col("users")))
+      val w = Window.orderBy("step")
+      steps
+        .withColumn("conversion",
+          r4(coalesce(col("users") / lag("users", 1).over(w), lit(1.0))))
+        .orderBy("step")
+    },
+    Some("""WITH s1 AS (
+           |  SELECT user_id, min(ts) AS t1 FROM events
+           |  WHERE event_type = 'view' GROUP BY 1),
+           |s2 AS (
+           |  SELECT e.user_id, min(ts) AS t2 FROM events e JOIN s1 USING (user_id)
+           |  WHERE event_type = 'click' AND ts > t1 GROUP BY 1),
+           |s3 AS (
+           |  SELECT e.user_id, min(ts) AS t3 FROM events e JOIN s2 USING (user_id)
+           |  WHERE event_type = 'purchase' AND ts > t2 GROUP BY 1),
+           |steps AS (
+           |  SELECT 1 AS step, 'view' AS step_name,
+           |         CAST(count(*) AS BIGINT) AS users FROM s1
+           |  UNION ALL SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM s2
+           |  UNION ALL SELECT 3, 'purchase', CAST(count(*) AS BIGINT) FROM s3)
+           |SELECT step, step_name, users,
+           |  round(COALESCE(users / CAST(lag(users) OVER (ORDER BY step)
+           |    AS DOUBLE), 1.0) * 10000) / 10000 AS conversion
+           |FROM steps ORDER BY step""".stripMargin))
+
+  // ---------------------------------------------------------------- q58
+  /** Cohort retention: users grouped by first-seen day, tracked by how
+    * many are active again k days later — the (cohort × offset)
+    * retention matrix, normalized by the cohort's day-0 size.
+    *
+    * Scale shape: first-seen day is one per-user hash-agg over the log;
+    * activity is a distinct (user, day) projection (map-side combined);
+    * the join back is user_id equi-join; day-0 normalization is a
+    * first_value window over the already-aggregated (cohort, offset)
+    * matrix — bounded cardinality, no second pass over the log. */
+  val q58Retention = QueryDef(
+    "q58_retention",
+    (s, d) => {
+      val day = floor(col("ts").cast("long") / 86400)
+      val ev = Tables.events(s, d).select(col("user_id"), day.as("day"))
+      val cohort = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
+      val active = ev.distinct()
+      val matrix = active.join(cohort, "user_id")
+        .groupBy(col("cohort_day"), (col("day") - col("cohort_day")).as("day_offset"))
+        .agg(count(lit(1)).as("users"))
+      val w = Window.partitionBy("cohort_day").orderBy("day_offset")
+      matrix
+        .withColumn("retention",
+          r4(col("users") / first("users").over(w)))
+        .orderBy("cohort_day", "day_offset")
+    },
+    Some("""WITH ev AS (
+           |  SELECT user_id, CAST(floor(epoch(ts)/86400.0) AS BIGINT) AS day
+           |  FROM events),
+           |cohort AS (
+           |  SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1),
+           |active AS (SELECT DISTINCT user_id, day FROM ev),
+           |matrix AS (
+           |  SELECT cohort_day, day - cohort_day AS day_offset,
+           |         CAST(count(*) AS BIGINT) AS users
+           |  FROM active JOIN cohort USING (user_id) GROUP BY 1, 2)
+           |SELECT cohort_day, day_offset, users,
+           |  round(users / CAST(first_value(users) OVER (
+           |    PARTITION BY cohort_day ORDER BY day_offset) AS DOUBLE)
+           |    * 10000) / 10000 AS retention
+           |FROM matrix ORDER BY cohort_day, day_offset""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q57Funnel, q58Retention)
+}

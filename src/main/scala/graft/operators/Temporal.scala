@@ -79,41 +79,33 @@ object Temporal {
     * observations. The standard sensor/metric repair step before any
     * per-entity model sees the series.
     *
-    * Scale shape: the spine explode is per-user (no driver loop, no
-    * global range), the left join shuffles on (user_id, bucket), and
-    * both fill windows share ONE partition+order (user_id, hr) so the
-    * carry columns cost a single exchange + sort. State per row is four
-    * scalars — no collect_list of the series. */
+    * Scale shape: each observation looks one row ahead (lead over a
+    * single exchange on user_id) and EMITS its own gap rows by exploding
+    * the bucket range up to the next observation — no dense-spine
+    * self-join, no IGNORE-NULLS carry scan, no second shuffle. Output
+    * size is the filled grid; intermediate size is only the observations.
+    * The grid never materializes before the explode, so 100 TB of sparse
+    * series never pays a join on the dense key space. */
   val q55GapFill = QueryDef(
     "q55_gap_fill",
     (s, d) => {
-      val sparse = Tables.events(s, d)
+      import graft.functions.Rounding.r4
+      val w = Window.partitionBy("user_id").orderBy("hr")
+      val obs = Tables.events(s, d)
         .select(col("user_id"),
           floor(col("ts").cast("long") / 21600).as("hr"), col("value"))
         .groupBy("user_id", "hr").agg(avg("value").as("v"))
-      val spine = sparse.groupBy("user_id")
-        .agg(min("hr").as("mn"), max("hr").as("mx"))
-        .select(col("user_id"), explode(sequence(col("mn"), col("mx"))).as("hr"))
-      val wP = Window.partitionBy("user_id").orderBy("hr")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wN = Window.partitionBy("user_id").orderBy("hr")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-      import graft.functions.Rounding.r4
-      spine.join(sparse, Seq("user_id", "hr"), "left")
-        .select(col("user_id"), col("hr"), col("v"),
-          last("v", ignoreNulls = true).over(wP).as("pv"),
-          last(when(col("v").isNotNull, col("hr")), ignoreNulls = true)
-            .over(wP).as("ph"),
-          first("v", ignoreNulls = true).over(wN).as("nv"),
-          first(when(col("v").isNotNull, col("hr")), ignoreNulls = true)
-            .over(wN).as("nh"))
+        .withColumn("nh", lead("hr", 1).over(w))
+        .withColumn("nv", lead("v", 1).over(w))
+      obs.select(col("user_id"), col("hr").as("ph"), col("v"),
+          col("nh"), col("nv"),
+          explode(sequence(col("hr"),
+            coalesce(col("nh") - 1, col("hr")))).as("hr"))
         .select(col("user_id"), col("hr"),
-          col("v").isNotNull.cast("int").as("observed"),
-          r4(coalesce(col("pv"), col("nv"))).as("v_ffill"),
-          r4(when(col("pv").isNull, col("nv"))
-            .when(col("nv").isNull, col("pv"))
-            .when(col("nh") === col("ph"), col("pv"))
-            .otherwise(col("pv") + (col("nv") - col("pv")) *
+          (col("hr") === col("ph")).cast("int").as("observed"),
+          r4(col("v")).as("v_ffill"),
+          r4(when(col("nh").isNull, col("v"))
+            .otherwise(col("v") + (col("nv") - col("v")) *
               (col("hr") - col("ph")) / (col("nh") - col("ph"))))
             .as("v_interp"))
         .orderBy("user_id", "hr")
@@ -122,34 +114,21 @@ object Temporal {
            |  SELECT user_id, CAST(floor(epoch(ts)/21600.0) AS BIGINT) AS hr,
            |         avg(value) AS v
            |  FROM events GROUP BY 1, 2),
-           |spine AS (
-           |  SELECT user_id, unnest(range(mn, mx + 1)) AS hr
-           |  FROM (SELECT user_id, min(hr) AS mn, max(hr) AS mx
-           |        FROM sparse GROUP BY 1)),
-           |grid AS (
-           |  SELECT s.user_id, s.hr, p.v FROM spine s
-           |  LEFT JOIN sparse p ON s.user_id = p.user_id AND s.hr = p.hr),
-           |carried AS (
-           |  SELECT user_id, hr, v,
-           |    last_value(v IGNORE NULLS) OVER wp AS pv,
-           |    last_value(CASE WHEN v IS NOT NULL THEN hr END IGNORE NULLS)
-           |      OVER wp AS ph,
-           |    first_value(v IGNORE NULLS) OVER wn AS nv,
-           |    first_value(CASE WHEN v IS NOT NULL THEN hr END IGNORE NULLS)
-           |      OVER wn AS nh
-           |  FROM grid
-           |  WINDOW
-           |    wp AS (PARTITION BY user_id ORDER BY hr ROWS UNBOUNDED PRECEDING),
-           |    wn AS (PARTITION BY user_id ORDER BY hr
-           |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
-           |SELECT user_id, hr, CAST(v IS NOT NULL AS INT) AS observed,
-           |  round(COALESCE(pv, nv) * 10000) / 10000 AS v_ffill,
-           |  round(CASE WHEN pv IS NULL THEN nv
-           |             WHEN nv IS NULL THEN pv
-           |             WHEN nh = ph THEN pv
-           |             ELSE pv + (nv - pv) * (hr - ph) / (nh - ph)
+           |obs AS (
+           |  SELECT user_id, hr AS ph, v,
+           |    lead(hr) OVER (PARTITION BY user_id ORDER BY hr) AS nh,
+           |    lead(v)  OVER (PARTITION BY user_id ORDER BY hr) AS nv
+           |  FROM sparse),
+           |filled AS (
+           |  SELECT user_id, ph, v, nh, nv,
+           |         unnest(range(ph, COALESCE(nh, ph + 1))) AS hr
+           |  FROM obs)
+           |SELECT user_id, hr, CAST(hr = ph AS INT) AS observed,
+           |  round(v * 10000) / 10000 AS v_ffill,
+           |  round(CASE WHEN nh IS NULL THEN v
+           |             ELSE v + (nv - v) * (hr - ph) / (nh - ph)
            |        END * 10000) / 10000 AS v_interp
-           |FROM carried ORDER BY user_id, hr""".stripMargin))
+           |FROM filled ORDER BY user_id, hr""".stripMargin))
 
   // ---------------------------------------------------------------- q56
   /** OHLC resampling: collapse the raw event stream into 6-hour candles

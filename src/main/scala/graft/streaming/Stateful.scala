@@ -79,6 +79,27 @@ object Stateful {
       version: Int, n_events: Long)
 
   /** Input rows: (user_id, ts, event_id, event_type). */
+  /** Streaming twin of the batch OHLC resample (Temporal.q56Ohlc):
+    * watermarked 6-hour tumbling candles per event_type. Open/close are
+    * min_by/max_by on the (ts, event_id) struct — a declarative
+    * aggregate, so partial candles merge associatively across
+    * micro-batches and state per (window, type) is O(1): six scalars
+    * and two (key, value) pairs, never the events themselves. Candles
+    * emit (append mode) once the watermark passes the window end —
+    * the streamed table converges to exactly the batch resample. */
+  def ohlcStream(df: DataFrame, watermark: String = "1 hour"): DataFrame =
+    df.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "6 hours"), col("event_type"))
+      .agg(
+        min_by(col("value"), struct(col("ts"), col("event_id"))).as("open"),
+        max("value").as("high"), min("value").as("low"),
+        max_by(col("value"), struct(col("ts"), col("event_id"))).as("close"),
+        count(lit(1)).as("n_events"),
+        avg("value").as("mean_value"), sum("value").as("volume"))
+      .select((col("window.start").cast("long") / 21600).cast("long").as("bucket"),
+        col("event_type"), col("open"), col("high"), col("low"), col("close"),
+        col("n_events"), col("mean_value"), col("volume"))
+
   def scd2Stream(ds: Dataset[(Long, java.sql.Timestamp, Long, String)])(
       implicit e1: Encoder[Scd2State], e2: Encoder[Scd2Period],
       e3: Encoder[Long]): Dataset[Scd2Period] =

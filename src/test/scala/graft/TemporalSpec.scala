@@ -52,6 +52,55 @@ class TemporalSpec extends SparkSpec {
         s"batch-only: ${batchClosed.diff(streamed).take(3)}")
   }
 
+  test("streaming ohlc candles == batch q56 resample") {
+    val s = spark
+    import s.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+
+    val events = Tables.events(s, sf)
+      .select("ts", "event_id", "event_type", "value")
+      .orderBy("ts", "event_id")
+      .as[(java.sql.Timestamp, Long, String, Double)]
+      .collect()
+    // a far-future sentinel advances the watermark past every real
+    // window so append mode flushes all candles
+    val sentinelTs = new java.sql.Timestamp(
+      events.map(_._1.getTime).max + 30L * 86400 * 1000)
+    val input = MemoryStream[(java.sql.Timestamp, Long, String, Double)]
+    val (first, rest) = events.splitAt(events.length / 2)
+    val q = graft.streaming.Stateful.ohlcStream(
+        input.toDF("ts", "event_id", "event_type", "value"))
+      .writeStream.format("memory").queryName("ohlc_out")
+      .trigger(Trigger.ProcessingTime(50)).start()
+    input.addData(first.toSeq)
+    q.processAllAvailable()
+    input.addData(rest.toSeq)
+    q.processAllAvailable()
+    input.addData(Seq((sentinelTs, -1L, "zz_sentinel", 0.0)))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = s.sql(
+      """SELECT bucket, event_type, open, high, low, close, n_events,
+        |  round(mean_value * 100) / 100 AS mean_value,
+        |  round(volume * 100) / 100 AS volume
+        |FROM ohlc_out WHERE event_type <> 'zz_sentinel'""".stripMargin)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getLong(6), r.getDouble(7),
+        r.getDouble(8))).toSet
+    val batch = operators.Temporal.q56Ohlc.run(s, sf).collect()
+      .map(r => (r.getLong(1), r.getString(0), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getLong(6), r.getDouble(7),
+        r.getDouble(8))).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed == batch,
+      s"stream-only: ${streamed.diff(batch).take(3)}; " +
+        s"batch-only: ${batch.diff(streamed).take(3)}")
+  }
+
   test("scd2 periods tile each user's timeline") {
     val hist = SparkEntry.queries("q48_scd2")(spark, sf).collect()
     val events = Tables.events(spark, sf)
