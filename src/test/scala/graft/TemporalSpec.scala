@@ -71,7 +71,7 @@ class TemporalSpec extends SparkSpec {
     val input = MemoryStream[(java.sql.Timestamp, Long, String, Double)]
     val (first, rest) = events.splitAt(events.length / 2)
     val q = graft.streaming.Stateful.ohlcStream(
-        input.toDF("ts", "event_id", "event_type", "value"))
+        input.toDS().toDF("ts", "event_id", "event_type", "value"))
       .writeStream.format("memory").queryName("ohlc_out")
       .trigger(Trigger.ProcessingTime(50)).start()
     input.addData(first.toSeq)
@@ -82,23 +82,33 @@ class TemporalSpec extends SparkSpec {
     q.processAllAvailable()
     q.stop()
 
+    // mean/volume compared with a tolerance rather than after rounding:
+    // streamed partial-merge summation order can differ from batch by an
+    // ulp, which flips a .005 rounding knife-edge (seen at bucket 78924)
     val streamed = s.sql(
       """SELECT bucket, event_type, open, high, low, close, n_events,
-        |  round(mean_value * 100) / 100 AS mean_value,
-        |  round(volume * 100) / 100 AS volume
+        |  mean_value, volume
         |FROM ohlc_out WHERE event_type <> 'zz_sentinel'""".stripMargin)
       .collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2), r.getDouble(3),
+      .map(r => (r.getLong(0), r.getString(1)) -> (r.getDouble(2), r.getDouble(3),
         r.getDouble(4), r.getDouble(5), r.getLong(6), r.getDouble(7),
-        r.getDouble(8))).toSet
+        r.getDouble(8))).toMap
     val batch = operators.Temporal.q56Ohlc.run(s, sf).collect()
-      .map(r => (r.getLong(1), r.getString(0), r.getDouble(2), r.getDouble(3),
+      .map(r => (r.getLong(1), r.getString(0)) -> (r.getDouble(2), r.getDouble(3),
         r.getDouble(4), r.getDouble(5), r.getLong(6), r.getDouble(7),
-        r.getDouble(8))).toSet
+        r.getDouble(8))).toMap
     assert(streamed.nonEmpty)
-    assert(streamed == batch,
-      s"stream-only: ${streamed.diff(batch).take(3)}; " +
-        s"batch-only: ${batch.diff(streamed).take(3)}")
+    assert(streamed.keySet == batch.keySet,
+      s"stream-only: ${streamed.keySet.diff(batch.keySet).take(3)}; " +
+        s"batch-only: ${batch.keySet.diff(streamed.keySet).take(3)}")
+    // batch mean/volume are rounded to 2dp (oracle parity); streamed are
+    // raw — so the gap is at most the 0.005 rounding half-width plus ulp
+    streamed.foreach { case (k, (o, h, l, c, n, mean, vol)) =>
+      val (bo, bh, bl, bc, bn, bmean, bvol) = batch(k)
+      assert((o, h, l, c, n) == ((bo, bh, bl, bc, bn)), s"candle $k ohlc/n")
+      assert(math.abs(mean - bmean) <= 0.01, s"candle $k mean $mean vs $bmean")
+      assert(math.abs(vol - bvol) <= 0.01, s"candle $k volume $vol vs $bvol")
+    }
   }
 
   test("scd2 periods tile each user's timeline") {
