@@ -332,22 +332,39 @@ object Curation {
     * the packer's work manifest, and the md5 order is reproducible
     * across engines, retries, and repartitionings.
     *
-    * Scale shape: the running token offset is a cumulative-sum window
-    * partitioned by shard (= source), so packing parallelizes across
-    * shards — no global single-partition sort, no driver accumulation.
-    * One exchange for the window (reused by the groupBy on the same
-    * leading key), then a bounded-cardinality aggregate. */
+    * Scale shape: a DISTRIBUTED PREFIX SUM. `source` has a handful of
+    * values, so a window partitioned on it alone would make one task
+    * sort and prefix-sum each source's entire corpus at 100 TB. Instead
+    * the md5 ordering key is split on its first two hex chars into 256
+    * range buckets (the bucket is a prefix of the ordering key, so
+    * (bkt, h, doc_id) order == (h, doc_id) order): per-(source, bucket)
+    * token subtotals are a tiny aggregate (card(source)×256 rows), the
+    * carry — each bucket's base offset — is a window over that tiny
+    * table, broadcast back, and the corpus-sized running sum is
+    * partitioned by (source, bucket): parallelism card(source)×256
+    * regardless of corpus size, output bit-identical to the single
+    * running sum. */
   val x06PackSequences = QueryDef(
     "x06_pack_sequences",
     (s, d) => {
       val ctx = 2048.0
-      val w = Window.partitionBy("source")
-        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      Tables.documents(s, d)
+      val docs = Tables.documents(s, d)
         .select(col("doc_id"), col("source"),
-          size(T.tokens(col("text"))).as("tok"))
-        .withColumn("cum", sum("tok").over(w))
+          size(T.tokens(col("text"))).as("tok"),
+          md5(col("doc_id").cast("string")).as("h"))
+        .withColumn("bkt", substring(col("h"), 1, 2))
+      // carry: tokens in all earlier buckets of the same source
+      val wCarry = Window.partitionBy("source").orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = docs.groupBy("source", "bkt")
+        .agg(sum("tok").as("btok"))
+        .withColumn("base", coalesce(sum("btok").over(wCarry), lit(0L)))
+        .select("source", "bkt", "base")
+      val wLocal = Window.partitionBy("source", "bkt")
+        .orderBy(col("h"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs.join(broadcast(offsets), Seq("source", "bkt"))
+        .withColumn("cum", col("base") + sum("tok").over(wLocal))
         .select(col("source"),
           floor((col("cum") - col("tok")) / lit(ctx)).cast("long").as("bin"),
           col("tok"))

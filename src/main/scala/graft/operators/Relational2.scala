@@ -535,9 +535,57 @@ object Relational2 {
            |  round(max(pr), 6) AS max_pr, round(max(cd), 6) AS max_cd
            |FROM ranked GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
+  // ---------------------------------------------------------------- q59
+  /** Value-based deciles — the SCALE twin of q54 (the d07/d08 pattern
+    * applied to rank functions). q54's exact ntile window partitions on
+    * `o_orderpriority` (5 values), so parallelism caps at 5 tasks no
+    * matter the cluster; here the corpus-sized work is ONE map-side-
+    * combined hash aggregate (the price histogram), and only the
+    * histogram — bounded by the price DOMAIN, not the data volume —
+    * passes through the per-priority cumulative window (the q50
+    * histogram trick). Decile of a price = ceil(10·cum/n) over the
+    * cumulative count, computed in integer arithmetic; ties share a
+    * decile (value-based semantics — the one intended difference from
+    * ntile, which splits ties to equalize bucket sizes). Deterministic,
+    * so the DuckDB oracle hash-matches exactly. */
+  val q59ValueDeciles = QueryDef(
+    "q59_value_deciles",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val wCum = Window.partitionBy("o_orderpriority").orderBy("o_totalprice")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy("o_orderpriority")
+      graft.Tables.orders(s, d)
+        .groupBy(col("o_orderpriority"), col("o_totalprice"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum("cnt").over(wCum))
+        .withColumn("n_all", sum("cnt").over(wAll))
+        .withColumn("decile", expr("CAST((10 * cum - 1) DIV n_all + 1 AS INT)"))
+        .groupBy("o_orderpriority", "decile")
+        .agg(sum("cnt").as("n"),
+          r2(min("o_totalprice")).as("lo"), r2(max("o_totalprice")).as("hi"))
+        .orderBy("o_orderpriority", "decile")
+    },
+    Some("""WITH h AS (
+           |  SELECT o_orderpriority, o_totalprice, count(*) AS cnt
+           |  FROM orders GROUP BY 1, 2),
+           |c AS (
+           |  SELECT o_orderpriority, o_totalprice, cnt,
+           |    sum(cnt) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
+           |      ROWS UNBOUNDED PRECEDING) AS cum,
+           |    sum(cnt) OVER (PARTITION BY o_orderpriority) AS n_all
+           |  FROM c0),
+           |c0 AS (SELECT * FROM h)
+           |SELECT o_orderpriority,
+           |  CAST(((10 * cum - 1) // n_all) + 1 AS INT) AS decile,
+           |  CAST(sum(cnt) AS BIGINT) AS n,
+           |  round(min(o_totalprice), 2) AS lo,
+           |  round(max(o_totalprice), 2) AS hi
+           |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q29OuterJoin, q30FullOuter, q31Udaf, q32Explode,
     q33RangeFrame, q34Percentiles, q35Stats, q37Sessionize, q38Pivot, q39Unpivot,
     q40WindowNav, q41CollectAgg, q42CorrelatedSubquery, q43StringFuncs2,
     q44MathFuncs2, q45DateFuncs2, q47RecursiveCte, q51NotInNulls, q52LateralTopN,
-    q54DistWindows)
+    q54DistWindows, q59ValueDeciles)
 }

@@ -69,6 +69,31 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("x06: corpus prefix sum is salted — no window on bare low-card source") {
+    val p = plan("x06_pack_sequences")
+    // the corpus-sized running sum must partition on (source, bkt), and
+    // the old scale-killer shape — a window partitioned on source with
+    // the md5 ordering key directly — must not reappear
+    assert("windowspecdefinition\\(source#\\d+, bkt#\\d+, h#".r
+      .findFirstIn(p).isDefined, p.take(1200))
+    assert(!"windowspecdefinition\\(source#\\d+, md5".r.findFirstIn(p).isDefined,
+      "running sum must not partition on source alone")
+    assert(p.contains("BroadcastHashJoin"),
+      "bucket base offsets must join back as a broadcast")
+  }
+
+  test("q59: only the price histogram reaches the low-card window") {
+    val p = plan("q59_value_deciles")
+    // corpus-sized work is the partial+final histogram aggregate; the
+    // window must sit ABOVE it (earlier in tree print order)
+    val winIdx = p.indexOf("windowspecdefinition")
+    val aggIdx = p.lastIndexOf("HashAggregate")
+    assert(winIdx >= 0 && aggIdx > winIdx,
+      "expected histogram HashAggregate below the cumulative window")
+    assert("HashAggregate".r.findAllIn(p).size >= 4,
+      "expect partial+final aggs for both histogram and rollup")
+  }
+
   test("q36: salted aggregation is a two-level hash aggregate") {
     val p = plan("q36_salted_agg")
     assert("HashAggregate".r.findAllIn(p).size >= 4,
