@@ -51,8 +51,16 @@ object MqttLikeSource {
   * advances only when Spark commits an epoch, never blocks replay from
   * an older checkpoint (the log is retained). */
 object MessageBus {
-  private val logs = new java.util.concurrent.ConcurrentHashMap[String, ArrayBuffer[(String, Array[Byte])]]()
+  /** One broker message: key, payload, and publisher attributes (the
+    * clientID/qos/retained metadata a real broker carries per packet). */
+  final case class BusMsg(key: String, payload: Array[Byte],
+      attrs: Map[String, String] = Map.empty)
+
+  private val logs = new java.util.concurrent.ConcurrentHashMap[String, ArrayBuffer[BusMsg]]()
   private val committed = new java.util.concurrent.ConcurrentHashMap[String, Long]()
+  // per-topic last retained message — MQTT retained-flag semantics: the
+  // broker keeps the newest retained payload for late subscribers
+  private val retainedMsgs = new java.util.concurrent.ConcurrentHashMap[String, BusMsg]()
   // (topic, partitionId, epochId) triples already appended by a publisher —
   // the broker-side dedup a real deployment gets from MQTT QoS 2 / packet
   // identifiers (mqtt.go:64-67 qos option). Lets an epoch replayed from an
@@ -60,56 +68,78 @@ object MessageBus {
   private val delivered =
     java.util.concurrent.ConcurrentHashMap.newKeySet[(String, Long, Long)]()
 
-  private def log(topic: String): ArrayBuffer[(String, Array[Byte])] =
+  private def log(topic: String): ArrayBuffer[BusMsg] =
     logs.computeIfAbsent(topic, _ => ArrayBuffer.empty)
 
-  def publish(topic: String, key: String, payload: Array[Byte]): Unit =
-    log(topic).synchronized { log(topic) += ((key, payload)) }
+  def publish(topic: String, key: String, payload: Array[Byte],
+      attrs: Map[String, String] = Map.empty): Unit =
+    log(topic).synchronized { log(topic) += BusMsg(key, payload, attrs) }
 
-  /** Idempotent per-(partition, epoch) batch publish: appends only the
-    * first time a given (topic, partition, epoch) is delivered. */
+  /** Per-(partition, epoch) batch publish. With `dedup` (the QoS-2
+    * analog) the batch appends only the first time a given (topic,
+    * partition, epoch) is delivered; without it (QoS 0/1) a replayed
+    * epoch re-publishes — at-least-once, duplicates visible, exactly
+    * what downgrading QoS buys in a real broker. A `retained` batch
+    * also installs its last row as the topic's retained message. */
   def publishEpoch(topic: String, partitionId: Long, epochId: Long,
-      rows: Seq[(String, Array[Byte])]): Unit =
-    if (delivered.add((topic, partitionId, epochId)))
+      rows: Seq[BusMsg], retained: Boolean = false,
+      dedup: Boolean = true): Unit =
+    if (!dedup || delivered.add((topic, partitionId, epochId))) {
       log(topic).synchronized { log(topic) ++= rows }
+      if (retained && rows.nonEmpty) retainedMsgs.put(topic, rows.last)
+    }
 
   def epochDelivered(topic: String, partitionId: Long, epochId: Long): Boolean =
     delivered.contains((topic, partitionId, epochId))
 
   def size(topic: String): Long = log(topic).synchronized { log(topic).size.toLong }
 
-  def range(topic: String, from: Long, until: Long): Seq[(String, Array[Byte])] =
+  def range(topic: String, from: Long, until: Long): Seq[BusMsg] =
     log(topic).synchronized { log(topic).slice(from.toInt, until.toInt).toSeq }
 
   def payloads(topic: String): Seq[String] =
-    range(topic, 0L, size(topic)).map(p => new String(p._2, "UTF-8"))
+    range(topic, 0L, size(topic)).map(p => new String(p.payload, "UTF-8"))
+
+  def retained(topic: String): Option[BusMsg] = Option(retainedMsgs.get(topic))
 
   def ack(topic: String, upTo: Long): Unit = committed.put(topic, upTo)
   def acked(topic: String): Long = committed.getOrDefault(topic, 0L)
   def reset(topic: String): Unit = {
-    logs.remove(topic); committed.remove(topic)
+    logs.remove(topic); committed.remove(topic); retainedMsgs.remove(topic)
     delivered.removeIf(_._1 == topic)
   }
 }
 
 /** MQTT-shaped publisher sink (`mqtt.Destination.Send`, mqtt.go:167-176:
-  * a per-message `client.Publish(topic, qos, retained, msg.Value)` loop).
+  * a per-message `client.Publish(topic, qos, retained, msg.Value)` loop,
+  * options loaded by loadOpts, mqtt.go:92-103: qos, retained, clientID).
   * Spark side: a ForeachWriter running on executors, buffering the
-  * partition and handing it to the broker in `close` only on success —
-  * publish-after-complete-partition plus the broker's (partition, epoch)
-  * dedup gives exactly-once into the bus, the QoS-2 analog. Rows may be
-  * the canonical envelope (key/value used) or any schema with a `value`
-  * column castable to binary. */
-class MqttLikePublisher(topic: String)
+  * partition and handing it to the broker in `close` only on success.
+  *
+  * QoS mapping: at `qos >= 2` publish-after-complete-partition plus the
+  * broker's (partition, epoch) dedup gives exactly-once into the bus —
+  * the QoS-2 analog, and the default. At `qos <= 1` the dedup is
+  * switched off: a replayed epoch re-publishes, i.e. at-least-once with
+  * duplicates visible — exactly what downgrading QoS buys on a real
+  * broker. `retained` installs the batch's last row as the topic's
+  * retained message; `clientId` is stamped on every message's
+  * attributes. Rows may be the canonical envelope (key/value used) or
+  * any schema with a `value` column castable to binary. */
+class MqttLikePublisher(topic: String, qos: Int = 2,
+    retained: Boolean = false, clientId: String = "graft")
     extends org.apache.spark.sql.ForeachWriter[org.apache.spark.sql.Row] {
-  private var buf: ArrayBuffer[(String, Array[Byte])] = _
+  private var buf: ArrayBuffer[MessageBus.BusMsg] = _
   private var pid: Long = _
   private var eid: Long = _
+  private val attrs =
+    Map("clientID" -> clientId, "qos" -> qos.toString,
+      "retained" -> retained.toString)
 
   override def open(partitionId: Long, epochId: Long): Boolean = {
     pid = partitionId; eid = epochId; buf = ArrayBuffer.empty
     // replayed epoch already delivered by a previous attempt → skip
-    !MessageBus.epochDelivered(topic, partitionId, epochId)
+    // (QoS-2 only; lower QoS re-delivers)
+    qos < 2 || !MessageBus.epochDelivered(topic, partitionId, epochId)
   }
 
   override def process(row: org.apache.spark.sql.Row): Unit = {
@@ -123,12 +153,13 @@ class MqttLikePublisher(topic: String)
       case s: String => s.getBytes("UTF-8")
       case other => String.valueOf(other).getBytes("UTF-8")
     }
-    buf += ((key, payload))
+    buf += MessageBus.BusMsg(key, payload, attrs)
   }
 
   override def close(errorOrNull: Throwable): Unit =
     if (errorOrNull == null && buf != null)
-      MessageBus.publishEpoch(topic, pid, eid, buf.toSeq)
+      MessageBus.publishEpoch(topic, pid, eid, buf.toSeq,
+        retained = retained, dedup = qos >= 2)
 }
 
 private class MqttTable(topic: String, maxRows: Option[Long], parallelism: Int)
@@ -206,15 +237,17 @@ private class MqttMicroBatchStream(topic: String, maxRows: Option[Long],
         val bp = p.asInstanceOf[BusPartition]
         new PartitionReader[InternalRow] {
           private val rows = MessageBus.range(bp.topic, bp.from, bp.until).iterator
-          private var current: (String, Array[Byte]) = _
+          private var current: MessageBus.BusMsg = _
           override def next(): Boolean = { val h = rows.hasNext; if (h) current = rows.next(); h }
           override def get(): InternalRow = new GenericInternalRow(Array[Any](
-            UTF8String.fromString(current._1),
+            UTF8String.fromString(current.key),
             UTF8String.fromString(bp.topic),
-            current._2,
+            current.payload,
             new ArrayBasedMapData(
-              org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array.empty[UTF8String]),
-              org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(Array.empty[UTF8String]))))
+              org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+                current.attrs.keys.map(UTF8String.fromString).toArray),
+              org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+                current.attrs.values.map(UTF8String.fromString).toArray))))
           override def close(): Unit = ()
         }
       }

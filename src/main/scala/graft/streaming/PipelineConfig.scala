@@ -103,8 +103,12 @@ object PipelineConfig {
         val prefix = conf.sink.options.getOrElse("prefix",
           conf.sink.options("bucketName")) // reference option name
         w.foreachBatch((b: DataFrame, id: Long) => Sinks.gzipTimePartitioned(b, prefix, id))
-      case "mqtt" => // mqtt.Destination (mqtt.go:105-176)
-        w.foreach(Sinks.mqttPublisher(conf.sink.options.getOrElse("topic", "#")))
+      case "mqtt" => // mqtt.Destination (mqtt.go:105-176; loadOpts 92-103)
+        w.foreach(Sinks.mqttPublisher(
+          conf.sink.options.getOrElse("topic", "#"),
+          qos = conf.sink.options.getOrElse("qos", "2").toInt,
+          retained = conf.sink.options.getOrElse("retained", "false").toBoolean,
+          clientId = conf.sink.options.getOrElse("clientID", "graft")))
       case "runreveal" => // webhook POST (README.md:245-251)
         val url = conf.sink.options("webhookURL")
         val policy = conf.sink.options.getOrElse("onError", "dontAck") match {

@@ -52,10 +52,13 @@ object Sinks {
 
   /** MQTT publisher sink (`mqtt.Destination`, mqtt.go:105-176): rows
     * published to the broker topic from executors, exactly-once via the
-    * broker's (partition, epoch) dedup — see MqttLikePublisher docs.
+    * broker's (partition, epoch) dedup at the default qos=2 — see
+    * MqttLikePublisher docs for the qos/retained/clientID option
+    * surface (loadOpts, mqtt.go:92-103).
     * Usage: `df.writeStream.foreach(Sinks.mqttPublisher("t"))`. */
-  def mqttPublisher(topic: String): graft.connectors.MqttLikePublisher =
-    new graft.connectors.MqttLikePublisher(topic)
+  def mqttPublisher(topic: String, qos: Int = 2, retained: Boolean = false,
+      clientId: String = "graft"): graft.connectors.MqttLikePublisher =
+    new graft.connectors.MqttLikePublisher(topic, qos, retained, clientId)
 
   /** Webhook destination (the daemon's `runreveal` kind) — see
     * graft.streaming.Webhook for the POST semantics + error policies. */

@@ -42,6 +42,63 @@ class SinkConformanceSpec extends SparkSpec {
     assert(got.distinct.size == got.size, "no duplicates in the destination topic")
   }
 
+  test("mqtt publisher options: qos/retained/clientID land on the bus (mqtt.go:92-103)") {
+    MessageBus.reset("opt_src"); MessageBus.reset("opt_dst")
+    (1 to 8).foreach(i =>
+      MessageBus.publish("opt_src", s"k$i", s"v$i".getBytes("UTF-8")))
+    val conf = PipelineConf(
+      SourceConf("mqtt", Map("topic" -> "opt_src")),
+      SinkConf("mqtt", Map("topic" -> "opt_dst", "qos" -> "2",
+        "retained" -> "true", "clientID" -> "graft-test-7")),
+      checkpoint = tmpDir("opt_ck"), availableNow = true)
+    PipelineConfig.run(spark, conf).awaitTermination(60000)
+
+    val msgs = MessageBus.range("opt_dst", 0, MessageBus.size("opt_dst"))
+    assert(msgs.length == 8, s"all payloads delivered, got ${msgs.length}")
+    assert(msgs.forall(_.attrs.get("clientID").contains("graft-test-7")))
+    assert(msgs.forall(m => m.attrs.get("qos").contains("2") &&
+      m.attrs.get("retained").contains("true")))
+    // retained-flag semantics: the broker keeps a last retained message
+    val ret = MessageBus.retained("opt_dst")
+    assert(ret.isDefined &&
+      msgs.exists(m => java.util.Arrays.equals(m.payload, ret.get.payload)),
+      "retained slot must hold one of the published messages")
+    // and the attributes round-trip through the DSv2 source read
+    val conf2 = PipelineConf(
+      SourceConf("mqtt", Map("topic" -> "opt_dst")),
+      SinkConf("memory", Map("name" -> "opt_attr_out")),
+      checkpoint = tmpDir("opt_ck2"), availableNow = true)
+    PipelineConfig.run(spark, conf2).awaitTermination(60000)
+    val attrRows = spark.sql(
+      "SELECT attributes['clientID'] FROM opt_attr_out").collect()
+    assert(attrRows.length == 8 && attrRows.forall(_.getString(0) == "graft-test-7"),
+      "source read must surface publisher attributes")
+  }
+
+  test("mqtt publisher qos<2 re-delivers a replayed epoch (at-least-once)") {
+    import org.apache.spark.sql.catalyst.expressions.GenericRowWithSchema
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("key", StringType),
+      StructField("value", BinaryType)))
+    def row(i: Int) = new GenericRowWithSchema(
+      Array[Any](s"k$i", s"p$i".getBytes("UTF-8")), schema)
+    def attempt(pub: graft.connectors.MqttLikePublisher): Unit =
+      // one executor attempt for (partition 0, epoch 0): Spark only
+      // feeds rows when open() returns true
+      if (pub.open(0L, 0L)) { pub.process(row(1)); pub.close(null) }
+
+    MessageBus.reset("qos2_t")
+    val exactly = new graft.connectors.MqttLikePublisher("qos2_t", qos = 2)
+    attempt(exactly); attempt(exactly) // replayed epoch
+    assert(MessageBus.size("qos2_t") == 1L, "qos=2 dedups the replay")
+
+    MessageBus.reset("qos1_t")
+    val atLeast = new graft.connectors.MqttLikePublisher("qos1_t", qos = 1)
+    attempt(atLeast); attempt(atLeast)
+    assert(MessageBus.size("qos1_t") == 2L,
+      "qos=1 re-publishes on replay (duplicates visible)")
+  }
+
   test("materialized aggregate: partition-overwrite upsert equals batch agg across restart") {
     val s = spark
     import s.implicits._
