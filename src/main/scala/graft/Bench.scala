@@ -59,7 +59,16 @@ object Bench {
       "\"" + (if (unique) keys(k) else k) + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // Also persist the metric JSON next to the repo: the driver parses a
+    // bounded tail of sbt stdout (and sbt may prefix lines with [info]),
+    // so the perf signal must not depend on that parsing surviving.
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get("/root/repo/bench_last.json"),
+        (line + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write bench_last.json: ${e.getMessage}") }
     spark.stop()
   }
 }
