@@ -100,6 +100,143 @@ object Stateful {
         col("event_type"), col("open"), col("high"), col("low"), col("close"),
         col("n_events"), col("mean_value"), col("volume"))
 
+  // ------------------------------------------------------------------
+  // Watermark-ordered per-key replay: the shared harness for state
+  // machines that need rows applied in EVENT-TIME order while the feed
+  // may be shuffled within the watermark horizon. Rows inside the
+  // horizon are buffered in state; once the watermark passes a row's
+  // event time it can never be preceded by a later arrival (Spark drops
+  // sub-watermark input), so draining `pending` up to the watermark in
+  // (ts, event_id) order replays the exact batch order incrementally.
+  // State per key = machine state + the O(slack-horizon) pending buffer —
+  // the size-for-reordering-slack trade documented on scd2Stream.
+  // ------------------------------------------------------------------
+
+  /** One event-log row: (user_id, ts, event_id, event_type). */
+  type Ev = (Long, java.sql.Timestamp, Long, String)
+
+  /** Run `apply` over each key's rows in event-time order, buffering
+    * rows newer than the watermark. `apply(key, row, state)` returns the
+    * next state and rows to emit (append mode). */
+  def orderedPerKey[S, O](df: DataFrame, slack: String, zero: S)(
+      apply: (Long, Ev, S) => (S, Seq[O]))(
+      implicit stEnc: Encoder[(S, Seq[Ev])], outEnc: Encoder[O],
+      keyEnc: Encoder[Long], evEnc: Encoder[Ev]): Dataset[O] = {
+    val ds = df.withWatermark("ts", slack)
+      .select("user_id", "ts", "event_id", "event_type").as[Ev]
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, rows: Iterator[Ev], state: GroupState[(S, Seq[Ev])]) =>
+          val (s0, pending) = state.getOption.getOrElse((zero, Seq.empty[Ev]))
+          val wm = state.getCurrentWatermarkMs()
+          val (ready, hold) = (pending ++ rows).partition(_._2.getTime <= wm)
+          var s = s0
+          val out = Seq.newBuilder[O]
+          ready.sortBy(e => (e._2.getTime, e._2.getNanos, e._3)).foreach { e =>
+            val (s2, os) = apply(key, e, s); s = s2; out ++= os
+          }
+          state.update((s, hold))
+          // re-arm so the next watermark advance drains the buffer even
+          // if no new rows arrive for this key (timeouts clear per call)
+          if (hold.nonEmpty) state.setTimeoutTimestamp(wm + 1)
+          out.result().iterator
+      }
+  }
+
+  /** Out-of-order-tolerant streaming SCD2: same output as `scd2Stream`
+    * but the feed may be shuffled within `slack` of true event order —
+    * the watermark-bounded buffering variant of the CDC ordering
+    * contract documented above. Converges to exactly the batch q48
+    * closed periods. */
+  def scd2StreamOoo(df: DataFrame, slack: String = "2 hours"): Dataset[Scd2Period] = {
+    import org.apache.spark.sql.Encoders
+    implicit val stEnc: Encoder[(Option[Scd2State], Seq[Ev])] =
+      Encoders.product[(Option[Scd2State], Seq[Ev])]
+    implicit val outEnc: Encoder[Scd2Period] = Encoders.product[Scd2Period]
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    implicit val evEnc: Encoder[Ev] = Encoders.product[Ev]
+    orderedPerKey[Option[Scd2State], Scd2Period](df, slack,
+      Option.empty[Scd2State]) { (user, e, st) =>
+      val (_, ts, _, et) = e
+      st match {
+        case None => (Some(Scd2State(et, ts, 1, 1L)), Nil)
+        case Some(s) if s.eventType == et =>
+          (Some(s.copy(nEvents = s.nEvents + 1)), Nil)
+        case Some(s) =>
+          (Some(Scd2State(et, ts, s.version + 1, 1L)),
+            Seq(Scd2Period(user, s.eventType, s.validFrom, ts,
+              s.version, s.nEvents)))
+      }
+    }
+  }
+
+  /** Streaming twin of the batch funnel (Behavioral.q57Funnel): emits a
+    * row the moment a user reaches step k (strictly after their step
+    * k-1 time — ordered-funnel semantics). Because rows replay in
+    * event-time order, the first qualifying event IS the per-user min
+    * the batch query computes; aggregating emitted steps reproduces the
+    * batch step counts exactly. State is O(1) per user (three
+    * timestamps) plus the reordering buffer. */
+  final case class StepReached(user_id: Long, step: Int, ts: java.sql.Timestamp)
+  final case class FunnelState(t1: Option[java.sql.Timestamp],
+      t2: Option[java.sql.Timestamp], t3: Option[java.sql.Timestamp])
+
+  def funnelStream(df: DataFrame, slack: String = "2 hours"): Dataset[StepReached] = {
+    import org.apache.spark.sql.Encoders
+    implicit val stEnc: Encoder[(FunnelState, Seq[Ev])] =
+      Encoders.product[(FunnelState, Seq[Ev])]
+    implicit val outEnc: Encoder[StepReached] = Encoders.product[StepReached]
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    implicit val evEnc: Encoder[Ev] = Encoders.product[Ev]
+    orderedPerKey[FunnelState, StepReached](df, slack,
+      FunnelState(None, None, None)) { (user, e, st) =>
+      val (_, ts, _, et) = e
+      et match {
+        case "view" if st.t1.isEmpty =>
+          (st.copy(t1 = Some(ts)), Seq(StepReached(user, 1, ts)))
+        case "click" if st.t2.isEmpty &&
+            st.t1.exists(t1 => ts.compareTo(t1) > 0) =>
+          (st.copy(t2 = Some(ts)), Seq(StepReached(user, 2, ts)))
+        case "purchase" if st.t3.isEmpty &&
+            st.t2.exists(t2 => ts.compareTo(t2) > 0) =>
+          (st.copy(t3 = Some(ts)), Seq(StepReached(user, 3, ts)))
+        case _ => (st, Nil)
+      }
+    }
+  }
+
+  /** Streaming twin of the cohort-retention matrix (Behavioral
+    * .q58Retention): emits one (user, cohort_day, day_offset) row the
+    * first time a user is active on a new day. Event-time-ordered
+    * replay pins the cohort day to the user's true first event, and
+    * makes per-user state O(1): the cohort day plus the last emitted
+    * day (a new row's day can never be below it). Aggregating emissions
+    * per (cohort_day, day_offset) reproduces the batch matrix. */
+  final case class CohortActivity(user_id: Long, cohort_day: Long,
+      day_offset: Long)
+  final case class RetState(cohortDay: Long, lastDay: Long)
+
+  def retentionStream(df: DataFrame, slack: String = "2 hours"): Dataset[CohortActivity] = {
+    import org.apache.spark.sql.Encoders
+    implicit val stEnc: Encoder[(RetState, Seq[Ev])] =
+      Encoders.product[(RetState, Seq[Ev])]
+    implicit val outEnc: Encoder[CohortActivity] =
+      Encoders.product[CohortActivity]
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    implicit val evEnc: Encoder[Ev] = Encoders.product[Ev]
+    orderedPerKey[RetState, CohortActivity](df, slack,
+      RetState(-1L, -1L)) { (user, e, st) =>
+      val day = Math.floorDiv(e._2.getTime, 86400000L)
+      if (st.cohortDay == -1L)
+        (RetState(day, day), Seq(CohortActivity(user, day, 0L)))
+      else if (day > st.lastDay)
+        (st.copy(lastDay = day),
+          Seq(CohortActivity(user, st.cohortDay, day - st.cohortDay)))
+      else (st, Nil)
+    }
+  }
+
   def scd2Stream(ds: Dataset[(Long, java.sql.Timestamp, Long, String)])(
       implicit e1: Encoder[Scd2State], e2: Encoder[Scd2Period],
       e3: Encoder[Long]): Dataset[Scd2Period] =

@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+import graft.streaming.Stateful
+
+/** Parity gates for the watermark-ordered per-key replay harness
+  * (Stateful.orderedPerKey) and its three state machines: out-of-order
+  * SCD2, the streaming funnel, and the streaming retention matrix. Each
+  * test feeds the event log SHUFFLED within the watermark horizon
+  * (deterministic jitter ≤ 30 min against a 2 h slack), split across
+  * micro-batches, and asserts the streamed output converges to exactly
+  * the batch operator's result — the ordering contract the buffering
+  * variant exists to relax. */
+class OrderedReplaySpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  /** The event log in a shuffled-within-horizon feed order: sort by
+    * (ts + jitter(event_id)) with jitter < 30 min, so every row is
+    * displaced from true event order by strictly less than the 2 h
+    * watermark slack (and can therefore never arrive sub-watermark). */
+  private def shuffledEvents(): (Array[Stateful.Ev], Stateful.Ev) = {
+    val s = spark
+    import s.implicits._
+    val events = Tables.events(s, sf)
+      .select("user_id", "ts", "event_id", "event_type")
+      .as[Stateful.Ev].collect()
+    val shuffled = events.sortBy { e =>
+      val jitter = Math.floorMod(e._3 * 2654435761L, 1800000L)
+      (e._2.getTime + jitter, e._3)
+    }
+    val sentinelTs = new java.sql.Timestamp(
+      events.map(_._2.getTime).max + 30L * 86400 * 1000)
+    (shuffled, (-1L, sentinelTs, -1L, "zz_sentinel"))
+  }
+
+  /** Feed the shuffled log in three micro-batches plus a watermark-
+    * advancing sentinel through `op`, collecting the append-mode output
+    * from a memory sink. */
+  private def runStream(name: String)(op: DataFrame => Dataset[_]): DataFrame = {
+    val s = spark
+    import s.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+
+    val (shuffled, sentinel) = shuffledEvents()
+    val input = MemoryStream[Stateful.Ev]
+    val q = op(input.toDS().toDF("user_id", "ts", "event_id", "event_type"))
+      .writeStream.format("memory").queryName(name)
+      .trigger(Trigger.ProcessingTime(50)).start()
+    val third = shuffled.length / 3
+    Seq(shuffled.slice(0, third), shuffled.slice(third, 2 * third),
+      shuffled.drop(2 * third)).foreach { chunk =>
+      input.addData(chunk.toSeq); q.processAllAvailable()
+    }
+    input.addData(Seq(sentinel))
+    q.processAllAvailable()
+    q.stop()
+    s.table(name)
+  }
+
+  test("ooo scd2: shuffled-within-horizon feed == batch q48 closed periods") {
+    val s = spark
+    import s.implicits._
+    val out = runStream("ooo_scd2")(df => Stateful.scd2StreamOoo(df, "2 hours"))
+    val streamed = out
+      .select("user_id", "event_type", "valid_from", "valid_to", "version",
+        "n_events")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2),
+        r.getTimestamp(3), r.getInt(4), r.getLong(5))).toSet
+    val batchClosed = SparkEntry.queries("q48_scd2")(s, sf)
+      .filter("is_current = 0").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2),
+        r.getTimestamp(3), r.getInt(4), r.getLong(6))).toSet
+    assert(streamed.nonEmpty)
+    assert(streamed == batchClosed,
+      s"stream-only: ${streamed.diff(batchClosed).take(3)}; " +
+        s"batch-only: ${batchClosed.diff(streamed).take(3)}")
+  }
+
+  test("streaming funnel: step counts == batch q57 users per step") {
+    val s = spark
+    val out = runStream("ooo_funnel")(df => Stateful.funnelStream(df, "2 hours"))
+    val streamed = out.filter("user_id >= 0")
+      .groupBy("step").agg(count(lit(1)).as("users"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val batch = SparkEntry.queries("q57_funnel")(s, sf).collect()
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(streamed.nonEmpty)
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+  }
+
+  test("streaming retention: emitted activity == batch q58 cohort matrix") {
+    val s = spark
+    val out = runStream("ooo_retention")(df =>
+      Stateful.retentionStream(df, "2 hours"))
+    val streamed = out.filter("user_id >= 0")
+      .groupBy("cohort_day", "day_offset").agg(count(lit(1)).as("users"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val batch = SparkEntry.queries("q58_retention")(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(streamed.nonEmpty)
+    assert(streamed == batch,
+      s"stream-only: ${streamed.toSet.diff(batch.toSet).take(3)}; " +
+        s"batch-only: ${batch.toSet.diff(streamed.toSet).take(3)}")
+  }
+}
