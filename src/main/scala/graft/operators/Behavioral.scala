@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{QueryDef, Tables}
-import graft.functions.Rounding.r4
+import graft.functions.Rounding.{r4, r6}
 
 /** Behavioral / product-analytics operators over the event stream: the
   * ordered funnel and the cohort-retention matrix. These are the two
@@ -112,5 +112,43 @@ object Behavioral {
            |    * 10000) / 10000 AS retention
            |FROM matrix ORDER BY cohort_day, day_offset""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(q57Funnel, q58Retention)
+  // ---------------------------------------------------------------- q61
+  /** First-order Markov transition matrix between event types: per user,
+    * each event's predecessor type (lag over the user's timeline), then
+    * transition counts and row-normalized probabilities — the behavioral
+    * model behind next-action prediction and path analysis.
+    *
+    * Scale shape: the lag window partitions on user_id (high cardinality
+    * — one exchange, arbitrary parallelism); the pair aggregate is
+    * map-side combined into a card(types)² matrix, and the normalizing
+    * window runs over that tiny matrix only. */
+  val q61Markov = QueryDef(
+    "q61_markov_transitions",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("prev_type", lag("event_type", 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .select(col("prev_type"), col("event_type").as("next_type"))
+        .groupBy("prev_type", "next_type").agg(count(lit(1)).as("n"))
+        .withColumn("p",
+          r6(col("n") / sum("n").over(Window.partitionBy("prev_type"))))
+        .orderBy("prev_type", "next_type")
+    },
+    Some("""WITH seq AS (
+           |  SELECT user_id, event_type,
+           |    lag(event_type) OVER (PARTITION BY user_id
+           |      ORDER BY ts, event_id) AS prev_type
+           |  FROM events),
+           |pairs AS (
+           |  SELECT prev_type, event_type AS next_type,
+           |         CAST(count(*) AS BIGINT) AS n
+           |  FROM seq WHERE prev_type IS NOT NULL GROUP BY 1, 2)
+           |SELECT prev_type, next_type, n,
+           |  round(n / CAST(sum(n) OVER (PARTITION BY prev_type) AS DOUBLE)
+           |    * 1000000) / 1000000 AS p
+           |FROM pairs ORDER BY prev_type, next_type""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q57Funnel, q58Retention, q61Markov)
 }

@@ -390,8 +390,50 @@ object Curation {
            |    AS n_overflow
            |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
+  // ---------------------------------------------------------------- x07
+  /** Near-dup cluster representative selection — the resolution step
+    * that turns d03's MinHash clusters into a deduplicated corpus: per
+    * cluster keep the longest document (tie → lowest doc_id), and report
+    * the cluster's member count and total chars so the kept/dropped
+    * token budget is auditable. This is what "dedup the training set"
+    * actually ships.
+    *
+    * Scale shape: the clustering is d03's iterated label propagation
+    * (scale posture documented there); selection adds one window
+    * partitioned by cluster_id — HIGH cardinality (≈ one per surviving
+    * doc) — and a same-key hash-agg, so the resolution step itself is a
+    * single exchange at any corpus size. The oracle replays d03's
+    * recursive-CTE components and the same argmax. */
+  val x07ClusterReps = QueryDef(
+    "x07_cluster_reps",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val members = Dedup.minhashClusters(docs)
+        .join(docs.select("doc_id", "n_chars"), "doc_id")
+      val w = Window.partitionBy("cluster_id")
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      members.withColumn("rn", row_number().over(w))
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_members"),
+          max(when(col("rn") === 1, col("doc_id"))).as("rep_doc_id"),
+          max(when(col("rn") === 1, col("n_chars"))).as("rep_n_chars"),
+          sum("n_chars").as("total_chars"))
+        .orderBy("cluster_id")
+    },
+    Some(Dedup.minhashCteSql + """
+         |, jm AS (
+         |  SELECT l.cluster_id, l.doc_id, d.n_chars,
+         |    row_number() OVER (PARTITION BY l.cluster_id
+         |      ORDER BY d.n_chars DESC, l.doc_id) AS rn
+         |  FROM lbl l JOIN documents d USING (doc_id))
+         |SELECT cluster_id, CAST(count(*) AS BIGINT) AS n_members,
+         |  max(CASE WHEN rn = 1 THEN doc_id END) AS rep_doc_id,
+         |  max(CASE WHEN rn = 1 THEN n_chars END) AS rep_n_chars,
+         |  CAST(sum(n_chars) AS BIGINT) AS total_chars
+         |FROM jm GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[QueryDef] =
     Seq(x01Decontaminate, x02StratifiedSample, x03DomainMix,
       t06PiiRedact, t07Repetition, x04ContainmentScore, x05WeightedSample,
-      x06PackSequences)
+      x06PackSequences, x07ClusterReps)
 }

@@ -159,5 +159,64 @@ object Multimodal {
            |  md5(substring(text, frame_idx * 256 + 1, 256)) AS frame_fp
            |FROM frames ORDER BY doc_id, frame_idx""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(m01Meta, m02Features, m03FrameSample)
+  // ---------------------------------------------------------------- m04
+  /** Media near-duplicate detection via shared frame fingerprints: slice
+    * each blob into fixed 64-byte frames (stride 1 — every frame, unlike
+    * m03's sampler), fingerprint each frame, and report document pairs
+    * sharing ≥ 2 distinct frame fingerprints with a containment score
+    * `shared / min(n_frames)`. This is the video/image dedup shape —
+    * frame-fingerprint posting lists — applied to opaque blobs; the
+    * byte-frame granularity makes it the multimodal sibling of the
+    * token-shingle d05.
+    *
+    * Scale shape: (doc, fp) posting lists → equi-join on fp → per-pair
+    * hash-agg; work is proportional to actual fingerprint collisions,
+    * never all-pairs. A pathological hot fingerprint (a constant-color
+    * frame) would salt like q36; the corpus here has no such frame. */
+  val m04MediaNearDup = QueryDef(
+    "m04_media_neardup",
+    (s, d) => {
+      val FrameBytes = 64
+      val frames = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          (length(col("text")).cast("int") / FrameBytes).cast("int")
+            .as("n_frames"))
+        .filter(col("n_frames") > 0)
+        .select(col("doc_id"), col("text"), col("n_frames"),
+          explode(sequence(lit(0), col("n_frames") - 1)).as("i"))
+        .select(col("doc_id"), col("n_frames"),
+          md5(col("text").substr(col("i") * FrameBytes + 1, lit(FrameBytes))
+            .cast("binary")).as("fp"))
+        .distinct()
+      frames.as("a").join(frames.as("b"),
+          col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.n_frames").as("nf_a"), col("b.n_frames").as("nf_b"))
+        .agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= 2)
+        .select(col("doc_a"), col("doc_b"), col("shared"),
+          r4(col("shared").cast("double") /
+            least(col("nf_a"), col("nf_b"))).as("containment"))
+        .orderBy("doc_a", "doc_b")
+    },
+    Some("""WITH sized AS (
+           |  SELECT doc_id, text, CAST(length(text) // 64 AS INT) AS n_frames
+           |  FROM documents WHERE length(text) // 64 > 0),
+           |f AS (
+           |  SELECT DISTINCT doc_id, n_frames,
+           |    md5(substring(text, i * 64 + 1, 64)) AS fp
+           |  FROM sized, unnest(range(0, n_frames)) AS t(i)),
+           |p AS (
+           |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           |         a.n_frames AS nf_a, b.n_frames AS nf_b,
+           |         count(*) AS shared
+           |  FROM f a JOIN f b ON a.fp = b.fp AND a.doc_id < b.doc_id
+           |  GROUP BY 1, 2, 3, 4)
+           |SELECT doc_a, doc_b, CAST(shared AS BIGINT) AS shared,
+           |  round(shared / CAST(least(nf_a, nf_b) AS DOUBLE) * 10000) / 10000
+           |    AS containment
+           |FROM p WHERE shared >= 2 ORDER BY doc_a, doc_b""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(m01Meta, m02Features, m03FrameSample,
+    m04MediaNearDup)
 }

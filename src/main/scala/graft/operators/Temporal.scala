@@ -183,5 +183,73 @@ object Temporal {
            |  round(sum(value) * 100) / 100 AS volume
            |FROM base GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(q48Scd2, q55GapFill, q56Ohlc)
+  // ---------------------------------------------------------------- q60
+  /** Rolling z-score anomaly detection: per event_type, each 6-hour
+    * bucket's mean value is scored against the trailing 12 buckets'
+    * mean/stddev (frame [-12, -1] — the current bucket never scores
+    * itself), flagging |z| > 2. The standard metric-monitoring shape.
+    *
+    * The trailing stddev is computed from explicit running sums
+    * (s1 = Σm, s2 = Σm²) rather than a stddev aggregate so both engines
+    * evaluate the identical IEEE expression in the identical frame
+    * order — stddev_samp implementations differ across engines.
+    *
+    * Scale shape: the corpus-sized work is one map-side-combined hash
+    * aggregate into (event_type, bucket) cells; the low-cardinality
+    * event_type window runs over the bucketed series, which is bounded
+    * by the TIME DOMAIN (buckets), not the event volume — the q50/q59
+    * histogram argument. sqrt is guarded with greatest(·, 0): the
+    * catastrophic-cancellation negative-epsilon case would be NaN, and
+    * Spark orders NaN above every number, silently flipping `sd > 0`. */
+  val q60Anomaly = QueryDef(
+    "q60_anomaly_zscore",
+    (s, d) => {
+      import graft.functions.Rounding.r4
+      val w = Window.partitionBy("event_type").orderBy("bucket")
+        .rowsBetween(-12, -1)
+      val z = (col("m") - col("mu")) / col("sd")
+      Tables.events(s, d)
+        .select(col("event_type"),
+          floor(col("ts").cast("long") / 21600).as("bucket"), col("value"))
+        .groupBy("event_type", "bucket").agg(avg("value").as("m"))
+        .withColumn("s1", sum("m").over(w))
+        .withColumn("s2", sum(col("m") * col("m")).over(w))
+        .withColumn("nt", count("m").over(w))
+        .filter(col("nt") >= 4)
+        .withColumn("mu", col("s1") / col("nt"))
+        .withColumn("sd", sqrt(greatest(
+          (col("s2") - col("s1") * col("s1") / col("nt")) / (col("nt") - 1),
+          lit(0.0))))
+        .select(col("event_type"), col("bucket"),
+          r4(col("m")).as("mean_value"),
+          r4(col("mu")).as("trailing_mu"),
+          r4(col("sd")).as("trailing_sd"),
+          r4(when(col("sd") > 0, z)).as("z"),
+          when(col("sd") > 0 && abs(z) > 2, 1).otherwise(0).as("is_anomaly"))
+        .orderBy("event_type", "bucket")
+    },
+    Some("""WITH b AS (
+           |  SELECT event_type, CAST(floor(epoch(ts)/21600.0) AS BIGINT) AS bucket,
+           |         avg(value) AS m
+           |  FROM events GROUP BY 1, 2),
+           |t AS (
+           |  SELECT event_type, bucket, m,
+           |    sum(m) OVER w AS s1, sum(m*m) OVER w AS s2, count(m) OVER w AS nt
+           |  FROM b
+           |  WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+           |               ROWS BETWEEN 12 PRECEDING AND 1 PRECEDING)),
+           |c AS (
+           |  SELECT event_type, bucket, m, s1/nt AS mu,
+           |    sqrt(greatest((s2 - s1*s1/nt) / (nt - 1), 0.0)) AS sd
+           |  FROM t WHERE nt >= 4)
+           |SELECT event_type, bucket,
+           |  round(m * 10000) / 10000 AS mean_value,
+           |  round(mu * 10000) / 10000 AS trailing_mu,
+           |  round(sd * 10000) / 10000 AS trailing_sd,
+           |  round(CASE WHEN sd > 0 THEN (m - mu)/sd END * 10000) / 10000 AS z,
+           |  CAST(CASE WHEN sd > 0 AND abs((m - mu)/sd) > 2
+           |       THEN 1 ELSE 0 END AS INT) AS is_anomaly
+           |FROM c ORDER BY 1, 2""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q48Scd2, q55GapFill, q56Ohlc, q60Anomaly)
 }

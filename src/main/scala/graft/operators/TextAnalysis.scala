@@ -252,7 +252,68 @@ object TextAnalysis {
            |    AS entropy
            |FROM tf GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
+  // ------------------------------------------------------------- t10
+  /** Gopher-style quality RULE battery — the hard pass/fail filters that
+    * complement t02's blended score: word-count bounds, mean-word-length
+    * bounds, numeric-token ratio, and duplicate-word ratio, each emitted
+    * as its own flag plus the conjunction (`keep`). This is the rule
+    * gate a curation pipeline applies before any scoring model sees the
+    * document.
+    *
+    * Scale shape: a pure per-row projection (array ops over the token
+    * split) — no shuffle at all; the ORDER BY is presentation-only. */
+  val t10GopherRules = QueryDef(
+    "t10_gopher_rules",
+    (s, d) => {
+      val toks = T.tokens(col("text"))
+      val nW = size(toks)
+      val meanLen = T.meanTokenLen(col("text"))
+      val numRatio = expr("size(filter(split(text, ' '), " +
+        "x -> x RLIKE '^[0-9]+$'))").cast("double") / nW.cast("double")
+      val dupRatio = lit(1.0) -
+        size(array_distinct(toks)).cast("double") / nW.cast("double")
+      val passWords = nW >= 50 && nW <= 100000
+      val passLen = meanLen >= 3.0 && meanLen <= 10.0
+      val passNum = numRatio < 0.2
+      val passDup = dupRatio < 0.5
+      Tables.documents(s, d)
+        .select(col("doc_id"), nW.as("n_words"),
+          r4(meanLen).as("mean_word_len"),
+          r4(numRatio).as("numeric_ratio"),
+          r4(dupRatio).as("dup_ratio"),
+          passWords.cast("int").as("pass_nwords"),
+          passLen.cast("int").as("pass_wordlen"),
+          passNum.cast("int").as("pass_numeric"),
+          passDup.cast("int").as("pass_dup"),
+          (passWords && passLen && passNum && passDup).cast("int").as("keep"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH f AS (
+           |  SELECT doc_id, string_split(text, ' ') AS t,
+           |    CAST(len(string_split(text, ' ')) AS INT) AS nw,
+           |    length(text) AS lt
+           |  FROM documents),
+           |g AS (
+           |  SELECT doc_id, nw,
+           |    (lt - nw + 1) / CAST(nw AS DOUBLE) AS mean_len,
+           |    len(list_filter(t, x -> regexp_full_match(x, '[0-9]+')))
+           |      / CAST(nw AS DOUBLE) AS num_ratio,
+           |    1.0 - len(list_distinct(t)) / CAST(nw AS DOUBLE) AS dup_ratio
+           |  FROM f)
+           |SELECT doc_id, nw AS n_words,
+           |  round(mean_len * 10000) / 10000 AS mean_word_len,
+           |  round(num_ratio * 10000) / 10000 AS numeric_ratio,
+           |  round(dup_ratio * 10000) / 10000 AS dup_ratio,
+           |  CAST(nw >= 50 AND nw <= 100000 AS INT) AS pass_nwords,
+           |  CAST(mean_len >= 3.0 AND mean_len <= 10.0 AS INT) AS pass_wordlen,
+           |  CAST(num_ratio < 0.2 AS INT) AS pass_numeric,
+           |  CAST(dup_ratio < 0.5 AS INT) AS pass_dup,
+           |  CAST(nw >= 50 AND nw <= 100000 AND mean_len >= 3.0
+           |       AND mean_len <= 10.0 AND num_ratio < 0.2
+           |       AND dup_ratio < 0.5 AS INT) AS keep
+           |FROM g ORDER BY doc_id""".stripMargin))
+
   val all: Seq[QueryDef] =
     Seq(t01LangId, t02Quality, t03TokenCount, t04RollingHash, t05TfIdf,
-      t08UnigramLm, t09TokenEntropy)
+      t08UnigramLm, t09TokenEntropy, t10GopherRules)
 }

@@ -94,6 +94,22 @@ class PlanSpec extends SparkSpec {
       "expect partial+final aggs for both histogram and rollup")
   }
 
+  test("m04: frame-fingerprint matching stays a posting-list equi-join") {
+    val p = plan("m04_media_neardup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "frame matching must join on fp equality, never all-pairs")
+  }
+
+  test("q61: transition matrix windows only the aggregated pair counts") {
+    val p = plan("q61_markov_transitions")
+    // the normalizing window (partition by prev_type, low cardinality)
+    // must sit above the pair aggregate, not over the raw event log
+    val winIdx = p.indexOf("windowspecdefinition(prev_type")
+    val aggIdx = p.lastIndexOf("HashAggregate")
+    assert(winIdx >= 0 && aggIdx > winIdx,
+      "expected pair-count HashAggregate below the normalizing window")
+  }
+
   test("q36: salted aggregation is a two-level hash aggregate") {
     val p = plan("q36_salted_agg")
     assert("HashAggregate".r.findAllIn(p).size >= 4,
