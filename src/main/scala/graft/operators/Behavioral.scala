@@ -150,5 +150,69 @@ object Behavioral {
            |    * 1000000) / 1000000 AS p
            |FROM pairs ORDER BY prev_type, next_type""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(q57Funnel, q58Retention, q61Markov)
+  // ---------------------------------------------------------------- q62
+  /** Session path analysis: the top-20 opening paths (first three event
+    * types, in order) across q37-style sessions (>10 min silence splits)
+    * — the "where do sessions start" query behind every sankey/path
+    * report.
+    *
+    * Scale shape: one exchange on user_id feeds the gap windows AND the
+    * per-session row_number (same leading key); the path assembly sorts
+    * a ≤3-element array per session (array_sort over collect_list is
+    * order-insensitive to shuffle nondeterminism — the rn key makes the
+    * path deterministic); path counting is a bounded-cardinality
+    * hash-agg and the top-20 is a TakeOrdered, not a global sort. */
+  val q62SessionPaths = QueryDef(
+    "q62_session_paths",
+    (s, d) => {
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val bySess = Window.partitionBy("user_id", "sess")
+        .orderBy("ts", "event_id")
+      Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("gap_us",
+          unix_micros(col("ts")) - unix_micros(lag("ts", 1).over(byUser)))
+        .withColumn("is_break",
+          when(col("gap_us").isNull || col("gap_us") > 600L * 1000000L, 1L)
+            .otherwise(0L))
+        .withColumn("sess", sum("is_break").over(run))
+        .withColumn("rn", row_number().over(bySess))
+        .filter(col("rn") <= 3)
+        .groupBy("user_id", "sess")
+        .agg(array_join(
+          transform(array_sort(collect_list(struct(col("rn"), col("event_type")))),
+            x => x.getField("event_type")), ">").as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n_sessions"))
+        .orderBy(col("n_sessions").desc, col("path"))
+        .limit(20)
+    },
+    Some("""WITH gapped AS (
+           |  SELECT user_id, ts, event_id, event_type,
+           |    epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) AS gap_us
+           |  FROM events
+           |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+           |marked AS (
+           |  SELECT *, CASE WHEN gap_us IS NULL OR gap_us > 600 * 1000000
+           |                 THEN 1 ELSE 0 END AS is_break
+           |  FROM gapped),
+           |sessions AS (
+           |  SELECT *, sum(is_break) OVER (PARTITION BY user_id
+           |    ORDER BY ts, event_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+           |  FROM marked),
+           |ranked AS (
+           |  SELECT *, row_number() OVER (PARTITION BY user_id, sess
+           |    ORDER BY ts, event_id) AS rn
+           |  FROM sessions),
+           |paths AS (
+           |  SELECT user_id, sess,
+           |    string_agg(event_type, '>' ORDER BY rn) AS path
+           |  FROM ranked WHERE rn <= 3 GROUP BY 1, 2)
+           |SELECT path, CAST(count(*) AS BIGINT) AS n_sessions
+           |FROM paths GROUP BY 1
+           |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q57Funnel, q58Retention, q61Markov,
+    q62SessionPaths)
 }

@@ -432,8 +432,54 @@ object Curation {
          |  CAST(sum(n_chars) AS BIGINT) AS total_chars
          |FROM jm GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  // ---------------------------------------------------------------- x08
+  /** Temperature-smoothed domain mixing: per-source sampling weights
+    * w_s ∝ p_s^τ with τ = 0.5 over TOKEN shares — the multilingual /
+    * multi-domain sampling-alpha recipe (upweight small domains without
+    * flattening to uniform, which is x03's degenerate target). `boost`
+    * = w/p is the per-source up/down-sampling factor a mixer applies.
+    * τ = 0.5 means the smoothing is `sqrt`, which IEEE-rounds
+    * identically everywhere — no cross-engine pow() drift.
+    *
+    * Scale shape: one map-side-combined per-source aggregate over the
+    * corpus; everything after runs on the card(source)-row table. */
+  val x08TemperatureMix = QueryDef(
+    "x08_temperature_mix",
+    (s, d) => {
+      val per = Tables.documents(s, d)
+        .select(col("source"), size(T.tokens(col("text"))).cast("long").as("tok"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("tok").as("n_tokens"))
+      val tot = per.agg(sum("n_tokens").cast("double").as("total"))
+      per.crossJoin(broadcast(tot))
+        .withColumn("p", col("n_tokens") / col("total"))
+        .withColumn("sq", sqrt(col("p")))
+        .withColumn("denom",
+          sum("sq").over(Window.partitionBy()
+            .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          r6(col("p")).as("token_share"),
+          r6(col("sq") / col("denom")).as("temp_weight"),
+          r6((col("sq") / col("denom")) / col("p")).as("boost"))
+        .orderBy("source")
+    },
+    Some("""WITH per AS (
+           |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           |         CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+           |  FROM documents GROUP BY 1),
+           |t AS (SELECT *, CAST(sum(n_tokens) OVER () AS DOUBLE) AS total
+           |      FROM per),
+           |u AS (SELECT *, n_tokens / total AS p,
+           |             sqrt(n_tokens / total) AS sq FROM t),
+           |v AS (SELECT *, sum(sq) OVER () AS denom FROM u)
+           |SELECT source, n_docs, n_tokens,
+           |  round(p * 1000000) / 1000000 AS token_share,
+           |  round(sq / denom * 1000000) / 1000000 AS temp_weight,
+           |  round((sq / denom) / p * 1000000) / 1000000 AS boost
+           |FROM v ORDER BY source""".stripMargin))
+
   val all: Seq[QueryDef] =
     Seq(x01Decontaminate, x02StratifiedSample, x03DomainMix,
       t06PiiRedact, t07Repetition, x04ContainmentScore, x05WeightedSample,
-      x06PackSequences, x07ClusterReps)
+      x06PackSequences, x07ClusterReps, x08TemperatureMix)
 }
