@@ -127,6 +127,47 @@ class CurationSpec extends SparkSpec {
     assert(math.abs(fracSum - 1.0) < 0.01)
   }
 
+  test("x07 cluster reps: reps are the longest member, members account for the corpus") {
+    val reps = SparkEntry.queries("x07_cluster_reps")(spark, sf).collect()
+    val clusters = SparkEntry.queries("d03_dedup_minhash_lsh")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1))
+    val nChars = Tables.documents(spark, sf).select("doc_id", "n_chars")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val byCluster = clusters.groupBy(_._2).map { case (c, ms) => c -> ms.map(_._1) }
+
+    assert(reps.map(_.getLong(1)).sum == clusters.length.toLong,
+      "member counts must account for every document exactly once")
+    assert(reps.map(_.getLong(0)).toSet == byCluster.keySet,
+      "one rep row per d03 cluster")
+    reps.foreach { r =>
+      val (cluster, n, rep) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val members = byCluster(cluster)
+      assert(members.length.toLong == n, s"cluster $cluster member count")
+      assert(members.contains(rep), s"rep $rep must be a member of $cluster")
+      // rep is the argmax under (n_chars desc, doc_id asc)
+      val best = members.map(m => (-nChars(m), m)).min._2
+      assert(rep == best, s"cluster $cluster rep $rep != argmax $best")
+    }
+  }
+
+  test("x08 temperature weights sum to 1 and compress the mix toward uniform") {
+    val rows = SparkEntry.queries("x08_temperature_mix")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-4, "weights sum to 1")
+    assert(math.abs(rows.map(_._2).sum - 1.0) < 1e-4, "shares sum to 1")
+    // temperature sampling boosts rarer sources relative to common ones:
+    // boost must be antitone in token share
+    rows.sortBy(_._2).sliding(2).foreach {
+      case Array((sa, pa, _, ba), (sb, pb, _, bb)) if pa < pb =>
+        assert(ba >= bb, s"boost($sa, p=$pa)=$ba < boost($sb, p=$pb)=$bb")
+      case _ => ()
+    }
+    // and never flattens all the way: ordering of shares is preserved
+    val byShare = rows.sortBy(_._2).map(_._1).toSeq
+    val byWeight = rows.sortBy(_._3).map(_._1).toSeq
+    assert(byShare == byWeight, "smoothing must preserve the size ordering")
+  }
+
   test("repetition metrics rank a degenerate doc above normal corpus docs") {
     import spark.implicits._
     // crafted: a spam doc (one token repeated) vs a all-distinct doc

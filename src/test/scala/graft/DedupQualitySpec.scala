@@ -68,4 +68,20 @@ class DedupQualitySpec extends SparkSpec {
     assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L),
       s"chain must collapse to one cluster, got $labels")
   }
+
+  test("d10 incremental matches agree with d03's clustering") {
+    // sharing a band is an edge in d03's candidate graph, so every
+    // (new doc, matched corpus doc) pair must land in the same connected
+    // component — the incremental probe can never cross-match clusters
+    val matches = SparkEntry.queries("d10_incremental_dedup")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val cluster = SparkEntry.queries("d03_dedup_minhash_lsh")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(matches.nonEmpty, "the sf0.001 corpus has near-dup band collisions")
+    matches.foreach { case (doc, m) =>
+      assert(doc % 7 == 0 && m % 7 != 0, s"batch split violated: ($doc, $m)")
+      assert(cluster(doc) == cluster(m),
+        s"new $doc matched $m across clusters ${cluster(doc)} vs ${cluster(m)}")
+    }
+  }
 }
