@@ -112,22 +112,35 @@ object Stateful {
   // the size-for-reordering-slack trade documented on scd2Stream.
   // ------------------------------------------------------------------
 
-  /** One event-log row: (user_id, ts, event_id, event_type). */
-  type Ev = (Long, java.sql.Timestamp, Long, String)
+  /** One event-log row: (user_id, ts, event_id, event_type, value). */
+  type Ev = (Long, java.sql.Timestamp, Long, String, Double)
 
   /** Run `apply` over each key's rows in event-time order, buffering
     * rows newer than the watermark. `apply(key, row, state)` returns the
-    * next state and rows to emit (append mode). */
-  def orderedPerKey[S, O](df: DataFrame, slack: String, zero: S)(
-      apply: (Long, Ev, S) => (S, Seq[O]))(
+    * next state and rows to emit (append mode). `keyOf` picks the
+    * grouping key from the row (user for the CDC machines, event_type
+    * for the series machines).
+    *
+    * `onWatermark(key, wmMs, state)` runs after each drain with the
+    * current watermark — the hook for machines whose state must FLUSH on
+    * time passing alone (a bucket whose end the watermark crossed can
+    * never see another row, so it is safe to close without a successor
+    * event). Machines that use it set `watermarkWakeups = true` so every
+    * key re-arms an event-time timeout each batch and the hook fires on
+    * watermark-only (no-data) batches too. */
+  def orderedPerKeyBy[K, S, O](df: DataFrame, slack: String, zero: S)(
+      keyOf: Ev => K)(
+      apply: (K, Ev, S) => (S, Seq[O]),
+      onWatermark: (K, Long, S) => (S, Seq[O]) = (_: K, _: Long, s: S) => (s, Seq.empty[O]),
+      watermarkWakeups: Boolean = false)(
       implicit stEnc: Encoder[(S, Seq[Ev])], outEnc: Encoder[O],
-      keyEnc: Encoder[Long], evEnc: Encoder[Ev]): Dataset[O] = {
+      keyEnc: Encoder[K], evEnc: Encoder[Ev]): Dataset[O] = {
     val ds = df.withWatermark("ts", slack)
-      .select("user_id", "ts", "event_id", "event_type").as[Ev]
-    ds.groupByKey(_._1)
+      .select("user_id", "ts", "event_id", "event_type", "value").as[Ev]
+    ds.groupByKey(keyOf)
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.EventTimeTimeout) {
-        (key: Long, rows: Iterator[Ev], state: GroupState[(S, Seq[Ev])]) =>
+        (key: K, rows: Iterator[Ev], state: GroupState[(S, Seq[Ev])]) =>
           val (s0, pending) = state.getOption.getOrElse((zero, Seq.empty[Ev]))
           val wm = state.getCurrentWatermarkMs()
           val (ready, hold) = (pending ++ rows).partition(_._2.getTime <= wm)
@@ -136,13 +149,23 @@ object Stateful {
           ready.sortBy(e => (e._2.getTime, e._2.getNanos, e._3)).foreach { e =>
             val (s2, os) = apply(key, e, s); s = s2; out ++= os
           }
-          state.update((s, hold))
+          val (s3, extra) = onWatermark(key, wm, s)
+          out ++= extra
+          state.update((s3, hold))
           // re-arm so the next watermark advance drains the buffer even
           // if no new rows arrive for this key (timeouts clear per call)
-          if (hold.nonEmpty) state.setTimeoutTimestamp(wm + 1)
+          if (hold.nonEmpty || watermarkWakeups)
+            state.setTimeoutTimestamp(wm + 1)
           out.result().iterator
       }
   }
+
+  /** The user-keyed specialization (CDC/funnel/retention machines). */
+  def orderedPerKey[S, O](df: DataFrame, slack: String, zero: S)(
+      apply: (Long, Ev, S) => (S, Seq[O]))(
+      implicit stEnc: Encoder[(S, Seq[Ev])], outEnc: Encoder[O],
+      keyEnc: Encoder[Long], evEnc: Encoder[Ev]): Dataset[O] =
+    orderedPerKeyBy[Long, S, O](df, slack, zero)(_._1)(apply)
 
   /** Out-of-order-tolerant streaming SCD2: same output as `scd2Stream`
     * but the feed may be shuffled within `slack` of true event order —
@@ -158,7 +181,7 @@ object Stateful {
     implicit val evEnc: Encoder[Ev] = Encoders.product[Ev]
     orderedPerKey[Option[Scd2State], Scd2Period](df, slack,
       Option.empty[Scd2State]) { (user, e, st) =>
-      val (_, ts, _, et) = e
+      val (_, ts, _, et, _) = e
       st match {
         case None => (Some(Scd2State(et, ts, 1, 1L)), Nil)
         case Some(s) if s.eventType == et =>
@@ -191,7 +214,7 @@ object Stateful {
     implicit val evEnc: Encoder[Ev] = Encoders.product[Ev]
     orderedPerKey[FunnelState, StepReached](df, slack,
       FunnelState(None, None, None)) { (user, e, st) =>
-      val (_, ts, _, et) = e
+      val (_, ts, _, et, _) = e
       et match {
         case "view" if st.t1.isEmpty =>
           (st.copy(t1 = Some(ts)), Seq(StepReached(user, 1, ts)))
@@ -235,6 +258,72 @@ object Stateful {
           Seq(CohortActivity(user, st.cohortDay, day - st.cohortDay)))
       else (st, Nil)
     }
+  }
+
+  /** Streaming twin of rolling z-score anomaly detection (Temporal
+    * .q60Anomaly), keyed by event_type. flatMapGroupsWithState is not
+    * allowed downstream of a streaming aggregation, so the 6-hour candle
+    * accumulation lives INSIDE the state machine: per key the state is
+    * the open bucket's (sum, count) plus the trailing ≤12 closed bucket
+    * means. When event-time-ordered replay crosses a bucket boundary the
+    * closing bucket is scored against the trailing window (emitted once
+    * ≥ 4 trailing buckets exist, mirroring the batch nt filter) and
+    * pushed into it. The final open bucket per key never emits — close
+    * it with a per-key sentinel event past the horizon, exactly like the
+    * OHLC flush. State is O(1) per key. */
+  final case class AnomalyPoint(event_type: String, bucket: Long,
+      mean_value: Double, trailing_mu: Double, trailing_sd: Double,
+      z: Double, is_anomaly: Int)
+  final case class TrailState(curBucket: Long, s: Double, n: Long,
+      hist: Seq[(Long, Double)])
+
+  def anomalyStream(df: DataFrame, slack: String = "2 hours"): Dataset[AnomalyPoint] = {
+    import org.apache.spark.sql.Encoders
+    implicit val stEnc: Encoder[(TrailState, Seq[Ev])] =
+      Encoders.product[(TrailState, Seq[Ev])]
+    implicit val outEnc: Encoder[AnomalyPoint] = Encoders.product[AnomalyPoint]
+    implicit val keyEnc: Encoder[String] = Encoders.STRING
+    implicit val evEnc: Encoder[Ev] = Encoders.product[Ev]
+    // close the open bucket: score against the trailing window, in the
+    // same fold order and formula as the batch query, then push the
+    // closed mean into the trailing history
+    def close(et: String, st: TrailState): (TrailState, Seq[AnomalyPoint]) = {
+      val mean = st.s / st.n
+      val out =
+        if (st.hist.length >= 4) {
+          val nt = st.hist.length
+          val s1 = st.hist.foldLeft(0.0)(_ + _._2)
+          val s2 = st.hist.foldLeft(0.0)((a, h) => a + h._2 * h._2)
+          val mu = s1 / nt
+          val sd = math.sqrt(math.max((s2 - s1 * s1 / nt) / (nt - 1), 0.0))
+          val z = if (sd > 0) (mean - mu) / sd else 0.0
+          Seq(AnomalyPoint(et, st.curBucket, mean, mu, sd, z,
+            if (sd > 0 && math.abs(z) > 2) 1 else 0))
+        } else Nil
+      (TrailState(-1L, 0.0, 0L,
+        (st.hist :+ (st.curBucket, mean)).takeRight(12)), out)
+    }
+    orderedPerKeyBy[String, TrailState, AnomalyPoint](df, slack,
+      TrailState(-1L, 0.0, 0L, Nil))(_._4)(
+      apply = { (et, e, st) =>
+        val bucket = Math.floorDiv(e._2.getTime, 21600000L)
+        val v = e._5
+        if (st.curBucket == -1L) (st.copy(curBucket = bucket, s = v, n = 1L), Nil)
+        else if (bucket == st.curBucket)
+          (st.copy(s = st.s + v, n = st.n + 1), Nil)
+        else {
+          val (closed, out) = close(et, st)
+          (closed.copy(curBucket = bucket, s = v, n = 1L), out)
+        }
+      },
+      // a bucket whose END the watermark crossed can never see another
+      // row — close it on time passing alone (no successor event needed)
+      onWatermark = { (et, wm, st) =>
+        if (st.curBucket >= 0L && wm >= (st.curBucket + 1L) * 21600000L)
+          close(et, st)
+        else (st, Nil)
+      },
+      watermarkWakeups = true)
   }
 
   def scd2Stream(ds: Dataset[(Long, java.sql.Timestamp, Long, String)])(

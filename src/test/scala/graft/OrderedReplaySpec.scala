@@ -21,11 +21,11 @@ class OrderedReplaySpec extends SparkSpec {
     * (ts + jitter(event_id)) with jitter < 30 min, so every row is
     * displaced from true event order by strictly less than the 2 h
     * watermark slack (and can therefore never arrive sub-watermark). */
-  private def shuffledEvents(): (Array[Stateful.Ev], Stateful.Ev) = {
+  private def shuffledEvents(): (Array[Stateful.Ev], java.sql.Timestamp) = {
     val s = spark
     import s.implicits._
     val events = Tables.events(s, sf)
-      .select("user_id", "ts", "event_id", "event_type")
+      .select("user_id", "ts", "event_id", "event_type", "value")
       .as[Stateful.Ev].collect()
     val shuffled = events.sortBy { e =>
       val jitter = Math.floorMod(e._3 * 2654435761L, 1800000L)
@@ -33,22 +33,25 @@ class OrderedReplaySpec extends SparkSpec {
     }
     val sentinelTs = new java.sql.Timestamp(
       events.map(_._2.getTime).max + 30L * 86400 * 1000)
-    (shuffled, (-1L, sentinelTs, -1L, "zz_sentinel"))
+    (shuffled, sentinelTs)
   }
 
-  /** Feed the shuffled log in three micro-batches plus a watermark-
-    * advancing sentinel through `op`, collecting the append-mode output
+  /** Feed the shuffled log in three micro-batches plus watermark-
+    * advancing sentinels through `op`, collecting the append-mode output
     * from a memory sink. */
-  private def runStream(name: String)(op: DataFrame => Dataset[_]): DataFrame = {
+  private def runStream(name: String,
+      sentinelsOf: java.sql.Timestamp => Seq[Stateful.Ev] =
+        ts => Seq((-1L, ts, -1L, "zz_sentinel", 0.0)))(
+      op: DataFrame => Dataset[_]): DataFrame = {
     val s = spark
     import s.implicits._
     implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.Trigger
 
-    val (shuffled, sentinel) = shuffledEvents()
+    val (shuffled, sentinelTs) = shuffledEvents()
     val input = MemoryStream[Stateful.Ev]
-    val q = op(input.toDS().toDF("user_id", "ts", "event_id", "event_type"))
+    val q = op(input.toDS().toDF("user_id", "ts", "event_id", "event_type", "value"))
       .writeStream.format("memory").queryName(name)
       .trigger(Trigger.ProcessingTime(50)).start()
     val third = shuffled.length / 3
@@ -56,7 +59,7 @@ class OrderedReplaySpec extends SparkSpec {
       shuffled.drop(2 * third)).foreach { chunk =>
       input.addData(chunk.toSeq); q.processAllAvailable()
     }
-    input.addData(Seq(sentinel))
+    input.addData(sentinelsOf(sentinelTs))
     q.processAllAvailable()
     q.stop()
     s.table(name)
@@ -92,6 +95,39 @@ class OrderedReplaySpec extends SparkSpec {
       .map(r => r.getInt(0) -> r.getLong(2)).toMap
     assert(streamed.nonEmpty)
     assert(streamed == batch, s"streamed=$streamed batch=$batch")
+  }
+
+  test("streaming anomaly: scored buckets == batch q60 within fp tolerance") {
+    val s = spark
+    // the generic sentinel only needs to advance the WATERMARK past the
+    // last real bucket end: anomalyStream closes buckets on watermark
+    // passage alone (onWatermark), no per-key successor event required
+    val out = runStream("ooo_anomaly")(df =>
+      Stateful.anomalyStream(df, "2 hours"))
+    val streamed = out.collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getInt(6))).toMap
+    val batch = SparkEntry.queries("q60_anomaly_zscore")(s, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          if (r.isNullAt(5)) Double.NaN else r.getDouble(5), r.getInt(6)))
+      .toMap
+    assert(streamed.nonEmpty)
+    assert(streamed.keySet == batch.keySet,
+      s"stream-only: ${streamed.keySet.diff(batch.keySet).take(3)}; " +
+        s"batch-only: ${batch.keySet.diff(streamed.keySet).take(3)}")
+    // batch values are r4-rounded; streamed are raw incremental sums —
+    // compare within the rounding half-width plus fp drift
+    streamed.foreach { case (k, (m, mu, sd, z, flag)) =>
+      val (bm, bmu, bsd, bz, bflag) = batch(k)
+      assert(math.abs(m - bm) <= 1e-3, s"$k mean $m vs $bm")
+      assert(math.abs(mu - bmu) <= 1e-3, s"$k mu $mu vs $bmu")
+      assert(math.abs(sd - bsd) <= 1e-3, s"$k sd $sd vs $bsd")
+      assert(!bz.isNaN, s"$k batch sd hit exactly 0 — revisit tolerance")
+      assert(math.abs(z - bz) <= 1e-2, s"$k z $z vs $bz")
+      assert(flag == bflag, s"$k flag $flag vs $bflag (z=$z)")
+    }
   }
 
   test("streaming retention: emitted activity == batch q58 cohort matrix") {
