@@ -251,5 +251,67 @@ object Temporal {
            |       THEN 1 ELSE 0 END AS INT) AS is_anomaly
            |FROM c ORDER BY 1, 2""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(q48Scd2, q55GapFill, q56Ohlc, q60Anomaly)
+  // ---------------------------------------------------------------- q63
+  /** Cross-series correlation: Pearson r between every pair of event
+    * types' 6-hour bucket-mean series (inner-joined on bucket) — the
+    * "which metrics move together" question behind alert grouping and
+    * root-cause hints. Computed from explicit sums (n, Σx, Σy, Σxy, Σx²,
+    * Σy²) rather than a corr() aggregate so the formula is the same
+    * IEEE expression in both engines (r6-rounded: summation order across
+    * partitions is the only remaining degree of freedom).
+    *
+    * Scale shape: corpus-sized work is the one bucketed hash aggregate;
+    * the pair join and correlation run over the domain-bounded series
+    * (card(types)² pairs × buckets). */
+  val q63SeriesCorr = QueryDef(
+    "q63_series_correlation",
+    (s, d) => {
+      import graft.functions.Rounding.r6
+      val b = Tables.events(s, d)
+        .select(col("event_type"),
+          floor(col("ts").cast("long") / 21600).as("bucket"), col("value"))
+        .groupBy("event_type", "bucket").agg(avg("value").as("m"))
+      val j = b.as("a").join(b.as("b"),
+          col("a.bucket") === col("b.bucket") &&
+          col("a.event_type") < col("b.event_type"))
+        .select(col("a.event_type").as("type_a"),
+          col("b.event_type").as("type_b"),
+          col("a.m").as("x"), col("b.m").as("y"))
+      j.groupBy("type_a", "type_b")
+        .agg(count(lit(1)).as("n_buckets"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("type_a"), col("type_b"), col("n_buckets"),
+          r6((col("n_buckets") * col("sxy") - col("sx") * col("sy")) /
+            sqrt(greatest(
+              (col("n_buckets") * col("sxx") - col("sx") * col("sx")) *
+              (col("n_buckets") * col("syy") - col("sy") * col("sy")),
+              lit(1e-300)))).as("corr"))
+        .orderBy("type_a", "type_b")
+    },
+    Some("""WITH b AS (
+           |  SELECT event_type, CAST(floor(epoch(ts)/21600.0) AS BIGINT) AS bucket,
+           |         avg(value) AS m
+           |  FROM events GROUP BY 1, 2),
+           |j AS (
+           |  SELECT u.event_type AS type_a, v.event_type AS type_b,
+           |         u.m AS x, v.m AS y
+           |  FROM b u JOIN b v ON u.bucket = v.bucket
+           |   AND u.event_type < v.event_type),
+           |agg AS (
+           |  SELECT type_a, type_b, CAST(count(*) AS BIGINT) AS n_buckets,
+           |    sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy,
+           |    sum(x*x) AS sxx, sum(y*y) AS syy
+           |  FROM j GROUP BY 1, 2)
+           |SELECT type_a, type_b, n_buckets,
+           |  round((n_buckets * sxy - sx * sy) /
+           |    sqrt(greatest((n_buckets * sxx - sx * sx)
+           |                * (n_buckets * syy - sy * sy), 1e-300))
+           |    * 1000000) / 1000000 AS corr
+           |FROM agg ORDER BY 1, 2""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q48Scd2, q55GapFill, q56Ohlc, q60Anomaly,
+    q63SeriesCorr)
 }
