@@ -1,8 +1,10 @@
 package graft.operators
 
+import org.apache.spark.sql.Encoders
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
-import graft.functions.Rounding.r2
+import graft.functions.Rounding.{r2, r6}
+import graft.functions.{TextFunctions => T}
 
 /** Skew-handling patterns for hot keys at cluster scale.
   *
@@ -123,5 +125,86 @@ object Skew {
            |  CAST(max(o_orderdate) AS DATE) AS max_date
            |FROM orders""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(q36SaltedAgg, q46HashSample, q50Histogram, q53Profile)
+  // ---------------------------------------------------------------- q66
+  /** Exact heavy hitters with bounded memory — the two-pass
+    * sketch-then-recount pattern: pass 1 runs a Misra-Gries summary
+    * (k = 16384 counters) over the corpus trigram stream as one
+    * map-side-combined aggregate, whose survivors are a CANDIDATE set
+    * guaranteed to contain every trigram with frequency > n/(k+1);
+    * pass 2 recounts only the candidates exactly (broadcast semi-join →
+    * hash-agg bounded by k groups) and keeps those above the guarantee
+    * threshold. Output is exact and deterministic even though the
+    * sketch itself is merge-order-dependent — so the oracle is plain
+    * GROUP BY/HAVING, while at 100 TB the engine never materializes the
+    * full n-gram vocabulary (the naive groupBy's shuffle cardinality).
+    *
+    * Scale shape: two corpus scans; state is ≤ k entries per map task
+    * (pass 1) and ≤ k groups total (pass 2). The candidate broadcast is
+    * ≤ k rows by construction. */
+  val q66HeavyHitters = QueryDef(
+    "q66_heavy_hitters",
+    (s, d) => {
+      val k = 16384
+      val mg = udaf(new graft.functions.MisraGries(k), Encoders.STRING)
+      def grams = Tables.documents(s, d)
+        .select(T.tokens(col("text")).as("toks"))
+        .select(explode(T.shinglesAll(col("toks"), 3)).as("gram"))
+      val cand = grams.agg(mg(col("gram")).as("sk"))
+        .select(explode(map_keys(col("sk"))).as("gram"))
+      val total = grams.agg(count(lit(1)).as("n_total"))
+      grams.join(broadcast(cand), Seq("gram"), "left_semi")
+        .groupBy("gram").agg(count(lit(1)).as("n_occurrences"))
+        .crossJoin(broadcast(total))
+        .filter(col("n_occurrences") * (k + 1) > col("n_total"))
+        .select(col("gram"), col("n_occurrences"),
+          r6(col("n_occurrences") / col("n_total")).as("share"))
+        .orderBy(col("n_occurrences").desc, col("gram"))
+    },
+    Some("""WITH g AS (
+           |  SELECT unnest(list_transform(range(1, greatest(len(t)-2, 0)+1),
+           |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+           |  FROM (SELECT string_split(text, ' ') AS t FROM documents)),
+           |tot AS (SELECT count(*) AS n_total FROM g)
+           |SELECT gram, CAST(count(*) AS BIGINT) AS n_occurrences,
+           |  round(count(*) / (SELECT n_total FROM tot) * 1000000) / 1000000
+           |    AS share
+           |FROM g GROUP BY gram
+           |HAVING count(*) * 16385 > (SELECT n_total FROM tot)
+           |ORDER BY n_occurrences DESC, gram""".stripMargin))
+
+  // ---------------------------------------------------------------- q67
+  /** Mergeable distinct-count rollup: per (event_type, day) HLL sketches
+    * of the user set, unioned per event_type — the pre-aggregation
+    * pattern that makes 100 TB distinct-counting cheap: daily sketches
+    * are built once (map-side combinable, fixed 2^12 registers), and any
+    * rollup (weekly/monthly/all-time, any type subset) is a register-max
+    * union over the TINY sketch table, never a re-scan of the raw log.
+    * `sum_daily` carries the naive sum-of-daily-distincts for contrast
+    * (it overcounts users active on multiple days — the error sketches
+    * exist to avoid).
+    *
+    * No oracle: the estimates are DataSketches-specific (deterministic —
+    * HLL state is a register-wise max, order-independent — but not
+    * reproducible in the oracle engine). SketchRollupSpec gates the
+    * estimates against exact distincts (<2% error at lgK=12) and pins
+    * union-vs-direct consistency. */
+  val q67SketchRollup = QueryDef(
+    "q67_sketch_rollup",
+    (s, d) => {
+      val daily = Tables.events(s, d)
+        .select(col("event_type"), to_date(col("ts")).as("day"), col("user_id"))
+        .groupBy("event_type", "day")
+        .agg(hll_sketch_agg(col("user_id"), lit(12)).as("sk"),
+          count_distinct(col("user_id")).as("n_exact_day"))
+      daily.groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"),
+          hll_sketch_estimate(hll_union_agg(col("sk"), lit(false)))
+            .cast("long").as("est_users"),
+          sum("n_exact_day").as("sum_daily"))
+        .orderBy("event_type")
+    },
+    None)
+
+  val all: Seq[QueryDef] = Seq(q36SaltedAgg, q46HashSample, q50Histogram,
+    q53Profile, q66HeavyHitters, q67SketchRollup)
 }

@@ -312,6 +312,129 @@ object Temporal {
            |    * 1000000) / 1000000 AS corr
            |FROM agg ORDER BY 1, 2""".stripMargin))
 
+  // ---------------------------------------------------------------- q64
+  /** Exponentially-weighted moving average: per event_type, the exact
+    * recursive EWMA (α = 0.2) over the 6-hour bucket-mean series —
+    * e_0 = m_0, e_i = α·m_i + (1-α)·e_{i-1}. The smoothing baseline
+    * behind q60's anomaly z-scores and most "trend vs level" monitors.
+    *
+    * The recurrence is inherently sequential per series, so it is NOT a
+    * window function: Spark runs a typed groupByKey + flatMapGroups
+    * sequential scan per series; the oracle replays the identical
+    * recurrence as a recursive CTE. Both engines evaluate the same IEEE
+    * expression `0.2 * m + 0.8 * e` in the same order, so the series
+    * agree to the ulp (r4-rounded for the avg()'s partial-sum freedom).
+    *
+    * Scale shape: corpus-sized work is the one map-side-combined hash
+    * aggregate into (event_type, bucket) cells; the sequential scan runs
+    * over the bucketed series, bounded by the TIME DOMAIN, not event
+    * volume (the q60 argument), with O(1) running state — the batch twin
+    * of a flatMapGroupsWithState streaming EWMA. */
+  val q64Ewma = QueryDef(
+    "q64_ewma",
+    (s, d) => {
+      import s.implicits._
+      import graft.functions.Rounding.r4
+      val series = Tables.events(s, d)
+        .select(col("event_type"),
+          floor(col("ts").cast("long") / 21600).as("bucket"), col("value"))
+        .groupBy("event_type", "bucket").agg(avg("value").as("m"))
+        .as[(String, Long, Double)]
+      series.groupByKey(_._1)
+        .flatMapGroups { (k, it) =>
+          val pts = it.toArray.sortBy(_._2)
+          var e = 0.0
+          pts.iterator.zipWithIndex.map { case ((_, b, m), i) =>
+            e = if (i == 0) m else 0.2 * m + 0.8 * e
+            (k, b, m, e)
+          }
+        }
+        .toDF("event_type", "bucket", "m", "e")
+        .select(col("event_type"), col("bucket"),
+          r4(col("m")).as("mean_value"), r4(col("e")).as("ewma"))
+        .orderBy("event_type", "bucket")
+    },
+    Some("""WITH RECURSIVE b AS (
+           |  SELECT event_type, CAST(floor(epoch(ts)/21600.0) AS BIGINT) AS bucket,
+           |         avg(value) AS m
+           |  FROM events GROUP BY 1, 2),
+           |s AS (
+           |  SELECT event_type, bucket, m,
+           |    row_number() OVER (PARTITION BY event_type ORDER BY bucket) AS rn
+           |  FROM b),
+           |r AS (
+           |  SELECT event_type, bucket, m, rn, m AS e FROM s WHERE rn = 1
+           |  UNION ALL
+           |  SELECT s.event_type, s.bucket, s.m, s.rn, 0.2 * s.m + 0.8 * r.e
+           |  FROM s JOIN r ON s.event_type = r.event_type AND s.rn = r.rn + 1)
+           |SELECT event_type, bucket,
+           |  round(m * 10000) / 10000 AS mean_value,
+           |  round(e * 10000) / 10000 AS ewma
+           |FROM r ORDER BY 1, 2""".stripMargin))
+
+  // ---------------------------------------------------------------- q65
+  /** Autocorrelation function: per event_type, Pearson r between the
+    * 6-hour bucket-mean series and itself shifted by k = 1..6 buckets
+    * (pairs matched on exact bucket distance, so series gaps don't
+    * smear the lag). The seasonality probe — a daily cycle on 6-hour
+    * buckets shows up as an ACF peak at lag 4.
+    *
+    * Same explicit-sum Pearson as q63 (identical IEEE expression in both
+    * engines, r6-rounded); pairs come from a self-join on bucket
+    * distance rather than lag() so k never crosses series holes.
+    *
+    * Scale shape: corpus-sized work is the one bucketed hash aggregate;
+    * the self-join keys on event_type over the domain-bounded series
+    * (≤ 6·buckets pairs per type) — the q63 argument. */
+  val q65Autocorr = QueryDef(
+    "q65_autocorrelation",
+    (s, d) => {
+      import graft.functions.Rounding.r6
+      val b = Tables.events(s, d)
+        .select(col("event_type"),
+          floor(col("ts").cast("long") / 21600).as("bucket"), col("value"))
+        .groupBy("event_type", "bucket").agg(avg("value").as("m"))
+      val j = b.as("a").join(b.as("c"),
+          col("a.event_type") === col("c.event_type") &&
+          (col("a.bucket") - col("c.bucket")).between(1, 6))
+        .select(col("a.event_type").as("event_type"),
+          (col("a.bucket") - col("c.bucket")).as("lag_k"),
+          col("a.m").as("x"), col("c.m").as("y"))
+      j.groupBy("event_type", "lag_k")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"),
+          sum(col("y") * col("y")).as("syy"))
+        .select(col("event_type"), col("lag_k"), col("n_pairs"),
+          r6((col("n_pairs") * col("sxy") - col("sx") * col("sy")) /
+            sqrt(greatest(
+              (col("n_pairs") * col("sxx") - col("sx") * col("sx")) *
+              (col("n_pairs") * col("syy") - col("sy") * col("sy")),
+              lit(1e-300)))).as("acf"))
+        .orderBy("event_type", "lag_k")
+    },
+    Some("""WITH b AS (
+           |  SELECT event_type, CAST(floor(epoch(ts)/21600.0) AS BIGINT) AS bucket,
+           |         avg(value) AS m
+           |  FROM events GROUP BY 1, 2),
+           |j AS (
+           |  SELECT a.event_type, a.bucket - c.bucket AS lag_k,
+           |         a.m AS x, c.m AS y
+           |  FROM b a JOIN b c ON a.event_type = c.event_type
+           |   AND a.bucket - c.bucket BETWEEN 1 AND 6),
+           |agg AS (
+           |  SELECT event_type, lag_k, CAST(count(*) AS BIGINT) AS n_pairs,
+           |    sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy,
+           |    sum(x*x) AS sxx, sum(y*y) AS syy
+           |  FROM j GROUP BY 1, 2)
+           |SELECT event_type, lag_k, n_pairs,
+           |  round((n_pairs * sxy - sx * sy) /
+           |    sqrt(greatest((n_pairs * sxx - sx * sx)
+           |                * (n_pairs * syy - sy * sy), 1e-300))
+           |    * 1000000) / 1000000 AS acf
+           |FROM agg ORDER BY 1, 2""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q48Scd2, q55GapFill, q56Ohlc, q60Anomaly,
-    q63SeriesCorr)
+    q63SeriesCorr, q64Ewma, q65Autocorr)
 }

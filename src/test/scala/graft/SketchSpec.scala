@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.Encoders
+import org.apache.spark.sql.functions._
+import graft.functions.MisraGries
+
+/** Gates for the two sketch operators (Skew.scala q66/q67) whose inner
+  * summaries are engine-specific: the Misra-Gries frequency guarantees
+  * and the HLL rollup's accuracy/consistency. */
+class SketchSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  // ------------------------------------------------------- Misra-Gries
+  test("misra-gries keeps every item above n/(k+1) and undercounts by <= n/(k+1)") {
+    val s = spark
+    import s.implicits._
+    // adversarial skew: item i repeated ~2^(12-i) times, plus a uniform
+    // tail far wider than k — forces constant compaction
+    val stream = (0 to 11).flatMap(i => Seq.fill(1 << (12 - i))(s"hot_$i")) ++
+      (0 until 6000).map(i => s"tail_${i % 3000}")
+    val n = stream.length.toLong
+    val k = 64
+    val exact = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val mg = udaf(new MisraGries(k), Encoders.STRING)
+    // shuffle the stream across partitions so merges see interleaved data
+    val summary = stream.zipWithIndex
+      .sortBy { case (_, i) => (i * 2654435761L) % n }.map(_._1)
+      .toDF("item").repartition(8)
+      .agg(mg(col("item"))).as[Map[String, Long]].head()
+
+    assert(summary.size <= k)
+    val bound = n / (k + 1) // D <= n/(k+1)
+    exact.foreach { case (item, c) =>
+      if (c > bound)
+        assert(summary.contains(item), s"guaranteed item $item (count $c) evicted")
+    }
+    summary.foreach { case (item, est) =>
+      val c = exact(item)
+      assert(est <= c, s"$item overestimated: $est > $c")
+      assert(c - est <= bound, s"$item undercount ${c - est} > bound $bound")
+    }
+  }
+
+  test("q66 output == exact trigram heavy hitters (candidate set is sufficient)") {
+    val df = SparkEntry.queries("q66_heavy_hitters")(spark, sf)
+    val got = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val k = 16384
+    val grams = Tables.documents(spark, sf)
+      .select(explode(graft.functions.TextFunctions.shinglesAll(
+        graft.functions.TextFunctions.tokens(col("text")), 3)).as("gram"))
+    val n = grams.count()
+    val exact = grams.groupBy("gram").count()
+      .filter(col("count") * (k + 1) > n)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == exact, s"q66 diverges from exact: " +
+      s"missing=${(exact.keySet -- got.keySet).take(3)} " +
+      s"extra=${(got.keySet -- exact.keySet).take(3)}")
+    assert(got.nonEmpty)
+  }
+
+  // -------------------------------------------------------- HLL rollup
+  test("q67 union estimates within 2% of exact distinct users per type") {
+    val est = SparkEntry.queries("q67_sketch_rollup")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    val exact = Tables.events(spark, sf)
+      .groupBy("event_type").agg(count_distinct(col("user_id")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet)
+    exact.foreach { case (t, n) =>
+      val e = est(t)
+      assert(math.abs(e - n).toDouble / n < 0.02,
+        s"$t: estimate $e vs exact $n (${math.abs(e - n).toDouble / n})")
+    }
+  }
+
+  test("q67 daily-sketch union == direct sketch over the full range") {
+    val viaUnion = SparkEntry.queries("q67_sketch_rollup")(spark, sf)
+      .select("event_type", "est_users")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val direct = Tables.events(spark, sf)
+      .groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"), lit(12)))
+        .cast("long").as("est"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(viaUnion == direct,
+      s"union-of-daily vs direct sketch diverge: $viaUnion vs $direct")
+  }
+}
