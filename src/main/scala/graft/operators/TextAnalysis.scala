@@ -313,7 +313,65 @@ object TextAnalysis {
            |       AND dup_ratio < 0.5 AS INT) AS keep
            |FROM g ORDER BY doc_id""".stripMargin))
 
+  // ---------------------------------------------------------------- t11
+  /** Bigram-LM mean log-probability per document: score each doc by
+    * mean ln P(w_i | w_{i-1}) under an add-k-smoothed (k = 0.5) bigram
+    * model fitted on the corpus itself — the next step up from t08's
+    * unigram scorer, and the cheap stand-in for the perplexity filters
+    * training pipelines run (low scores = disfluent/boilerplate-mangled
+    * text; t08-vs-t11 divergence flags word-salad that unigram stats
+    * can't see). Context counts c1(w1) sum the bigram table (so the
+    * conditional distribution normalizes exactly); V is the unigram
+    * vocabulary.
+    *
+    * Scale shape: posting-list equi-joins only — per-doc bigram tf joins
+    * the corpus bigram table on gram and the context table on w1, both
+    * map-side-combined hash-aggs first; V is a scalar broadcast. Same
+    * shuffle skeleton as t08/t05. */
+  val t11BigramLm = QueryDef(
+    "t11_bigram_logprob",
+    (s, d) => {
+      val bg = Tables.documents(s, d)
+        .select(col("doc_id"),
+          explode(T.shinglesAll(T.tokens(col("text")), 2)).as("gram"))
+      val tf = bg.groupBy("doc_id", "gram").agg(count(lit(1)).as("tf"))
+      val c2 = tf.groupBy("gram").agg(sum("tf").as("c2"))
+        .withColumn("w1", substring_index(col("gram"), " ", 1))
+      val c1 = c2.groupBy("w1").agg(sum("c2").as("c1"))
+      val vocab = Tables.documents(s, d)
+        .select(explode(T.tokens(col("text"))).as("tok"))
+        .agg(countDistinct("tok").cast("double").as("v"))
+      tf.join(c2, Seq("gram")).join(c1, Seq("w1"))
+        .crossJoin(broadcast(vocab)) // scalar broadcast, no driver action
+        .groupBy("doc_id")
+        .agg(sum("tf").as("n_bigrams"),
+          r4(sum(col("tf") *
+              log((col("c2") + 0.5) / (col("c1") + col("v") * 0.5))) / sum("tf"))
+            .as("mean_logprob"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+           |bg AS (
+           |  SELECT doc_id,
+           |    unnest(list_transform(range(1, greatest(len(t)-1, 0)+1),
+           |      i -> t[i] || ' ' || t[i+1])) AS gram
+           |  FROM toks),
+           |tf AS (SELECT doc_id, gram, count(*) AS tf FROM bg GROUP BY 1, 2),
+           |c2 AS (SELECT gram, CAST(sum(tf) AS BIGINT) AS c2,
+           |              string_split(gram, ' ')[1] AS w1
+           |       FROM tf GROUP BY 1),
+           |c1 AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM c2 GROUP BY 1),
+           |v AS (SELECT CAST(count(DISTINCT tok) AS DOUBLE) AS v
+           |      FROM (SELECT unnest(string_split(text, ' ')) AS tok
+           |            FROM documents))
+           |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_bigrams,
+           |  round(sum(tf * ln((c2 + 0.5) / (c1 + 0.5 * v))) / sum(tf)
+           |        * 10000) / 10000 AS mean_logprob
+           |FROM tf JOIN c2 USING (gram) JOIN c1 USING (w1) CROSS JOIN v
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
   val all: Seq[QueryDef] =
     Seq(t01LangId, t02Quality, t03TokenCount, t04RollingHash, t05TfIdf,
-      t08UnigramLm, t09TokenEntropy, t10GopherRules)
+      t08UnigramLm, t09TokenEntropy, t10GopherRules, t11BigramLm)
 }

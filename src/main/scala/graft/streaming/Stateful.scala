@@ -326,6 +326,53 @@ object Stateful {
       watermarkWakeups = true)
   }
 
+  /** Streaming twin of the exact recursive EWMA (Temporal.q64Ewma),
+    * keyed by event_type: the state machine accumulates the open 6-hour
+    * bucket's (sum, count) and carries the previous EWMA value; when the
+    * watermark (or an ordered successor row) closes a bucket it emits
+    * the bucket mean and e = 0.2·mean + 0.8·e_prev — the identical IEEE
+    * expression, applied in the identical bucket order, as the batch
+    * recurrence, so streamed == batch to the ulp. State is O(1) per key
+    * (two doubles, a count, a flag) plus the reordering buffer. */
+  final case class EwmaPoint(event_type: String, bucket: Long,
+      mean_value: Double, ewma: Double)
+  final case class EwmaState(curBucket: Long, s: Double, n: Long,
+      prev: Double, hasPrev: Boolean)
+
+  def ewmaStream(df: DataFrame, slack: String = "2 hours"): Dataset[EwmaPoint] = {
+    import org.apache.spark.sql.Encoders
+    implicit val stEnc: Encoder[(EwmaState, Seq[Ev])] =
+      Encoders.product[(EwmaState, Seq[Ev])]
+    implicit val outEnc: Encoder[EwmaPoint] = Encoders.product[EwmaPoint]
+    implicit val keyEnc: Encoder[String] = Encoders.STRING
+    implicit val evEnc: Encoder[Ev] = Encoders.product[Ev]
+    def close(et: String, st: EwmaState): (EwmaState, Seq[EwmaPoint]) = {
+      val mean = st.s / st.n
+      val e = if (st.hasPrev) 0.2 * mean + 0.8 * st.prev else mean
+      (EwmaState(-1L, 0.0, 0L, e, hasPrev = true),
+        Seq(EwmaPoint(et, st.curBucket, mean, e)))
+    }
+    orderedPerKeyBy[String, EwmaState, EwmaPoint](df, slack,
+      EwmaState(-1L, 0.0, 0L, 0.0, hasPrev = false))(_._4)(
+      apply = { (et, e, st) =>
+        val bucket = Math.floorDiv(e._2.getTime, 21600000L)
+        val v = e._5
+        if (st.curBucket == -1L) (st.copy(curBucket = bucket, s = v, n = 1L), Nil)
+        else if (bucket == st.curBucket)
+          (st.copy(s = st.s + v, n = st.n + 1), Nil)
+        else {
+          val (closed, out) = close(et, st)
+          (closed.copy(curBucket = bucket, s = v, n = 1L), out)
+        }
+      },
+      onWatermark = { (et, wm, st) =>
+        if (st.curBucket >= 0L && wm >= (st.curBucket + 1L) * 21600000L)
+          close(et, st)
+        else (st, Nil)
+      },
+      watermarkWakeups = true)
+  }
+
   def scd2Stream(ds: Dataset[(Long, java.sql.Timestamp, Long, String)])(
       implicit e1: Encoder[Scd2State], e2: Encoder[Scd2Period],
       e3: Encoder[Long]): Dataset[Scd2Period] =

@@ -130,6 +130,29 @@ class OrderedReplaySpec extends SparkSpec {
     }
   }
 
+  test("streaming ewma: closed buckets == batch q64 recurrence within fp tolerance") {
+    val s = spark
+    val out = runStream("ooo_ewma")(df => Stateful.ewmaStream(df, "2 hours"))
+    val streamed = out.filter("event_type <> 'zz_sentinel'").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    val batch = SparkEntry.queries("q64_ewma")(s, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3))).toMap
+    assert(streamed.nonEmpty)
+    assert(streamed.keySet == batch.keySet,
+      s"stream-only: ${streamed.keySet.diff(batch.keySet).take(3)}; " +
+        s"batch-only: ${batch.keySet.diff(streamed.keySet).take(3)}")
+    // batch values are r4-rounded; streamed are raw — the recurrence is
+    // the same IEEE expression in the same order, so the gap is at most
+    // the rounding half-width
+    streamed.foreach { case (k, (m, e)) =>
+      val (bm, be) = batch(k)
+      assert(math.abs(m - bm) <= 1e-3, s"$k mean $m vs $bm")
+      assert(math.abs(e - be) <= 1e-3, s"$k ewma $e vs $be")
+    }
+  }
+
   test("streaming retention: emitted activity == batch q58 cohort matrix") {
     val s = spark
     val out = runStream("ooo_retention")(df =>
