@@ -478,8 +478,39 @@ object Curation {
            |  round((sq / denom) / p * 1000000) / 1000000 AS boost
            |FROM v ORDER BY source""".stripMargin))
 
+  // ---------------------------------------------------------------- x09
+  /** Leakage-free train/eval split: assign documents to train or eval
+    * ATOMICALLY by near-dup cluster (d03's transitive MinHash clusters),
+    * so no eval document has a near-duplicate sitting in train — the
+    * contamination mode a doc-level random split cannot prevent, and the
+    * reason eval splits must be drawn AFTER clustering, not before. The
+    * split decision is a deterministic hash of the cluster id (md5 first
+    * hex digit ∈ {0,1} → eval ≈ 2/16), so the assignment is reproducible
+    * across runs, engines, and repartitionings — the q46 property, lifted
+    * from rows to clusters.
+    *
+    * Scale shape: d03's label propagation (posture documented there);
+    * the split itself is a pure projection on the cluster label — no
+    * additional shuffle. CurationSpec gates cluster atomicity and the
+    * eval fraction. */
+  val x09LeakageSplit = QueryDef(
+    "x09_leakage_split",
+    (s, d) => {
+      Dedup.minhashClusters(Tables.documents(s, d))
+        .withColumn("split",
+          when(substring(md5(col("cluster_id").cast("string")), 1, 1)
+            .isin("0", "1"), "eval").otherwise("train"))
+        .select("doc_id", "cluster_id", "split")
+        .orderBy("doc_id")
+    },
+    Some(Dedup.minhashCteSql + """
+         |SELECT doc_id, cluster_id,
+         |  CASE WHEN substring(md5(CAST(cluster_id AS VARCHAR)), 1, 1)
+         |            IN ('0', '1') THEN 'eval' ELSE 'train' END AS split
+         |FROM lbl ORDER BY doc_id""".stripMargin))
+
   val all: Seq[QueryDef] =
     Seq(x01Decontaminate, x02StratifiedSample, x03DomainMix,
       t06PiiRedact, t07Repetition, x04ContainmentScore, x05WeightedSample,
-      x06PackSequences, x07ClusterReps, x08TemperatureMix)
+      x06PackSequences, x07ClusterReps, x08TemperatureMix, x09LeakageSplit)
 }

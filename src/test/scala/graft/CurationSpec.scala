@@ -184,4 +184,22 @@ class CurationSpec extends SparkSpec {
     assert(out(2L).getDouble(2) == 0.0)
     assert(out(2L).getDouble(3) < 0.05)
   }
+
+  test("x09 split is cluster-atomic with a sane eval fraction") {
+    val rows = SparkEntry.queries("x09_leakage_split")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    assert(rows.nonEmpty)
+    // every doc assigned exactly once
+    assert(rows.map(_._1).distinct.length == rows.length)
+    // cluster-atomic: a cluster never straddles the split boundary —
+    // so no eval doc can have a near-duplicate (same d03 cluster) in train
+    rows.groupBy(_._2).foreach { case (cid, members) =>
+      assert(members.map(_._3).distinct.length == 1,
+        s"cluster $cid straddles the train/eval split")
+    }
+    // md5 first-hex-digit ∈ {0,1} targets 2/16 = 12.5%; allow slack for
+    // cluster granularity at this corpus size
+    val evalFrac = rows.count(_._3 == "eval").toDouble / rows.length
+    assert(evalFrac > 0.04 && evalFrac < 0.30, s"eval fraction $evalFrac")
+  }
 }

@@ -38,4 +38,51 @@ class RecallSpec extends SparkSpec {
     // recovers the true neighbors the ADC scan surfaces.
     assert(recall >= 0.5, f"PQ recall collapsed: $recall%.2f")
   }
+
+  test("MMR rerank: anchored on top-1, contained in candidates, more diverse, deterministic") {
+    import org.apache.spark.sql.Row
+    def rows(name: String): Array[Row] =
+      SparkEntry.queries(name)(spark, sf).collect()
+    val exact = rows("s01_sim_topk")
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val mmr1 = rows("s08_sim_mmr")
+    val mmr = mmr1.map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(mmr.nonEmpty)
+    val qids = mmr.keys.map(_._1).toSet
+
+    // rank 1 is the plain top-1 (MMR with empty selected set = pure rel)
+    qids.foreach { q =>
+      assert(mmr((q, 1)) == exact((q, 1)), s"query $q: MMR rank-1 != top-1")
+    }
+    // k selections per query, all drawn from the exact top-50 candidates
+    val emb = Tables.embeddings(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      val dot = a.indices.foldLeft(0.0)((s, i) => s + a(i).toDouble * b(i))
+      val na = a.foldLeft(0.0)((s, x) => s + x.toDouble * x)
+      val nb = b.foldLeft(0.0)((s, x) => s + x.toDouble * x)
+      dot / math.sqrt(na * nb)
+    }
+    def meanPairwise(ids: Seq[Long]): Double = {
+      val pairs = for { i <- ids.indices; j <- i + 1 until ids.length }
+        yield cos(emb(ids(i)), emb(ids(j)))
+      pairs.sum / pairs.length
+    }
+    // diversity: the MMR set's mean pairwise similarity never exceeds the
+    // plain top-10's, and is strictly lower for at least one query
+    var strictly = 0
+    qids.foreach { q =>
+      assert(mmr.count(_._1._1 == q) == 10, s"query $q: wrong k")
+      val plain = meanPairwise((1 to 10).map(r => exact((q, r))))
+      val divers = meanPairwise((1 to 10).map(r => mmr((q, r))))
+      assert(divers <= plain + 1e-12,
+        s"query $q: MMR less diverse ($divers) than plain top-k ($plain)")
+      if (divers < plain - 1e-9) strictly += 1
+    }
+    assert(strictly >= 1, "MMR never improved diversity on any query")
+    // deterministic across runs
+    val mmr2 = rows("s08_sim_mmr")
+      .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(mmr == mmr2, "MMR output varies across runs")
+  }
 }
