@@ -161,6 +161,55 @@ class StatefulSpec extends SparkSpec {
       s"late row leaked into a closed window: $got")
     assert(got.map(_._2).sum == 2L, s"emitted counts: $got")
   }
+
+  test("streaming session windows == batch q37 sessions on the real event log") {
+    val s = spark
+    import s.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    val sf = "/root/testdata/sf0.001"
+
+    // gap-boundary note: session_window breaks at gap >= 10 min, the
+    // batch gaps-and-islands at gap > 10 min — the event log has no
+    // exact-600s inter-arrival at this SF, so the two definitions agree
+    val events = Tables.events(s, sf)
+      .select("user_id", "ts", "event_id", "event_type", "value")
+      .orderBy("ts", "event_id").as[Stateful.Ev].collect()
+    val sentinelTs = new Timestamp(
+      events.map(_._2.getTime).max + 30L * 86400 * 1000)
+    val input = MemoryStream[Stateful.Ev]
+    val q = Stateful.sessionize(
+        input.toDS().toDF("user_id", "ts", "event_id", "event_type", "value"),
+        "ts", "2 hours", "10 minutes")
+      .writeStream.format("memory").queryName("sess_parity")
+      .trigger(Trigger.ProcessingTime(50)).start()
+    val (first, rest) = events.splitAt(events.length / 2)
+    input.addData(first.toSeq); q.processAllAvailable()
+    input.addData(rest.toSeq); q.processAllAvailable()
+    input.addData(Seq((-1L, sentinelTs, -1L, "zz_sentinel", 0.0)))
+    q.processAllAvailable()
+    q.stop()
+
+    def canon(rows: Array[(Long, Long, Double)]): Map[Long, Seq[(Long, Double)]] =
+      rows.groupBy(_._1).view.mapValues(
+        _.map(r => (r._2, r._3)).sortBy(identity).toSeq).toMap
+    val streamed = canon(s.sql(
+      "SELECT user_id, n_events, sum_value FROM sess_parity WHERE user_id >= 0")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))))
+    val batch = canon(SparkEntry.queries("q37_sessionize")(s, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))))
+    assert(streamed.nonEmpty)
+    assert(streamed.keySet == batch.keySet)
+    streamed.foreach { case (user, sess) =>
+      val b = batch(user)
+      assert(sess.length == b.length, s"user $user: ${sess.length} streamed " +
+        s"sessions vs ${b.length} batch")
+      sess.zip(b).foreach { case ((n1, v1), (n2, v2)) =>
+        assert(n1 == n2, s"user $user: session sizes $n1 vs $n2")
+        // batch sums are r2-rounded, streamed raw
+        assert(math.abs(v1 - v2) <= 0.0051, s"user $user: $v1 vs $v2")
+      }
+    }
+  }
 }
 
 /** Shared state for the ForeachWriter test (writer is serialized per task). */
