@@ -213,6 +213,79 @@ object Behavioral {
            |FROM paths GROUP BY 1
            |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin))
 
+  // ---------------------------------------------------------------- q68
+  /** First/last-touch conversion attribution: for each user's FIRST
+    * purchase, credit the first and the last touch event (view/click)
+    * strictly before it — the marketing-analytics question the funnel
+    * doesn't answer (which touch type opens journeys vs which closes
+    * them), plus the mean last-touch→conversion latency per path.
+    * "Strictly before" is (ts, event_id) tuple order, so a same-ts
+    * touch/purchase pair resolves identically in both engines.
+    *
+    * Scale shape: one exchange on user_id for the first-purchase window,
+    * one equi-join of touches against the (≤ one row per user) purchase
+    * table, then the q56 open/close trick — first/last touch via two
+    * row_number windows over the SAME (user_id) partitioning the join
+    * just produced — and a final card(types²) hash-agg. No per-user
+    * collection, no self-join on the raw log. */
+  val q68Attribution = QueryDef(
+    "q68_attribution",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      val wp = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val conv = ev.filter(col("event_type") === "purchase")
+        .withColumn("rn", row_number().over(wp)).filter(col("rn") === 1)
+        .select(col("user_id"), col("ts").as("conv_ts"),
+          col("event_id").as("conv_id"))
+      val touches = ev.filter(col("event_type").isin("view", "click"))
+        .join(conv, "user_id")
+        .filter(struct(col("ts"), col("event_id")) <
+          struct(col("conv_ts"), col("conv_id")))
+      val wa = Window.partitionBy("user_id").orderBy(col("ts").asc, col("event_id").asc)
+      val wd = Window.partitionBy("user_id").orderBy(col("ts").desc, col("event_id").desc)
+      touches
+        .withColumn("rn_a", row_number().over(wa))
+        .withColumn("rn_d", row_number().over(wd))
+        .groupBy("user_id")
+        .agg(max(when(col("rn_a") === 1, col("event_type"))).as("first_touch"),
+          max(when(col("rn_d") === 1, col("event_type"))).as("last_touch"),
+          max(when(col("rn_d") === 1,
+            (unix_micros(col("conv_ts")) - unix_micros(col("ts"))) / 60000000.0))
+            .as("mins"))
+        .groupBy("first_touch", "last_touch")
+        .agg(count(lit(1)).as("n_conversions"), r4(avg("mins")).as("avg_mins_to_convert"))
+        .orderBy("first_touch", "last_touch")
+    },
+    Some("""WITH conv AS (
+           |  SELECT user_id, ts AS conv_ts, event_id AS conv_id
+           |  FROM (SELECT user_id, ts, event_id,
+           |          row_number() OVER (PARTITION BY user_id
+           |            ORDER BY ts, event_id) AS rn
+           |        FROM events WHERE event_type = 'purchase')
+           |  WHERE rn = 1),
+           |touches AS (
+           |  SELECT e.user_id, e.ts, e.event_id, e.event_type,
+           |         c.conv_ts, c.conv_id,
+           |    row_number() OVER (PARTITION BY e.user_id
+           |      ORDER BY e.ts ASC, e.event_id ASC) AS rn_a,
+           |    row_number() OVER (PARTITION BY e.user_id
+           |      ORDER BY e.ts DESC, e.event_id DESC) AS rn_d
+           |  FROM events e JOIN conv c USING (user_id)
+           |  WHERE e.event_type IN ('view', 'click')
+           |    AND (e.ts, e.event_id) < (c.conv_ts, c.conv_id)),
+           |per_user AS (
+           |  SELECT user_id,
+           |    max(CASE WHEN rn_a = 1 THEN event_type END) AS first_touch,
+           |    max(CASE WHEN rn_d = 1 THEN event_type END) AS last_touch,
+           |    max(CASE WHEN rn_d = 1 THEN
+           |      (epoch_us(conv_ts) - epoch_us(ts)) / 60000000.0 END) AS mins
+           |  FROM touches GROUP BY 1)
+           |SELECT first_touch, last_touch,
+           |  CAST(count(*) AS BIGINT) AS n_conversions,
+           |  round(avg(mins) * 10000) / 10000 AS avg_mins_to_convert
+           |FROM per_user GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q57Funnel, q58Retention, q61Markov,
-    q62SessionPaths)
+    q62SessionPaths, q68Attribution)
 }

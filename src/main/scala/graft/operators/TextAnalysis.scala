@@ -371,7 +371,69 @@ object TextAnalysis {
            |FROM tf JOIN c2 USING (gram) JOIN c1 USING (w1) CROSS JOIN v
            |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
 
+  // ---------------------------------------------------------------- t12
+  /** Collocation mining via pointwise mutual information: top-50 token
+    * bigrams by PMI = ln(p(w1,w2) / (p(w1)·p(w2))) with a min-support
+    * floor (c2 ≥ 5 — PMI without support degenerates to hapax pairs).
+    * The standard phrase/term detector a tokenizer- or vocab-building
+    * pass runs over a corpus. Ranking keys on the r6-ROUNDED pmi (tie →
+    * gram), so cross-engine ulp drift in ln() cannot reorder the top-k
+    * boundary.
+    *
+    * Scale shape: two map-side-combined vocab aggregates (unigram,
+    * bigram), two equi-joins of the bigram vocab against the unigram
+    * vocab, scalar total broadcasts, TakeOrdered(50) — nothing scales
+    * with corpus size except the initial aggregates. */
+  val t12Collocations = QueryDef(
+    "t12_collocations",
+    (s, d) => {
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), T.tokens(col("text")).as("toks"))
+      val uni = toks.select(explode(col("toks")).as("tok"))
+        .groupBy("tok").agg(count(lit(1)).as("c1"))
+      val nTok = uni.agg(sum("c1").cast("double").as("n"))
+      val bg = toks.select(explode(T.shinglesAll(col("toks"), 2)).as("gram"))
+        .groupBy("gram").agg(count(lit(1)).as("c2"))
+        .withColumn("w1", substring_index(col("gram"), " ", 1))
+        .withColumn("w2", substring_index(col("gram"), " ", -1))
+      val nBg = bg.agg(sum("c2").cast("double").as("nb"))
+      bg.filter(col("c2") >= 5)
+        .join(uni.select(col("tok").as("w1"), col("c1").as("ca")), "w1")
+        .join(uni.select(col("tok").as("w2"), col("c1").as("cb")), "w2")
+        .crossJoin(broadcast(nTok)).crossJoin(broadcast(nBg))
+        .select(col("gram"), col("c2").as("n_pair"),
+          r6(log((col("c2") / col("nb")) /
+            ((col("ca") / col("n")) * (col("cb") / col("n"))))).as("pmi"))
+        .orderBy(col("pmi").desc, col("gram"))
+        .limit(50)
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+           |uni AS (
+           |  SELECT tok, count(*) AS c1
+           |  FROM (SELECT unnest(t) AS tok FROM toks) GROUP BY 1),
+           |n AS (SELECT CAST(sum(c1) AS DOUBLE) AS n FROM uni),
+           |bg AS (
+           |  SELECT gram, count(*) AS c2,
+           |         string_split(gram, ' ')[1] AS w1,
+           |         string_split(gram, ' ')[2] AS w2
+           |  FROM (SELECT unnest(list_transform(range(1, greatest(len(t)-1, 0)+1),
+           |          i -> t[i] || ' ' || t[i+1])) AS gram FROM toks)
+           |  GROUP BY 1),
+           |nb AS (SELECT CAST(sum(c2) AS DOUBLE) AS nb FROM bg),
+           |j AS (
+           |  SELECT bg.gram, bg.c2, u1.c1 AS ca, u2.c1 AS cb
+           |  FROM bg JOIN uni u1 ON bg.w1 = u1.tok
+           |          JOIN uni u2 ON bg.w2 = u2.tok
+           |  WHERE bg.c2 >= 5)
+           |SELECT gram, CAST(c2 AS BIGINT) AS n_pair,
+           |  round(ln((c2 / nb) / ((ca / n) * (cb / n))) * 1000000) / 1000000
+           |    AS pmi
+           |FROM j CROSS JOIN n CROSS JOIN nb
+           |ORDER BY pmi DESC, gram LIMIT 50""".stripMargin))
+
   val all: Seq[QueryDef] =
     Seq(t01LangId, t02Quality, t03TokenCount, t04RollingHash, t05TfIdf,
-      t08UnigramLm, t09TokenEntropy, t10GopherRules, t11BigramLm)
+      t08UnigramLm, t09TokenEntropy, t10GopherRules, t11BigramLm,
+      t12Collocations)
 }
