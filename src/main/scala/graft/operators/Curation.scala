@@ -509,8 +509,131 @@ object Curation {
          |            IN ('0', '1') THEN 'eval' ELSE 'train' END AS split
          |FROM lbl ORDER BY doc_id""".stripMargin))
 
+  // ---------------------------------------------------------------- x10
+  /** The composed curation pipeline — what "prepare the corpus" actually
+    * runs, as ONE query: near-dup resolution (d03 clusters → keep the
+    * longest non-bench member, x07 semantics), then decontamination
+    * (x01's any-shared-8-gram rule against the held-out bench split),
+    * then the Gopher rule gate (t10's four hard filters) — emitting the
+    * per-source work manifest: docs and tokens in, kept, and dropped by
+    * reason (precedence: duplicate → contaminated → quality). This is
+    * the integration test of the curation surface: every stage reuses
+    * the exact semantics its standalone operator hash-matches under.
+    *
+    * Scale shape: the union of its parts, all documented at their
+    * operators — label propagation moves (id, label) pairs, the
+    * contamination join is a broadcast posting-list join, the rule gate
+    * is a projection, and the final rollup is a card(source) hash-agg.
+    * No stage is new; composition adds zero driver state. */
+  val x10CurationPipeline = QueryDef(
+    "x10_curation_pipeline",
+    (s, d) => {
+      val docsRaw = Tables.documents(s, d)
+      val toksC = T.tokens(col("text"))
+      val nW = size(toksC)
+      val meanLen = T.meanTokenLen(col("text"))
+      val numRatio = expr("size(filter(split(text, ' '), " +
+        "x -> x RLIKE '^[0-9]+$'))").cast("double") / nW.cast("double")
+      val dupRatio = lit(1.0) -
+        size(array_distinct(toksC)).cast("double") / nW.cast("double")
+      val qKeep = nW >= 50 && nW <= 100000 &&
+        meanLen >= 3.0 && meanLen <= 10.0 && numRatio < 0.2 && dupRatio < 0.5
+      val docs = docsRaw.select(col("doc_id"), col("source"),
+        nW.cast("long").as("n_toks"), qKeep.as("q_keep"),
+        (substring(md5(col("doc_id").cast("string")), 1, 1) === "0").as("is_bench"),
+        toksC.as("toks"))
+      val sh8 = docs.select(col("doc_id"), col("is_bench"),
+        explode(T.shingles(col("toks"), 8)).as("g"))
+      val bench = sh8.filter(col("is_bench")).select("g").distinct()
+      val contam = sh8.filter(!col("is_bench"))
+        .join(broadcast(bench), Seq("g"))
+        .select("doc_id").distinct()
+        .withColumn("contaminated", lit(true))
+      // near-dup resolution: clusters over the FULL corpus (same label
+      // space as d03/x07/x09), rep chosen among non-bench members only
+      val wRep = Window.partitionBy("cluster_id")
+        .orderBy(col("n_toks").desc, col("doc_id"))
+      val reps = Dedup.minhashClusters(docsRaw)
+        .join(docs.select("doc_id", "n_toks", "is_bench"), "doc_id")
+        .filter(!col("is_bench"))
+        .withColumn("rn", row_number().over(wRep))
+        .select(col("doc_id"), (col("rn") === 1).as("is_rep"))
+      val kept = col("is_rep") && !col("contaminated") && col("q_keep")
+      docs.filter(!col("is_bench"))
+        .join(reps, Seq("doc_id"))
+        .join(contam, Seq("doc_id"), "left")
+        .withColumn("contaminated", coalesce(col("contaminated"), lit(false)))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(kept.cast("long")).as("n_kept"),
+          sum((!col("is_rep")).cast("long")).as("n_drop_dup"),
+          sum((col("is_rep") && col("contaminated")).cast("long"))
+            .as("n_drop_contam"),
+          sum((col("is_rep") && !col("contaminated") && !col("q_keep"))
+            .cast("long")).as("n_drop_quality"),
+          sum("n_toks").as("n_tokens"),
+          sum(when(kept, col("n_toks")).otherwise(lit(0L))).as("n_tokens_kept"),
+          r4(sum(when(kept, col("n_toks")).otherwise(lit(0L))) /
+            sum("n_toks").cast("double")).as("token_keep_rate"))
+        .orderBy("source")
+    },
+    Some(Dedup.minhashCteSql + """
+         |, g AS (
+         |  SELECT doc_id, source, string_split(text, ' ') AS t,
+         |    len(string_split(text, ' ')) AS nw, length(text) AS lt,
+         |    substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) = '0' AS is_bench
+         |  FROM documents),
+         |q AS (
+         |  SELECT doc_id, source, nw, is_bench,
+         |    nw >= 50 AND nw <= 100000
+         |    AND (lt - nw + 1) / CAST(nw AS DOUBLE) >= 3.0
+         |    AND (lt - nw + 1) / CAST(nw AS DOUBLE) <= 10.0
+         |    AND len(list_filter(t, x -> regexp_full_match(x, '[0-9]+')))
+         |        / CAST(nw AS DOUBLE) < 0.2
+         |    AND 1.0 - len(list_distinct(t)) / CAST(nw AS DOUBLE) < 0.5
+         |      AS q_keep
+         |  FROM g),
+         |sh8 AS (
+         |  SELECT doc_id, is_bench,
+         |    unnest(list_distinct(list_transform(range(1, greatest(len(t)-7, 0)+1),
+         |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3] || ' ' ||
+         |           t[i+4] || ' ' || t[i+5] || ' ' || t[i+6] || ' ' || t[i+7]))) AS gg
+         |  FROM g),
+         |contam AS (
+         |  SELECT DISTINCT s.doc_id
+         |  FROM sh8 s JOIN (SELECT DISTINCT gg FROM sh8 WHERE is_bench) b
+         |    USING (gg)
+         |  WHERE NOT s.is_bench),
+         |rep AS (
+         |  SELECT l.doc_id,
+         |    row_number() OVER (PARTITION BY l.cluster_id
+         |      ORDER BY q.nw DESC, l.doc_id) = 1 AS is_rep
+         |  FROM lbl l JOIN q USING (doc_id) WHERE NOT q.is_bench),
+         |dec AS (
+         |  SELECT q.doc_id, q.source, q.nw, r.is_rep,
+         |    c.doc_id IS NOT NULL AS contaminated, q.q_keep,
+         |    r.is_rep AND c.doc_id IS NULL AND q.q_keep AS kept
+         |  FROM q JOIN rep r USING (doc_id)
+         |  LEFT JOIN contam c USING (doc_id)
+         |  WHERE NOT q.is_bench)
+         |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  CAST(sum(CASE WHEN NOT is_rep THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_drop_dup,
+         |  CAST(sum(CASE WHEN is_rep AND contaminated THEN 1 ELSE 0 END)
+         |    AS BIGINT) AS n_drop_contam,
+         |  CAST(sum(CASE WHEN is_rep AND NOT contaminated AND NOT q_keep
+         |    THEN 1 ELSE 0 END) AS BIGINT) AS n_drop_quality,
+         |  CAST(sum(nw) AS BIGINT) AS n_tokens,
+         |  CAST(sum(CASE WHEN kept THEN nw ELSE 0 END) AS BIGINT)
+         |    AS n_tokens_kept,
+         |  round(sum(CASE WHEN kept THEN nw ELSE 0 END)
+         |    / CAST(sum(nw) AS DOUBLE), 4) AS token_keep_rate
+         |FROM dec GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[QueryDef] =
     Seq(x01Decontaminate, x02StratifiedSample, x03DomainMix,
       t06PiiRedact, t07Repetition, x04ContainmentScore, x05WeightedSample,
-      x06PackSequences, x07ClusterReps, x08TemperatureMix, x09LeakageSplit)
+      x06PackSequences, x07ClusterReps, x08TemperatureMix, x09LeakageSplit,
+      x10CurationPipeline)
 }

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.functions.Rounding.r6
+
+/** Graph-propagation operators. Web-graph centrality is a standard
+  * crawl-curation quality signal (rank-weighted sampling of pretraining
+  * corpora); the relational testbed has no hyperlinks, so the graph here
+  * is the part co-purchase graph (parts sharing an order), which has the
+  * same shape: sparse, skewed, symmetric.
+  */
+object Graph {
+
+  // ---------------------------------------------------------------- q73
+  /** PageRank over the co-purchase graph, in FIXED-POINT integer
+    * arithmetic: ranks are BIGINT micro-units (1e12 = mass 1.0), every
+    * step is integer division, so the 8-round iteration is bit-exact in
+    * any engine — no cross-engine float-summation drift to round away,
+    * which is what makes an iterative-numeric oracle hash-matchable at
+    * all. r_0 = M/N; r_{t+1} = 0.15·M/N + (85·Σ_in (r_t div deg)) div
+    * 100 with M = 1e12. Floor losses mean total mass is not exactly
+    * conserved — the documented trade for determinism.
+    *
+    * Scale shape: d03's iterated-propagation pattern applied to rank
+    * mass — per round one equi-join (ranks × edges) and one hash-agg on
+    * dst, both shuffling only (node, long) pairs; edges and out-degrees
+    * are computed once and persisted. Rounds are a fixed constant (8).
+    * N comes from one count() — a catalog stat at ingest in production
+    * (the d08 precedent). The classic GraphX/Pregel formulation maps
+    * 1:1 onto this loop if a corpus ever needs vertex-cut partitioning. */
+  val q73CopurchaseRank = QueryDef(
+    "q73_copurchase_rank",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      val edges = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.p") =!= col("b.p"))
+        .select(col("a.p").as("src"), col("b.p").as("dst"))
+        .distinct()
+      val outdeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      val e = edges.join(outdeg, "src")
+        .select("src", "dst", "deg").persist()
+      val nodes = e.select(col("src").as("node")).distinct().persist()
+      val n = nodes.count() // one job; a catalog stat at ingest (d08 precedent)
+      // localCheckpoint (not persist): persist caches BLOCKS but the
+      // logical plan still nests across iterations, and Catalyst
+      // analysis over 8 rounds of stacked join+agg+join blows up
+      // super-linearly — the loop must cut lineage, not just cache.
+      // (On a cluster: checkpoint() to reliable storage, same contract.)
+      var ranks = nodes.select(col("node"),
+        lit(1000000000000L / n).as("r")).localCheckpoint()
+      for (_ <- 1 to 8) {
+        val contrib = e.join(ranks, col("src") === col("node"))
+          .select(col("dst"), expr("r div deg").as("c"))
+          .groupBy("dst").agg(sum("c").as("in_sum"))
+        ranks = nodes.join(contrib, col("node") === col("dst"), "left")
+          .select(col("node"),
+            (lit(150000000000L / n) +
+              expr("(85 * coalesce(in_sum, 0L)) div 100")).as("r"))
+          .localCheckpoint() // eager: materializes and truncates the plan
+      }
+      val out = ranks.select(col("node").as("part"),
+          col("r").as("rank_micro"), r6(col("r") / 1e12).as("rank"))
+        .orderBy("part")
+      e.unpersist(); nodes.unpersist()
+      out
+    },
+    Some("""WITH RECURSIVE
+           |li AS (SELECT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+           |edges AS (SELECT DISTINCT a.p AS src, b.p AS dst
+           |  FROM li a JOIN li b ON a.ok = b.ok AND a.p <> b.p),
+           |outdeg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg
+           |  FROM edges GROUP BY 1),
+           |nodes AS (SELECT DISTINCT src AS node FROM edges),
+           |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+           |pr(iter, node, r) AS (
+           |  SELECT 0, node, CAST(1000000000000 // n AS BIGINT)
+           |  FROM nodes CROSS JOIN nn
+           |  UNION ALL
+           |  SELECT p.iter + 1, e.dst,
+           |    CAST(150000000000 // nn.n +
+           |         (85 * sum(p.r // e.deg)) // 100 AS BIGINT)
+           |  FROM pr p
+           |  JOIN (SELECT e0.src, e0.dst, o.deg FROM edges e0
+           |        JOIN outdeg o ON e0.src = o.src) e ON p.node = e.src
+           |  CROSS JOIN nn
+           |  WHERE p.iter < 8
+           |  GROUP BY p.iter + 1, e.dst, nn.n)
+           |SELECT node AS part, r AS rank_micro,
+           |  round(r / 1e12, 6) AS rank
+           |FROM pr WHERE iter = 8 ORDER BY part""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q73CopurchaseRank)
+}

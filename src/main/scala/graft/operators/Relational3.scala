@@ -1,0 +1,180 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.functions.Rounding.{r2, r4, r6}
+
+/** Third relational battery: the multi-table star join every warehouse
+  * benchmark hinges on, time-bucketed event-log deduplication, and the
+  * argmin/argmax aggregate family.
+  */
+object Relational3 {
+
+  // ---------------------------------------------------------------- q69
+  /** Six-table star join (the TPC-H Q5 shape): revenue by nation for
+    * orders placed in 1996 where the supplier and customer share a
+    * nation inside one region. This is the canonical join-order /
+    * broadcast test: two big fact tables (orders, lineitem) meet three
+    * dims (customer, supplier) and two tiny dims (nation, region).
+    *
+    * Scale shape: the date filter pushes into the orders scan, the
+    * fact-fact join shuffles on orderkey once, supplier/customer are
+    * hash joins on their keys, and nation/region broadcast — no plan
+    * stage ever moves more than the filtered fact data, which is how a
+    * 100 TB star join has to execute. AQE re-plans the dim joins to
+    * broadcast automatically at runtime when their filtered size fits. */
+  val q69StarJoin = QueryDef(
+    "q69_star_join",
+    (s, d) => {
+      val orders96 = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1997-01-01")))
+        .select("o_orderkey", "o_custkey")
+      val asia = Tables.region(s, d).filter(col("r_name") === "ASIA")
+      Tables.customer(s, d).select("c_custkey", "c_nationkey")
+        .join(orders96, col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, d)
+          .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.supplier(s, d).select("s_suppkey", "s_nationkey"),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(asia), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_items"),
+          r2(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))))
+            .as("revenue"))
+        .orderBy("n_name")
+    },
+    Some("""SELECT n_name, CAST(count(*) AS BIGINT) AS n_items,
+           |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           |FROM customer
+           |JOIN orders   ON c_custkey = o_custkey
+           |JOIN lineitem ON l_orderkey = o_orderkey
+           |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+           |JOIN nation   ON s_nationkey = n_nationkey
+           |JOIN region   ON n_regionkey = r_regionkey
+           |WHERE r_name = 'ASIA'
+           |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+           |  AND o_orderdate <  TIMESTAMP '1997-01-01'
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  // ---------------------------------------------------------------- q70
+  /** Event-log deduplication: collapse repeats of the same
+    * (user, event_type) within a 10-minute bucket to the first
+    * occurrence ((ts, event_id) order, so same-ts rows resolve
+    * identically everywhere) and report how many were collapsed — the
+    * at-least-once-delivery cleanup every log pipeline runs at ingest.
+    *
+    * Scale shape: one window partitioned by (user, type, bucket) — key
+    * cardinality grows with the data, so parallelism does too; no
+    * global sort, no driver state. The streaming twin is
+    * Stateful.dedupe (dropDuplicates under a watermark); this is the
+    * batch/backfill spelling of the same contract. */
+  val q70EventDedup = QueryDef(
+    "q70_event_dedup",
+    (s, d) => {
+      val byBucket = Window.partitionBy("user_id", "event_type", "bkt")
+      val w = byBucket.orderBy(col("ts"), col("event_id"))
+      Tables.events(s, d)
+        .withColumn("bkt", expr("unix_micros(ts) div 600000000"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("n_in_bucket", count(lit(1)).over(byBucket))
+        .filter(col("rn") === 1)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          timestamp_micros(col("bkt") * lit(600000000L)).as("bucket_start"),
+          col("n_in_bucket"))
+        .orderBy("event_id")
+    },
+    Some("""WITH b AS (
+           |  SELECT event_id, user_id, event_type, ts,
+           |    epoch_us(ts) // 600000000 AS bkt
+           |  FROM events),
+           |r AS (
+           |  SELECT *,
+           |    row_number() OVER (PARTITION BY user_id, event_type, bkt
+           |      ORDER BY ts, event_id) AS rn,
+           |    count(*) OVER (PARTITION BY user_id, event_type, bkt)
+           |      AS n_in_bucket
+           |  FROM b)
+           |SELECT event_id, user_id, event_type,
+           |  make_timestamp(bkt * 600000000) AS bucket_start,
+           |  CAST(n_in_bucket AS BIGINT) AS n_in_bucket
+           |FROM r WHERE rn = 1 ORDER BY event_id""".stripMargin))
+
+  // ---------------------------------------------------------------- q71
+  /** argmin/argmax battery: per order priority, WHICH order carries the
+    * highest and lowest total price (max_by/min_by — DuckDB arg_max /
+    * arg_min). Doubles can collide, so the selector key is a total
+    * order: zero-padded fixed-width price then order key — lexical
+    * compare == numeric compare, and ties break identically in any
+    * engine.
+    *
+    * Scale shape: a single map-side-combined hash aggregate — max_by
+    * keeps one (ord, value) pair per group per partition, so this is
+    * the O(1)-state way to answer "which row is the extreme" without
+    * the sort or window a naive top-1 would shuffle. */
+  val q71ArgExtremes = QueryDef(
+    "q71_arg_extremes",
+    (s, d) => {
+      val key = concat(format_string("%018.2f", col("o_totalprice")),
+        lit("#"), format_string("%012d", col("o_orderkey")))
+      Tables.orders(s, d)
+        .withColumn("k", key)
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          max_by(col("o_orderkey"), col("k")).as("top_order"),
+          r2(max(col("o_totalprice"))).as("top_price"),
+          min_by(col("o_orderkey"), col("k")).as("bottom_order"),
+          r2(min(col("o_totalprice"))).as("bottom_price"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""SELECT o_orderpriority, count(*) AS n_orders,
+           |  arg_max(o_orderkey, printf('%018.2f', o_totalprice) || '#' ||
+           |    printf('%012d', o_orderkey)) AS top_order,
+           |  round(max(o_totalprice), 2) AS top_price,
+           |  arg_min(o_orderkey, printf('%018.2f', o_totalprice) || '#' ||
+           |    printf('%012d', o_orderkey)) AS bottom_order,
+           |  round(min(o_totalprice), 2) AS bottom_price
+           |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  // ---------------------------------------------------------------- q72
+  /** Linear-regression aggregate battery: per return flag, the OLS fit
+    * of extended price on quantity — regr_slope / regr_intercept /
+    * regr_r2 / regr_count, the SQL-standard bivariate family q35's
+    * corr/covar started. Price scales with quantity by construction, so
+    * the slope is the effective unit price and r² its fit quality.
+    *
+    * Scale shape: one map-side-combined hash aggregate — every regr_*
+    * is an algebraic aggregate over (n, Σx, Σy, Σxx, Σyy, Σxy), O(1)
+    * state per group, no second pass. */
+  val q72Regression = QueryDef(
+    "q72_regression",
+    (s, d) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(regr_count(col("l_extendedprice"), col("l_quantity"))
+          .cast("long").as("n_pairs"),
+          r4(regr_slope(col("l_extendedprice"), col("l_quantity"))).as("slope"),
+          r4(regr_intercept(col("l_extendedprice"), col("l_quantity")))
+            .as("intercept"),
+          r6(regr_r2(col("l_extendedprice"), col("l_quantity"))).as("r2"),
+          r4(regr_avgx(col("l_extendedprice"), col("l_quantity"))).as("avg_qty"),
+          r4(regr_avgy(col("l_extendedprice"), col("l_quantity"))).as("avg_price"))
+        .orderBy("l_returnflag")
+    },
+    Some("""SELECT l_returnflag,
+           |  CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n_pairs,
+           |  round(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           |  round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           |  round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+           |  round(regr_avgx(l_extendedprice, l_quantity), 4) AS avg_qty,
+           |  round(regr_avgy(l_extendedprice, l_quantity), 4) AS avg_price
+           |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  val all: Seq[QueryDef] =
+    Seq(q69StarJoin, q70EventDedup, q71ArgExtremes, q72Regression)
+}

@@ -61,6 +61,44 @@ object Stateful {
           Iterator.single(Enriched(key, next.n, next.total))
       }
 
+  /** Streaming heavy hitters — the incremental twin of q66's batch
+    * Misra-Gries candidate pass. Items are sharded across `buckets`
+    * hash-keyed state groups (so state parallelizes like any keyed
+    * stream, no single-counter bottleneck); each group folds its share
+    * of the stream into a k-counter MG summary that persists across
+    * micro-batches and is re-emitted (update semantics) every batch.
+    * Merging the final per-bucket summaries (MG merge, any order — the
+    * Agarwal et al. mergeable-summaries property) yields a candidate
+    * set guaranteed to contain every item with total frequency
+    * > n/(k+1) over the WHOLE stream: sharding by item hash means each
+    * item's full count lives in exactly one bucket, so the per-bucket
+    * survival guarantee applies to its bucket-local stream directly.
+    * Exact recount then happens downstream (the q66 second pass) — same
+    * candidate→verify contract, incrementally maintained.
+    *
+    * State: ≤ k (item, count) entries per bucket, bounded forever. */
+  final case class HhSummary(bucket: Int, items: Map[String, Long])
+
+  def heavyHittersStream(df: DataFrame, k: Int, buckets: Int)(
+      implicit e1: Encoder[Map[String, Long]], e2: Encoder[HhSummary],
+      e3: Encoder[Int], e4: Encoder[(Int, String)]): Dataset[HhSummary] = {
+    val mg = new graft.functions.MisraGries(k)
+    df.select(pmod(xxhash64(col("gram")), lit(buckets)).cast("int").as("b"),
+        col("gram"))
+      .as[(Int, String)]
+      .groupByKey(_._1)
+      .mapGroupsWithState(GroupStateTimeout.NoTimeout) {
+        (bucket: Int, rows: Iterator[(Int, String)],
+         state: GroupState[Map[String, Long]]) =>
+          val buf = scala.collection.mutable.HashMap.empty[String, Long]
+          state.getOption.foreach(m => buf ++= m)
+          rows.foreach(r => mg.reduce(buf, r._2))
+          val snap = buf.toMap
+          state.update(snap)
+          HhSummary(bucket, snap)
+      }
+  }
+
   /** Streaming SCD2: the incremental twin of the batch history build
     * (operators/Temporal.q48Scd2). Per-key state carries the one OPEN
     * period; an attribute change closes it (emitted downstream, append

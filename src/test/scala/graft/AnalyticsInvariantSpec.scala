@@ -105,4 +105,148 @@ class AnalyticsInvariantSpec extends SparkSpec {
         full.select("label").distinct().count())
     } finally out.unpersist()
   }
+
+  test("q69: star join matches a hint-free replan of the same predicate") {
+    val s = spark
+    val out = operators.Relational3.q69StarJoin.run(s, sf).cache()
+    try {
+      // same query, different join order, no broadcast hints — Catalyst
+      // must converge to the same result regardless of the plan we forced
+      Tables.registerViews(s, sf)
+      val replan = s.sql(
+        """SELECT n_name, CAST(count(*) AS BIGINT) AS n_items,
+          |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+          |FROM lineitem
+          |JOIN orders   ON l_orderkey = o_orderkey
+          |JOIN customer ON c_custkey = o_custkey
+          |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          |JOIN nation   ON s_nationkey = n_nationkey
+          |JOIN region   ON n_regionkey = r_regionkey
+          |WHERE r_name = 'ASIA'
+          |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+          |  AND o_orderdate <  TIMESTAMP '1997-01-01'
+          |GROUP BY 1""".stripMargin)
+      assert(out.join(replan, Seq("n_name"), "full_outer")
+        .filter(out("n_items") =!= replan("n_items") ||
+          out("revenue") =!= replan("revenue")).count() === 0)
+      assert(out.count() > 0)
+    } finally out.unpersist()
+  }
+
+  test("q70: dedup keeps exactly one first-event per bucket, counts conserve") {
+    val s = spark
+    val out = operators.Relational3.q70EventDedup.run(s, sf).cache()
+    try {
+      val ev = Tables.events(s, sf)
+        .withColumn("bkt", expr("unix_micros(ts) div 600000000"))
+      // one survivor per populated (user, type, bucket)
+      assert(out.count() ===
+        ev.select("user_id", "event_type", "bkt").distinct().count())
+      // collapsed counts conserve the log
+      assert(out.agg(sum("n_in_bucket")).head.getLong(0) === ev.count())
+      // each survivor is its bucket's (ts, event_id) minimum
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id", "event_type", "bkt")
+        .orderBy(col("ts"), col("event_id"))
+      val firsts = ev.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1).select(col("event_id"))
+      assert(out.join(firsts, "event_id").count() === out.count())
+    } finally out.unpersist()
+  }
+
+  test("q71: arg extremes point at rows carrying the group extreme") {
+    val s = spark
+    val out = operators.Relational3.q71ArgExtremes.run(s, sf).cache()
+    try {
+      val orders = Tables.orders(s, sf)
+      assert(out.agg(sum("n_orders")).head.getLong(0) === orders.count())
+      // the named top/bottom orders really carry the reported prices
+      val top = out.join(orders,
+        col("top_order") === col("o_orderkey"))
+        .filter(round(col("o_totalprice"), 2) =!= col("top_price"))
+      val bot = out.join(orders,
+        col("bottom_order") === col("o_orderkey"))
+        .filter(round(col("o_totalprice"), 2) =!= col("bottom_price"))
+      assert(top.count() === 0 && bot.count() === 0)
+      assert(out.filter(col("top_price") < col("bottom_price")).count() === 0)
+    } finally out.unpersist()
+  }
+
+  test("q72: regression fit is positive, r2 in range, pairs conserve") {
+    val s = spark
+    val out = operators.Relational3.q72Regression.run(s, sf).cache()
+    try {
+      // r2 is a proper coefficient of determination
+      assert(out.filter(col("r2") < 0 || col("r2") > 1).count() === 0)
+      assert(out.agg(sum("n_pairs")).head.getLong(0) ===
+        Tables.lineitem(s, sf).count())
+      // OLS identity: slope == covar_pop(y,x) / var_pop(x), recomputed
+      // from first principles per group
+      val chk = Tables.lineitem(s, sf)
+        .groupBy("l_returnflag")
+        .agg((covar_pop(col("l_extendedprice"), col("l_quantity")) /
+          var_pop(col("l_quantity"))).as("expect_slope"))
+      assert(out.join(chk, "l_returnflag")
+        .filter(abs(col("slope") - col("expect_slope")) > 1e-3)
+        .count() === 0)
+    } finally out.unpersist()
+  }
+
+  test("q73: integer pagerank conserves mass within floor loss, floors hold") {
+    val s = spark
+    val out = operators.Graph.q73CopurchaseRank.run(s, sf).cache()
+    try {
+      val n = out.count()
+      // every node keeps at least the teleport floor
+      val floor = 150000000000L / n
+      assert(out.filter(col("rank_micro") < floor).count() === 0)
+      // total mass ≤ 1.0 (floor losses only shrink it) and within 2% of it
+      val mass = out.agg(sum("rank_micro")).head.getLong(0)
+      assert(mass <= 1000000000000L)
+      assert(mass > 980000000000L, s"mass leaked too far: $mass")
+      // the reported double rank is the micro-rank, scaled
+      assert(out.filter(col("rank") <= 0).count() === 0)
+    } finally out.unpersist()
+  }
+
+  test("d11: edit verify covers exactly d05's candidate pairs, sim in [0,1]") {
+    val s = spark
+    val out = operators.Dedup.d11EditVerify.run(s, sf).cache()
+    try {
+      val cand = operators.Dedup.d05NgramJaccard.run(s, sf)
+      assert(out.select("a_id", "b_id").except(
+        cand.select("a_id", "b_id")).count() === 0)
+      assert(cand.select("a_id", "b_id").except(
+        out.select("a_id", "b_id")).count() === 0)
+      assert(out.filter(col("edit_sim") < 0 || col("edit_sim") > 1)
+        .count() === 0)
+      // identical docs would be distance 0; near-dups must beat unrelated
+      // text: planted near-dup pairs (high jaccard) have high edit_sim
+      assert(out.filter(col("jaccard") >= 0.5 && col("edit_sim") < 0.5)
+        .count() === 0)
+    } finally out.unpersist()
+  }
+
+  test("x10: pipeline drop reasons partition the corpus, stages agree") {
+    val s = spark
+    val out = operators.Curation.x10CurationPipeline.run(s, sf).cache()
+    try {
+      // per-source: kept + dropped-by-reason == docs in
+      assert(out.filter(col("n_kept") + col("n_drop_dup") +
+        col("n_drop_contam") + col("n_drop_quality") =!= col("n_docs"))
+        .count() === 0)
+      // totals: every non-bench document is accounted for exactly once
+      val nonBench = Tables.documents(s, sf)
+        .filter(substring(md5(col("doc_id").cast("string")), 1, 1) =!= "0")
+      assert(out.agg(sum("n_docs")).head.getLong(0) === nonBench.count())
+      // contaminated drops can never exceed x01's contaminated set (x10
+      // only counts reps, x01 counts every non-bench doc)
+      val x01Contam = operators.Curation.x01Decontaminate.run(s, sf)
+        .filter(col("contaminated") === 1).count()
+      assert(out.agg(sum("n_drop_contam")).head.getLong(0) <= x01Contam)
+      // keep rate is a rate
+      assert(out.filter(col("token_keep_rate") < 0 ||
+        col("token_keep_rate") > 1).count() === 0)
+    } finally out.unpersist()
+  }
 }

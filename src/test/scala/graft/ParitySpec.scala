@@ -49,4 +49,68 @@ class ParitySpec extends SparkSpec {
     assert(got.toSeq == want.toSeq,
       s"stream/batch divergence: ${got.length} vs ${want.length} groups")
   }
+
+  test("heavy hitters: merged streaming MG summaries cover the exact batch set") {
+    val s = spark
+    import s.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    // corpus token stream + planted hot keys: the synthetic corpus is
+    // near-uniform by construction (no token exceeds n/(k+1) for any
+    // useful k), so plant one above-threshold and one below-threshold
+    // key to make the survival guarantee bind; k=16 < vocabulary size
+    // so MG compaction actually fires. Deterministic interleave.
+    val k = 16
+    val corpus = Tables.documents(s, "/root/testdata/sf0.001")
+      .select(explode(
+        graft.functions.TextFunctions.tokens(col("text"))).as("gram"))
+      .as[String].collect()
+    val planted = Array.fill(2500)("hh_hot") ++ Array.fill(1800)("hh_warm")
+    val grams = (corpus ++ planted).zipWithIndex
+      .sortBy { case (_, i) => (i * 2654435761L) % 100003 }.map(_._1)
+
+    // batches complete in order, so the last write per bucket wins —
+    // exactly the latest state snapshot (memory-sink row order is not
+    // a contract; foreachBatch batchId order is)
+    val finalMaps =
+      new java.util.concurrent.ConcurrentHashMap[Int, Map[String, Long]]()
+    val input = MemoryStream[String]
+    val q = streaming.Stateful
+      .heavyHittersStream(input.toDF().toDF("gram"), k, buckets = 8)
+      .writeStream
+      .outputMode(OutputMode.Update())
+      .foreachBatch {
+        (df: org.apache.spark.sql.Dataset[streaming.Stateful.HhSummary],
+         _: Long) =>
+          df.collect().foreach(h => finalMaps.put(h.bucket, h.items))
+      }
+      .trigger(Trigger.ProcessingTime(50))
+      .start()
+    grams.grouped(grams.length / 3 + 1).foreach { chunk =>
+      input.addData(chunk.toIndexedSeq: _*); q.processAllAvailable()
+    }
+    q.stop()
+
+    // merge the final per-bucket summaries with the same MG merge
+    import scala.jdk.CollectionConverters._
+    val mg = new functions.MisraGries(k)
+    val merged = finalMaps.values.asScala.foldLeft(
+      scala.collection.mutable.HashMap.empty[String, Long]) { (acc, m) =>
+      mg.merge(acc, scala.collection.mutable.HashMap(m.toSeq: _*))
+    }
+
+    // every item with true frequency > n/(k+1) must survive: sharding
+    // sends an item's whole count to one bucket whose stream is ≤ n, so
+    // the per-bucket MG bound applies, and the merge preserves it
+    // (mergeable-summaries property)
+    val exact = grams.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val n = grams.length.toLong
+    val trueHh = exact.filter { case (_, c) => c * (k + 1) > n }
+    assert(trueHh.contains("hh_hot"), "test setup: planted key must qualify")
+    val missing = trueHh.keySet -- merged.keySet
+    assert(missing.isEmpty,
+      s"streaming MG lost ${missing.size} true heavy hitters: $missing")
+    // and the summary never overcounts
+    assert(merged.forall { case (g, est) => est <= exact.getOrElse(g, 0L) })
+  }
 }
