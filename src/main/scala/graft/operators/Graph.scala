@@ -43,22 +43,33 @@ object Graph {
         .select("src", "dst", "deg").persist()
       val nodes = e.select(col("src").as("node")).distinct().persist()
       val n = nodes.count() // one job; a catalog stat at ingest (d08 precedent)
-      // localCheckpoint (not persist): persist caches BLOCKS but the
-      // logical plan still nests across iterations, and Catalyst
-      // analysis over 8 rounds of stacked join+agg+join blows up
-      // super-linearly — the loop must cut lineage, not just cache.
-      // (On a cluster: checkpoint() to reliable storage, same contract.)
-      var ranks = nodes.select(col("node"),
-        lit(1000000000000L / n).as("r")).localCheckpoint()
+      // The loop must cut LINEAGE each round, not just cache: persist
+      // alone leaves the logical plan nesting, and Catalyst analysis
+      // over 8 rounds of stacked join+agg+join blows up super-linearly.
+      // Re-rooting on the materialized RDD keeps plan depth constant
+      // (LogicalRDD leaf) and — unlike localCheckpoint, whose blocks
+      // only die at a driver GC — lets each round free its parent's
+      // blocks deterministically. (On a cluster: checkpoint() to
+      // reliable storage, same contract.)
+      def materialize(df: org.apache.spark.sql.DataFrame)
+          : org.apache.spark.sql.DataFrame = {
+        val out = s.createDataFrame(df.rdd, df.schema).persist()
+        out.count()
+        out
+      }
+      var ranks = materialize(nodes.select(col("node"),
+        lit(1000000000000L / n).as("r")))
       for (_ <- 1 to 8) {
         val contrib = e.join(ranks, col("src") === col("node"))
           .select(col("dst"), expr("r div deg").as("c"))
           .groupBy("dst").agg(sum("c").as("in_sum"))
-        ranks = nodes.join(contrib, col("node") === col("dst"), "left")
-          .select(col("node"),
-            (lit(150000000000L / n) +
-              expr("(85 * coalesce(in_sum, 0L)) div 100")).as("r"))
-          .localCheckpoint() // eager: materializes and truncates the plan
+        val next = materialize(
+          nodes.join(contrib, col("node") === col("dst"), "left")
+            .select(col("node"),
+              (lit(150000000000L / n) +
+                expr("(85 * coalesce(in_sum, 0L)) div 100")).as("r")))
+        ranks.unpersist()
+        ranks = next
       }
       val out = ranks.select(col("node").as("part"),
           col("r").as("rank_micro"), r6(col("r") / 1e12).as("rank"))
