@@ -631,9 +631,55 @@ object Curation {
          |    / CAST(sum(nw) AS DOUBLE), 4) AS token_keep_rate
          |FROM dec GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  // ---------------------------------------------------------------- x11
+  /** Bloom-sketch decontamination — x01's scale path. x01 broadcasts the
+    * benchmark's distinct-shingle SET to every probe task; at real scale
+    * (10^9 bench shingles) that broadcast is tens of GB of strings. Here
+    * the bench side folds into a Bloom sketch (bloom_filter_agg — the
+    * expression Spark's own runtime-filter injection uses, a few bits
+    * per key), and the probe tests membership per shingle. Bloom bits
+    * are an OR over item hashes — order-independent, so the flags are
+    * deterministic. False positives are possible BY DESIGN (never false
+    * negatives): the flagged set always CONTAINS x01's exact set, which
+    * a pipeline either accepts (over-drop is safe for decontamination)
+    * or re-checks exactly on the tiny flagged remainder.
+    *
+    * No oracle — the sketch's bit layout is engine-specific; CurationSpec
+    * gates flagged ⊇ x01-contaminated and bounds the false-positive
+    * overshoot.
+    *
+    * Scale shape: one sketch aggregate over the bench shingles (scalar
+    * result rides to every task), then a pure per-row probe + per-doc
+    * hash-agg. Nothing corpus-sized ever crosses the cluster. */
+  val x11BloomDecontaminate = QueryDef(
+    "x11_bloom_decontaminate",
+    (s, d) => {
+      graft.GraftExtensions.register(s)
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), T.tokens(col("text")).as("toks"),
+          (substring(md5(col("doc_id").cast("string")), 1, 1) === "0").as("is_bench"))
+      docs.select(col("doc_id"), col("is_bench"),
+          explode(T.shingles(col("toks"), 8)).as("g"))
+        .createOrReplaceTempView("x11_sh")
+      // might_contain requires the sketch as a SCALAR SUBQUERY (the q49
+      // shape) — it rides to every task as a broadcast scalar result
+      s.sql("""SELECT doc_id,
+              |  CAST(sum(CASE WHEN hit THEN 1 ELSE 0 END) AS BIGINT)
+              |    AS n_maybe_shared,
+              |  CAST(max(CASE WHEN hit THEN 1 ELSE 0 END) AS INT) AS flagged
+              |FROM (SELECT doc_id,
+              |        might_contain(
+              |          (SELECT bloom_filter_agg(xxhash64(g))
+              |           FROM x11_sh WHERE is_bench),
+              |          xxhash64(g)) AS hit
+              |      FROM x11_sh WHERE NOT is_bench)
+              |GROUP BY doc_id ORDER BY doc_id""".stripMargin)
+    },
+    None)
+
   val all: Seq[QueryDef] =
     Seq(x01Decontaminate, x02StratifiedSample, x03DomainMix,
       t06PiiRedact, t07Repetition, x04ContainmentScore, x05WeightedSample,
       x06PackSequences, x07ClusterReps, x08TemperatureMix, x09LeakageSplit,
-      x10CurationPipeline)
+      x10CurationPipeline, x11BloomDecontaminate)
 }

@@ -59,17 +59,23 @@ object Graph {
       }
       var ranks = materialize(nodes.select(col("node"),
         lit(1000000000000L / n).as("r")))
-      for (_ <- 1 to 8) {
+      var lastMat = ranks
+      for (it <- 1 to 8) {
         val contrib = e.join(ranks, col("src") === col("node"))
           .select(col("dst"), expr("r div deg").as("c"))
           .groupBy("dst").agg(sum("c").as("in_sum"))
-        val next = materialize(
-          nodes.join(contrib, col("node") === col("dst"), "left")
-            .select(col("node"),
-              (lit(150000000000L / n) +
-                expr("(85 * coalesce(in_sum, 0L)) div 100")).as("r")))
-        ranks.unpersist()
-        ranks = next
+        val next = nodes.join(contrib, col("node") === col("dst"), "left")
+          .select(col("node"),
+            (lit(150000000000L / n) +
+              expr("(85 * coalesce(in_sum, 0L)) div 100")).as("r"))
+        // materialize every SECOND round: plan depth stays ≤ 2 rounds
+        // (analysis is fine there) while the per-round action count —
+        // the dominant cost of a small-graph iteration — halves.
+        if (it % 2 == 0 || it == 8) {
+          ranks = materialize(next)
+          lastMat.unpersist()
+          lastMat = ranks
+        } else ranks = next
       }
       val out = ranks.select(col("node").as("part"),
           col("r").as("rank_micro"), r6(col("r") / 1e12).as("rank"))

@@ -202,4 +202,23 @@ class CurationSpec extends SparkSpec {
     val evalFrac = rows.count(_._3 == "eval").toDouble / rows.length
     assert(evalFrac > 0.04 && evalFrac < 0.30, s"eval fraction $evalFrac")
   }
+
+  test("x11 bloom decontamination contains x01's exact set, bounded overshoot") {
+    val exact = SparkEntry.queries("x01_decontaminate")(spark, sf)
+      .filter(col("contaminated") === 1).select("doc_id").collect()
+      .map(_.getLong(0)).toSet
+    val bloomed = SparkEntry.queries("x11_bloom_decontaminate")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toMap
+    val flagged = bloomed.filter(_._2 == 1).keySet
+    // no false negatives, ever — the bloom guarantee
+    val missed = exact -- flagged
+    assert(missed.isEmpty, s"bloom missed exact contamination: $missed")
+    // same probe universe
+    assert(bloomed.size >= exact.size)
+    // false positives bounded: at this corpus/bench size the default
+    // sketch should add at most a few percent of clean docs
+    val fp = flagged -- exact
+    assert(fp.size <= math.max(2, bloomed.size / 20),
+      s"bloom over-flagged ${fp.size} of ${bloomed.size} docs")
+  }
 }

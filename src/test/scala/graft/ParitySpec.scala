@@ -50,6 +50,43 @@ class ParitySpec extends SparkSpec {
       s"stream/batch divergence: ${got.length} vs ${want.length} groups")
   }
 
+  test("event dedup: streaming watermark dedup == batch q70 on ordered replay") {
+    val s = spark
+    import s.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    // ordered replay (the OrderedReplaySpec convention): first arrival
+    // per (user, type, bucket) is then exactly q70's (ts, event_id) min
+    val rows = Tables.events(s, "/root/testdata/sf0.001")
+      .withColumn("bkt", expr("unix_micros(ts) div 600000000"))
+      .select(col("event_id"), col("ts"), col("user_id"),
+        col("event_type"), col("bkt"))
+      .orderBy("ts", "event_id")
+      .as[(Long, Timestamp, Long, String, Long)].collect()
+
+    val input = MemoryStream[(Long, Timestamp, Long, String, Long)]
+    val q = streaming.Stateful.dedupStream(
+        input.toDF().toDF("event_id", "ts", "user_id", "event_type", "bkt"),
+        "ts", "1 hour", Seq("user_id", "event_type", "bkt"))
+      .writeStream.format("memory").queryName("dedup70_out")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.ProcessingTime(50))
+      .start()
+    rows.grouped(rows.length / 3 + 1).foreach { chunk =>
+      input.addData(chunk.toIndexedSeq: _*); q.processAllAvailable()
+    }
+    q.stop()
+
+    val streamed = s.sql("SELECT event_id FROM dedup70_out")
+      .collect().map(_.getLong(0)).toSet
+    val batch = operators.Relational3.q70EventDedup
+      .run(s, "/root/testdata/sf0.001")
+      .select("event_id").collect().map(_.getLong(0)).toSet
+    assert(streamed == batch,
+      s"stream kept ${streamed.size}, batch kept ${batch.size}, " +
+        s"diff ${(streamed diff batch).take(5)} / ${(batch diff streamed).take(5)}")
+  }
+
   test("heavy hitters: merged streaming MG summaries cover the exact batch set") {
     val s = spark
     import s.implicits._
