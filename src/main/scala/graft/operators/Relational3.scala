@@ -175,6 +175,98 @@ object Relational3 {
            |  round(regr_avgy(l_extendedprice, l_quantity), 4) AS avg_price
            |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  // ---------------------------------------------------------------- q74
+  /** Semi-structured VARIANT path extraction — Spark 4's lakehouse
+    * answer to schema-on-read JSON: parse once into the binary VARIANT
+    * encoding, then typed path extraction (variant_get) without
+    * re-tokenizing the document per field, which is how wide
+    * event-payload scans stay cheap at 100 TB (vs q20's from_json,
+    * which binds one fixed struct schema up front). The corpus' props
+    * is flat, so the query composes a nested document (object, array,
+    * embedded original) deterministically from each event's own
+    * columns — both engines build the identical string, the t06
+    * planting pattern.
+    *
+    * Scale shape: pure per-row parse + projection into one hash-agg;
+    * nothing shuffles but the card(tier) aggregate. */
+  val q74VariantExtract = QueryDef(
+    "q74_variant_extract",
+    (s, d) => {
+      val doc = concat(
+        lit("{\"u\":{\"id\":"), col("user_id"),
+        lit(",\"tier\":\""),
+        when(pmod(col("user_id"), lit(3)) === 0, "gold").otherwise("std"),
+        lit("\"},\"arr\":["), col("event_id"), lit(","),
+        pmod(col("event_id"), lit(97)), lit("],\"p\":"), col("props"),
+        lit("}"))
+      Tables.events(s, d)
+        .withColumn("v", parse_json(doc))
+        .select(
+          variant_get(col("v"), "$.u.tier", "string").as("tier"),
+          variant_get(col("v"), "$.u.id", "bigint").as("uid"),
+          variant_get(col("v"), "$.arr[1]", "long").as("mod97"),
+          variant_get(col("v"), "$.p.k", "long").as("k"))
+        .groupBy("tier")
+        .agg(count(lit(1)).as("n"),
+          countDistinct("uid").as("n_users"),
+          sum("k").as("sum_k"),
+          sum("mod97").as("sum_mod97"))
+        .orderBy("tier")
+    },
+    Some("""WITH docs AS (
+           |  SELECT '{"u":{"id":' || user_id || ',"tier":"' ||
+           |    (CASE WHEN user_id % 3 = 0 THEN 'gold' ELSE 'std' END) ||
+           |    '"},"arr":[' || event_id || ',' || (event_id % 97) ||
+           |    '],"p":' || props || '}' AS doc
+           |  FROM events)
+           |SELECT json_extract_string(doc, '$.u.tier') AS tier,
+           |  count(*) AS n,
+           |  CAST(count(DISTINCT CAST(json_extract(doc, '$.u.id') AS BIGINT))
+           |    AS BIGINT) AS n_users,
+           |  CAST(sum(CAST(json_extract(doc, '$.p.k') AS BIGINT)) AS BIGINT)
+           |    AS sum_k,
+           |  CAST(sum(CAST(json_extract(doc, '$.arr[1]') AS BIGINT)) AS BIGINT)
+           |    AS sum_mod97
+           |FROM docs GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  // ---------------------------------------------------------------- q75
+  /** Higher-order-function battery — the user-facing lambda forms
+    * (transform / filter / exists / aggregate) that replace per-row
+    * UDFs for array work: every lambda here compiles to Catalyst
+    * expressions (no serialization boundary, codegen-eligible), which
+    * is the engine's answer to "map over this array column" without a
+    * Scala closure. Internal operators use the same machinery
+    * (TextFunctions.shingles); this registers the public surface with
+    * an oracle twin.
+    *
+    * Scale shape: pure per-row projection — zero shuffles; the ORDER BY
+    * is presentation-only. */
+  val q75HofBattery = QueryDef(
+    "q75_hof_battery",
+    (s, d) => {
+      val toks = split(col("text"), " ")
+      val lens = transform(toks, t => length(t))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          aggregate(lens, lit(0), (acc, x) => acc + x)
+            .cast("long").as("sum_len"),
+          size(filter(toks, t => length(t) > 4)).as("n_long"),
+          exists(toks, t => t === "batch").cast("int").as("has_batch"),
+          array_max(lens).as("max_len"))
+        .orderBy("doc_id")
+    },
+    Some("""SELECT doc_id,
+           |  CAST(list_sum(list_transform(string_split(text, ' '),
+           |    x -> length(x))) AS BIGINT) AS sum_len,
+           |  CAST(len(list_filter(string_split(text, ' '),
+           |    x -> length(x) > 4)) AS INT) AS n_long,
+           |  CAST(len(list_filter(string_split(text, ' '),
+           |    x -> x = 'batch')) > 0 AS INT) AS has_batch,
+           |  CAST(list_max(list_transform(string_split(text, ' '),
+           |    x -> length(x))) AS INT) AS max_len
+           |FROM documents ORDER BY doc_id""".stripMargin))
+
   val all: Seq[QueryDef] =
-    Seq(q69StarJoin, q70EventDedup, q71ArgExtremes, q72Regression)
+    Seq(q69StarJoin, q70EventDedup, q71ArgExtremes, q72Regression,
+      q74VariantExtract, q75HofBattery)
 }
