@@ -39,6 +39,37 @@ class StreamJoinSpec extends SparkSpec {
     assert(got == Seq(1L, 3L), s"got $got")
   }
 
+  test("stream-static join: event stream enriched against a dimension table") {
+    val s = spark
+    import s.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    // static dim comes straight off parquet — the standard enrichment
+    // shape (a broadcast per micro-batch, no state store involvement)
+    val dim = Tables.nation(s, "/root/testdata/sf0.001")
+      .select(col("n_nationkey").as("nk"), col("n_name"))
+
+    val input = MemoryStream[(Long, Timestamp, Double)]
+    input.addData((0L, ts(1), 10.0), (1L, ts(2), 20.0),
+      (2L, ts(3), 30.0), (0L, ts(4), 40.0), (99L, ts(5), 50.0))
+    val stream = input.toDF().toDF("nk", "ts", "v")
+    val q = stream.join(dim, Seq("nk"), "left")
+      .groupBy("n_name").agg(count(lit(1)).as("n"), sum("v").as("sv"))
+      .writeStream.format("memory").queryName("ssd_out")
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+
+    val got = s.sql("SELECT n_name, n, sv FROM ssd_out")
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._2)
+    // nk 99 has no dim row → null-enriched group survives the left join
+    assert(got.exists(g => g._1.isEmpty && g._2 == 1L && g._3 == 50.0))
+    // nk 0 appears twice → its nation aggregates both rows
+    assert(got.exists(g => g._1.nonEmpty && g._2 == 2L && g._3 == 50.0))
+    assert(got.map(_._2).sum == 5L)
+  }
+
   test("checkpoint recovery: failed epoch is retried, delivered exactly once") {
     val s = spark
     import s.implicits._
