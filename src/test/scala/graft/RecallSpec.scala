@@ -85,4 +85,33 @@ class RecallSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
     assert(mmr == mmr2, "MMR output varies across runs")
   }
+
+  test("s09 knn graph: ranked, cosine-ordered, mutual flags symmetric") {
+    val out = SparkEntry.queries("s09_knn_graph")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+        r.getDouble(3), r.getInt(4)))
+    assert(out.nonEmpty)
+    // per vector: ranks contiguous from 1, at most 3, cosine non-increasing
+    out.groupBy(_._1).foreach { case (v, edges) =>
+      val sorted = edges.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq == (1 to sorted.length).toSeq,
+        s"vec $v ranks not contiguous")
+      assert(sorted.length <= 3)
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a._4 >= b._4; case _ => true
+      }, s"vec $v cosine not non-increasing")
+      // no self loops
+      assert(edges.forall(e => e._3 != v))
+    }
+    // mutual flag symmetric: edge marked mutual iff reverse edge exists
+    val edgeSet = out.map(e => (e._1, e._3)).toSet
+    out.foreach { e =>
+      val expect = if (edgeSet.contains((e._3, e._1))) 1 else 0
+      assert(e._5 == expect, s"edge ${(e._1, e._3)} mutual=${e._5} expected $expect")
+    }
+    // deterministic across runs
+    val again = SparkEntry.queries("s09_knn_graph")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(out.map(e => (e._1, e._2, e._3)).toSeq == again.toSeq)
+  }
 }
