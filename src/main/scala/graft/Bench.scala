@@ -36,7 +36,14 @@ object Bench {
         fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
-      if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Collect OUTSIDE the timed window: a heavy query (iterative
+      // shuffles, cached graph tables) otherwise leaves its garbage +
+      // ContextCleaner debt to whichever query runs next — measured as
+      // 10-20× spikes on the victim, not the culprit. Standard
+      // per-trial isolation.
+      System.gc()
+      if (ok) dt else -1.0
     }
     val firstPass = wanted.map { case (name, fn) => name -> time1(name, fn) }
     // One-off spikes (a full-GC pause, driver-machine contention, a cold
