@@ -432,8 +432,51 @@ object TextAnalysis {
            |FROM j CROSS JOIN n CROSS JOIN nb
            |ORDER BY pmi DESC, gram LIMIT 50""".stripMargin))
 
+  // ---------------------------------------------------------------- t13
+  /** Classifier evaluation as a corpus operator: the confusion matrix of
+    * t01's language-ID predictions against the labeled `lang` column,
+    * with per-cell recall share (n / actual-class total) and precision
+    * share (n / predicted-class total). Curation pipelines run exactly
+    * this to qualify their filters before trusting them at corpus scale
+    * — the eval is itself a distributed query, not a notebook
+    * afterthought. Reuses t01's scorer verbatim so the matrix audits the
+    * SAME operator the pipeline ships.
+    *
+    * Scale shape: t01's projection+broadcast-join scorer, then hash-aggs
+    * bounded by (languages)² — nothing after the per-doc score scales
+    * with the corpus. */
+  val t13LangidConfusion = QueryDef(
+    "t13_langid_confusion",
+    (s, d) => {
+      val scored = t01LangId.run(s, d).select("lang_actual", "lang_pred")
+      val conf = scored.groupBy("lang_actual", "lang_pred")
+        .agg(count(lit(1)).as("n"))
+      val act = conf.groupBy("lang_actual").agg(sum("n").as("n_act"))
+      val prd = conf.groupBy("lang_pred").agg(sum("n").as("n_prd"))
+      conf.join(act, "lang_actual").join(prd, "lang_pred")
+        .select(col("lang_actual"), col("lang_pred"), col("n"),
+          r4(col("n") / col("n_act")).as("recall_share"),
+          r4(col("n") / col("n_prd")).as("precision_share"))
+        .orderBy("lang_actual", "lang_pred")
+    },
+    t01LangId.oracle.map(t01Sql => s"""WITH scored AS (
+         |${t01Sql.replace("ORDER BY doc_id", "")}),
+         |conf AS (SELECT lang_actual, lang_pred,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM scored GROUP BY 1, 2),
+         |act AS (SELECT lang_actual, CAST(sum(n) AS BIGINT) AS n_act
+         |  FROM conf GROUP BY 1),
+         |prd AS (SELECT lang_pred, CAST(sum(n) AS BIGINT) AS n_prd
+         |  FROM conf GROUP BY 1)
+         |SELECT c.lang_actual, c.lang_pred, c.n,
+         |  round(c.n / CAST(a.n_act AS DOUBLE), 4) AS recall_share,
+         |  round(c.n / CAST(p.n_prd AS DOUBLE), 4) AS precision_share
+         |FROM conf c JOIN act a USING (lang_actual)
+         |JOIN prd p USING (lang_pred)
+         |ORDER BY 1, 2""".stripMargin))
+
   val all: Seq[QueryDef] =
     Seq(t01LangId, t02Quality, t03TokenCount, t04RollingHash, t05TfIdf,
       t08UnigramLm, t09TokenEntropy, t10GopherRules, t11BigramLm,
-      t12Collocations)
+      t12Collocations, t13LangidConfusion)
 }

@@ -227,6 +227,26 @@ class AnalyticsInvariantSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("t13: confusion matrix conserves the corpus, shares normalize") {
+    val s = spark
+    val out = operators.TextAnalysis.t13LangidConfusion.run(s, sf).cache()
+    try {
+      // cells conserve the corpus
+      assert(out.agg(sum("n")).head.getLong(0) ===
+        Tables.documents(s, sf).count())
+      // recall shares sum to 1 within each actual class (4dp rounding)
+      val byAct = out.groupBy("lang_actual")
+        .agg(sum("recall_share").as("s")).collect()
+      assert(byAct.forall(r => math.abs(r.getDouble(1) - 1.0) < 0.001),
+        byAct.mkString(","))
+      // precision shares sum to 1 within each predicted class
+      val byPrd = out.groupBy("lang_pred")
+        .agg(sum("precision_share").as("s")).collect()
+      assert(byPrd.forall(r => math.abs(r.getDouble(1) - 1.0) < 0.001),
+        byPrd.mkString(","))
+    } finally out.unpersist()
+  }
+
   test("x10: pipeline drop reasons partition the corpus, stages agree") {
     val s = spark
     val out = operators.Curation.x10CurationPipeline.run(s, sf).cache()
