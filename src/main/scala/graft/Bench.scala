@@ -20,6 +20,10 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1).count()
     SparkEntry.prepare(spark, sfDir) // ingest-time artifacts (IVF model)
+    // Clear prepare's allocation debt before the FIRST timed query —
+    // time1 gc's between trials, but the first one would otherwise
+    // inherit the k-means fit's garbage as measured GC pauses.
+    System.gc()
     // optional args = query-name prefixes for targeted local timing;
     // the driver passes none and benches everything
     val wanted = SparkEntry.queries.toSeq.sortBy(_._1)

@@ -23,9 +23,13 @@ object Graph {
     * conserved — the documented trade for determinism.
     *
     * Scale shape: d03's iterated-propagation pattern applied to rank
-    * mass — per round one equi-join (ranks × edges) and one hash-agg on
-    * dst, both shuffling only (node, long) pairs; edges and out-degrees
-    * are computed once and persisted. Rounds are a fixed constant (8).
+    * mass — the edge list is built with a single map-side-combined
+    * exchange, cached hash-partitioned on src, and never re-shuffled:
+    * each round shuffled-hash-joins the O(V) rank table against the
+    * in-place edges and hash-aggs contributions on dst (partial agg
+    * map-side), so per-round traffic is O(V), not O(E) — the
+    * Pregel/GraphX message-passing shape in DataFrame form. Rounds are
+    * a fixed constant (8).
     * N comes from one count() — a catalog stat at ingest in production
     * (the d08 precedent). The classic GraphX/Pregel formulation maps
     * 1:1 onto this loop if a corpus ever needs vertex-cut partitioning. */
@@ -34,13 +38,20 @@ object Graph {
     (s, d) => {
       val li = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-      val edges = li.as("a").join(li.as("b"),
+      // Adjacency-set aggregation: ONE exchange (map-side-combined
+      // collect_set) gives dedup AND out-degree, and the exploded edge
+      // list comes out hash-partitioned on src — the loop's join key —
+      // so the cached e is never re-shuffled by the iterations. (For
+      // hub-heavy graphs where a single adjacency set would not fit a
+      // task, the two-shuffle distinct + count-over-Window(src) form is
+      // the drop-in; co-purchase degree is order-fanout-bounded.)
+      val e = li.as("a").join(li.as("b"),
           col("a.ok") === col("b.ok") && col("a.p") =!= col("b.p"))
-        .select(col("a.p").as("src"), col("b.p").as("dst"))
-        .distinct()
-      val outdeg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
-      val e = edges.join(outdeg, "src")
-        .select("src", "dst", "deg").persist()
+        .select(col("a.p").as("src"), col("b.p").as("dst0"))
+        .groupBy("src").agg(collect_set(col("dst0")).as("nbrs"))
+        .select(col("src"), explode(col("nbrs")).as("dst"),
+          size(col("nbrs")).cast("long").as("deg"))
+        .persist()
       val nodes = e.select(col("src").as("node")).distinct().persist()
       val n = nodes.count() // one job; a catalog stat at ingest (d08 precedent)
       // The loop must cut LINEAGE each round, not just cache: persist
@@ -61,10 +72,17 @@ object Graph {
         lit(1000000000000L / n).as("r")))
       var lastMat = ranks
       for (it <- 1 to 8) {
-        val contrib = e.join(ranks, col("src") === col("node"))
+        // shuffle_hash hint: ranks is a stats-less LogicalRDD after
+        // re-rooting, so unhinted the planner sort-merge-joins and
+        // re-shuffles the cached edges every round. Hinted, e streams
+        // in place (its cached HashPartitioning(src) satisfies the
+        // join) and only the O(V) rank table moves — the Pregel shape.
+        val contrib = e.join(ranks.hint("shuffle_hash"),
+            col("src") === col("node"))
           .select(col("dst"), expr("r div deg").as("c"))
           .groupBy("dst").agg(sum("c").as("in_sum"))
-        val next = nodes.join(contrib, col("node") === col("dst"), "left")
+        val next = nodes.join(contrib.hint("broadcast"),
+            col("node") === col("dst"), "left")
           .select(col("node"),
             (lit(150000000000L / n) +
               expr("(85 * coalesce(in_sum, 0L)) div 100")).as("r"))
