@@ -475,8 +475,61 @@ object TextAnalysis {
          |JOIN prd p USING (lang_pred)
          |ORDER BY 1, 2""".stripMargin))
 
+  // ---------------------------------------------------------------- t14
+  /** Sliding-window document chunking: whitespace tokens cut into
+    * window-32 chunks at stride 24 (8-token overlap), the pre-tokenizer
+    * pass every training pipeline runs to turn documents into
+    * context-length training sequences. Chunk count is
+    * 1 + ceil((n-W)/S) for n>W — every token is covered and no chunk is
+    * fully contained in its predecessor (a start past n-W would add
+    * only already-covered tokens).
+    *
+    * Scale shape: tokenize-once projection + per-row explode — zero
+    * shuffles, fully codegen'd; the trailing orderBy is presentation
+    * only (a corpus-scale run writes unsorted). */
+  val t14Chunking = QueryDef(
+    "t14_chunking",
+    (s, d) => {
+      val W = 32; val S = 24
+      Tables.documents(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("t"))
+        .withColumn("n", size(col("t")))
+        .withColumn("n_chunks", when(col("n") <= W, lit(1))
+          .otherwise(expr(s"cast((n - $W + ${S - 1}) div $S as int)") + 1))
+        .select(col("doc_id"), col("t"),
+          explode(sequence(lit(0), col("n_chunks") - 1)).as("chunk_id"))
+        .select(col("doc_id"), col("chunk_id"),
+          (col("chunk_id") * S).as("start_tok"),
+          slice(col("t"), col("chunk_id") * S + 1, lit(W)).as("ct"))
+        .select(col("doc_id"), col("chunk_id"), col("start_tok"),
+          size(col("ct")).as("n_tok"),
+          concat_ws(" ", col("ct")).as("chunk_text"))
+        .orderBy("doc_id", "chunk_id")
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id, string_split(text, ' ') AS t,
+           |         len(string_split(text, ' ')) AS n
+           |  FROM documents),
+           |c AS (
+           |  SELECT doc_id, t, n,
+           |    CASE WHEN n <= 32 THEN 1
+           |         ELSE (n - 32 + 23) // 24 + 1 END AS n_chunks
+           |  FROM toks),
+           |e AS (
+           |  SELECT doc_id, t, n,
+           |    CAST(unnest(range(0, n_chunks)) AS INT) AS chunk_id
+           |  FROM c)
+           |SELECT doc_id, chunk_id,
+           |  CAST(chunk_id * 24 AS INT) AS start_tok,
+           |  CAST(len(list_slice(t, chunk_id*24 + 1,
+           |       least(chunk_id*24 + 32, n))) AS INT) AS n_tok,
+           |  array_to_string(list_slice(t, chunk_id*24 + 1,
+           |       least(chunk_id*24 + 32, n)), ' ') AS chunk_text
+           |FROM e
+           |ORDER BY doc_id, chunk_id""".stripMargin))
+
   val all: Seq[QueryDef] =
     Seq(t01LangId, t02Quality, t03TokenCount, t04RollingHash, t05TfIdf,
       t08UnigramLm, t09TokenEntropy, t10GopherRules, t11BigramLm,
-      t12Collocations, t13LangidConfusion)
+      t12Collocations, t13LangidConfusion, t14Chunking)
 }

@@ -247,6 +247,27 @@ class AnalyticsInvariantSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("t14: chunks tile every document — full coverage, no redundant tails") {
+    val s = spark
+    val out = operators.TextAnalysis.t14Chunking.run(s, sf).cache()
+    try {
+      val docs = Tables.documents(s, sf)
+        .select(col("doc_id"), size(split(col("text"), " ")).as("n"))
+      val spans = out.groupBy("doc_id").agg(
+        min("start_tok").as("first"),
+        max(col("start_tok") + col("n_tok")).as("covered"),
+        count(lit(1)).as("n_chunks"))
+      val joined = spans.join(docs, "doc_id").cache()
+      // every doc chunked, chunk 0 starts at token 0, last chunk reaches n
+      assert(joined.count() === docs.count())
+      assert(joined.filter(col("first") =!= 0 || col("covered") =!= col("n")).count() === 0)
+      // no chunk fully contained in its predecessor: start_tok < n for all
+      assert(out.join(docs, "doc_id")
+        .filter(col("chunk_id") > 0 && col("start_tok") >= col("n")).count() === 0)
+      joined.unpersist()
+    } finally out.unpersist()
+  }
+
   test("x10: pipeline drop reasons partition the corpus, stages agree") {
     val s = spark
     val out = operators.Curation.x10CurationPipeline.run(s, sf).cache()
