@@ -677,9 +677,57 @@ object Curation {
     },
     None)
 
+  // ---------------------------------------------------------------- x12
+  /** Compaction/layout planner — the writer-side half of the small-file
+    * problem at corpus scale: given per-partition (source, lang) byte
+    * totals, plan ceil(bytes/target) output files and assign every doc
+    * to one. Assignment is HASH-based (md5(doc_id) mod n_files), not a
+    * row_number window: no per-partition sort, no low-cardinality window
+    * key, perfectly parallel — sizes even out in expectation exactly as
+    * they do for Spark's own round-robin repartition; a writer that
+    * needs exact byte balance swaps in the range-partitioned form on the
+    * tiny flagged partitions only. Target is a demo constant (1 KiB);
+    * production uses 128 MiB-1 GiB.
+    *
+    * Scale shape: one small agg (partition directory), broadcast back,
+    * pure projection, one hash-agg — two exchanges, none corpus-wide. */
+  val x12CompactionPlan = QueryDef(
+    "x12_compaction_plan",
+    (s, d) => {
+      val Target = 1024L
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("lang"), col("n_chars"))
+      val part = docs.groupBy("source", "lang")
+        .agg(sum("n_chars").as("part_bytes"))
+        .withColumn("n_files",
+          greatest(lit(1L), expr(s"(part_bytes + ${Target - 1}) div $Target")))
+      docs.join(broadcast(part.select("source", "lang", "n_files")),
+          Seq("source", "lang"))
+        .withColumn("file_id",
+          (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long") % col("n_files")).cast("int"))
+        .groupBy("source", "lang", "file_id")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("file_bytes"))
+        .orderBy("source", "lang", "file_id")
+    },
+    Some("""WITH docs AS (
+           |  SELECT doc_id, source, lang, n_chars FROM documents),
+           |part AS (
+           |  SELECT source, lang,
+           |    greatest(1, (CAST(sum(n_chars) AS BIGINT) + 1023) // 1024)
+           |      AS n_files
+           |  FROM docs GROUP BY 1, 2)
+           |SELECT d.source, d.lang,
+           |  CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT
+           |       % p.n_files AS INT) AS file_id,
+           |  CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(d.n_chars) AS BIGINT) AS file_bytes
+           |FROM docs d JOIN part p USING (source, lang)
+           |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin))
+
   val all: Seq[QueryDef] =
     Seq(x01Decontaminate, x02StratifiedSample, x03DomainMix,
       t06PiiRedact, t07Repetition, x04ContainmentScore, x05WeightedSample,
       x06PackSequences, x07ClusterReps, x08TemperatureMix, x09LeakageSplit,
-      x10CurationPipeline, x11BloomDecontaminate)
+      x10CurationPipeline, x11BloomDecontaminate, x12CompactionPlan)
 }

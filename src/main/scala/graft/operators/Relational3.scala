@@ -266,7 +266,69 @@ object Relational3 {
            |    x -> length(x))) AS INT) AS max_len
            |FROM documents ORDER BY doc_id""".stripMargin))
 
+  // ---------------------------------------------------------------- q76
+  /** Z-order (Morton) layout audit — multi-dimensional clustering for
+    * data skipping: interleave the bits of (minute bucket of ts,
+    * md5-hash of event_type) into one sort key, cut the keyspace into
+    * 32 range files by key PREFIX (top 5 bits — range partitioning by
+    * arithmetic, no global-sort window, no ntile), and report per-file
+    * min/max spans in BOTH dimensions against the same cut of a
+    * time-only layout. Z-order files bound both the time span and the
+    * event-type set, which is exactly what lets a scan on
+    * `event_type = X AND ts BETWEEN ...` skip most files; the time-only
+    * layout bounds one dimension and sprays the other. The interleave
+    * is 32 shift-and-mask terms generated by the same loop for Spark
+    * and the oracle — plain codegen'd integer arithmetic, no UDF.
+    *
+    * Scale shape: pure projection + one hash-agg per layout on a
+    * 64-value key — two tiny exchanges; at write time the key feeds
+    * repartitionByRange directly. */
+  val q76ZorderLayout = QueryDef(
+    "q76_zorder_layout",
+    (s, d) => {
+      def interleave(a: String, b: String): String =
+        (0 until 16).map(i =>
+          s"(((($a >> $i) & 1) << ${2 * i}) + ((($b >> $i) & 1) << ${2 * i + 1}))")
+          .mkString(" + ")
+      val ev = Tables.events(s, d)
+        .withColumn("a", expr("(unix_micros(ts) div 60000000) & 65535"))
+        .withColumn("b",
+          expr("cast(conv(substring(md5(event_type), 1, 4), 16, 10) as bigint)"))
+        .withColumn("zkey", expr(interleave("a", "b")))
+      val stats = (tag: String, fileId: org.apache.spark.sql.Column) => ev
+        .withColumn("layout", lit(tag))
+        .withColumn("file_id", fileId.cast("int"))
+        .groupBy("layout", "file_id")
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("event_type")).as("n_types"),
+          (max(col("a")) - min(col("a"))).as("minute_span"))
+      stats("zorder", expr("zkey div 134217728"))
+        .unionByName(stats("time", expr("a div 2048")))
+        .orderBy("layout", "file_id")
+    },
+    Some {
+      val il = (0 until 16).map(i =>
+        s"((((a >> $i) & 1) << ${2 * i}) + (((b >> $i) & 1) << ${2 * i + 1}))")
+        .mkString(" + ")
+      s"""WITH ev AS (
+         |  SELECT event_type,
+         |    (epoch_us(ts) // 60000000) & 65535 AS a,
+         |    ('0x' || substr(md5(event_type), 1, 4))::BIGINT AS b
+         |  FROM events),
+         |z AS (SELECT *, $il AS zkey FROM ev),
+         |cuts AS (
+         |  SELECT 'zorder' AS layout, CAST(zkey // 134217728 AS INT) AS file_id,
+         |    event_type, a FROM z
+         |  UNION ALL
+         |  SELECT 'time' AS layout, CAST(a // 2048 AS INT) AS file_id,
+         |    event_type, a FROM z)
+         |SELECT layout, file_id, CAST(count(*) AS BIGINT) AS n_rows,
+         |  CAST(count(DISTINCT event_type) AS BIGINT) AS n_types,
+         |  CAST(max(a) - min(a) AS BIGINT) AS minute_span
+         |FROM cuts GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+    })
+
   val all: Seq[QueryDef] =
     Seq(q69StarJoin, q70EventDedup, q71ArgExtremes, q72Regression,
-      q74VariantExtract, q75HofBattery)
+      q74VariantExtract, q75HofBattery, q76ZorderLayout)
 }

@@ -268,6 +268,49 @@ class AnalyticsInvariantSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("q76: z-order files bound both dimensions, time files only one") {
+    val s = spark
+    val out = operators.Relational3.q76ZorderLayout.run(s, sf).cache()
+    try {
+      val byLayout = out.groupBy("layout").agg(
+        sum(col("n_rows")).as("rows"),
+        avg(col("n_types")).as("avg_types"),
+        avg(col("minute_span")).as("avg_span")).collect()
+        .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3)))
+        .toMap
+      // both layouts tile the whole table
+      assert(byLayout("zorder")._1 === byLayout("time")._1)
+      // the point of z-order: per-file event-type sets are strictly
+      // narrower than the time layout's (which sprays all types into
+      // every file), while the time span stays bounded (not the full
+      // range a type-only sort would give)
+      assert(byLayout("zorder")._2 < byLayout("time")._2,
+        s"zorder avg_types ${byLayout("zorder")._2} !< time ${byLayout("time")._2}")
+      val fullSpan = out.filter(col("layout") === "time")
+        .agg(max("minute_span")).head.getLong(0)
+      assert(byLayout("zorder")._3 < fullSpan * 32L,
+        "zorder files must not each cover the whole time range")
+    } finally out.unpersist()
+  }
+
+  test("x12: compaction plan conserves docs and bytes, files near target") {
+    val s = spark
+    val out = operators.Curation.x12CompactionPlan.run(s, sf).cache()
+    try {
+      val docs = Tables.documents(s, sf)
+      assert(out.agg(sum("n_docs")).head.getLong(0) === docs.count())
+      assert(out.agg(sum("file_bytes")).head.getLong(0) ===
+        docs.agg(sum("n_chars")).head.getLong(0))
+      // file count per partition == the ceil(bytes/target) plan
+      val planned = out.groupBy("source", "lang")
+        .agg(countDistinct("file_id").as("got"), sum("file_bytes").as("b"))
+        .withColumn("want", greatest(lit(1L), expr("(b + 1023) div 1024")))
+      // hash assignment may leave a planned file empty on tiny
+      // partitions, never create extras
+      assert(planned.filter(col("got") > col("want")).count() === 0)
+    } finally out.unpersist()
+  }
+
   test("x10: pipeline drop reasons partition the corpus, stages agree") {
     val s = spark
     val out = operators.Curation.x10CurationPipeline.run(s, sf).cache()
