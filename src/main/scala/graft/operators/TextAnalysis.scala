@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
 import graft.functions.{TextFunctions => T}
-import graft.functions.Rounding.{r4, r6}
+import graft.functions.Rounding.{r2, r4, r6}
 
 /** Text-analysis operators over `documents` (north-star surface):
   * language ID (stopword n-gram heuristic), quality scoring, token
@@ -528,8 +528,71 @@ object TextAnalysis {
            |FROM e
            |ORDER BY doc_id, chunk_id""".stripMargin))
 
+  // ---------------------------------------------------------------- t15
+  /** Per-source corpus datasheet — the "datasheets for datasets" summary
+    * a corpus release ships: volume (docs/tokens/chars), length shape
+    * (exact interpolated median + p95 token counts), and language mix
+    * (distinct langs, modal lang with a total-order tie-break, Shannon
+    * entropy of the lang distribution). Entropy uses the algebraic
+    * identity H = ln T − (Σ n·ln n)/T so the lang-mix stats are ONE
+    * map-side-combined aggregate over (source, lang) counts — no
+    * self-join against a totals table.
+    *
+    * Scale shape: two hash-aggs (per-doc projection → per-source; per
+    * (source, lang) → per-source) joined broadcast on the handful of
+    * sources — nothing after the per-doc projection scales with the
+    * corpus. */
+  val t15CorpusDatasheet = QueryDef(
+    "t15_corpus_datasheet",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("source"), col("lang"), col("n_chars"),
+          size(split(col("text"), " ")).as("n_toks"))
+      val vol = docs.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_toks").as("n_tokens"),
+        r2(expr("percentile(n_toks, 0.5)")).as("median_tokens"),
+        r2(expr("percentile(n_toks, 0.95)")).as("p95_tokens"),
+        r2(avg(col("n_chars"))).as("avg_chars"))
+      val langs = docs.groupBy("source", "lang")
+        .agg(count(lit(1)).as("n"))
+        .groupBy("source").agg(
+          countDistinct(col("lang")).as("n_langs"),
+          max_by(col("lang"),
+            concat(format_string("%09d", col("n")), lit("#"), col("lang")))
+            .as("top_lang"),
+          r4(log(sum(col("n"))) -
+            sum(col("n") * log(col("n"))) / sum(col("n")))
+            .as("lang_entropy"))
+      vol.join(broadcast(langs), "source").orderBy("source")
+    },
+    Some("""WITH docs AS (
+           |  SELECT source, lang, n_chars,
+           |    len(string_split(text, ' ')) AS n_toks
+           |  FROM documents),
+           |vol AS (
+           |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           |    CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+           |    round(quantile_cont(n_toks, 0.5), 2) AS median_tokens,
+           |    round(quantile_cont(n_toks, 0.95), 2) AS p95_tokens,
+           |    round(avg(n_chars), 2) AS avg_chars
+           |  FROM docs GROUP BY 1),
+           |bylang AS (
+           |  SELECT source, lang, CAST(count(*) AS BIGINT) AS n
+           |  FROM docs GROUP BY 1, 2),
+           |langs AS (
+           |  SELECT source, CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           |    arg_max(lang, printf('%09d', n) || '#' || lang) AS top_lang,
+           |    round(ln(sum(n)) - sum(n * ln(n)) / sum(n), 4) AS lang_entropy
+           |  FROM bylang GROUP BY 1)
+           |SELECT v.source, v.n_docs, v.n_tokens, v.median_tokens,
+           |  v.p95_tokens, v.avg_chars, l.n_langs, l.top_lang,
+           |  l.lang_entropy
+           |FROM vol v JOIN langs l USING (source)
+           |ORDER BY v.source""".stripMargin))
+
   val all: Seq[QueryDef] =
     Seq(t01LangId, t02Quality, t03TokenCount, t04RollingHash, t05TfIdf,
       t08UnigramLm, t09TokenEntropy, t10GopherRules, t11BigramLm,
-      t12Collocations, t13LangidConfusion, t14Chunking)
+      t12Collocations, t13LangidConfusion, t14Chunking, t15CorpusDatasheet)
 }

@@ -311,6 +311,18 @@ class AnalyticsInvariantSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("t15: datasheet conserves the corpus, entropy bounded by ln(n_langs)") {
+    val s = spark
+    val out = operators.TextAnalysis.t15CorpusDatasheet.run(s, sf).cache()
+    try {
+      assert(out.agg(sum("n_docs")).head.getLong(0) ===
+        Tables.documents(s, sf).count())
+      assert(out.filter(col("lang_entropy") < 0 ||
+        col("lang_entropy") > log(col("n_langs")) + 1e-9).count() === 0)
+      assert(out.filter(col("median_tokens") > col("p95_tokens")).count() === 0)
+    } finally out.unpersist()
+  }
+
   test("x10: pipeline drop reasons partition the corpus, stages agree") {
     val s = spark
     val out = operators.Curation.x10CurationPipeline.run(s, sf).cache()
