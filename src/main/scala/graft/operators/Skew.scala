@@ -205,6 +205,52 @@ object Skew {
     },
     None)
 
+  // ---------------------------------------------------------------- q77
+  /** Per-GROUP heavy hitters — q66's sketch-then-recount pattern
+    * composed under groupBy: one Misra-Gries summary per source
+    * (k = 1024 counters each, still one map-side-combined aggregate),
+    * survivors recounted exactly per (source, gram) and kept above each
+    * source's own n/(k+1) guarantee threshold. Same exact-output
+    * property as q66, but the sketch state is now per-GROUP bounded —
+    * the form a curation pipeline uses for "top boilerplate per crawl"
+    * without materializing any per-source vocabulary.
+    *
+    * Scale shape: two scans; pass-1 state ≤ k per (source, map task),
+    * candidate broadcast ≤ k·|sources| rows, pass-2 groups ≤ the same.
+    * Nothing scales with vocabulary size. */
+  val q77GroupHeavyHitters = QueryDef(
+    "q77_group_heavy_hitters",
+    (s, d) => {
+      val k = 1024
+      val mg = udaf(new graft.functions.MisraGries(k), Encoders.STRING)
+      def grams = Tables.documents(s, d)
+        .select(col("source"), T.tokens(col("text")).as("toks"))
+        .select(col("source"), explode(T.shinglesAll(col("toks"), 3)).as("gram"))
+      val cand = grams.groupBy("source").agg(mg(col("gram")).as("sk"))
+        .select(col("source"), explode(map_keys(col("sk"))).as("gram"))
+      val totals = grams.groupBy("source").agg(count(lit(1)).as("n_total"))
+      grams.join(broadcast(cand), Seq("source", "gram"), "left_semi")
+        .groupBy("source", "gram").agg(count(lit(1)).as("n_occurrences"))
+        .join(broadcast(totals), "source")
+        .filter(col("n_occurrences") * (k + 1) > col("n_total"))
+        .select(col("source"), col("gram"), col("n_occurrences"),
+          r6(col("n_occurrences") / col("n_total")).as("share"))
+        .orderBy(col("source"), col("n_occurrences").desc, col("gram"))
+    },
+    Some("""WITH g AS (
+           |  SELECT source,
+           |    unnest(list_transform(range(1, greatest(len(t)-2, 0)+1),
+           |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS gram
+           |  FROM (SELECT source, string_split(text, ' ') AS t FROM documents)),
+           |tot AS (SELECT source, count(*) AS n_total FROM g GROUP BY 1)
+           |SELECT g.source, g.gram, CAST(count(*) AS BIGINT) AS n_occurrences,
+           |  round(count(*) / any_value(t.n_total) * 1000000) / 1000000
+           |    AS share
+           |FROM g JOIN tot t USING (source)
+           |GROUP BY g.source, g.gram
+           |HAVING count(*) * 1025 > any_value(t.n_total)
+           |ORDER BY g.source, n_occurrences DESC, g.gram""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q36SaltedAgg, q46HashSample, q50Histogram,
-    q53Profile, q66HeavyHitters, q67SketchRollup)
+    q53Profile, q66HeavyHitters, q67SketchRollup, q77GroupHeavyHitters)
 }
