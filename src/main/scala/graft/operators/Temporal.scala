@@ -435,6 +435,73 @@ object Temporal {
            |    * 1000000) / 1000000 AS acf
            |FROM agg ORDER BY 1, 2""".stripMargin))
 
+  // ---------------------------------------------------------------- q78
+  /** Snapshot diff / reconciliation — the validation half of any CDC
+    * pipeline: given two keyed snapshots of a table, classify every key
+    * as added / removed / changed / unchanged and roll up counts and
+    * value drift per class and status. The two snapshots are carved
+    * deterministically out of `orders` (md5 percentile buckets: 1%
+    * missing from each side, 1% price-adjusted) so the diff exercises
+    * all four classes with an exactly replayable input.
+    *
+    * Scale shape: ONE full-outer sort-merge join on the snapshot key —
+    * the unavoidable reconciliation shuffle, partitioned by key so it
+    * scales with executor count — then a pure projection and a
+    * four-by-status hash-agg. Change detection compares the value
+    * columns directly; a wide table would md5 a canonical concat of its
+    * columns instead (the d02 fingerprint), same plan shape. */
+  val q78SnapshotDiff = QueryDef(
+    "q78_snapshot_diff",
+    (s, d) => {
+      import graft.functions.Rounding.r2
+      val base = Tables.orders(s, d)
+        .select(col("o_orderkey").as("k"), col("o_orderstatus").as("st"),
+          col("o_totalprice").as("p"),
+          (conv(substring(md5(col("o_orderkey").cast("string")), 1, 8), 16, 10)
+            .cast("long") % 100).as("b"))
+      val old = base.filter(col("b") =!= 0)
+        .select(col("k"), col("st").as("st_old"), col("p").as("p_old"))
+      val nw = base.filter(col("b") =!= 1)
+        .select(col("k"), col("st").as("st_new"),
+          when(col("b") === 2, r2(col("p") * 1.1)).otherwise(col("p"))
+            .as("p_new"))
+      old.join(nw, Seq("k"), "full_outer")
+        .withColumn("change_type",
+          when(col("p_old").isNull, lit("added"))
+            .when(col("p_new").isNull, lit("removed"))
+            .when(col("p_old") =!= col("p_new") ||
+              col("st_old") =!= col("st_new"), lit("changed"))
+            .otherwise(lit("unchanged")))
+        .withColumn("status", coalesce(col("st_new"), col("st_old")))
+        .groupBy("change_type", "status")
+        .agg(count(lit(1)).as("n_rows"),
+          r2(sum(coalesce(col("p_old"), lit(0.0)))).as("old_value"),
+          r2(sum(coalesce(col("p_new"), lit(0.0)))).as("new_value"))
+        .orderBy("change_type", "status")
+    },
+    Some("""WITH base AS (
+           |  SELECT o_orderkey AS k, o_orderstatus AS st, o_totalprice AS p,
+           |    ('0x' || substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT
+           |      % 100 AS b
+           |  FROM orders),
+           |old AS (SELECT k, st AS st_old, p AS p_old FROM base WHERE b <> 0),
+           |nw AS (SELECT k, st AS st_new,
+           |    CASE WHEN b = 2 THEN round(p * 1.1 * 100) / 100 ELSE p END
+           |      AS p_new
+           |  FROM base WHERE b <> 1),
+           |j AS (
+           |  SELECT coalesce(o.k, n.k) AS k, st_old, p_old, st_new, p_new,
+           |    CASE WHEN p_old IS NULL THEN 'added'
+           |         WHEN p_new IS NULL THEN 'removed'
+           |         WHEN p_old <> p_new OR st_old <> st_new THEN 'changed'
+           |         ELSE 'unchanged' END AS change_type,
+           |    coalesce(st_new, st_old) AS status
+           |  FROM old o FULL OUTER JOIN nw n ON o.k = n.k)
+           |SELECT change_type, status, CAST(count(*) AS BIGINT) AS n_rows,
+           |  round(sum(coalesce(p_old, 0)), 2) AS old_value,
+           |  round(sum(coalesce(p_new, 0)), 2) AS new_value
+           |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q48Scd2, q55GapFill, q56Ohlc, q60Anomaly,
-    q63SeriesCorr, q64Ewma, q65Autocorr)
+    q63SeriesCorr, q64Ewma, q65Autocorr, q78SnapshotDiff)
 }
