@@ -286,6 +286,49 @@ object Behavioral {
            |  round(avg(mins) * 10000) / 10000 AS avg_mins_to_convert
            |FROM per_user GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
+  // ---------------------------------------------------------------- q80
+  /** Sliding-window EXACT distinct actives: per 6-hour bucket, the
+    * number of distinct users seen in the trailing 24 hours (4 buckets)
+    * — the rolling-actives series every engagement dashboard wants,
+    * where the window overlap is what makes naive COUNT(DISTINCT)
+    * per-window a 4× re-scan. Spelled as the posting-list trick: dedup
+    * (user, bucket) once, EXPLODE each appearance into the ≤4 windows
+    * it can serve, dedup (user, window), count — set semantics make the
+    * overlap free, and no range self-join or per-window re-scan ever
+    * happens.
+    *
+    * Scale shape: two hash-aggs with map-side partials and a constant
+    * explode factor (window span / bucket size = 4); state per task is
+    * bounded, traffic ∝ distinct (user, bucket) pairs, not events. */
+  val q80SlidingDistinct = QueryDef(
+    "q80_sliding_distinct",
+    (s, d) => {
+      val seen = Tables.events(s, d)
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 21600000000").as("hr"))
+        .distinct()
+      val observed = seen.select(col("hr")).distinct()
+      seen.select(col("user_id"),
+          explode(sequence(col("hr"), col("hr") + 3)).as("win"))
+        .distinct()
+        .join(broadcast(observed), col("win") === col("hr"), "left_semi")
+        .groupBy("win").agg(count(lit(1)).as("n_active_users"))
+        .select(col("win").as("window_end_bucket"), col("n_active_users"))
+        .orderBy("window_end_bucket")
+    },
+    Some("""WITH seen AS (
+           |  SELECT DISTINCT user_id, epoch_us(ts) // 21600000000 AS hr
+           |  FROM events),
+           |observed AS (SELECT DISTINCT hr FROM seen),
+           |cover AS (
+           |  SELECT DISTINCT user_id, hr + k AS win
+           |  FROM seen CROSS JOIN (SELECT unnest(range(0, 4)) AS k))
+           |SELECT c.win AS window_end_bucket,
+           |  CAST(count(*) AS BIGINT) AS n_active_users
+           |FROM cover c
+           |WHERE c.win IN (SELECT hr FROM observed)
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q57Funnel, q58Retention, q61Markov,
-    q62SessionPaths, q68Attribution)
+    q62SessionPaths, q68Attribution, q80SlidingDistinct)
 }

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{QueryDef, Tables}
 import graft.functions.{TextFunctions => T}
-import graft.functions.Rounding.{r4, r6}
+import graft.functions.Rounding.{r2, r4, r6}
 
 /** Corpus-curation operators for large-scale training-data pipelines:
   * train/test decontamination, stratified sampling, domain-mix weighting,
@@ -725,9 +725,67 @@ object Curation {
            |FROM docs d JOIN part p USING (source, lang)
            |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin))
 
+  // ---------------------------------------------------------------- x13
+  /** Epoch/repetition planner — the step after x08's temperature
+    * weights: given a total token budget (one corpus-size epoch) and the
+    * τ=0.5 mixture, how many EPOCHS of each source does the mixer
+    * actually draw? target_s = T·w_s; epochs_s = target_s / tokens_s
+    * (>1 = the source repeats, <1 = it is subsampled); repeats cap at 4
+    * epochs — the data-constrained repetition ceiling — with the
+    * shortfall reported per source so the mixer can see unfilled budget
+    * instead of silently over-repeating small domains.
+    *
+    * Scale shape: identical to x08 — one map-side-combined per-source
+    * aggregate, then card(source)-row arithmetic. sqrt smoothing
+    * IEEE-rounds identically everywhere (the x08 precedent). */
+  val x13EpochPlan = QueryDef(
+    "x13_epoch_plan",
+    (s, d) => {
+      val per = Tables.documents(s, d)
+        .select(col("source"), size(T.tokens(col("text"))).cast("long").as("tok"))
+        .groupBy("source").agg(sum("tok").as("n_tokens"))
+      val tot = per.agg(sum("n_tokens").cast("double").as("total"))
+      val w = per.crossJoin(broadcast(tot))
+        .withColumn("sq", sqrt(col("n_tokens") / col("total")))
+        .withColumn("denom", sum("sq").over(Window.partitionBy()
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)))
+        .withColumn("target_tokens", col("total") * col("sq") / col("denom"))
+        .withColumn("epochs", col("target_tokens") / col("n_tokens"))
+        .withColumn("eff_epochs", least(col("epochs"), lit(4.0)))
+      w.select(col("source"), col("n_tokens"),
+          r6(col("sq") / col("denom")).as("temp_weight"),
+          r2(col("target_tokens")).as("target_tokens"),
+          r4(col("epochs")).as("epochs"),
+          r4(col("eff_epochs")).as("eff_epochs"),
+          (col("epochs") > 4.0).cast("int").as("capped"),
+          r2(greatest(col("target_tokens") - col("eff_epochs") * col("n_tokens"),
+            lit(0.0))).as("shortfall_tokens"))
+        .orderBy("source")
+    },
+    Some("""WITH per AS (
+           |  SELECT source,
+           |    CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+           |  FROM documents GROUP BY 1),
+           |t AS (SELECT *, CAST(sum(n_tokens) OVER () AS DOUBLE) AS total
+           |      FROM per),
+           |u AS (SELECT *, sqrt(n_tokens / total) AS sq FROM t),
+           |v AS (SELECT *, sum(sq) OVER () AS denom FROM u),
+           |x AS (SELECT *, total * sq / denom AS target_tokens,
+           |             (total * sq / denom) / n_tokens AS epochs FROM v)
+           |SELECT source, n_tokens,
+           |  round(sq / denom * 1000000) / 1000000 AS temp_weight,
+           |  round(target_tokens * 100) / 100 AS target_tokens,
+           |  round(epochs * 10000) / 10000 AS epochs,
+           |  round(least(epochs, 4.0) * 10000) / 10000 AS eff_epochs,
+           |  CAST(epochs > 4.0 AS INT) AS capped,
+           |  round(greatest(target_tokens - least(epochs, 4.0) * n_tokens, 0.0)
+           |    * 100) / 100 AS shortfall_tokens
+           |FROM x ORDER BY source""".stripMargin))
+
   val all: Seq[QueryDef] =
     Seq(x01Decontaminate, x02StratifiedSample, x03DomainMix,
       t06PiiRedact, t07Repetition, x04ContainmentScore, x05WeightedSample,
       x06PackSequences, x07ClusterReps, x08TemperatureMix, x09LeakageSplit,
-      x10CurationPipeline, x11BloomDecontaminate, x12CompactionPlan)
+      x10CurationPipeline, x11BloomDecontaminate, x12CompactionPlan,
+      x13EpochPlan)
 }
