@@ -591,8 +591,45 @@ object TextAnalysis {
            |FROM vol v JOIN langs l USING (source)
            |ORDER BY v.source""".stripMargin))
 
+  // ---------------------------------------------------------------- t16
+  /** Chunk-level exact dedup — d01's dedup dropped to SEQUENCE
+    * granularity: fingerprint every t14 training chunk and surface
+    * repeated ones, the pass that catches boilerplate spans and
+    * partially-copied documents that survive doc-level dedup (their
+    * containing docs differ, their training sequences don't). Composes
+    * the shipped chunker verbatim, so what gets deduped is exactly what
+    * would have been trained on.
+    *
+    * Scale shape: chunking is a zero-shuffle projection; the aggregate
+    * groups on the 128-bit md5 fingerprint, so the one exchange moves
+    * 32-byte keys, never chunk text; output is only the repeated tail. */
+  val t16ChunkDedup = QueryDef(
+    "t16_chunk_dedup",
+    (s, d) => {
+      t14Chunking.run(s, d)
+        .select(col("doc_id"), md5(col("chunk_text")).as("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(count(lit(1)).as("n_copies"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          min(col("doc_id")).as("first_doc"))
+        .filter(col("n_copies") > 1)
+        .select(col("fingerprint"), col("n_copies"), col("n_docs"),
+          col("first_doc"), (col("n_docs") > 1).cast("int").as("cross_doc"))
+        .orderBy(col("n_copies").desc, col("fingerprint"))
+    },
+    t14Chunking.oracle.map(t14Sql => s"""WITH chunks AS (
+         |${t14Sql.replace("ORDER BY doc_id, chunk_id", "")})
+         |SELECT md5(chunk_text) AS fingerprint,
+         |  CAST(count(*) AS BIGINT) AS n_copies,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  min(doc_id) AS first_doc,
+         |  CAST(count(DISTINCT doc_id) > 1 AS INT) AS cross_doc
+         |FROM chunks GROUP BY 1 HAVING count(*) > 1
+         |ORDER BY n_copies DESC, fingerprint""".stripMargin))
+
   val all: Seq[QueryDef] =
     Seq(t01LangId, t02Quality, t03TokenCount, t04RollingHash, t05TfIdf,
       t08UnigramLm, t09TokenEntropy, t10GopherRules, t11BigramLm,
-      t12Collocations, t13LangidConfusion, t14Chunking, t15CorpusDatasheet)
+      t12Collocations, t13LangidConfusion, t14Chunking, t15CorpusDatasheet,
+      t16ChunkDedup)
 }
