@@ -26,6 +26,23 @@ object Stateful {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Sliding-window exact distinct actives — batch q80's posting-list
+    * dedup expressed as CHAINED stateful aggregates (Spark 3.5+): the
+    * first windowed agg holds one state row per (window, user) — the
+    * streaming analog of q80's dedup(user, window) — and the second
+    * counts survivors per window, emitting each window once when the
+    * watermark closes it. State is bounded by actives-per-horizon ×
+    * (duration/slide), evicted on watermark advance. */
+  def slidingDistinctStream(df: DataFrame, tsCol: String = "ts",
+      watermark: String = "24 hours", windowDur: String = "24 hours",
+      slide: String = "6 hours"): DataFrame =
+    df.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowDur, slide), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .groupBy(col("window"))
+      .agg(count(lit(1)).as("n_active_users"))
+      .select(col("window.end").as("window_end"), col("n_active_users"))
+
   /** Streaming exact dedup with bounded state: id-only dedup via
     * dropDuplicatesWithinWatermark — a re-delivery with a shifted
     * timestamp (arrival-time stamping after a retry) is still dropped,

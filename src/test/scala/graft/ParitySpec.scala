@@ -87,6 +87,52 @@ class ParitySpec extends SparkSpec {
         s"diff ${(streamed diff batch).take(5)} / ${(batch diff streamed).take(5)}")
   }
 
+  test("sliding distinct actives: chained streaming aggs == batch q80") {
+    val s = spark
+    import s.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val sf = "/root/testdata/sf0.001"
+    val rows = Tables.events(s, sf)
+      .select(col("user_id"), col("ts"))
+      .orderBy("ts").as[(Long, Timestamp)].collect()
+    // sentinel far past the horizon: advances the watermark so every
+    // real window closes and append mode emits it; its own windows end
+    // in buckets no real event observed, so the filter below drops them
+    val sentinel = (-1L,
+      new Timestamp(rows.map(_._2.getTime).max + 5L * 24 * 3600 * 1000))
+
+    val input = MemoryStream[(Long, Timestamp)]
+    val q = streaming.Stateful.slidingDistinctStream(
+        input.toDF().toDF("user_id", "ts"))
+      .writeStream.format("memory").queryName("sliding_out")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.ProcessingTime(50))
+      .start()
+    rows.grouped(rows.length / 3 + 1).foreach { chunk =>
+      input.addData(chunk.toIndexedSeq: _*); q.processAllAvailable()
+    }
+    input.addData(sentinel); q.processAllAvailable()
+    q.stop()
+
+    // streamed window end e ↦ q80's window_end_bucket e/6h − 1; batch
+    // reports only buckets that themselves saw an event, so restrict
+    // the streamed series the same way before comparing
+    val batch = operators.Behavioral.q80SlidingDistinct.run(s, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val observed = Tables.events(s, sf)
+      .select(expr("unix_micros(ts) div 21600000000").as("hr"))
+      .distinct().as[Long].collect().toSet
+    val streamed = s.sql("SELECT * FROM sliding_out").collect()
+      .map(r => (r.getTimestamp(0).getTime * 1000L) / 21600000000L - 1 ->
+        r.getLong(1))
+      .filter { case (h, _) => observed(h) }.toMap
+    assert(streamed == batch,
+      s"stream ${streamed.size} windows vs batch ${batch.size}; " +
+        s"diff ${(streamed.toSet diff batch.toSet).take(3)} / " +
+        s"${(batch.toSet diff streamed.toSet).take(3)}")
+  }
+
   test("heavy hitters: merged streaming MG summaries cover the exact batch set") {
     val s = spark
     import s.implicits._
