@@ -17,6 +17,24 @@ class ExtensionsSpec extends SparkSpec {
     assert(r.getDouble(1) == 11.0)
   }
 
+  test("partitioned writes prune: a type filter reads only its directory") {
+    val s = spark
+    val out = tmpDir("part_events")
+    val events = Tables.events(s, "/root/testdata/sf0.001")
+    events.write.mode("overwrite").partitionBy("event_type").parquet(out)
+
+    val one = s.read.parquet(out).filter(col("event_type") === "click")
+      .select(col("event_id"))
+    val plan = one.queryExecution.executedPlan.toString
+    // the predicate must land in PartitionFilters (directory pruning),
+    // not PushedFilters (row-group skipping) — at 100 TB that is the
+    // difference between listing one partition and scanning them all
+    assert(plan.contains("PartitionFilters: [isnotnull(event_type"),
+      s"expected partition pruning in:\n${plan.take(900)}")
+    assert(one.count() ===
+      events.filter(col("event_type") === "click").count())
+  }
+
   test("bucketed tables co-locate the join: no shuffle exchange in the plan") {
     val s = spark
     import s.implicits._
