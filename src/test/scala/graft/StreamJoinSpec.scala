@@ -39,6 +39,39 @@ class StreamJoinSpec extends SparkSpec {
     assert(got == Seq(1L, 3L), s"got $got")
   }
 
+  test("stream-stream LEFT OUTER interval join: unmatched click null-completes on watermark") {
+    val s = spark
+    import s.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val clicks = MemoryStream[(Long, Timestamp)]
+    val buys = MemoryStream[(Long, Timestamp)]
+    clicks.addData((1L, ts(5)), (2L, ts(20)), (3L, ts(40)))
+    buys.addData((1L, ts(2)), (2L, ts(3)), (3L, ts(39)))
+    // watermark driver: a late event far past the horizon forces the
+    // state store to give up on unmatched left rows and emit them
+    // null-completed — the outer-join contract (no emission before the
+    // watermark proves no match can still arrive)
+    clicks.addData((99L, Timestamp.valueOf("2024-01-01 13:00:00")))
+
+    val c2 = clicks.toDF().toDF("cu", "c_ts").withWatermark("c_ts", "10 minutes")
+    val b2 = buys.toDF().toDF("bu", "b_ts").withWatermark("b_ts", "10 minutes")
+    val q = c2.join(b2, col("cu") === col("bu") &&
+        col("b_ts").between(col("c_ts") - expr("INTERVAL 10 MINUTES"), col("c_ts")),
+        "left_outer")
+      .select(col("cu"), col("bu"))
+      .writeStream.format("memory").queryName("ssj_left_out")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+
+    val got = s.sql("SELECT cu, bu FROM ssj_left_out").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toMap
+    // 1 and 3 match inside the interval; 2's buy is 17m early → null side
+    assert(got(1L) === Some(1L) && got(3L) === Some(3L), s"got $got")
+    assert(got(2L) === None, s"user 2 must null-complete, got $got")
+  }
+
   test("stream-static join: event stream enriched against a dimension table") {
     val s = spark
     import s.implicits._
