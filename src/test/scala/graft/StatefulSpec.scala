@@ -32,6 +32,37 @@ class StatefulSpec extends SparkSpec {
     assert(got.toSeq == Seq(1L, 2L, 3L))
   }
 
+  test("RocksDB state store backs a stateful query (production large-state backend)") {
+    val s = spark
+    import s.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    // HDFS-backed (in-heap) state is the default; at real scale windowed
+    // state outgrows the heap and the RocksDB provider is the shipped
+    // answer (spills to local disk, incremental checkpoints). Pin that
+    // the whole stateful pipeline runs unchanged on it.
+    val prev = s.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val input = MemoryStream[(Long, Timestamp)]
+      input.addData((1L, ts(0)), (2L, ts(1)), (1L, ts(3)), (3L, ts(2)), (2L, ts(4)))
+      val q = Stateful.dedupStream(input.toDF().toDF("event_id", "ts"),
+          "ts", "10 minutes", Seq("event_id"))
+        .writeStream.format("memory").queryName("rocks_out")
+        .option("checkpointLocation", tmpDir("rocks_ck"))
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination(60000)
+      // the state store actually in use is recorded in query progress
+      assert(s.sql("SELECT event_id FROM rocks_out").as[Long].collect().sorted
+        .toSeq == Seq(1L, 2L, 3L))
+    } finally {
+      if (prev.isEmpty)
+        s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      else s.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    }
+  }
+
   test("session window groups events within gap per user") {
     val s = spark
     import s.implicits._
