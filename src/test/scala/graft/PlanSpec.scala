@@ -115,4 +115,51 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(p).size >= 4,
       "expect partial+final aggs at both salt and key level")
   }
+
+  test("AQE splits a skewed join partition at runtime (skew=true)") {
+    val s = spark
+    import org.apache.spark.sql.functions._
+    // a third of the fact lands on one key — the hot-partition shape
+    // salting (q36) fixes manually; here the runtime must fix it alone.
+    // Thresholds are lowered so local-scale data trips the same code
+    // path a 100 TB hot key would.
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "8KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "4KB",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+"spark.sql.adaptive.forceOptimizeSkewedJoin" -> "true")
+    val prev = confs.map { case (k, _) => k -> s.conf.getOption(k) }
+    confs.foreach { case (k, v) => s.conf.set(k, v) }
+    try {
+      // both join children must be PLAIN shuffle stages for the skew
+      // rule to split them (an agg/distinct child disqualifies a side),
+      // so the right side is orders' naturally-unique key column
+      // payload must be incompressible (md5 per row): skew detection is
+      // by shuffle BYTES, and a constant hot key would otherwise
+      // compress away below the median
+      val fact = Tables.lineitem(s, "/root/testdata/sf0.01")
+        .select(when(col("l_orderkey") % 3 === 0, lit(0L))
+          .otherwise(col("l_orderkey")).as("k"),
+          md5(concat(col("l_orderkey").cast("string"), lit("#"),
+            col("l_linenumber").cast("string"))).as("payload"))
+        // a skewed reduce partition is split along MAPPER boundaries, so
+        // the join shuffle needs several map tasks to have split points
+        .repartition(8)
+      val dim = Tables.orders(s, "/root/testdata/sf0.01")
+        .select(col("o_orderkey").as("k"), col("o_totalprice"))
+      // aggregate must CONSUME the payload or column pruning strips it
+      // from the shuffle and the key-only bytes compress below skew
+      val joined = fact.join(dim, "k")
+        .agg(count(lit(1)).as("n"), max("payload").as("m"))
+      joined.collect()
+      val p = joined.queryExecution.executedPlan.toString
+      assert(p.contains("skew=true"),
+        s"expected AQE skew split in final plan:\n${p.take(1200)}")
+    } finally prev.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
 }
