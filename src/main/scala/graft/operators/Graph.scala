@@ -126,5 +126,154 @@ object Graph {
            |  round(r / 1e12, 6) AS rank
            |FROM pr WHERE iter = 8 ORDER BY part""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(q73CopurchaseRank)
+  // ---------------------------------------------------------------- q81
+  /** Degree-oriented triangle counting over the co-purchase graph —
+    * the clustering-coefficient substrate (community density is a
+    * crawl-quality signal just like centrality). The naive 3-way
+    * self-join touches every wedge at every corner; orienting each
+    * undirected edge from its lower to its higher (degree, id) endpoint
+    * (Suri & Vassilvitskii's MR triangle counting) makes every wedge
+    * enumerate exactly once, at its lowest-degree corner, bounding
+    * per-node fan-out by O(√E) — THE trick that keeps hub nodes from
+    * quadratic blow-up at 100 TB.
+    *
+    * Scale shape: one distinct over undirected pairs, one bounded
+    * degree agg, then two hash equi-joins (wedge build on src, closing
+    * semi-join on (y, z)); every shuffle key's cardinality scales with
+    * the edge set. The (deg, id) orientation key is packed into one
+    * BIGINT so both engines compare identically. */
+  val q81Triangles = QueryDef(
+    "q81_triangles",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      val und = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("u"), col("b.p").as("v"))
+        .distinct()
+        .persist()
+      val deg = und.select(col("u").as("n"))
+        .unionAll(und.select(col("v").as("n")))
+        .groupBy("n").agg(count(lit(1)).cast("long").as("dg"))
+      val keyed = und
+        .join(deg.select(col("n").as("u"), col("dg").as("du")), Seq("u"))
+        .join(deg.select(col("n").as("v"), col("dg").as("dv")), Seq("v"))
+        .select(col("u"), col("v"),
+          (col("du") * lit(1000000000L) + col("u")).as("ku"),
+          (col("dv") * lit(1000000000L) + col("v")).as("kv"))
+      val arcs = keyed.select(
+          when(col("ku") < col("kv"), col("u")).otherwise(col("v")).as("src"),
+          when(col("ku") < col("kv"), col("v")).otherwise(col("u")).as("dst"),
+          greatest(col("ku"), col("kv")).as("kdst"))
+        .persist()
+      val wedges = arcs.as("e1").join(arcs.as("e2"),
+          col("e1.src") === col("e2.src") && col("e1.kdst") < col("e2.kdst"))
+        .select(col("e1.src").as("x"), col("e1.dst").as("y"),
+          col("e2.dst").as("z"))
+      val tris = wedges.join(
+          arcs.select(col("src").as("y"), col("dst").as("z")),
+          Seq("y", "z"), "left_semi")
+      val out = tris
+        .select(explode(array(col("x"), col("y"), col("z"))).as("part"))
+        .groupBy("part").agg(count(lit(1)).as("n_triangles"))
+        .orderBy(col("n_triangles").desc, col("part"))
+        .limit(20)
+      out
+    },
+    Some("""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+           |und AS (SELECT DISTINCT a.p AS u, b.p AS v
+           |  FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p),
+           |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS dg
+           |  FROM (SELECT u AS n FROM und UNION ALL SELECT v FROM und)
+           |  GROUP BY 1),
+           |keyed AS (SELECT u, v, du.dg * 1000000000 + u AS ku,
+           |    dv.dg * 1000000000 + v AS kv
+           |  FROM und JOIN deg du ON und.u = du.n JOIN deg dv ON und.v = dv.n),
+           |arcs AS (SELECT CASE WHEN ku < kv THEN u ELSE v END AS src,
+           |    CASE WHEN ku < kv THEN v ELSE u END AS dst,
+           |    greatest(ku, kv) AS kdst
+           |  FROM keyed),
+           |tri AS (SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
+           |  FROM arcs e1 JOIN arcs e2
+           |    ON e1.src = e2.src AND e1.kdst < e2.kdst
+           |  WHERE EXISTS (SELECT 1 FROM arcs a
+           |                WHERE a.src = e1.dst AND a.dst = e2.dst)),
+           |corners AS (SELECT x AS part FROM tri
+           |  UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+           |SELECT part, CAST(count(*) AS BIGINT) AS n_triangles
+           |FROM corners GROUP BY 1
+           |ORDER BY n_triangles DESC, part LIMIT 20""".stripMargin))
+
+  // ---------------------------------------------------------------- q82
+  /** BFS reachability levels from a seed set over a SPARSIFIED
+    * co-purchase graph (pairs sharing ≥ 2 distinct orders — the dense
+    * single-co-occurrence graph has diameter ~2, which exercises
+    * nothing). Min-level frontier propagation, 4 fixed rounds: the
+    * iterated-join shape shared with d03's label propagation and q73's
+    * rank loop, applied to shortest-path distance — reachability /
+    * contamination-radius queries over citation or link graphs.
+    *
+    * Scale shape: the edge list is built once (hash-partitioned on
+    * src by its one exchange) and never re-shuffled; each round joins
+    * the O(V) level table against it, hash-aggs min(level) on node
+    * (partial agg map-side), and re-roots the plan on a materialized
+    * RDD (q73's lineage-cut contract). Per-round traffic is O(V). */
+  val q82BfsLevels = QueryDef(
+    "q82_bfs_levels",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      // ≥2 shared orders: count distinct co-occurrences per pair, then
+      // symmetrize; one exchange on the pair key, one on src.
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+        .agg(countDistinct(col("a.ok")).as("n_ord"))
+        .filter(col("n_ord") >= 2)
+      val edges = pairs.select(col("u").as("src"), col("v").as("dst"))
+        .unionAll(pairs.select(col("v").as("src"), col("u").as("dst")))
+        .persist()
+      val seeds = Tables.part(s, d)
+        .filter(col("p_partkey") % 97 === 0)
+        .select(col("p_partkey").as("node"), lit(0).as("lvl"))
+      def materialize(df: org.apache.spark.sql.DataFrame)
+          : org.apache.spark.sql.DataFrame = {
+        val out = s.createDataFrame(df.rdd, df.schema).persist()
+        out.count()
+        out
+      }
+      var levels = materialize(seeds)
+      var lastMat = levels
+      for (_ <- 1 to 4) {
+        val next = edges.join(levels.hint("shuffle_hash"),
+            col("src") === col("node"))
+          .select(col("dst").as("node"), (col("lvl") + 1).as("lvl"))
+          .unionByName(levels)
+          .groupBy("node").agg(min("lvl").as("lvl"))
+        levels = materialize(next)
+        lastMat.unpersist()
+        lastMat = levels
+      }
+      val out = levels.select(col("node").as("part"), col("lvl").as("level"))
+        .orderBy("part")
+      edges.unpersist()
+      out
+    },
+    Some("""WITH RECURSIVE
+           |li AS (SELECT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+           |pairs AS (SELECT a.p AS u, b.p AS v
+           |  FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p
+           |  GROUP BY 1, 2 HAVING count(DISTINCT a.ok) >= 2),
+           |edges AS (SELECT u AS src, v AS dst FROM pairs
+           |  UNION ALL SELECT v, u FROM pairs),
+           |bfs(iter, node, lvl) AS (
+           |  SELECT 0, p_partkey, 0 FROM part WHERE p_partkey % 97 = 0
+           |  UNION ALL
+           |  SELECT b.iter + 1, e.dst, b.lvl + 1
+           |  FROM bfs b JOIN edges e ON b.node = e.src
+           |  WHERE b.iter < 4)
+           |SELECT node AS part, CAST(min(lvl) AS INT) AS level
+           |FROM bfs GROUP BY 1 ORDER BY part""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q73CopurchaseRank, q81Triangles, q82BfsLevels)
 }

@@ -328,7 +328,63 @@ object Relational3 {
          |FROM cuts GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
     })
 
+  // ---------------------------------------------------------------- q79
+  /** Sole-failing-supplier (the TPC-H Q21 shape on this schema): for
+    * finished orders ('F'), count per supplier the orders where that
+    * supplier shipped a returned item ('R'), at least one OTHER
+    * supplier participated (EXISTS), and no other supplier had a
+    * return (NOT EXISTS) — the canonical correlated exists/not-exists
+    * chain, which the engine must turn into one semi-join and one
+    * anti-join against the same fact rather than two correlated
+    * subquery rescans.
+    *
+    * Scale shape: both the semi and the anti are hash equi-joins on
+    * l_orderkey (the non-equi `sk <> sk2` rides along as a join
+    * residual), so every stage shuffles on a key whose cardinality
+    * scales with the data; the candidate side is pre-shrunk by the
+    * returnflag + orderstatus filters before any join. Final top-10 is
+    * a TakeOrderedAndProject over the bounded supplier aggregate. */
+  val q79ExistsChain = QueryDef(
+    "q79_exists_chain",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"), col("l_returnflag"))
+      val finished = Tables.orders(s, d)
+        .filter(col("o_orderstatus") === "F").select("o_orderkey")
+      val candidates = li.filter(col("l_returnflag") === "R")
+        .join(finished, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey").as("ok"), col("l_suppkey").as("sk"))
+        .distinct()
+      val anyOther = li
+        .select(col("l_orderkey").as("ok2"), col("l_suppkey").as("sk2"))
+      val otherReturn = li.filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("ok3"), col("l_suppkey").as("sk3"))
+      candidates
+        .join(anyOther,
+          col("ok") === col("ok2") && col("sk") =!= col("sk2"), "left_semi")
+        .join(otherReturn,
+          col("ok") === col("ok3") && col("sk") =!= col("sk3"), "left_anti")
+        .join(Tables.supplier(s, d).select("s_suppkey", "s_name"),
+          col("sk") === col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(10)
+    },
+    Some("""WITH cand AS (
+           |  SELECT DISTINCT l_orderkey AS ok, l_suppkey AS sk
+           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |  WHERE l_returnflag = 'R' AND o_orderstatus = 'F')
+           |SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+           |FROM cand JOIN supplier ON sk = s_suppkey
+           |WHERE EXISTS (SELECT 1 FROM lineitem l2
+           |        WHERE l2.l_orderkey = cand.ok AND l2.l_suppkey <> cand.sk)
+           |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+           |        WHERE l3.l_orderkey = cand.ok AND l3.l_suppkey <> cand.sk
+           |          AND l3.l_returnflag = 'R')
+           |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin))
+
   val all: Seq[QueryDef] =
     Seq(q69StarJoin, q70EventDedup, q71ArgExtremes, q72Regression,
-      q74VariantExtract, q75HofBattery, q76ZorderLayout)
+      q74VariantExtract, q75HofBattery, q76ZorderLayout, q79ExistsChain)
 }

@@ -345,4 +345,59 @@ class AnalyticsInvariantSpec extends SparkSpec {
         col("token_keep_rate") > 1).count() === 0)
     } finally out.unpersist()
   }
+
+  test("q81: triangle corners come from the graph, counts bound degree") {
+    val s = spark
+    val out = operators.Graph.q81Triangles.run(s, sf).cache()
+    try {
+      assert(out.count() <= 20 && out.count() > 0)
+      assert(out.filter(col("n_triangles") <= 0).count() === 0)
+      // every reported corner is a real co-purchase node, and its
+      // triangle count is bounded by deg*(deg-1)/2 (wedges at the node)
+      val li = Tables.lineitem(s, sf)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      val und = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+        .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+      val deg = und.select(col("u").as("n"))
+        .unionAll(und.select(col("v").as("n")))
+        .groupBy("n").agg(count(lit(1)).as("dg"))
+      val joined = out.join(deg, col("part") === col("n"), "left").cache()
+      try {
+        assert(joined.filter(col("dg").isNull).count() === 0)
+        assert(joined.filter(
+          col("n_triangles") > col("dg") * (col("dg") - 1) / 2)
+          .count() === 0)
+      } finally joined.unpersist()
+    } finally out.unpersist()
+  }
+
+  test("q82: BFS levels are valid shortest-path prefixes") {
+    val s = spark
+    val out = operators.Graph.q82BfsLevels.run(s, sf).cache()
+    try {
+      // levels live in [0, 4]; seeds (and only part%97 nodes) sit at 0
+      assert(out.filter(col("level") < 0 || col("level") > 4).count() === 0)
+      assert(out.filter(col("level") === 0 && col("part") % 97 =!= 0)
+        .count() === 0)
+      // triangle inequality on the sparsified edge set: neighbors'
+      // levels differ by at most 1 when both are reached
+      val li = Tables.lineitem(s, sf)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+        .agg(countDistinct(col("a.ok")).as("n_ord"))
+        .filter(col("n_ord") >= 2)
+        .select("u", "v")
+      val lv = out.select(col("part").as("n"), col("level").as("l"))
+      val both = pairs
+        .join(lv.withColumnRenamed("n", "u").withColumnRenamed("l", "lu"), "u")
+        .join(lv.withColumnRenamed("n", "v").withColumnRenamed("l", "lv2"), "v")
+      // allow the frontier cutoff: a gap > 1 is only legal if the larger
+      // side is exactly the horizon (its true level may be beyond 4)
+      assert(both.filter(abs(col("lu") - col("lv2")) > 1 &&
+        greatest(col("lu"), col("lv2")) =!= 4).count() === 0)
+    } finally out.unpersist()
+  }
 }
