@@ -153,7 +153,7 @@ object Graph {
         .distinct()
         .persist()
       val deg = und.select(col("u").as("n"))
-        .unionAll(und.select(col("v").as("n")))
+        .union(und.select(col("v").as("n")))
         .groupBy("n").agg(count(lit(1)).cast("long").as("dg"))
       val keyed = und
         .join(deg.select(col("n").as("u"), col("dg").as("du")), Seq("u"))
@@ -231,7 +231,7 @@ object Graph {
         .agg(countDistinct(col("a.ok")).as("n_ord"))
         .filter(col("n_ord") >= 2)
       val edges = pairs.select(col("u").as("src"), col("v").as("dst"))
-        .unionAll(pairs.select(col("v").as("src"), col("u").as("dst")))
+        .union(pairs.select(col("v").as("src"), col("u").as("dst")))
         .persist()
       val seeds = Tables.part(s, d)
         .filter(col("p_partkey") % 97 === 0)

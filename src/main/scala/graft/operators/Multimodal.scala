@@ -217,6 +217,79 @@ object Multimodal {
            |    AS containment
            |FROM p WHERE shared >= 2 ORDER BY doc_a, doc_b""".stripMargin))
 
+  // ---------------------------------------------------------------- m05
+  /** Energy-gated segment extraction — the audio VAD (voice-activity
+    * detection) shape: slice each blob into 64-byte frames, score a
+    * per-frame "energy", gate at a threshold, and merge consecutive
+    * active frames into segments (gaps-and-islands), dropping segments
+    * shorter than 2 frames the way real VADs enforce a minimum speech
+    * duration. This is the silence-trimming / speech-segmentation stage
+    * of an audio training-data pipeline. The energy here is the count of
+    * a reference byte in the frame — a deterministic stand-in for RMS
+    * loudness, same contract as decodeStub (median ≈ threshold, so the
+    * gate genuinely splits documents into multiple islands).
+    *
+    * Scale shape: row-local frame explode → filter → ONE window on
+    * doc_id (high-cardinality key; per-doc frame count bounded by blob
+    * size) → hash-agg on (doc, island). No joins, no low-card
+    * partitions. */
+  val m05VadSegments = QueryDef(
+    "m05_vad_segments",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val FrameBytes = 64
+      val MinEnergy = 5
+      val active = Tables.documents(s, d)
+        .select(col("doc_id"), col("text"),
+          (length(col("text")).cast("int") / FrameBytes).cast("int")
+            .as("n_frames"))
+        .filter(col("n_frames") > 0)
+        .select(col("doc_id"),
+          explode(sequence(lit(0), col("n_frames") - 1)).as("frame_idx"),
+          col("text").substr(col("frame_idx") * FrameBytes + 1,
+            lit(FrameBytes)).as("fr"))
+        .select(col("doc_id"), col("frame_idx"),
+          (length(col("fr")) - length(replace(col("fr"), lit("e"), lit(""))))
+            .as("energy"))
+        .filter(col("energy") >= MinEnergy)
+      val w = Window.partitionBy("doc_id").orderBy("frame_idx")
+      active
+        .withColumn("island", col("frame_idx") - row_number().over(w))
+        .groupBy(col("doc_id"), col("island"))
+        .agg(min("frame_idx").as("seg_start"), max("frame_idx").as("seg_end"),
+          count(lit(1)).as("n_frames"),
+          r4(avg(col("energy"))).as("mean_energy"))
+        .filter(col("n_frames") >= 2)
+        .select(col("doc_id"), col("seg_start"), col("seg_end"),
+          col("n_frames"), col("mean_energy"))
+        .orderBy("doc_id", "seg_start")
+    },
+    Some("""WITH sized AS (
+           |  SELECT doc_id, text, CAST(length(text) // 64 AS INT) AS n_frames
+           |  FROM documents WHERE length(text) // 64 > 0),
+           |fr AS (
+           |  SELECT doc_id, CAST(i AS INT) AS frame_idx,
+           |    substring(text, CAST(i AS INT) * 64 + 1, 64) AS fr
+           |  FROM sized, unnest(range(0, n_frames)) AS t(i)),
+           |en AS (
+           |  SELECT doc_id, frame_idx,
+           |    length(fr) - length(replace(fr, 'e', '')) AS energy
+           |  FROM fr),
+           |act AS (SELECT * FROM en WHERE energy >= 5),
+           |isl AS (
+           |  SELECT doc_id, frame_idx, energy,
+           |    frame_idx - row_number()
+           |      OVER (PARTITION BY doc_id ORDER BY frame_idx) AS island
+           |  FROM act),
+           |agg AS (
+           |  SELECT doc_id, island,
+           |    min(frame_idx) AS seg_start, max(frame_idx) AS seg_end,
+           |    CAST(count(*) AS BIGINT) AS n_frames,
+           |    round(avg(energy), 4) AS mean_energy
+           |  FROM isl GROUP BY 1, 2)
+           |SELECT doc_id, seg_start, seg_end, n_frames, mean_energy
+           |FROM agg WHERE n_frames >= 2 ORDER BY doc_id, seg_start""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(m01Meta, m02Features, m03FrameSample,
-    m04MediaNearDup)
+    m04MediaNearDup, m05VadSegments)
 }

@@ -360,7 +360,7 @@ class AnalyticsInvariantSpec extends SparkSpec {
           col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
         .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
       val deg = und.select(col("u").as("n"))
-        .unionAll(und.select(col("v").as("n")))
+        .union(und.select(col("v").as("n")))
         .groupBy("n").agg(count(lit(1)).as("dg"))
       val joined = out.join(deg, col("part") === col("n"), "left").cache()
       try {
@@ -398,6 +398,53 @@ class AnalyticsInvariantSpec extends SparkSpec {
       // side is exactly the horizon (its true level may be beyond 4)
       assert(both.filter(abs(col("lu") - col("lv2")) > 1 &&
         greatest(col("lu"), col("lv2")) =!= 4).count() === 0)
+    } finally out.unpersist()
+  }
+
+  test("s11: fused ranking is a valid RRF of the two source rankings") {
+    val s = spark
+    val out = operators.Similarity.s11HybridRrf.run(s, sf).cache()
+    try {
+      // 10 fused hits per query, ranks dense 1..10
+      val perQ = out.groupBy("qid")
+        .agg(count(lit(1)).as("n"), max("rank").as("mx"))
+      assert(perQ.filter(col("n") =!= 10 || col("mx") =!= 10).count() === 0)
+      // the fused score really is 1/(60+rv) + [1/(60+rl)]
+      assert(out.filter(abs(col("rrf") -
+        (lit(1.0) / (col("rv") + 60) +
+          coalesce(lit(1.0) / (col("rl") + 60), lit(0.0)))) > 1e-4)
+        .count() === 0)
+      // fused order is monotone in the (recomputed) score per query
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("qid").orderBy("rank")
+      assert(out.withColumn("prev", lag("rrf", 1).over(w))
+        .filter(col("prev").isNotNull && col("prev") < col("rrf") - 1e-9)
+        .count() === 0)
+      // a doc ranked 1st by BOTH sources must be fused rank 1
+      val doubleFirst = out.filter(col("rv") === 1 && col("rl") === 1)
+      assert(doubleFirst.filter(col("rank") =!= 1).count() === 0)
+    } finally out.unpersist()
+  }
+
+  test("m05: segments are disjoint islands of above-threshold frames") {
+    val s = spark
+    val out = operators.Multimodal.m05VadSegments.run(s, sf).cache()
+    try {
+      // bounds are sane and consistent with the frame count
+      assert(out.filter(col("seg_start") > col("seg_end") ||
+        col("n_frames") =!= col("seg_end") - col("seg_start") + 1)
+        .count() === 0)
+      // every frame in a segment cleared the gate, so the mean did too
+      assert(out.filter(col("mean_energy") < 5).count() === 0)
+      // segments never overlap or touch within a doc (touching islands
+      // would have merged): next start > this end + 1
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("seg_start")
+      assert(out.withColumn("nxt", lead("seg_start", 1).over(w))
+        .filter(col("nxt").isNotNull && col("nxt") <= col("seg_end") + 1)
+        .count() === 0)
+      // min-duration gate held
+      assert(out.filter(col("n_frames") < 2).count() === 0)
     } finally out.unpersist()
   }
 }
