@@ -627,9 +627,58 @@ object TextAnalysis {
          |FROM chunks GROUP BY 1 HAVING count(*) > 1
          |ORDER BY n_copies DESC, fingerprint""".stripMargin))
 
+  // ---------------------------------------------------------------- t17
+  /** Hashed-feature linear quality classifier — the fastText-style
+    * model-based filter every pretraining pipeline runs (a linear model
+    * over a hashed bag of words; CCNet/fastText quality scoring). The
+    * feature hash is the corpus-wide md5-prefix convention (d03's), the
+    * per-bucket weight is a deterministic integer in [-1000, 1000]
+    * derived from the bucket id (a real deployment broadcasts a trained
+    * weight vector — same plumbing, different constants), and the doc
+    * score is Σ w(bucket(tok)) / (1000·n_tokens). The numerator is an
+    * exact BIGINT sum — order-independent, so partial aggregation
+    * cannot perturb it and the keep flag (Σ > 0) is bit-exact in any
+    * engine; the ONE double division happens after aggregation.
+    *
+    * Scale shape: explode → per-doc hash-agg with map-side combine; the
+    * weight "vector" is an expression, so nothing is broadcast and no
+    * join exists. Pure two-exchange pipeline at any corpus size. */
+  val t17QualityClassifier = QueryDef(
+    "t17_quality_classifier",
+    (s, d) => {
+      val D = 4096
+      Tables.documents(s, d)
+        .select(col("doc_id"), explode(T.tokens(col("text"))).as("tok"))
+        .select(col("doc_id"),
+          (conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long") % D)
+            .as("b"))
+        .select(col("doc_id"),
+          ((col("b") * 2654435761L) % 2001L - 1000L).as("w"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum("w").as("score_milli"))
+        .select(col("doc_id"), col("n_tokens"), col("score_milli"),
+          r6(col("score_milli") / (col("n_tokens") * 1000.0)).as("score"),
+          (col("score_milli") > 0).cast("int").as("keep"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+           |  FROM documents),
+           |w AS (SELECT doc_id,
+           |    (('0x' || substr(md5(tok), 1, 8))::BIGINT % 4096)
+           |      * 2654435761 % 2001 - 1000 AS w
+           |  FROM toks),
+           |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+           |    CAST(sum(w) AS BIGINT) AS score_milli
+           |  FROM w GROUP BY 1)
+           |SELECT doc_id, n_tokens, score_milli,
+           |  round(score_milli / (n_tokens * 1000.0), 6) AS score,
+           |  CAST(score_milli > 0 AS INT) AS keep
+           |FROM sc ORDER BY doc_id""".stripMargin))
+
   val all: Seq[QueryDef] =
     Seq(t01LangId, t02Quality, t03TokenCount, t04RollingHash, t05TfIdf,
       t08UnigramLm, t09TokenEntropy, t10GopherRules, t11BigramLm,
       t12Collocations, t13LangidConfusion, t14Chunking, t15CorpusDatasheet,
-      t16ChunkDedup)
+      t16ChunkDedup, t17QualityClassifier)
 }
