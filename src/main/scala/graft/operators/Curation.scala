@@ -782,10 +782,50 @@ object Curation {
            |    * 100) / 100 AS shortfall_tokens
            |FROM x ORDER BY source""".stripMargin))
 
+  // ---------------------------------------------------------------- x14
+  /** k-anonymity audit over quasi-identifiers — the privacy-governance
+    * gate a corpus release runs beside t06's PII scrub: group documents
+    * by their quasi-identifier tuple (lang, source, length bucket) and
+    * flag equivalence classes smaller than k=5, whose members a linkage
+    * attack could re-identify. Reports per-class size, the flag, and the
+    * class's share of the corpus — the table a release review reads to
+    * decide suppression/generalization.
+    *
+    * Scale shape: one map-side-combined hash-agg on a bounded-cardinality
+    * tuple plus a scalar corpus count folded in as a broadcast scalar
+    * subquery — no window, no join on data-sized keys. */
+  val x14KAnonymity = QueryDef(
+    "x14_k_anonymity",
+    (s, d) => {
+      val K = 5
+      val docs = Tables.documents(s, d)
+      val total = docs.select(count(lit(1)).as("total"))
+      docs
+        .select(col("lang"), col("source"),
+          (col("n_chars") / 100).cast("int").as("len_bucket"))
+        .groupBy("lang", "source", "len_bucket")
+        .agg(count(lit(1)).as("class_size"))
+        .crossJoin(broadcast(total))
+        .select(col("lang"), col("source"), col("len_bucket"),
+          col("class_size"),
+          (col("class_size") < K).cast("int").as("at_risk"),
+          r6(col("class_size") / col("total").cast("double")).as("share"))
+        .orderBy("lang", "source", "len_bucket")
+    },
+    Some("""WITH cls AS (
+           |  SELECT lang, source, CAST(n_chars // 100 AS INT) AS len_bucket,
+           |    CAST(count(*) AS BIGINT) AS class_size
+           |  FROM documents GROUP BY 1, 2, 3)
+           |SELECT lang, source, len_bucket, class_size,
+           |  CAST(class_size < 5 AS INT) AS at_risk,
+           |  round(class_size / CAST((SELECT count(*) FROM documents) AS DOUBLE),
+           |    6) AS share
+           |FROM cls ORDER BY lang, source, len_bucket""".stripMargin))
+
   val all: Seq[QueryDef] =
     Seq(x01Decontaminate, x02StratifiedSample, x03DomainMix,
       t06PiiRedact, t07Repetition, x04ContainmentScore, x05WeightedSample,
       x06PackSequences, x07ClusterReps, x08TemperatureMix, x09LeakageSplit,
       x10CurationPipeline, x11BloomDecontaminate, x12CompactionPlan,
-      x13EpochPlan)
+      x13EpochPlan, x14KAnonymity)
 }

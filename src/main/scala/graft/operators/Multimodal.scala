@@ -233,25 +233,33 @@ object Multimodal {
     * doc_id (high-cardinality key; per-doc frame count bounded by blob
     * size) → hash-agg on (doc, island). No joins, no low-card
     * partitions. */
+  /** The (doc_id, frame_idx, energy) frame table of ACTIVE frames —
+    * m05's input stage, shared with the streaming twin's feed so batch
+    * and incremental segmentation consume identical rows. */
+  private[graft] def activeFrames(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val FrameBytes = 64
+    val MinEnergy = 5
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"),
+        (length(col("text")).cast("int") / FrameBytes).cast("int")
+          .as("n_frames"))
+      .filter(col("n_frames") > 0)
+      .select(col("doc_id"),
+        explode(sequence(lit(0), col("n_frames") - 1)).as("frame_idx"),
+        col("text").substr(col("frame_idx") * FrameBytes + 1,
+          lit(FrameBytes)).as("fr"))
+      .select(col("doc_id"), col("frame_idx"),
+        (length(col("fr")) - length(replace(col("fr"), lit("e"), lit(""))))
+          .as("energy"))
+      .filter(col("energy") >= MinEnergy)
+  }
+
   val m05VadSegments = QueryDef(
     "m05_vad_segments",
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val FrameBytes = 64
-      val MinEnergy = 5
-      val active = Tables.documents(s, d)
-        .select(col("doc_id"), col("text"),
-          (length(col("text")).cast("int") / FrameBytes).cast("int")
-            .as("n_frames"))
-        .filter(col("n_frames") > 0)
-        .select(col("doc_id"),
-          explode(sequence(lit(0), col("n_frames") - 1)).as("frame_idx"),
-          col("text").substr(col("frame_idx") * FrameBytes + 1,
-            lit(FrameBytes)).as("fr"))
-        .select(col("doc_id"), col("frame_idx"),
-          (length(col("fr")) - length(replace(col("fr"), lit("e"), lit(""))))
-            .as("energy"))
-        .filter(col("energy") >= MinEnergy)
+      val active = activeFrames(s, d)
       val w = Window.partitionBy("doc_id").orderBy("frame_idx")
       active
         .withColumn("island", col("frame_idx") - row_number().over(w))

@@ -428,6 +428,58 @@ object Stateful {
       watermarkWakeups = true)
   }
 
+  final case class VadSegment(doc_id: Long, seg_start: Long, seg_end: Long,
+      n_frames: Long, mean_energy: Double)
+  final case class VadState(start: Long, end: Long, n: Long, sum: Long,
+      lastTsMs: Long)
+
+  /** Incremental twin of batch m05: energy-gated VAD segmentation as a
+    * per-doc state machine over the ordered-replay harness. The feed is
+    * m05's ACTIVE frame table as events — key = doc id, event_id =
+    * frame index, value = frame energy, ts = a per-frame timestamp that
+    * advances 1 s per frame index. A segment extends while frame
+    * indices stay consecutive, closes on the first gap (emitting when it
+    * met the 2-frame minimum duration), and — the watermark-close rule —
+    * closes when the watermark passes the successor frame's timestamp,
+    * because Spark then guarantees that frame can never arrive. State
+    * per doc is O(1) plus the harness's slack-bounded reorder buffer. */
+  def vadStream(df: DataFrame, slack: String = "2 hours"): Dataset[VadSegment] = {
+    import org.apache.spark.sql.Encoders
+    implicit val stEnc: Encoder[(VadState, Seq[Ev])] =
+      Encoders.product[(VadState, Seq[Ev])]
+    implicit val outEnc: Encoder[VadSegment] = Encoders.product[VadSegment]
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    implicit val evEnc: Encoder[Ev] = Encoders.product[Ev]
+    val MinFrames = 2L
+    def close(doc: Long, st: VadState): Seq[VadSegment] =
+      if (st.start >= 0 && st.n >= MinFrames)
+        Seq(VadSegment(doc, st.start, st.end, st.n, st.sum.toDouble / st.n))
+      else Nil
+    val empty = VadState(-1L, -1L, 0L, 0L, -1L)
+    orderedPerKeyBy[Long, VadState, VadSegment](df, slack, empty)(_._1)(
+      apply = { (doc, e, st) =>
+        val idx = e._3
+        val energy = e._5.toLong
+        val ts = e._2.getTime
+        if (st.start < 0)
+          (VadState(idx, idx, 1L, energy, ts), Nil)
+        else if (idx == st.end + 1)
+          (VadState(st.start, idx, st.n + 1, st.sum + energy, ts), Nil)
+        else {
+          val out = close(doc, st)
+          (VadState(idx, idx, 1L, energy, ts), out)
+        }
+      },
+      onWatermark = { (doc, wm, st) =>
+        // the successor frame would carry ts = lastTs + 1 s; once the
+        // watermark passes it, the segment can never be extended
+        if (st.start >= 0 && wm > st.lastTsMs + 1000L)
+          (empty, close(doc, st))
+        else (st, Nil)
+      },
+      watermarkWakeups = true)
+  }
+
   def scd2Stream(ds: Dataset[(Long, java.sql.Timestamp, Long, String)])(
       implicit e1: Encoder[Scd2State], e2: Encoder[Scd2Period],
       e3: Encoder[Long]): Dataset[Scd2Period] =

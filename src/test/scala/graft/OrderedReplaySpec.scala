@@ -153,6 +153,60 @@ class OrderedReplaySpec extends SparkSpec {
     }
   }
 
+  test("streaming vad: closed segments == batch m05 on a shuffled frame feed") {
+    val s = spark
+    import s.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+
+    // m05's active-frame table as an event feed: ts advances 1 s per
+    // frame index from a fixed base, shuffled within 30 min (< the 2 h
+    // slack), split across micro-batches
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+    val frames = operators.Multimodal.activeFrames(s, sf).collect()
+      .map(r => (r.getLong(0),
+        new java.sql.Timestamp(base + r.getInt(1) * 1000L),
+        r.getInt(1).toLong, "frame", r.getInt(2).toDouble))
+    val shuffled = frames.sortBy { e =>
+      val jitter = Math.floorMod((e._1 * 131071L + e._3) * 2654435761L,
+        1800000L)
+      (e._2.getTime + jitter, e._1, e._3)
+    }
+    val input = MemoryStream[Stateful.Ev]
+    val q = Stateful.vadStream(
+        input.toDS().toDF("user_id", "ts", "event_id", "event_type", "value"),
+        "2 hours")
+      .writeStream.format("memory").queryName("ooo_vad")
+      .trigger(Trigger.ProcessingTime(50)).start()
+    val third = shuffled.length / 3
+    Seq(shuffled.slice(0, third), shuffled.slice(third, 2 * third),
+      shuffled.drop(2 * third)).foreach { chunk =>
+      input.addData(chunk.toSeq); q.processAllAvailable()
+    }
+    val sentinelTs = new java.sql.Timestamp(
+      frames.map(_._2.getTime).max + 30L * 86400 * 1000)
+    input.addData(Seq((-1L, sentinelTs, -1L, "zz_sentinel", 0.0)))
+    q.processAllAvailable()
+    q.stop()
+
+    val streamed = s.table("ooo_vad").filter("doc_id >= 0").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ->
+        r.getDouble(4)).toMap
+    val batch = SparkEntry.queries("m05_vad_segments")(s, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1).toLong, r.getInt(2).toLong,
+        r.getLong(3)) -> r.getDouble(4)).toMap
+    assert(streamed.nonEmpty)
+    assert(streamed.keySet == batch.keySet,
+      s"stream-only: ${streamed.keySet.diff(batch.keySet).take(3)}; " +
+        s"batch-only: ${batch.keySet.diff(streamed.keySet).take(3)}")
+    // batch mean_energy is r4-rounded; streamed is the raw quotient of
+    // the same integer (sum, n) — gap bounded by the rounding half-width
+    streamed.foreach { case (k, m) =>
+      assert(math.abs(m - batch(k)) <= 5e-5 + 1e-9, s"$k mean $m vs ${batch(k)}")
+    }
+  }
+
   test("streaming retention: emitted activity == batch q58 cohort matrix") {
     val s = spark
     val out = runStream("ooo_retention")(df =>
