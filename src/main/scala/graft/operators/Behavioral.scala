@@ -329,6 +329,78 @@ object Behavioral {
            |WHERE c.win IN (SELECT hr FROM observed)
            |GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  // ---------------------------------------------------------------- q83
+  /** Peak concurrency per (event_type, day) — the interval-sweep shape
+    * (max simultaneous sessions = capacity planning / peak-load metric).
+    * Each event opens a 30-minute session clipped at midnight; the sweep
+    * is MINUTE-BUCKETED: +1/−1 deltas hash-agg down to at most 1440
+    * net-delta rows per (type, day) BEFORE any ordered scan, so the
+    * running sum's window partitions are domain-bounded regardless of
+    * corpus size — the q59 histogram lesson applied to interval
+    * stabbing. (The unbucketed exact sweep would sort every event in a
+    * (type, day) partition — the q54 scale-killer.) Semantics: a session
+    * is active from its start minute through the minute before its end
+    * minute; concurrency is measured at minute resolution.
+    *
+    * Scale shape: corpus-sized data crosses one exchange (the delta
+    * hash-agg, map-side combined); the cumulative window and peak agg
+    * run over ≤ types×1440 rows per day. */
+  val q83PeakConcurrency = QueryDef(
+    "q83_peak_concurrency",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d)
+        .select(col("event_type"),
+          expr("unix_micros(ts) div 60000000").as("m0"))
+        .select(col("event_type"), col("m0"),
+          expr("m0 div 1440").as("day"))
+      val deltas = ev
+        .select(col("event_type"), col("day"), col("m0").as("minute"),
+          lit(1L).as("delta"))
+        .union(ev
+          .select(col("event_type"), col("day"),
+            least(col("m0") + 30L, (col("day") + 1L) * 1440L).as("minute"),
+            lit(-1L).as("delta"))
+          .filter(col("minute") < (col("day") + 1L) * 1440L))
+      val net = deltas.groupBy("event_type", "day", "minute")
+        .agg(sum("delta").as("net"))
+      val w = Window.partitionBy("event_type", "day").orderBy("minute")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val starts = ev.groupBy("event_type", "day")
+        .agg(count(lit(1)).as("n_sessions"))
+      net.withColumn("cum", sum("net").over(w))
+        .groupBy("event_type", "day")
+        .agg(max("cum").as("peak"))
+        .join(starts, Seq("event_type", "day"))
+        .select(col("event_type"), col("day"), col("n_sessions"), col("peak"))
+        .orderBy("event_type", "day")
+    },
+    Some("""WITH ev AS (
+           |  SELECT event_type, epoch_us(ts) // 60000000 AS m0,
+           |    (epoch_us(ts) // 60000000) // 1440 AS day
+           |  FROM events),
+           |deltas AS (
+           |  SELECT event_type, day, m0 AS minute, 1 AS delta FROM ev
+           |  UNION ALL
+           |  SELECT event_type, day,
+           |    least(m0 + 30, (day + 1) * 1440) AS minute, -1 AS delta
+           |  FROM ev WHERE least(m0 + 30, (day + 1) * 1440) < (day + 1) * 1440),
+           |net AS (
+           |  SELECT event_type, day, minute, CAST(sum(delta) AS BIGINT) AS net
+           |  FROM deltas GROUP BY 1, 2, 3),
+           |cum AS (
+           |  SELECT event_type, day,
+           |    sum(net) OVER (PARTITION BY event_type, day ORDER BY minute
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+           |  FROM net),
+           |pk AS (SELECT event_type, day, CAST(max(cum) AS BIGINT) AS peak
+           |  FROM cum GROUP BY 1, 2),
+           |st AS (SELECT event_type, day, CAST(count(*) AS BIGINT) AS n_sessions
+           |  FROM ev GROUP BY 1, 2)
+           |SELECT event_type, day, n_sessions, peak
+           |FROM pk JOIN st USING (event_type, day)
+           |ORDER BY event_type, day""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q57Funnel, q58Retention, q61Markov,
-    q62SessionPaths, q68Attribution, q80SlidingDistinct)
+    q62SessionPaths, q68Attribution, q80SlidingDistinct, q83PeakConcurrency)
 }
