@@ -149,7 +149,7 @@ object Graph {
     (s, d) => {
       val li = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-      val und = li.as("a").join(li.as("b"),
+      val und = li.as("a").join(li.hint("shuffle_hash").as("b"),
           col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
         .select(col("a.p").as("u"), col("b.p").as("v"))
         .distinct()
@@ -177,12 +177,16 @@ object Graph {
       // per-row array building at this fan-out.) At sf0.1 this whole
       // query enumerates 1.88M triangles from ~40M wedges in ~22 s on
       // local[32] — the same SQL takes DuckDB 30 s single-node.
-      val wedges = arcs.as("e1").join(arcs.as("e2"),
+      val wedges = arcs.as("e1").join(arcs.hint("shuffle_hash").as("e2"),
           col("e1.src") === col("e2.src") && col("e1.kdst") < col("e2.kdst"))
         .select(col("e1.src").as("x"), col("e1.dst").as("y"),
           col("e2.dst").as("z"))
+      // shuffle_hash on the arc side: the probe stream is the O(Σdeg²)
+      // wedge set — sort-merge would SORT it; hashing the E-sized arc
+      // table instead keeps the wedge side sort-free and pipelined.
       val tris = wedges.join(
-          arcs.select(col("src").as("y"), col("dst").as("z")),
+          arcs.select(col("src").as("y"), col("dst").as("z"))
+            .hint("shuffle_hash"),
           Seq("y", "z"), "left_semi")
       val top = tris
         .select(explode(array(col("x"), col("y"), col("z"))).as("part"))
@@ -242,7 +246,7 @@ object Graph {
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
       // ≥2 shared orders: count distinct co-occurrences per pair, then
       // symmetrize; one exchange on the pair key, one on src.
-      val pairs = li.as("a").join(li.as("b"),
+      val pairs = li.as("a").join(li.hint("shuffle_hash").as("b"),
           col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
         .groupBy(col("a.p").as("u"), col("b.p").as("v"))
         .agg(countDistinct(col("a.ok")).as("n_ord"))
