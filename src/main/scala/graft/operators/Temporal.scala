@@ -502,6 +502,123 @@ object Temporal {
            |  round(sum(coalesce(p_new, 0)), 2) AS new_value
            |FROM j GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
+  // ---------------------------------------------------------------- q84
+  /** Two-sided interval-overlap join at scale: user activity sessions
+    * (10-minute-gap sessionization, the q37 contract) against per-type
+    * surge windows (5-minute buckets with ≥ max(2, 1.5×type-average)
+    * events, merged into consecutive-bucket islands clipped at midnight —
+    * the q83 convention at the coarser grain). "Which activity windows were exposed to each surge" is
+    * the interval-stabbing question capacity/incident analysis asks, and
+    * neither side carries an equi key — the naive plan is a
+    * BroadcastNestedLoopJoin over every (session, surge) pair.
+    *
+    * Scale shape: both interval sets explode into the HOUR buckets they
+    * span, the join becomes an equi-join on the bucket with the exact
+    * overlap predicate as a residual, and a distinct on (surge, session)
+    * dedups multi-bucket matches. Bucket cardinality grows with the
+    * timespan (not the volume) and per-hour fan-out is bounded by
+    * islands-per-hour, so join work stays ∝ true matches — the standard
+    * bin-the-intervals remedy for interval joins, same family as d08's
+    * banding. Sessions cost one exchange on user_id; the surge side is
+    * aggregate-bounded (≤ 288 bucket rows per (type, day)) before its
+    * window. */
+  val q84IntervalJoin = QueryDef(
+    "q84_interval_join",
+    (s, d) => {
+      val BktUs = 300000000L // 5-minute surge buckets
+      val HourUs = 3600000000L
+      // sessions: [s0, s1] closed, µs — q37's gap rule verbatim
+      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sess = Tables.events(s, d)
+        .withColumn("gap_s",
+          unix_micros(col("ts")) - unix_micros(lag("ts", 1).over(byUser)))
+        .withColumn("is_break",
+          when(col("gap_s").isNull || col("gap_s") > 600L * 1000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_seq", sum("is_break").over(run))
+        .groupBy("user_id", "session_seq")
+        .agg(min(unix_micros(col("ts"))).as("s0"),
+          max(unix_micros(col("ts"))).as("s1"))
+      // surge islands: [m0, m1] closed, 5-minute buckets
+      val mc = Tables.events(s, d)
+        .select(col("event_type"),
+          (unix_micros(col("ts")) / BktUs).cast("long").as("m"))
+        .groupBy("event_type", "m").agg(count(lit(1)).as("n"))
+      val av = mc.groupBy("event_type")
+        .agg(avg(col("n").cast("double")).as("avgn"))
+      val surge = mc.join(broadcast(av), Seq("event_type"))
+        .filter(col("n") >= 2L && col("n").cast("double") >= lit(1.5) * col("avgn"))
+        .withColumn("day", (col("m") / 288L).cast("long"))
+      val wDay = Window.partitionBy("event_type", "day").orderBy("m")
+      val wRun = wDay.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val iv = surge
+        .withColumn("brk",
+          when(col("m") - lag("m", 1).over(wDay) === 1L, 0L).otherwise(1L))
+        .withColumn("iid", sum("brk").over(wRun))
+        .groupBy("event_type", "day", "iid")
+        .agg(min("m").as("m0"), max("m").as("m1"))
+      // hour-bucket expansion → equi-join → exact-overlap residual
+      val sessB = sess.withColumn("hr",
+        explode(sequence(expr(s"s0 div $HourUs"), expr(s"s1 div $HourUs"))))
+      val ivB = iv.withColumn("hr",
+        explode(sequence(expr("m0 div 12"), expr("m1 div 12"))))
+      ivB.join(sessB, Seq("hr"))
+        .filter(col("s0") < (col("m1") + 1L) * BktUs &&
+          col("s1") >= col("m0") * BktUs)
+        .select("event_type", "m0", "m1", "user_id", "session_seq")
+        .distinct()
+        .groupBy(col("event_type"), col("m0").as("surge_start"),
+          (col("m1") - col("m0") + 1L).as("surge_min"))
+        .agg(count(lit(1)).as("n_sessions"),
+          countDistinct(col("user_id")).as("n_users"))
+        .orderBy("event_type", "surge_start")
+    },
+    Some("""WITH gapped AS (
+           |  SELECT user_id, event_id, ts,
+           |    epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) AS gap_s
+           |  FROM events
+           |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+           |marked AS (
+           |  SELECT *, CASE WHEN gap_s IS NULL OR gap_s > 600 * 1000000
+           |                 THEN 1 ELSE 0 END AS is_break
+           |  FROM gapped),
+           |sess AS (
+           |  SELECT user_id, session_seq, min(epoch_us(ts)) AS s0,
+           |    max(epoch_us(ts)) AS s1
+           |  FROM (SELECT *, sum(is_break) OVER (PARTITION BY user_id
+           |      ORDER BY ts, event_id
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+           |    FROM marked)
+           |  GROUP BY 1, 2),
+           |mc AS (SELECT event_type, epoch_us(ts) // 300000000 AS m,
+           |    count(*) AS n
+           |  FROM events GROUP BY 1, 2),
+           |av AS (SELECT event_type, avg(CAST(n AS DOUBLE)) AS avgn
+           |  FROM mc GROUP BY 1),
+           |surge AS (SELECT mc.event_type, m, m // 288 AS day
+           |  FROM mc JOIN av USING (event_type)
+           |  WHERE n >= 2 AND CAST(n AS DOUBLE) >= 1.5 * avgn),
+           |isl AS (SELECT *, CASE WHEN m - lag(m) OVER
+           |      (PARTITION BY event_type, day ORDER BY m) = 1
+           |    THEN 0 ELSE 1 END AS brk
+           |  FROM surge),
+           |iv AS (SELECT event_type, day, iid, min(m) AS m0, max(m) AS m1
+           |  FROM (SELECT *, sum(brk) OVER (PARTITION BY event_type, day
+           |      ORDER BY m ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           |      AS iid
+           |    FROM isl)
+           |  GROUP BY 1, 2, 3),
+           |ov AS (SELECT DISTINCT iv.event_type, m0, m1, s.user_id,
+           |    s.session_seq
+           |  FROM iv JOIN sess s
+           |    ON s.s0 < (m1 + 1) * 300000000 AND s.s1 >= m0 * 300000000)
+           |SELECT event_type, m0 AS surge_start,
+           |  CAST(m1 - m0 + 1 AS BIGINT) AS surge_min,
+           |  count(*) AS n_sessions,
+           |  count(DISTINCT user_id) AS n_users
+           |FROM ov GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q48Scd2, q55GapFill, q56Ohlc, q60Anomaly,
-    q63SeriesCorr, q64Ewma, q65Autocorr, q78SnapshotDiff)
+    q63SeriesCorr, q64Ewma, q65Autocorr, q78SnapshotDiff, q84IntervalJoin)
 }
