@@ -1,0 +1,56 @@
+package graft
+
+/** Partition-count invariance: on a real cluster the shuffle partition
+  * count is a deployment knob (and AQE changes it at runtime), so a
+  * correct-at-scale operator must produce IDENTICAL results under any
+  * partitioning. Floating-point aggregation famously breaks this
+  * (partial-sum order differs per partitioning — the OHLC parity
+  * knife-edge from round 3); the operators pinned here are the ones
+  * whose outputs are exact by construction (integer counts, fixed-point
+  * BIGINT rank mass, min-levels), so any drift under a different
+  * partition count is a genuine distribution bug, not float noise.
+  */
+class ScaleInvarianceSpec extends SparkSpec {
+
+  private def rowsAt(nPart: Int, name: String, sfDir: String): Seq[String] = {
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", nPart.toString)
+      SparkEntry.queries(name)(spark, sfDir)
+        .collect().map(_.toString).sorted.toSeq
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
+  private def invariant(name: String, sfDir: String): Unit = {
+    val base = rowsAt(4, name, sfDir)
+    assert(base.nonEmpty, s"$name returned no rows at $sfDir")
+    for (n <- Seq(3, 17)) {
+      val other = rowsAt(n, name, sfDir)
+      assert(other === base,
+        s"$name drifts between shuffle.partitions=4 and =$n")
+    }
+  }
+
+  private val sf001 = "/root/testdata/sf0.001"
+  private val sf01 = "/root/testdata/sf0.01"
+
+  test("q73 pagerank: fixed-point ranks invariant to partition count") {
+    invariant("q73_copurchase_rank", sf001)
+  }
+
+  test("q82 BFS levels invariant to partition count") {
+    invariant("q82_bfs_levels", sf001)
+  }
+
+  test("q84 interval-overlap counts invariant to partition count") {
+    invariant("q84_interval_join", sf01)
+  }
+
+  test("d03 transitive near-dup labels invariant to partition count") {
+    invariant("d03_dedup_minhash_lsh", sf001)
+  }
+
+  test("q77 grouped heavy hitters invariant to partition count") {
+    invariant("q77_group_heavy_hitters", sf001)
+  }
+}
