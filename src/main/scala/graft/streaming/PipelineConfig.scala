@@ -45,9 +45,15 @@ object PipelineConfig {
         c.options.getOrElse("delim", "\n"), c.options.getOrElse("topic", c.kind))
     case "rate" =>
       Sources.poller(spark, c.options.getOrElse("rowsPerSecond", "100").toInt)
+    // Columnar file-stream kinds: schema inferred once from existing
+    // footers at pipeline build (NOT per micro-batch). orc rides the
+    // same built-in file source machinery as parquet.
     case "parquet" =>
       spark.readStream.schema(
         spark.read.parquet(c.options("path")).schema).parquet(c.options("path"))
+    case "orc" =>
+      spark.readStream.schema(
+        spark.read.orc(c.options("path")).schema).orc(c.options("path"))
     // Structured file-stream kinds for the two wire formats the
     // reference's deser layer targets (JSON via TransformUnmarshalJSON,
     // types.go:163-167; delimited records via the scanner): schema comes
@@ -99,6 +105,7 @@ object PipelineConfig {
       case "console" | "printer" => w.format("console")
       case "memory" => w.format("memory").queryName(conf.sink.options("name"))
       case "parquet" => w.format("parquet").option("path", conf.sink.options("path"))
+      case "orc" => w.format("orc").option("path", conf.sink.options("path"))
       case "s3" | "r2" => // r2 = same S3-compatible sink (README.md:159)
         val prefix = conf.sink.options.getOrElse("prefix",
           conf.sink.options("bucketName")) // reference option name

@@ -69,6 +69,24 @@ class PipelineConfigSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getInt(1))).toSeq == Seq("x" -> 10, "y" -> 20))
   }
 
+  test("orc source and sink round-trip through the config layer") {
+    import spark.implicits._
+    // seed an orc dir (batch write), stream it through an orc sink,
+    // batch-read the sink back — both directions of the new kind
+    val inDir = tmpDir("cfg_orc_in")
+    Seq(("a", 1), ("b", 2)).toDF("k", "v")
+      .write.mode("overwrite").orc(inDir)
+    val outDir = tmpDir("cfg_orc_out")
+    val conf = PipelineConf(
+      SourceConf("orc", Map("path" -> inDir)),
+      SinkConf("orc", Map("path" -> outDir)),
+      checkpoint = tmpDir("orc_ck"), triggerMs = 100)
+    val q = PipelineConfig.run(spark, conf)
+    q.processAllAvailable(); q.stop()
+    assert(spark.read.orc(outDir).orderBy("k").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSeq == Seq("a" -> 1, "b" -> 2))
+  }
+
   test("unknown kinds fail fast with a clear error") {
     val e = intercept[IllegalArgumentException] {
       PipelineConfig.source(spark, SourceConf("nats"))
