@@ -480,6 +480,62 @@ object Stateful {
       watermarkWakeups = true)
   }
 
+  /** Streaming twin of the interval-sweep peak-concurrency metric
+    * (Behavioral.q83PeakConcurrency), keyed by event_type: the state is
+    * the open day's minute→net-delta map (each event adds +1 at its
+    * start minute and −1 at min(start+30, day end), the batch query's
+    * midnight-clipped 30-minute session) plus the day's session count.
+    * A day closes when ordered replay crosses midnight or the watermark
+    * passes day end; closing sweeps the ≤1440-entry map in minute order
+    * — the identical integer cumsum as the batch operator, so streamed
+    * == batch exactly. State per key is bounded by the minute domain
+    * (≤ 1440 deltas), never by event volume — the same bucketed-sweep
+    * bound that makes the batch plan scale-safe, carried into state
+    * size. */
+  final case class PeakDay(event_type: String, day: Long,
+      n_sessions: Long, peak: Long)
+  final case class PeakState(curDay: Long, nSessions: Long,
+      deltas: Map[Long, Long])
+
+  def peakStream(df: DataFrame, slack: String = "2 hours"): Dataset[PeakDay] = {
+    import org.apache.spark.sql.Encoders
+    implicit val stEnc: Encoder[(PeakState, Seq[Ev])] =
+      Encoders.product[(PeakState, Seq[Ev])]
+    implicit val outEnc: Encoder[PeakDay] = Encoders.product[PeakDay]
+    implicit val keyEnc: Encoder[String] = Encoders.STRING
+    implicit val evEnc: Encoder[Ev] = Encoders.product[Ev]
+    val empty = PeakState(-1L, 0L, Map.empty)
+    def add(st: PeakState, m: Long, day: Long): PeakState = {
+      val dayEnd = (day + 1L) * 1440L
+      val end = math.min(m + 30L, dayEnd)
+      var d = st.deltas.updated(m, st.deltas.getOrElse(m, 0L) + 1L)
+      if (end < dayEnd) d = d.updated(end, d.getOrElse(end, 0L) - 1L)
+      PeakState(day, st.nSessions + 1L, d)
+    }
+    def close(et: String, st: PeakState): Seq[PeakDay] =
+      if (st.curDay < 0L) Nil
+      else {
+        var cum = 0L; var peak = Long.MinValue
+        st.deltas.toSeq.sortBy(_._1).foreach { case (_, net) =>
+          cum += net; if (cum > peak) peak = cum
+        }
+        Seq(PeakDay(et, st.curDay, st.nSessions, peak))
+      }
+    orderedPerKeyBy[String, PeakState, PeakDay](df, slack, empty)(_._4)(
+      apply = { (et, e, st) =>
+        val m = Math.floorDiv(e._2.getTime, 60000L)
+        val day = Math.floorDiv(m, 1440L)
+        if (st.curDay == -1L || day == st.curDay) (add(st, m, day), Nil)
+        else (add(empty, m, day), close(et, st))
+      },
+      onWatermark = { (et, wm, st) =>
+        if (st.curDay >= 0L && wm >= (st.curDay + 1L) * 1440L * 60000L)
+          (empty, close(et, st))
+        else (st, Nil)
+      },
+      watermarkWakeups = true)
+  }
+
   def scd2Stream(ds: Dataset[(Long, java.sql.Timestamp, Long, String)])(
       implicit e1: Encoder[Scd2State], e2: Encoder[Scd2Period],
       e3: Encoder[Long]): Dataset[Scd2Period] =

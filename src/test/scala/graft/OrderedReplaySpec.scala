@@ -207,6 +207,22 @@ class OrderedReplaySpec extends SparkSpec {
     }
   }
 
+  test("streaming peak concurrency: closed days == batch q83 exactly") {
+    val s = spark
+    val out = runStream("ooo_peak")(df => Stateful.peakStream(df, "2 hours"))
+    val streamed = out.filter("event_type <> 'zz_sentinel'").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    val batch = SparkEntry.queries("q83_peak_concurrency")(s, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(streamed.nonEmpty)
+    // all-integer sweep: streamed must equal batch bit-for-bit
+    assert(streamed == batch,
+      s"stream-only: ${streamed.toSet.diff(batch.toSet).take(3)}; " +
+        s"batch-only: ${batch.toSet.diff(streamed.toSet).take(3)}")
+  }
+
   test("streaming retention: emitted activity == batch q58 cohort matrix") {
     val s = spark
     val out = runStream("ooo_retention")(df =>
