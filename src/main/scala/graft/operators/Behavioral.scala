@@ -401,6 +401,99 @@ object Behavioral {
            |FROM pk JOIN st USING (event_type, day)
            |ORDER BY event_type, day""".stripMargin))
 
+  // ---------------------------------------------------------------- q85
+  /** Activity-decile mobility: split the event timeline into two halves
+    * at its midpoint day, rank each half's active users into activity
+    * deciles (by event count, value-based), and cross-tabulate the
+    * 10×10 transition matrix over users active in BOTH halves — the
+    * relational form of the drift question s12 asks of embeddings (is
+    * the population's behavior distribution stable between two corpus
+    * snapshots?). All-integer (counts, histogram cumsums, value-based
+    * decile arithmetic), so both engines agree bit-for-bit.
+    *
+    * Scale shape: ONE map-side-combined hash-agg collapses the corpus
+    * to a users-sized (c1, c2) table (at corpus scale this lands as an
+    * ingest artifact — the d03 precedent — instead of re-deriving per
+    * branch). Decile assignment is q59's histogram trick: each half's
+    * count-value histogram (bounded by the count DOMAIN, not user
+    * volume) flows through a tiny cumulative window and broadcast-joins
+    * back by value, so no ntile window ever sees user-sized data. The
+    * timeline midpoint comes from one min/max agg (a catalog stat at
+    * ingest — the d08 precedent). */
+  val q85DecileMobility = QueryDef(
+    "q85_decile_mobility",
+    (s, d) => {
+      val DayUs = 86400000000L
+      val ev = Tables.events(s, d)
+        .select(col("user_id"),
+          (unix_micros(col("ts")) / DayUs).cast("long").as("day"))
+      val span = ev.agg(min("day").as("d0"), max("day").as("d1"))
+      val wide = ev.crossJoin(broadcast(span))
+        .groupBy("user_id")
+        .agg(
+          sum(when(col("day") < expr("(d0 + d1 + 1) div 2"), 1L)
+            .otherwise(0L)).as("c1"),
+          sum(when(col("day") >= expr("(d0 + d1 + 1) div 2"), 1L)
+            .otherwise(0L)).as("c2"))
+      def decileMap(cnts: org.apache.spark.sql.DataFrame, dcol: String)
+          : org.apache.spark.sql.DataFrame = {
+        val wCum = Window.orderBy("cnt")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val wAll = Window.partitionBy()
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        // histogram of count VALUES — bounded by the count domain; the
+        // global windows run over this bounded table, never over users
+        cnts.groupBy("cnt").agg(count(lit(1)).as("freq"))
+          .withColumn("cum", sum("freq").over(wCum))
+          .withColumn("n_all", sum("freq").over(wAll))
+          .select(col("cnt"),
+            expr("CAST((10 * cum - 1) DIV n_all + 1 AS INT)").as(dcol))
+      }
+      val map1 = decileMap(
+        wide.filter(col("c1") > 0L).select(col("c1").as("cnt")),
+        "decile_before")
+      val map2 = decileMap(
+        wide.filter(col("c2") > 0L).select(col("c2").as("cnt")),
+        "decile_after")
+      wide.filter(col("c1") > 0L && col("c2") > 0L)
+        .join(broadcast(map1.withColumnRenamed("cnt", "c1")), Seq("c1"))
+        .join(broadcast(map2.withColumnRenamed("cnt", "c2")), Seq("c2"))
+        .groupBy("decile_before", "decile_after")
+        .agg(count(lit(1)).as("n_users"))
+        .orderBy("decile_before", "decile_after")
+    },
+    Some("""WITH ev85 AS (
+           |  SELECT user_id, epoch_us(ts) // 86400000000 AS day
+           |  FROM events),
+           |span AS (SELECT min(day) AS d0, max(day) AS d1 FROM ev85),
+           |wide AS (
+           |  SELECT user_id,
+           |    sum(CASE WHEN day < (d0 + d1 + 1) // 2 THEN 1 ELSE 0 END) AS c1,
+           |    sum(CASE WHEN day >= (d0 + d1 + 1) // 2 THEN 1 ELSE 0 END) AS c2
+           |  FROM ev85 CROSS JOIN span GROUP BY 1),
+           |hist1 AS (SELECT c1 AS cnt, count(*) AS freq
+           |  FROM wide WHERE c1 > 0 GROUP BY 1),
+           |map1 AS (SELECT cnt,
+           |    CAST((10 * sum(freq) OVER (ORDER BY cnt
+           |        ROWS UNBOUNDED PRECEDING) - 1)
+           |      // sum(freq) OVER () + 1 AS INT) AS decile_before
+           |  FROM hist1),
+           |hist2 AS (SELECT c2 AS cnt, count(*) AS freq
+           |  FROM wide WHERE c2 > 0 GROUP BY 1),
+           |map2 AS (SELECT cnt,
+           |    CAST((10 * sum(freq) OVER (ORDER BY cnt
+           |        ROWS UNBOUNDED PRECEDING) - 1)
+           |      // sum(freq) OVER () + 1 AS INT) AS decile_after
+           |  FROM hist2)
+           |SELECT decile_before, decile_after,
+           |  CAST(count(*) AS BIGINT) AS n_users
+           |FROM wide
+           |JOIN map1 ON wide.c1 = map1.cnt
+           |JOIN map2 ON wide.c2 = map2.cnt
+           |WHERE c1 > 0 AND c2 > 0
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q57Funnel, q58Retention, q61Markov,
-    q62SessionPaths, q68Attribution, q80SlidingDistinct, q83PeakConcurrency)
+    q62SessionPaths, q68Attribution, q80SlidingDistinct, q83PeakConcurrency,
+    q85DecileMobility)
 }
