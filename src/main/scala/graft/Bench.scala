@@ -76,7 +76,7 @@ object Bench {
     // bounded tail of sbt stdout (and sbt may prefix lines with [info]),
     // so the perf signal must not depend on that parsing surviving.
     try {
-      java.nio.file.Files.write(java.nio.file.Paths.get("/root/repo/bench_last.json"),
+      java.nio.file.Files.write(java.nio.file.Paths.get("bench_last.json"),
         (line + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write bench_last.json: ${e.getMessage}") }

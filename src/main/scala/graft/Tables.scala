@@ -15,13 +15,14 @@ object Tables {
   // Memoize per (session, dir, table): spark.read.parquet lists files and
   // reads footers eagerly for schema; across a 60-query run that fixed
   // cost dominates small-SF planning. DataFrames are immutable plans, so
-  // sharing one per table is safe; keying on the session identity avoids
-  // leaking plans across restarted sessions.
+  // sharing one per table is safe; keying on the session reference itself
+  // (reference equality — unlike identityHashCode, which can collide after
+  // a GC) avoids serving plans across restarted sessions.
   private val cache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String, String), DataFrame]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), DataFrame]
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    cache.getOrElseUpdate((System.identityHashCode(spark), dir, name),
+    cache.getOrElseUpdate((spark, dir, name),
       spark.read.parquet(s"$dir/$name.parquet"))
 
   def region(s: SparkSession, d: String): DataFrame   = load(s, d, "region")
@@ -46,10 +47,10 @@ object Tables {
   // ingest; memoizing the one count job keeps stat-driven operators
   // (e.g. LSH parameter auto-scaling) from re-scanning per query.
   private val countCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String, String), Long]
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), Long]
 
   def rowCount(spark: SparkSession, dir: String, name: String): Long =
-    countCache.getOrElseUpdate((System.identityHashCode(spark), dir, name),
+    countCache.getOrElseUpdate((spark, dir, name),
       load(spark, dir, name).count())
 
   val all: Seq[String] = Seq("region", "nation", "customer", "supplier",

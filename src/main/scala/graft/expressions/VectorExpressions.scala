@@ -438,8 +438,7 @@ object VectorExpressions {
       Bridge.expression(a.cast("array<double>")),
       Bridge.expression(b.cast("array<double>"))))
 
-  /** Column API for the native cosine (casts float arrays transparently). */
-  /** No cast wrapper: CosineSimilarity consumes float arrays natively
+  /** Column API for the native cosine. No cast wrapper: CosineSimilarity consumes float arrays natively
     * (exact per-element widening), so raw embedding columns feed the
     * loop without a per-evaluation converted-array allocation. */
   def cosine(a: Column, b: Column): Column =

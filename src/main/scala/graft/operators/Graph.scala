@@ -12,6 +12,19 @@ import graft.functions.Rounding.r6
   */
 object Graph {
 
+  /** Shared lineage cut for the iterative loops (q73 ranks, q82
+    * frontiers): re-root the round's result on its materialized RDD so
+    * plan depth stays constant and the parent round's blocks can be
+    * freed deterministically — see q73's loop comment for the full
+    * rationale (on a cluster: checkpoint() to reliable storage, same
+    * contract). */
+  private def materialize(s: org.apache.spark.sql.SparkSession,
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val out = s.createDataFrame(df.rdd, df.schema).persist()
+    out.count()
+    out
+  }
+
   // ---------------------------------------------------------------- q73
   /** PageRank over the co-purchase graph, in FIXED-POINT integer
     * arithmetic: ranks are BIGINT micro-units (1e12 = mass 1.0), every
@@ -62,13 +75,7 @@ object Graph {
       // only die at a driver GC — lets each round free its parent's
       // blocks deterministically. (On a cluster: checkpoint() to
       // reliable storage, same contract.)
-      def materialize(df: org.apache.spark.sql.DataFrame)
-          : org.apache.spark.sql.DataFrame = {
-        val out = s.createDataFrame(df.rdd, df.schema).persist()
-        out.count()
-        out
-      }
-      var ranks = materialize(nodes.select(col("node"),
+      var ranks = materialize(s, nodes.select(col("node"),
         lit(1000000000000L / n).as("r")))
       var lastMat = ranks
       for (it <- 1 to 8) {
@@ -90,7 +97,7 @@ object Graph {
         // (analysis is fine there) while the per-round action count —
         // the dominant cost of a small-graph iteration — halves.
         if (it % 2 == 0 || it == 8) {
-          ranks = materialize(next)
+          ranks = materialize(s, next)
           lastMat.unpersist()
           lastMat = ranks
         } else ranks = next
@@ -142,8 +149,10 @@ object Graph {
     * Scale shape: one distinct over undirected pairs, one bounded
     * degree agg, then two hash equi-joins (wedge build on src, closing
     * semi-join on (y, z)); every shuffle key's cardinality scales with
-    * the edge set. The (deg, id) orientation key is packed into one
-    * BIGINT so both engines compare identically. */
+    * the edge set. Orientation compares (deg, id) lexicographically —
+    * an explicit two-column comparison, not a packed deg·K+id BIGINT,
+    * which would stop being a total order (and silently drop wedges)
+    * once ids reach K. */
   val q81Triangles = QueryDef(
     "q81_triangles",
     (s, d) => {
@@ -160,13 +169,14 @@ object Graph {
       val keyed = und
         .join(deg.select(col("n").as("u"), col("dg").as("du")), Seq("u"))
         .join(deg.select(col("n").as("v"), col("dg").as("dv")), Seq("v"))
-        .select(col("u"), col("v"),
-          (col("du") * lit(1000000000L) + col("u")).as("ku"),
-          (col("dv") * lit(1000000000L) + col("v")).as("kv"))
+      // lexicographic (deg, id) orientation; dst doubles as the id half
+      // of the order key, so arcs only need the dst endpoint's degree
+      val uLower = col("du") < col("dv") ||
+        (col("du") === col("dv") && col("u") < col("v"))
       val arcs = keyed.select(
-          when(col("ku") < col("kv"), col("u")).otherwise(col("v")).as("src"),
-          when(col("ku") < col("kv"), col("v")).otherwise(col("u")).as("dst"),
-          greatest(col("ku"), col("kv")).as("kdst"))
+          when(uLower, col("u")).otherwise(col("v")).as("src"),
+          when(uLower, col("v")).otherwise(col("u")).as("dst"),
+          when(uLower, col("dv")).otherwise(col("du")).as("ddeg"))
         .persist()
       // Wedge build = arcs⋈arcs hash join on src: the ~Σdeg²/2 wedge set
       // STREAMS out of the join straight into the closing semi-join's
@@ -178,7 +188,10 @@ object Graph {
       // query enumerates 1.88M triangles from ~40M wedges in ~22 s on
       // local[32] — the same SQL takes DuckDB 30 s single-node.
       val wedges = arcs.as("e1").join(arcs.hint("shuffle_hash").as("e2"),
-          col("e1.src") === col("e2.src") && col("e1.kdst") < col("e2.kdst"))
+          col("e1.src") === col("e2.src") &&
+            (col("e1.ddeg") < col("e2.ddeg") ||
+              (col("e1.ddeg") === col("e2.ddeg") &&
+                col("e1.dst") < col("e2.dst"))))
         .select(col("e1.src").as("x"), col("e1.dst").as("y"),
           col("e2.dst").as("z"))
       // shuffle_hash on the arc side: the probe stream is the O(Σdeg²)
@@ -207,16 +220,16 @@ object Graph {
            |deg AS (SELECT n, CAST(count(*) AS BIGINT) AS dg
            |  FROM (SELECT u AS n FROM und UNION ALL SELECT v FROM und)
            |  GROUP BY 1),
-           |keyed AS (SELECT u, v, du.dg * 1000000000 + u AS ku,
-           |    dv.dg * 1000000000 + v AS kv
+           |keyed AS (SELECT u, v, du.dg AS du0, dv.dg AS dv0
            |  FROM und JOIN deg du ON und.u = du.n JOIN deg dv ON und.v = dv.n),
-           |arcs AS (SELECT CASE WHEN ku < kv THEN u ELSE v END AS src,
-           |    CASE WHEN ku < kv THEN v ELSE u END AS dst,
-           |    greatest(ku, kv) AS kdst
+           |arcs AS (SELECT
+           |    CASE WHEN (du0, u) < (dv0, v) THEN u ELSE v END AS src,
+           |    CASE WHEN (du0, u) < (dv0, v) THEN v ELSE u END AS dst,
+           |    CASE WHEN (du0, u) < (dv0, v) THEN dv0 ELSE du0 END AS ddeg
            |  FROM keyed),
            |tri AS (SELECT e1.src AS x, e1.dst AS y, e2.dst AS z
            |  FROM arcs e1 JOIN arcs e2
-           |    ON e1.src = e2.src AND e1.kdst < e2.kdst
+           |    ON e1.src = e2.src AND (e1.ddeg, e1.dst) < (e2.ddeg, e2.dst)
            |  WHERE EXISTS (SELECT 1 FROM arcs a
            |                WHERE a.src = e1.dst AND a.dst = e2.dst)),
            |corners AS (SELECT x AS part FROM tri
@@ -257,13 +270,7 @@ object Graph {
       val seeds = Tables.part(s, d)
         .filter(col("p_partkey") % 97 === 0)
         .select(col("p_partkey").as("node"), lit(0).as("lvl"))
-      def materialize(df: org.apache.spark.sql.DataFrame)
-          : org.apache.spark.sql.DataFrame = {
-        val out = s.createDataFrame(df.rdd, df.schema).persist()
-        out.count()
-        out
-      }
-      var levels = materialize(seeds)
+      var levels = materialize(s, seeds)
       var lastMat = levels
       for (_ <- 1 to 4) {
         val next = edges.join(levels.hint("shuffle_hash"),
@@ -271,7 +278,7 @@ object Graph {
           .select(col("dst").as("node"), (col("lvl") + 1).as("lvl"))
           .unionByName(levels)
           .groupBy("node").agg(min("lvl").as("lvl"))
-        levels = materialize(next)
+        levels = materialize(s, next)
         lastMat.unpersist()
         lastMat = levels
       }

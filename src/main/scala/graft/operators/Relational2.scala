@@ -574,8 +574,7 @@ object Relational2 {
            |    sum(cnt) OVER (PARTITION BY o_orderpriority ORDER BY o_totalprice
            |      ROWS UNBOUNDED PRECEDING) AS cum,
            |    sum(cnt) OVER (PARTITION BY o_orderpriority) AS n_all
-           |  FROM c0),
-           |c0 AS (SELECT * FROM h)
+           |  FROM h)
            |SELECT o_orderpriority,
            |  CAST(((10 * cum - 1) // n_all) + 1 AS INT) AS decile,
            |  CAST(sum(cnt) AS BIGINT) AS n,

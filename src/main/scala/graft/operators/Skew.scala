@@ -138,9 +138,10 @@ object Skew {
     * GROUP BY/HAVING, while at 100 TB the engine never materializes the
     * full n-gram vocabulary (the naive groupBy's shuffle cardinality).
     *
-    * Scale shape: two corpus scans; state is ≤ k entries per map task
-    * (pass 1) and ≤ k groups total (pass 2). The candidate broadcast is
-    * ≤ k rows by construction. */
+    * Scale shape: two corpus scans (pass 1 carries n_total alongside
+    * the sketch in the same aggregate); state is ≤ k entries per map
+    * task (pass 1) and ≤ k groups total (pass 2). The candidate
+    * broadcast is ≤ k rows by construction. */
   val q66HeavyHitters = QueryDef(
     "q66_heavy_hitters",
     (s, d) => {
@@ -149,12 +150,15 @@ object Skew {
       def grams = Tables.documents(s, d)
         .select(T.tokens(col("text")).as("toks"))
         .select(explode(T.shinglesAll(col("toks"), 3)).as("gram"))
-      val cand = grams.agg(mg(col("gram")).as("sk"))
-        .select(explode(map_keys(col("sk"))).as("gram"))
-      val total = grams.agg(count(lit(1)).as("n_total"))
-      grams.join(broadcast(cand), Seq("gram"), "left_semi")
-        .groupBy("gram").agg(count(lit(1)).as("n_occurrences"))
-        .crossJoin(broadcast(total))
+      // one pass-1 aggregate yields BOTH the sketch and n_total; the
+      // broadcast candidate table carries n_total on every row, so the
+      // recount inner-join replaces semi-join + scalar cross-join and
+      // pass 1 runs exactly once (not once per consumer)
+      val cand = grams
+        .agg(mg(col("gram")).as("sk"), count(lit(1)).as("n_total"))
+        .select(explode(map_keys(col("sk"))).as("gram"), col("n_total"))
+      grams.join(broadcast(cand), Seq("gram"))
+        .groupBy("gram", "n_total").agg(count(lit(1)).as("n_occurrences"))
         .filter(col("n_occurrences") * (k + 1) > col("n_total"))
         .select(col("gram"), col("n_occurrences"),
           r6(col("n_occurrences") / col("n_total")).as("share"))
@@ -215,9 +219,10 @@ object Skew {
     * the form a curation pipeline uses for "top boilerplate per crawl"
     * without materializing any per-source vocabulary.
     *
-    * Scale shape: two scans; pass-1 state ≤ k per (source, map task),
-    * candidate broadcast ≤ k·|sources| rows, pass-2 groups ≤ the same.
-    * Nothing scales with vocabulary size. */
+    * Scale shape: two scans (pass 1 carries each source's n_total in
+    * the same aggregate as its sketch); pass-1 state ≤ k per (source,
+    * map task), candidate broadcast ≤ k·|sources| rows, pass-2 groups
+    * ≤ the same. Nothing scales with vocabulary size. */
   val q77GroupHeavyHitters = QueryDef(
     "q77_group_heavy_hitters",
     (s, d) => {
@@ -226,12 +231,17 @@ object Skew {
       def grams = Tables.documents(s, d)
         .select(col("source"), T.tokens(col("text")).as("toks"))
         .select(col("source"), explode(T.shinglesAll(col("toks"), 3)).as("gram"))
-      val cand = grams.groupBy("source").agg(mg(col("gram")).as("sk"))
-        .select(col("source"), explode(map_keys(col("sk"))).as("gram"))
-      val totals = grams.groupBy("source").agg(count(lit(1)).as("n_total"))
-      grams.join(broadcast(cand), Seq("source", "gram"), "left_semi")
-        .groupBy("source", "gram").agg(count(lit(1)).as("n_occurrences"))
-        .join(broadcast(totals), "source")
+      // pass 1 yields each source's sketch AND n_total in one aggregate;
+      // the broadcast candidates carry n_total, so the recount
+      // inner-join replaces semi-join + totals re-join and pass 1 runs
+      // exactly once (not once per consumer)
+      val cand = grams.groupBy("source")
+        .agg(mg(col("gram")).as("sk"), count(lit(1)).as("n_total"))
+        .select(col("source"), explode(map_keys(col("sk"))).as("gram"),
+          col("n_total"))
+      grams.join(broadcast(cand), Seq("source", "gram"))
+        .groupBy("source", "gram", "n_total")
+        .agg(count(lit(1)).as("n_occurrences"))
         .filter(col("n_occurrences") * (k + 1) > col("n_total"))
         .select(col("source"), col("gram"), col("n_occurrences"),
           r6(col("n_occurrences") / col("n_total")).as("share"))

@@ -198,7 +198,13 @@ object Stateful {
         (key: K, rows: Iterator[Ev], state: GroupState[(S, Seq[Ev])]) =>
           val (s0, pending) = state.getOption.getOrElse((zero, Seq.empty[Ev]))
           val wm = state.getCurrentWatermarkMs()
-          val (ready, hold) = (pending ++ rows).partition(_._2.getTime <= wm)
+          // strict <: the watermark is millisecond-truncated while event
+          // time carries microseconds, so a row in the SAME boundary
+          // millisecond as the watermark could still be followed by a
+          // smaller-microsecond sibling Spark has not dropped — draining
+          // it would replay out of event-time order. Rows exactly at the
+          // watermark millisecond stay buffered one more trigger.
+          val (ready, hold) = (pending ++ rows).partition(_._2.getTime < wm)
           var s = s0
           val out = Seq.newBuilder[O]
           ready.sortBy(e => (e._2.getTime, e._2.getNanos, e._3)).foreach { e =>
@@ -351,7 +357,9 @@ object Stateful {
           val s2 = st.hist.foldLeft(0.0)((a, h) => a + h._2 * h._2)
           val mu = s1 / nt
           val sd = math.sqrt(math.max((s2 - s1 * s1 / nt) / (nt - 1), 0.0))
-          val z = if (sd > 0) (mean - mu) / sd else 0.0
+          // sd == 0 (constant trailing series): batch q60 emits z NULL —
+          // mirror it as NaN, not 0.0, so the parity contract holds
+          val z = if (sd > 0) (mean - mu) / sd else Double.NaN
           Seq(AnomalyPoint(et, st.curBucket, mean, mu, sd, z,
             if (sd > 0 && math.abs(z) > 2) 1 else 0))
         } else Nil
