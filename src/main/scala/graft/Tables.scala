@@ -32,13 +32,22 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame     = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame   = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = load(s, d, "lineitem")
-  /** events.parquet carries TIMESTAMP(NANOS) which Spark 4 refuses by
-    * default; read nanos as long and truncate to micros — exactly what
-    * DuckDB does when it loads the same file, so both engines agree. */
+  /** events.parquet's `ts` physical type has varied across testdata
+    * generations: TIMESTAMP(NANOS) (which Spark 4 refuses by default —
+    * read as nanos-long and truncate to micros, matching what DuckDB does
+    * on the same file) vs plain TIMESTAMP(MICROS) (read natively as
+    * TIMESTAMP_NTZ / TIMESTAMP — cast to session-TZ timestamp, an identity
+    * under the UTC session both engines pin). Branch on the type actually
+    * read so either generation loads identically. */
   def events(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
+    import org.apache.spark.sql.types.LongType
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.expr("timestamp_micros(ts div 1000)"))
+    val df = load(s, d, "events")
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      case _        => df.withColumn("ts", col("ts").cast("timestamp"))
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame  = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

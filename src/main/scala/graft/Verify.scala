@@ -20,11 +20,22 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    val failed = scala.collection.mutable.ListBuffer.empty[(String, String)]
     SparkEntry.queries.filter(kv => wanted(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
+        // Loud failure: a parseable stdout line + an _error marker file in
+        // the query's output slot, so a throwing query shows up as `err`
+        // in the driver's correctness artifact instead of silently
+        // vanishing from it.
+        println(s"[verify-fail] $name")
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failed += name -> Option(e.getMessage).getOrElse(e.getClass.getName)
+        val dir = Paths.get(s"$outDir/$name")
+        Files.createDirectories(dir)
+        Files.writeString(dir.resolve("_error"),
+          s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("")}\n")
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
@@ -42,6 +53,12 @@ object Verify {
     val json = SparkEntry.oracleSql.filter(kv => wanted(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Machine-readable failure summary alongside oracle_sql.json.
+    val errJson = failed
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/errors.json"), errJson)
+    if (failed.nonEmpty)
+      println(s"[verify] ${failed.size} queries failed: ${failed.map(_._1).mkString(", ")}")
     spark.stop()
   }
 }

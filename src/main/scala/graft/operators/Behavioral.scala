@@ -420,6 +420,42 @@ object Behavioral {
     * back by value, so no ntile window ever sees user-sized data. The
     * timeline midpoint comes from one min/max agg (a catalog stat at
     * ingest — the d08 precedent). */
+  /** q85's decile cross-tab over a per-user (user_id, c1, c2) half-count
+    * table: value-based decile assignment via count-value histograms (the
+    * q59 trick — the windows only ever see the bounded count domain) and
+    * the 10×10 transition matrix over users active in BOTH halves.
+    * Exposed so the streaming twin's parity spec runs the IDENTICAL
+    * mapping over its incrementally-maintained half counts. */
+  def q85DecileCrossTab(wide: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    def decileMap(cnts: org.apache.spark.sql.DataFrame, dcol: String)
+        : org.apache.spark.sql.DataFrame = {
+      val wCum = Window.orderBy("cnt")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy()
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      // histogram of count VALUES — bounded by the count domain; the
+      // global windows run over this bounded table, never over users
+      cnts.groupBy("cnt").agg(count(lit(1)).as("freq"))
+        .withColumn("cum", sum("freq").over(wCum))
+        .withColumn("n_all", sum("freq").over(wAll))
+        .select(col("cnt"),
+          expr("CAST((10 * cum - 1) DIV n_all + 1 AS INT)").as(dcol))
+    }
+    val map1 = decileMap(
+      wide.filter(col("c1") > 0L).select(col("c1").as("cnt")),
+      "decile_before")
+    val map2 = decileMap(
+      wide.filter(col("c2") > 0L).select(col("c2").as("cnt")),
+      "decile_after")
+    wide.filter(col("c1") > 0L && col("c2") > 0L)
+      .join(broadcast(map1.withColumnRenamed("cnt", "c1")), Seq("c1"))
+      .join(broadcast(map2.withColumnRenamed("cnt", "c2")), Seq("c2"))
+      .groupBy("decile_before", "decile_after")
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("decile_before", "decile_after")
+  }
+
   val q85DecileMobility = QueryDef(
     "q85_decile_mobility",
     (s, d) => {
@@ -435,32 +471,7 @@ object Behavioral {
             .otherwise(0L)).as("c1"),
           sum(when(col("day") >= expr("(d0 + d1 + 1) div 2"), 1L)
             .otherwise(0L)).as("c2"))
-      def decileMap(cnts: org.apache.spark.sql.DataFrame, dcol: String)
-          : org.apache.spark.sql.DataFrame = {
-        val wCum = Window.orderBy("cnt")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val wAll = Window.partitionBy()
-          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-        // histogram of count VALUES — bounded by the count domain; the
-        // global windows run over this bounded table, never over users
-        cnts.groupBy("cnt").agg(count(lit(1)).as("freq"))
-          .withColumn("cum", sum("freq").over(wCum))
-          .withColumn("n_all", sum("freq").over(wAll))
-          .select(col("cnt"),
-            expr("CAST((10 * cum - 1) DIV n_all + 1 AS INT)").as(dcol))
-      }
-      val map1 = decileMap(
-        wide.filter(col("c1") > 0L).select(col("c1").as("cnt")),
-        "decile_before")
-      val map2 = decileMap(
-        wide.filter(col("c2") > 0L).select(col("c2").as("cnt")),
-        "decile_after")
-      wide.filter(col("c1") > 0L && col("c2") > 0L)
-        .join(broadcast(map1.withColumnRenamed("cnt", "c1")), Seq("c1"))
-        .join(broadcast(map2.withColumnRenamed("cnt", "c2")), Seq("c2"))
-        .groupBy("decile_before", "decile_after")
-        .agg(count(lit(1)).as("n_users"))
-        .orderBy("decile_before", "decile_after")
+      q85DecileCrossTab(wide)
     },
     Some("""WITH ev85 AS (
            |  SELECT user_id, epoch_us(ts) // 86400000000 AS day

@@ -522,58 +522,77 @@ object Temporal {
     * banding. Sessions cost one exchange on user_id; the surge side is
     * aggregate-bounded (≤ 288 bucket rows per (type, day)) before its
     * window. */
+  private val BktUs = 300000000L // 5-minute surge buckets
+  private val HourUs = 3600000000L
+
+  /** q84's session side: [s0, s1] closed µs intervals per (user,
+    * session_seq) — q37's gap rule verbatim. Exposed so the streaming
+    * twin's parity spec can compare interval sets directly. */
+  def q84SessionIntervals(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .withColumn("gap_s",
+        unix_micros(col("ts")) - unix_micros(lag("ts", 1).over(byUser)))
+      .withColumn("is_break",
+        when(col("gap_s").isNull || col("gap_s") > 600L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq", sum("is_break").over(run))
+      .groupBy("user_id", "session_seq")
+      .agg(min(unix_micros(col("ts"))).as("s0"),
+        max(unix_micros(col("ts"))).as("s1"))
+  }
+
+  /** q84's surge side: per-type 5-minute-bucket counts thresholded at
+    * max(2, 1.5×type-average) and merged into consecutive-bucket islands
+    * clipped at midnight — [m0, m1] closed bucket intervals. */
+  def q84SurgeIslands(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val mc = Tables.events(s, d)
+      .select(col("event_type"),
+        (unix_micros(col("ts")) / BktUs).cast("long").as("m"))
+      .groupBy("event_type", "m").agg(count(lit(1)).as("n"))
+    val av = mc.groupBy("event_type")
+      .agg(avg(col("n").cast("double")).as("avgn"))
+    val surge = mc.join(broadcast(av), Seq("event_type"))
+      .filter(col("n") >= 2L && col("n").cast("double") >= lit(1.5) * col("avgn"))
+      .withColumn("day", (col("m") / 288L).cast("long"))
+    val wDay = Window.partitionBy("event_type", "day").orderBy("m")
+    val wRun = wDay.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    surge
+      .withColumn("brk",
+        when(col("m") - lag("m", 1).over(wDay) === 1L, 0L).otherwise(1L))
+      .withColumn("iid", sum("brk").over(wRun))
+      .groupBy("event_type", "day", "iid")
+      .agg(min("m").as("m0"), max("m").as("m1"))
+  }
+
+  /** q84's join+rollup: hour-bucket expansion → equi-join → exact-overlap
+    * residual → distinct → per-surge session/user counts. Takes the two
+    * interval sets as inputs so the batch query and the streaming twin's
+    * parity spec run the IDENTICAL plan over their respective sides. */
+  def q84OverlapAgg(sess: org.apache.spark.sql.DataFrame,
+      iv: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    val sessB = sess.withColumn("hr",
+      explode(sequence(expr(s"s0 div $HourUs"), expr(s"s1 div $HourUs"))))
+    val ivB = iv.withColumn("hr",
+      explode(sequence(expr("m0 div 12"), expr("m1 div 12"))))
+    ivB.join(sessB, Seq("hr"))
+      .filter(col("s0") < (col("m1") + 1L) * BktUs &&
+        col("s1") >= col("m0") * BktUs)
+      .select("event_type", "m0", "m1", "user_id", "session_seq")
+      .distinct()
+      .groupBy(col("event_type"), col("m0").as("surge_start"),
+        (col("m1") - col("m0") + 1L).as("surge_min"))
+      .agg(count(lit(1)).as("n_sessions"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy("event_type", "surge_start")
+  }
+
   val q84IntervalJoin = QueryDef(
     "q84_interval_join",
-    (s, d) => {
-      val BktUs = 300000000L // 5-minute surge buckets
-      val HourUs = 3600000000L
-      // sessions: [s0, s1] closed, µs — q37's gap rule verbatim
-      val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      val run = byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val sess = Tables.events(s, d)
-        .withColumn("gap_s",
-          unix_micros(col("ts")) - unix_micros(lag("ts", 1).over(byUser)))
-        .withColumn("is_break",
-          when(col("gap_s").isNull || col("gap_s") > 600L * 1000000L, 1L)
-            .otherwise(0L))
-        .withColumn("session_seq", sum("is_break").over(run))
-        .groupBy("user_id", "session_seq")
-        .agg(min(unix_micros(col("ts"))).as("s0"),
-          max(unix_micros(col("ts"))).as("s1"))
-      // surge islands: [m0, m1] closed, 5-minute buckets
-      val mc = Tables.events(s, d)
-        .select(col("event_type"),
-          (unix_micros(col("ts")) / BktUs).cast("long").as("m"))
-        .groupBy("event_type", "m").agg(count(lit(1)).as("n"))
-      val av = mc.groupBy("event_type")
-        .agg(avg(col("n").cast("double")).as("avgn"))
-      val surge = mc.join(broadcast(av), Seq("event_type"))
-        .filter(col("n") >= 2L && col("n").cast("double") >= lit(1.5) * col("avgn"))
-        .withColumn("day", (col("m") / 288L).cast("long"))
-      val wDay = Window.partitionBy("event_type", "day").orderBy("m")
-      val wRun = wDay.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val iv = surge
-        .withColumn("brk",
-          when(col("m") - lag("m", 1).over(wDay) === 1L, 0L).otherwise(1L))
-        .withColumn("iid", sum("brk").over(wRun))
-        .groupBy("event_type", "day", "iid")
-        .agg(min("m").as("m0"), max("m").as("m1"))
-      // hour-bucket expansion → equi-join → exact-overlap residual
-      val sessB = sess.withColumn("hr",
-        explode(sequence(expr(s"s0 div $HourUs"), expr(s"s1 div $HourUs"))))
-      val ivB = iv.withColumn("hr",
-        explode(sequence(expr("m0 div 12"), expr("m1 div 12"))))
-      ivB.join(sessB, Seq("hr"))
-        .filter(col("s0") < (col("m1") + 1L) * BktUs &&
-          col("s1") >= col("m0") * BktUs)
-        .select("event_type", "m0", "m1", "user_id", "session_seq")
-        .distinct()
-        .groupBy(col("event_type"), col("m0").as("surge_start"),
-          (col("m1") - col("m0") + 1L).as("surge_min"))
-        .agg(count(lit(1)).as("n_sessions"),
-          countDistinct(col("user_id")).as("n_users"))
-        .orderBy("event_type", "surge_start")
-    },
+    (s, d) => q84OverlapAgg(q84SessionIntervals(s, d), q84SurgeIslands(s, d)),
     Some("""WITH gapped AS (
            |  SELECT user_id, event_id, ts,
            |    epoch_us(ts) - epoch_us(lag(ts, 1) OVER w) AS gap_s
