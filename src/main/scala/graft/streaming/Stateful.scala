@@ -566,4 +566,187 @@ object Stateful {
           if (st != null) state.update(st)
           out.iterator
       }
+
+  // ------------------------------------------------------------------
+  // q84 / q85 incremental twins (the round-4 batch additions): the
+  // volume-proportional halves — session intervals, surge islands,
+  // per-user half counts — maintained as bounded per-key state; the
+  // aggregate-bounded tails (interval-overlap rollup, decile cross-tab)
+  // run over the emitted snapshots via the SAME batch helpers the batch
+  // queries use (Temporal.q84OverlapAgg, Behavioral.q85DecileCrossTab),
+  // so streamed == batch is checked against identical plans.
+  // ------------------------------------------------------------------
+
+  /** One closed activity session: [s0, s1] µs, q37's 10-minute-gap rule. */
+  final case class SessionInterval(user_id: Long, session_seq: Long,
+      s0: Long, s1: Long)
+  /** seq = sessions opened so far for the key; s0 < 0 ⇔ none open. */
+  final case class SessState(seq: Long, s0: Long, s1: Long)
+
+  private def microsOf(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  /** Streaming twin of q84's session side (Temporal.q84SessionIntervals):
+    * per-user gap sessionization emitting each CLOSED [s0, s1] interval.
+    * A session closes when a replayed event breaks the 10-minute gap, or
+    * when the watermark passes s1 + gap (no arrival can ever extend it —
+    * Spark drops sub-watermark rows). State per user is O(1) (one open
+    * interval + the harness's slack-bounded reorder buffer). session_seq
+    * counts every opened session, so it equals the batch cumsum-of-breaks
+    * numbering exactly. */
+  def sessionIntervalsStream(df: DataFrame, slack: String = "2 hours")
+      : Dataset[SessionInterval] = {
+    import org.apache.spark.sql.Encoders
+    implicit val stEnc: Encoder[(SessState, Seq[Ev])] =
+      Encoders.product[(SessState, Seq[Ev])]
+    implicit val outEnc: Encoder[SessionInterval] =
+      Encoders.product[SessionInterval]
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    implicit val evEnc: Encoder[Ev] = Encoders.product[Ev]
+    val GapUs = 600L * 1000000L
+    orderedPerKeyBy[Long, SessState, SessionInterval](df, slack,
+      SessState(0L, -1L, -1L))(_._1)(
+      apply = { (user, e, st) =>
+        val t = microsOf(e._2)
+        if (st.s0 < 0L) (SessState(st.seq + 1L, t, t), Nil)
+        else if (t - st.s1 > GapUs)
+          (SessState(st.seq + 1L, t, t),
+            Seq(SessionInterval(user, st.seq, st.s0, st.s1)))
+        else (st.copy(s1 = t), Nil)
+      },
+      onWatermark = { (user, wm, st) =>
+        // any future row has ts ≥ wm (ms); once wm strictly clears the
+        // ms ceiling of s1 + gap, every arrival breaks the gap
+        if (st.s0 >= 0L && wm > Math.floorDiv(st.s1 + GapUs, 1000L) + 1L)
+          (SessState(st.seq, -1L, -1L),
+            Seq(SessionInterval(user, st.seq, st.s0, st.s1)))
+        else (st, Nil)
+      },
+      watermarkWakeups = true)
+  }
+
+  /** One closed surge island: [m0, m1] closed 5-minute-bucket interval
+    * within one day (the q83/q84 midnight-clip convention). */
+  final case class SurgeIsland(event_type: String, day: Long,
+      m0: Long, m1: Long)
+  /** curM = open bucket (-1 none), n = its count; m0 < 0 ⇔ no open
+    * island. */
+  final case class SurgeState(curM: Long, n: Long, islandDay: Long,
+      m0: Long, m1: Long)
+
+  /** Streaming twin of q84's surge side (Temporal.q84SurgeIslands),
+    * keyed by event_type. Ordered replay means bucket ids arrive
+    * nondecreasing, so a bucket FINALIZES when a later bucket's first
+    * event arrives or the watermark passes its end; finalized qualifying
+    * buckets (n ≥ max(2, 1.5 × type average)) extend the open island when
+    * consecutive and same-day, else close it (emit) and open a new one.
+    *
+    * `avgByType` — each type's mean 5-minute-bucket count over the
+    * timeline — is a full-pass stat, supplied as an ingest-time catalog
+    * parameter (the d08/s03 precedent: stats fitted at ingest, streams
+    * parameterized by them). State per key is O(1): one open bucket
+    * count + one open island. */
+  def surgeIslandsStream(df: DataFrame, avgByType: Map[String, Double],
+      slack: String = "2 hours"): Dataset[SurgeIsland] = {
+    import org.apache.spark.sql.Encoders
+    implicit val stEnc: Encoder[(SurgeState, Seq[Ev])] =
+      Encoders.product[(SurgeState, Seq[Ev])]
+    implicit val outEnc: Encoder[SurgeIsland] = Encoders.product[SurgeIsland]
+    implicit val keyEnc: Encoder[String] = Encoders.STRING
+    implicit val evEnc: Encoder[Ev] = Encoders.product[Ev]
+    val BktUs = 300000000L
+    val BktMs = 300000L
+    val empty = SurgeState(-1L, 0L, -1L, -1L, -1L)
+    // fold bucket (b, n) into the island state; returns (state', emitted)
+    def finalize(et: String, st: SurgeState): (SurgeState, Seq[SurgeIsland]) = {
+      if (st.curM < 0L) (st, Nil)
+      else {
+        val b = st.curM
+        val qualifies = st.n >= 2L &&
+          st.n.toDouble >= 1.5 * avgByType.getOrElse(et, Double.MaxValue)
+        val db = Math.floorDiv(b, 288L)
+        if (qualifies) {
+          if (st.m0 >= 0L && b == st.m1 + 1L && db == st.islandDay)
+            (SurgeState(-1L, 0L, st.islandDay, st.m0, b), Nil)
+          else {
+            val closed = if (st.m0 >= 0L)
+              Seq(SurgeIsland(et, st.islandDay, st.m0, st.m1)) else Nil
+            (SurgeState(-1L, 0L, db, b, b), closed)
+          }
+        } else {
+          val closed = if (st.m0 >= 0L)
+            Seq(SurgeIsland(et, st.islandDay, st.m0, st.m1)) else Nil
+          (SurgeState(-1L, 0L, -1L, -1L, -1L), closed)
+        }
+      }
+    }
+    orderedPerKeyBy[String, SurgeState, SurgeIsland](df, slack, empty)(_._4)(
+      apply = { (et, e, st) =>
+        val m = microsOf(e._2) / BktUs
+        if (st.curM == m) (st.copy(n = st.n + 1L), Nil)
+        else {
+          // replay order ⇒ m > curM: finalize the closed bucket first
+          val (s2, out) = finalize(et, st)
+          (s2.copy(curM = m, n = 1L), out)
+        }
+      },
+      onWatermark = { (et, wm, st) =>
+        // finalize the open bucket once the watermark clears its end…
+        val (s2, out1) =
+          if (st.curM >= 0L && wm > (st.curM + 1L) * BktMs + 1L)
+            finalize(et, st)
+          else (st, Nil)
+        // …then close the open island once no consecutive successor
+        // bucket can ever form (the wm cleared bucket m1+1's end and no
+        // open bucket is pending at m1+1)
+        if (s2.m0 >= 0L && s2.curM < 0L && wm > (s2.m1 + 2L) * BktMs + 1L)
+          (s2.copy(islandDay = -1L, m0 = -1L, m1 = -1L),
+            out1 :+ SurgeIsland(et, s2.islandDay, s2.m0, s2.m1))
+        else (s2, out1)
+      },
+      watermarkWakeups = true)
+  }
+
+  /** Per-user event counts in each timeline half (q85's `wide` table). */
+  final case class HalfCounts(user_id: Long, c1: Long, c2: Long)
+  final case class HalfState(c1: Long, c2: Long, done: Boolean)
+
+  /** Streaming twin of q85's volume-proportional half: per-user event
+    * counts before/after `splitDay`, emitted once when the watermark
+    * passes `endDay` (both day parameters are timeline stats — the
+    * catalog-at-ingest posture the batch query documents for its min/max
+    * span agg). Counting is commutative, so no reorder buffer is needed:
+    * state is exactly two counters per user, updated on arrival order.
+    * The decile cross-tab then runs over the emitted user-sized snapshot
+    * via Behavioral.q85DecileCrossTab — identical code to batch. */
+  def halfCountsStream(df: DataFrame, splitDay: Long, endDay: Long,
+      slack: String = "2 hours"): Dataset[HalfCounts] = {
+    import org.apache.spark.sql.Encoders
+    implicit val stEnc: Encoder[HalfState] = Encoders.product[HalfState]
+    implicit val outEnc: Encoder[HalfCounts] = Encoders.product[HalfCounts]
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    implicit val evEnc: Encoder[Ev] = Encoders.product[Ev]
+    val DayUs = 86400000000L
+    val ds = df.withWatermark("ts", slack)
+      .select("user_id", "ts", "event_id", "event_type", "value").as[Ev]
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[Ev], state: GroupState[HalfState]) =>
+          val st0 = state.getOption.getOrElse(HalfState(0L, 0L, false))
+          var c1 = st0.c1; var c2 = st0.c2
+          rows.foreach { e =>
+            if (microsOf(e._2) / DayUs < splitDay) c1 += 1L else c2 += 1L
+          }
+          val wm = state.getCurrentWatermarkMs()
+          if (!st0.done && wm > endDay * 86400000L + 1L) {
+            state.update(HalfState(c1, c2, true))
+            Iterator.single(HalfCounts(user, c1, c2))
+          } else {
+            state.update(HalfState(c1, c2, st0.done))
+            if (!st0.done) state.setTimeoutTimestamp(wm + 1L)
+            Iterator.empty
+          }
+      }
+  }
 }

@@ -224,6 +224,86 @@ class OrderedReplaySpec extends SparkSpec {
         s"batch-only: ${batch.toSet.diff(streamed.toSet).take(3)}")
   }
 
+  test("streaming interval join: session/surge twins == batch q84 exactly") {
+    val s = spark
+    // the surge threshold (per-type mean 5-min-bucket count) is a
+    // full-pass timeline stat, supplied as an ingest catalog parameter —
+    // computed here with the same plan the batch query derives it from
+    val avgByType = Tables.events(s, sf)
+      .select(col("event_type"),
+        (unix_micros(col("ts")) / 300000000L).cast("long").as("m"))
+      .groupBy("event_type", "m").agg(count(lit(1)).as("n"))
+      .groupBy("event_type").agg(avg(col("n").cast("double")).as("avgn"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+
+    val sessOut = runStream("ooo_q84_sess")(df =>
+      Stateful.sessionIntervalsStream(df, "2 hours"))
+      .filter("user_id >= 0")
+    val surgeOut = runStream("ooo_q84_surge")(df =>
+      Stateful.surgeIslandsStream(df, avgByType, "2 hours"))
+      .filter("event_type <> 'zz_sentinel'")
+
+    // side-by-side parity of the interval sets themselves…
+    val streamedSess = sessOut.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val batchSess = operators.Temporal.q84SessionIntervals(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(streamedSess.nonEmpty)
+    assert(streamedSess == batchSess,
+      s"stream-only: ${streamedSess.diff(batchSess).take(3)}; " +
+        s"batch-only: ${batchSess.diff(streamedSess).take(3)}")
+
+    val streamedIv = surgeOut.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    val batchIv = operators.Temporal.q84SurgeIslands(s, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+      .toSet
+    assert(streamedIv.nonEmpty)
+    assert(streamedIv == batchIv,
+      s"stream-only: ${streamedIv.diff(batchIv).take(3)}; " +
+        s"batch-only: ${batchIv.diff(streamedIv).take(3)}")
+
+    // …then end-to-end: the shared rollup over the streamed snapshots
+    // must reproduce the registered query bit-for-bit (all-integer)
+    val streamedAgg = operators.Temporal.q84OverlapAgg(sessOut, surgeOut)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    val batchAgg = SparkEntry.queries("q84_interval_join")(s, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    assert(streamedAgg == batchAgg,
+      s"stream-only: ${streamedAgg.toSet.diff(batchAgg.toSet).take(3)}; " +
+        s"batch-only: ${batchAgg.toSet.diff(streamedAgg.toSet).take(3)}")
+  }
+
+  test("streaming decile mobility: half counts == batch q85 cross-tab") {
+    val s = spark
+    // timeline span (one min/max agg — a catalog stat at ingest, as the
+    // batch query documents); split rule matches q85's (d0+d1+1) div 2
+    val span = Tables.events(s, sf)
+      .select((unix_micros(col("ts")) / 86400000000L).cast("long").as("day"))
+      .agg(min("day").as("d0"), max("day").as("d1")).collect()(0)
+    val (d0, d1) = (span.getLong(0), span.getLong(1))
+    val split = (d0 + d1 + 1L) / 2L
+
+    val out = runStream("ooo_q85_half")(df =>
+      Stateful.halfCountsStream(df, split, d1 + 1L, "2 hours"))
+    val wide = out.filter("user_id >= 0")
+    assert(wide.count() > 0)
+    val streamed = operators.Behavioral.q85DecileCrossTab(wide).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
+    val batch = SparkEntry.queries("q85_decile_mobility")(s, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2))).toSeq
+    // all-integer: streamed must equal batch bit-for-bit
+    assert(streamed == batch,
+      s"stream-only: ${streamed.toSet.diff(batch.toSet).take(3)}; " +
+        s"batch-only: ${batch.toSet.diff(streamed.toSet).take(3)}")
+  }
+
   test("streaming retention: emitted activity == batch q58 cohort matrix") {
     val s = spark
     val out = runStream("ooo_retention")(df =>
