@@ -822,10 +822,147 @@ object Curation {
            |    6) AS share
            |FROM cls ORDER BY lang, source, len_bucket""".stripMargin))
 
+  // ---------------------------------------------------------------- x15
+  /** DSIR-style importance weights (Data Selection via Importance
+    * Resampling, Xie et al. 2023): score every document by how much more
+    * likely its hashed bag-of-words is under a TARGET domain's unigram
+    * distribution than under the rest of the corpus — the principled
+    * "select crawl data that looks like the high-quality domain" signal,
+    * one step up from t17's fixed linear weights. Target here is the
+    * `src0` source slice (a real deployment points this at its curated
+    * domain); features are md5-prefix-hashed tokens into 4096 buckets
+    * (t17's convention) with add-1 smoothing.
+    *
+    * Determinism: each bucket's log-likelihood-ratio is rounded to
+    * integer MICRO-units once (4096 values), so the per-doc score is an
+    * exact BIGINT sum — partial-agg order cannot perturb it (the
+    * t17/q73 fixed-point trick). Scale shape: two bounded bucket aggs
+    * (≤4096 rows each) broadcast back; corpus-side work is explode +
+    * one map-side-combined hash-agg per doc. x05's weighted sampler
+    * consumes these weights downstream. */
+  val x15DsirWeights = QueryDef(
+    "x15_dsir_weights",
+    (s, d) => {
+      val B = 4096
+      val toks = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          explode(T.tokens(col("text"))).as("tok"))
+        .select(col("doc_id"), col("source"),
+          (conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long") % B)
+            .as("b"))
+      val tc = toks.filter(col("source") === "src0")
+        .groupBy("b").agg(count(lit(1)).as("tc"))
+      val rc = toks.filter(col("source") =!= "src0")
+        .groupBy("b").agg(count(lit(1)).as("rc"))
+      // every bucket that occurs anywhere appears in tc ∪ rc; add-1
+      // smoothing covers the side where it is absent
+      val counts = tc.join(rc, Seq("b"), "full_outer")
+        .select(col("b"), coalesce(col("tc"), lit(0L)).as("tc"),
+          coalesce(col("rc"), lit(0L)).as("rc"))
+      val tots = counts.agg(sum("tc").cast("double").as("ttot"),
+        sum("rc").cast("double").as("rtot"))
+      val lr = counts.crossJoin(broadcast(tots))
+        .select(col("b"),
+          round((log((col("tc") + 1L) / (col("ttot") + B)) -
+            log((col("rc") + 1L) / (col("rtot") + B))) * 1e6)
+            .cast("long").as("lr_micro"))
+      toks.groupBy("doc_id", "b").agg(count(lit(1)).as("tf"))
+        .join(broadcast(lr), Seq("b"))
+        .groupBy("doc_id")
+        .agg(sum("tf").as("n_tokens"),
+          sum(col("tf") * col("lr_micro")).as("weight_micro"))
+        .select(col("doc_id"), col("n_tokens"), col("weight_micro"),
+          r6(col("weight_micro") / (col("n_tokens") * 1e6))
+            .as("weight"),
+          (col("weight_micro") > 0L).cast("int").as("target_like"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH toks AS (
+           |  SELECT doc_id, source,
+           |    ('0x' || substr(md5(tok), 1, 8))::BIGINT % 4096 AS b
+           |  FROM (SELECT doc_id, source,
+           |          unnest(string_split(text, ' ')) AS tok
+           |        FROM documents)),
+           |tc AS (SELECT b, count(*) AS tc FROM toks
+           |  WHERE source = 'src0' GROUP BY 1),
+           |rc AS (SELECT b, count(*) AS rc FROM toks
+           |  WHERE source <> 'src0' GROUP BY 1),
+           |counts AS (SELECT coalesce(tc.b, rc.b) AS b,
+           |    coalesce(tc, 0) AS tc, coalesce(rc, 0) AS rc
+           |  FROM tc FULL OUTER JOIN rc ON tc.b = rc.b),
+           |tots AS (SELECT CAST(sum(tc) AS DOUBLE) AS ttot,
+           |    CAST(sum(rc) AS DOUBLE) AS rtot FROM counts),
+           |lr AS (SELECT b,
+           |    CAST(round((ln((tc + 1) / (ttot + 4096)) -
+           |      ln((rc + 1) / (rtot + 4096))) * 1e6) AS BIGINT) AS lr_micro
+           |  FROM counts CROSS JOIN tots),
+           |tf AS (SELECT doc_id, b, count(*) AS tf FROM toks GROUP BY 1, 2)
+           |SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+           |  CAST(sum(tf * lr_micro) AS BIGINT) AS weight_micro,
+           |  round(sum(tf * lr_micro) / (sum(tf) * 1e6), 6) AS weight,
+           |  CAST(sum(tf * lr_micro) > 0 AS INT) AS target_like
+           |FROM tf JOIN lr USING (b)
+           |GROUP BY doc_id ORDER BY doc_id""".stripMargin))
+
+  // ---------------------------------------------------------------- x16
+  /** Training-shard plan + shuffle-quality audit: assign every document
+    * to one of 32 shards by deterministic md5 hash (the "global shuffle"
+    * that decorrelates adjacent training examples — hash placement IS
+    * the shuffle, reproducible across runs and engines), then emit the
+    * per-shard manifest a dataloader consumes: doc/char totals, balance
+    * against the mean shard size, source diversity, and the largest
+    * single-source share (a shard dominated by one source defeats the
+    * shuffle's decorrelation purpose).
+    *
+    * Scale shape: one hash-agg to (shard, source) — bounded at
+    * 32 × card(source) rows — then a shards-sized rollup; no window ever
+    * touches doc-sized data and the plan has no sort before the final
+    * 32-row orderBy. */
+  val x16ShardPlan = QueryDef(
+    "x16_shard_plan",
+    (s, d) => {
+      val S = 32
+      val perSrc = Tables.documents(s, d)
+        .select(
+          (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long") % S).cast("int").as("shard"),
+          col("source"), col("n_chars"))
+        .groupBy("shard", "source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"))
+      val shards = perSrc.groupBy("shard")
+        .agg(sum("n_docs").as("n_docs"), sum("n_chars").as("n_chars"),
+          count(lit(1)).as("n_sources"),
+          (max("n_docs").cast("double")).as("top_src_docs"))
+      val meanChars = shards.agg(avg(col("n_chars").cast("double")).as("mean_chars"))
+      shards.crossJoin(broadcast(meanChars))
+        .select(col("shard"), col("n_docs"), col("n_chars"), col("n_sources"),
+          r4(col("n_chars") / col("mean_chars")).as("balance"),
+          r4(col("top_src_docs") / col("n_docs")).as("top_source_share"))
+        .orderBy("shard")
+    },
+    Some("""WITH assigned AS (
+           |  SELECT ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           |      % 32 AS shard, source, n_chars
+           |  FROM documents),
+           |per_src AS (SELECT shard, source, count(*) AS n_docs,
+           |    sum(n_chars) AS n_chars
+           |  FROM assigned GROUP BY 1, 2),
+           |shards AS (SELECT CAST(shard AS INT) AS shard,
+           |    CAST(sum(n_docs) AS BIGINT) AS n_docs,
+           |    CAST(sum(n_chars) AS BIGINT) AS n_chars,
+           |    CAST(count(*) AS BIGINT) AS n_sources,
+           |    CAST(max(n_docs) AS DOUBLE) AS top_src_docs
+           |  FROM per_src GROUP BY 1),
+           |m AS (SELECT avg(CAST(n_chars AS DOUBLE)) AS mean_chars FROM shards)
+           |SELECT shard, n_docs, n_chars, n_sources,
+           |  round(n_chars / mean_chars, 4) AS balance,
+           |  round(top_src_docs / n_docs, 4) AS top_source_share
+           |FROM shards CROSS JOIN m ORDER BY shard""".stripMargin))
+
   val all: Seq[QueryDef] =
     Seq(x01Decontaminate, x02StratifiedSample, x03DomainMix,
       t06PiiRedact, t07Repetition, x04ContainmentScore, x05WeightedSample,
       x06PackSequences, x07ClusterReps, x08TemperatureMix, x09LeakageSplit,
       x10CurationPipeline, x11BloomDecontaminate, x12CompactionPlan,
-      x13EpochPlan, x14KAnonymity)
+      x13EpochPlan, x14KAnonymity, x15DsirWeights, x16ShardPlan)
 }

@@ -676,9 +676,77 @@ object TextAnalysis {
            |  CAST(score_milli > 0 AS INT) AS keep
            |FROM sc ORDER BY doc_id""".stripMargin))
 
+  // ---------------------------------------------------------------- t18
+  /** CCNet-style perplexity bucketing: rank every document by its t08
+    * unigram-LM mean log-probability WITHIN its language and split each
+    * language into head / middle / tail tertiles — the standard
+    * quality-stratified curation cut (CCNet keeps head+middle, samples
+    * tail) that feeds x03/x08's mixture weighting per stratum.
+    *
+    * Scale shape: the corpus-sized work is t08's two hash-agg shuffles;
+    * tertile assignment is q59's value-histogram trick on the r4-ROUNDED
+    * score, whose cardinality is capped by the rounding grid (10^4 cells
+    * per unit of score range — a domain bound independent of corpus
+    * size), so the per-language cumulative window never sees doc-sized
+    * data; assignments broadcast back by (lang, score) value. Higher
+    * logprob = lower perplexity = head, matching the CCNet orientation. */
+  val t18PplBuckets = QueryDef(
+    "t18_ppl_buckets",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d)
+      val tf = docs
+        .select(col("doc_id"), explode(T.tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val uni = tf.groupBy("tok").agg(sum("tf").as("c"))
+      val total = uni.agg(sum("c").cast("double").as("total"))
+      val scored = tf.join(uni, Seq("tok"))
+        .crossJoin(broadcast(total))
+        .groupBy("doc_id")
+        .agg(r4(sum(col("tf") * log(col("c") / col("total"))) / sum("tf"))
+          .as("score"))
+        .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+      val wCum = Window.partitionBy("lang").orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wAll = Window.partitionBy("lang")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val terts = scored.groupBy("lang", "score").agg(count(lit(1)).as("freq"))
+        .withColumn("cum", sum("freq").over(wCum))
+        .withColumn("n_all", sum("freq").over(wAll))
+        .select(col("lang"), col("score"),
+          expr("CAST((3 * cum - 1) DIV n_all + 1 AS INT)").as("tert"))
+      scored.join(broadcast(terts), Seq("lang", "score"))
+        .select(col("doc_id"), col("lang"), col("score"),
+          when(col("tert") === 3, lit("head"))
+            .when(col("tert") === 2, lit("middle"))
+            .otherwise(lit("tail")).as("ppl_bucket"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH tokens AS (
+           |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+           |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tokens GROUP BY 1, 2),
+           |uni AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS c FROM tf GROUP BY 1),
+           |total AS (SELECT CAST(sum(c) AS DOUBLE) AS total FROM uni),
+           |sc AS (SELECT doc_id,
+           |    round(sum(tf * ln(c / total)) / sum(tf), 4) AS score
+           |  FROM tf JOIN uni USING (tok) CROSS JOIN total GROUP BY doc_id),
+           |sl AS (SELECT sc.doc_id, lang, score
+           |  FROM sc JOIN documents d ON sc.doc_id = d.doc_id),
+           |hist AS (SELECT lang, score, count(*) AS freq FROM sl GROUP BY 1, 2),
+           |map AS (SELECT lang, score,
+           |    CAST((3 * sum(freq) OVER (PARTITION BY lang ORDER BY score
+           |        ROWS UNBOUNDED PRECEDING) - 1)
+           |      // sum(freq) OVER (PARTITION BY lang) + 1 AS INT) AS tert
+           |  FROM hist)
+           |SELECT doc_id, lang, score,
+           |  CASE tert WHEN 3 THEN 'head' WHEN 2 THEN 'middle'
+           |    ELSE 'tail' END AS ppl_bucket
+           |FROM sl JOIN map USING (lang, score)
+           |ORDER BY doc_id""".stripMargin))
+
   val all: Seq[QueryDef] =
     Seq(t01LangId, t02Quality, t03TokenCount, t04RollingHash, t05TfIdf,
       t08UnigramLm, t09TokenEntropy, t10GopherRules, t11BigramLm,
       t12Collocations, t13LangidConfusion, t14Chunking, t15CorpusDatasheet,
-      t16ChunkDedup, t17QualityClassifier)
+      t16ChunkDedup, t17QualityClassifier, t18PplBuckets)
 }

@@ -447,4 +447,83 @@ class AnalyticsInvariantSpec extends SparkSpec {
       assert(out.filter(col("n_frames") < 2).count() === 0)
     } finally out.unpersist()
   }
+
+  test("t18: buckets cover every doc, tertiles balanced, head outranks tail") {
+    val s = spark
+    val out = operators.TextAnalysis.t18PplBuckets.run(s, sf).cache()
+    try {
+      // every document gets exactly one bucket
+      val nDocs = Tables.documents(s, sf).count()
+      assert(out.count() === nDocs)
+      assert(out.select("doc_id").distinct().count() === nDocs)
+      // per language: tertiles within 1 of each other is too strict with
+      // value ties, but no bucket may be empty or hold > 60% of the lang
+      val byBucket = out.groupBy("lang", "ppl_bucket").count()
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+        .toMap
+      val langs = byBucket.keys.map(_._1).toSet
+      langs.foreach { l =>
+        val h = byBucket.getOrElse((l, "head"), 0L)
+        val m = byBucket.getOrElse((l, "middle"), 0L)
+        val t = byBucket.getOrElse((l, "tail"), 0L)
+        val tot = h + m + t
+        assert(h > 0 && m > 0 && t > 0, s"$l: empty tertile h=$h m=$m t=$t")
+        Seq(h, m, t).foreach(b =>
+          assert(b.toDouble / tot <= 0.6, s"$l: degenerate split h=$h m=$m t=$t"))
+      }
+      // ordering semantics: within a language, every head doc's score
+      // >= every tail doc's score
+      val agg = out.groupBy("lang", "ppl_bucket")
+        .agg(min("score").as("mn"), max("score").as("mx"))
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          (r.getDouble(2), r.getDouble(3))).toMap
+      langs.foreach { l =>
+        assert(agg((l, "head"))._1 >= agg((l, "tail"))._2,
+          s"$l: head min < tail max")
+        assert(agg((l, "middle"))._1 >= agg((l, "tail"))._2 - 1e-12)
+        assert(agg((l, "head"))._1 >= agg((l, "middle"))._2 - 1e-12)
+      }
+    } finally out.unpersist()
+  }
+
+  test("x15: weights cover the corpus and separate target from raw") {
+    val s = spark
+    val out = operators.Curation.x15DsirWeights.run(s, sf).cache()
+    try {
+      val docs = Tables.documents(s, sf)
+      assert(out.count() === docs.count())
+      // target_like flag consistent with the sign of the exact micro sum
+      assert(out.filter((col("weight_micro") > 0) =!=
+        (col("target_like") === 1)).count() === 0)
+      // the signal separates: src0 docs (the target slice itself) must
+      // average a strictly higher weight than the rest of the corpus —
+      // if this fails the likelihood ratio is wired backwards
+      val j = out.join(docs.select("doc_id", "source"), Seq("doc_id"))
+        .groupBy(col("source") === "src0")
+        .agg(avg("weight").as("w")).collect()
+        .map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+      assert(j(true) > j(false),
+        s"target mean ${j(true)} not above raw mean ${j(false)}")
+    } finally out.unpersist()
+  }
+
+  test("x16: shards partition the corpus, hash balance holds") {
+    val s = spark
+    val out = operators.Curation.x16ShardPlan.run(s, sf).cache()
+    try {
+      val docs = Tables.documents(s, sf)
+      val tot = out.agg(sum("n_docs"), sum("n_chars")).collect()(0)
+      assert(tot.getLong(0) === docs.count())
+      assert(tot.getLong(1) ===
+        docs.agg(sum("n_chars")).collect()(0).getLong(0))
+      // 32 distinct shards, each non-empty (md5 spread at 500 docs)
+      assert(out.count() === 32)
+      assert(out.filter(col("n_docs") === 0).count() === 0)
+      // hash placement balance: no shard more than 3x the mean chars
+      // (binomial spread at n/32 ≈ 16 docs/shard is wide but bounded)
+      assert(out.filter(col("balance") > 3.0).count() === 0)
+      // diversity: no shard dominated by a single source
+      assert(out.filter(col("top_source_share") > 0.8).count() === 0)
+    } finally out.unpersist()
+  }
 }

@@ -39,6 +39,32 @@ class RecallSpec extends SparkSpec {
     assert(recall >= 0.5, f"PQ recall collapsed: $recall%.2f")
   }
 
+  test("IVF-PQ composed ANN recall@10 vs exact brute force and vs its parents") {
+    val exact = topk("s01_sim_topk")
+    val ivf = topk("s03_sim_ann_ivf")
+    val ivfpq = topk("s13_sim_ann_ivfpq")
+    val recall = exact.keys.count(ivfpq.contains).toDouble / exact.size
+    val ivfRecall = exact.keys.count(ivf.contains).toDouble / exact.size
+    info(f"recall@10 — ivfpq(nprobe=4, adc, rerank=64): $recall%.2f " +
+      f"(ivf parent: $ivfRecall%.2f)")
+    // the composition can only lose candidates vs plain IVF (same cells,
+    // ADC prefilter before the exact re-rank) — recall must stay within
+    // the quantization loss of the PQ stage, and above the hard floor
+    assert(recall >= 0.4, f"IVF-PQ recall collapsed: $recall%.2f")
+    assert(recall >= ivfRecall - 0.25,
+      f"PQ stage lost too much vs IVF parent: $recall%.2f vs $ivfRecall%.2f")
+    // every result must come from the probed cells: ⊆ IVF's candidate
+    // universe ⇒ any (q, v) hit that IVF ranked top-10 and s13 also
+    // ranked top-10 is consistent by construction; structural check —
+    // 10 ranked rows per query, ranks 1..10 dense
+    val byQ = SparkEntry.queries("s13_sim_ann_ivfpq")(spark, sf)
+      .collect().groupBy(_.getLong(0))
+    byQ.foreach { case (q, rows) =>
+      assert(rows.map(_.getInt(1)).sorted.toSeq == (1 to 10),
+        s"query $q: ranks not dense 1..10")
+    }
+  }
+
   test("MMR rerank: anchored on top-1, contained in candidates, more diverse, deterministic") {
     import org.apache.spark.sql.Row
     def rows(name: String): Array[Row] =
