@@ -84,4 +84,27 @@ class DedupQualitySpec extends SparkSpec {
         s"new $doc matched $m across clusters ${cluster(doc)} vs ${cluster(m)}")
     }
   }
+
+  test("d12: minhash estimate tracks exact Jaccard within the k=32 envelope") {
+    val rows = operators.Dedup.d12MinhashCalibration
+      .run(spark, sf).collect()
+      .map(r => (r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (j, est, err) =>
+      assert(est >= 0.0 && est <= 1.0, s"estimate out of range: $est")
+      assert(math.abs(math.abs(est - j) - err) <= 1e-9,
+        s"err column inconsistent: |$est - $j| vs $err")
+      // per-pair bound: 4 std devs of the k=32 binomial estimator, floored
+      // at one signature step (1/32) — catches a broken hash family or a
+      // sign flip without being flaky on legitimate estimator variance
+      val bound = math.max(4.0 * math.sqrt(j * (1 - j) / 32.0), 1.0 / 32.0 + 1e-9)
+      assert(err <= bound, s"pair error $err exceeds envelope $bound (J=$j)")
+    }
+    // the planted strong near-dups (J ≳ 0.9) must estimate high too —
+    // the calibration's whole point is that banding params derived from
+    // these estimates would keep catching them
+    rows.filter(_._1 >= 0.9).foreach { case (j, est, _) =>
+      assert(est >= 0.75, s"strong pair J=$j estimated at only $est")
+    }
+  }
 }

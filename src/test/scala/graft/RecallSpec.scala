@@ -65,6 +65,32 @@ class RecallSpec extends SparkSpec {
     }
   }
 
+  test("s14 matryoshka: truncated ranking structurally sound, overlap measured") {
+    val exact = topk("s01_sim_topk")
+    val rows = SparkEntry.queries("s14_sim_matryoshka")(spark, sf).collect()
+    // dense ranks 1..10 per query, sims in [-1, 1], trunc ordering holds
+    rows.groupBy(_.getLong(0)).foreach { case (q, rs) =>
+      assert(rs.map(_.getInt(1)).sorted.toSeq == (1 to 10),
+        s"query $q: ranks not dense")
+      val simsInRankOrder = rs.sortBy(_.getInt(1)).map(_.getDouble(3))
+      simsInRankOrder.sliding(2).foreach { w =>
+        if (w.length == 2) assert(w(0) >= w(1) - 1e-9,
+          s"query $q: sim_trunc not non-increasing in rank")
+      }
+      rs.foreach { r =>
+        assert(r.getDouble(3) >= -1.0 - 1e-9 && r.getDouble(3) <= 1.0 + 1e-9)
+        assert(r.getDouble(4) >= -1.0 - 1e-9 && r.getDouble(4) <= 1.0 + 1e-9)
+      }
+    }
+    // overlap@10 vs the full-dim ranking: 16/64 dims of these synthetic
+    // embeddings retain little of the ranking (~0.2 here) — the eval
+    // exists to surface exactly that number; floor only against collapse
+    val trunc = rows.map(r => (r.getLong(0), r.getLong(2)) -> 1).toMap
+    val overlap = exact.keys.count(trunc.contains).toDouble / exact.size
+    info(f"overlap@10 truncated-16 vs full-64: $overlap%.2f")
+    assert(overlap >= 0.05, f"truncated ranking collapsed: $overlap%.2f")
+  }
+
   test("MMR rerank: anchored on top-1, contained in candidates, more diverse, deterministic") {
     import org.apache.spark.sql.Row
     def rows(name: String): Array[Row] =
