@@ -261,6 +261,41 @@ object Skew {
            |HAVING count(*) * 1025 > any_value(t.n_total)
            |ORDER BY g.source, n_occurrences DESC, g.gram""".stripMargin))
 
+  // ---------------------------------------------------------------- q86
+  /** Mergeable quantile sketch audit: per-group approx percentiles
+    * (Spark's Greenwald-Khanna summary via `approx_percentile`, the
+    * mergeable single-pass path — O(1/ε) state per group, no sort) set
+    * against q34's exact interpolated percentiles, with the value gap —
+    * completing the sketch family beside q66 (frequency) and q67
+    * (distinct): at 100 TB the exact percentile needs a per-group sort
+    * while the sketch is one map-side-combinable pass, and this table
+    * is the evidence for when the swap is safe.
+    *
+    * No oracle: GK summary state depends on merge order (accuracy-
+    * bounded, not bit-reproducible). SketchSpec gates the RANK error —
+    * the fraction of group rows at or below each approx quantile must
+    * sit within the sketch's ε guarantee of the target fraction. */
+  val q86QuantileSketch = QueryDef(
+    "q86_quantile_sketch",
+    (s, d) => {
+      val accuracy = 10000
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(
+          expr(s"approx_percentile(o_totalprice, array(0.5, 0.9, 0.99), $accuracy)")
+            .as("approx"),
+          expr("percentile(o_totalprice, array(0.5, 0.9, 0.99))").as("exact"),
+          count(lit(1)).as("n"))
+        .select(col("o_orderpriority"),
+          col("approx")(0).as("ap50"), col("approx")(1).as("ap90"),
+          col("approx")(2).as("ap99"),
+          col("exact")(0).as("ex50"), col("exact")(1).as("ex90"),
+          col("exact")(2).as("ex99"), col("n"))
+        .orderBy("o_orderpriority")
+    },
+    None)
+
   val all: Seq[QueryDef] = Seq(q36SaltedAgg, q46HashSample, q50Histogram,
-    q53Profile, q66HeavyHitters, q67SketchRollup, q77GroupHeavyHitters)
+    q53Profile, q66HeavyHitters, q67SketchRollup, q77GroupHeavyHitters,
+    q86QuantileSketch)
 }

@@ -744,9 +744,58 @@ object TextAnalysis {
            |FROM sl JOIN map USING (lang, score)
            |ORDER BY doc_id""".stripMargin))
 
+  // ---------------------------------------------------------------- t19
+  /** BPE merge-pair counting — the inner loop of byte-pair-encoding
+    * vocabulary induction (Sennrich et al. 2016): count adjacent symbol
+    * pairs across word TYPES weighted by word frequency and surface the
+    * top merge candidates. At iteration 0 every symbol is one character,
+    * so a pair is a 2-char substring; production induction repeats this
+    * op per merge round over the re-segmented vocab (the d03/q73
+    * iterate-a-bounded-op shape — each round's input is the word-TYPE
+    * table, not the corpus).
+    *
+    * Scale shape: the corpus collapses to the word-frequency table in
+    * ONE map-side-combined hash-agg (vocabulary-sized, Heaps'-law
+    * sublinear); pair explosion and the ranking window run over the
+    * pair-vocabulary (charset²-bounded), never over corpus tokens. */
+  val t19BpePairs = QueryDef(
+    "t19_bpe_pairs",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val words = Tables.documents(s, d)
+        .select(explode(T.tokens(col("text"))).as("w"))
+        .groupBy("w").agg(count(lit(1)).as("wc"))
+      val wRank = Window.orderBy(col("n").desc, col("pair"))
+      words.filter(length(col("w")) >= 2)
+        .select(col("wc"), explode(
+          expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+          .as("pair"))
+        .groupBy("pair").agg(sum("wc").as("n"))
+        .withColumn("rank", row_number().over(wRank))
+        .filter(col("rank") <= 20)
+        .select(col("rank"), col("pair"), col("n"))
+        .orderBy("rank")
+    },
+    Some("""WITH words AS (
+           |  SELECT tok AS w, count(*) AS wc
+           |  FROM (SELECT unnest(string_split(text, ' ')) AS tok
+           |        FROM documents)
+           |  GROUP BY 1),
+           |pairs AS (
+           |  SELECT unnest(list_transform(range(1, len(w)),
+           |      i -> substr(w, i, 2))) AS pair, wc
+           |  FROM words WHERE len(w) >= 2),
+           |agg AS (SELECT pair, CAST(sum(wc) AS BIGINT) AS n
+           |  FROM pairs GROUP BY 1),
+           |ranked AS (SELECT pair, n,
+           |    row_number() OVER (ORDER BY n DESC, pair) AS rank
+           |  FROM agg)
+           |SELECT rank, pair, n FROM ranked WHERE rank <= 20
+           |ORDER BY rank""".stripMargin))
+
   val all: Seq[QueryDef] =
     Seq(t01LangId, t02Quality, t03TokenCount, t04RollingHash, t05TfIdf,
       t08UnigramLm, t09TokenEntropy, t10GopherRules, t11BigramLm,
       t12Collocations, t13LangidConfusion, t14Chunking, t15CorpusDatasheet,
-      t16ChunkDedup, t17QualityClassifier, t18PplBuckets)
+      t16ChunkDedup, t17QualityClassifier, t18PplBuckets, t19BpePairs)
 }

@@ -86,4 +86,35 @@ class SketchSpec extends SparkSpec {
     assert(viaUnion == direct,
       s"union-of-daily vs direct sketch diverge: $viaUnion vs $direct")
   }
+
+  test("q86 approx quantiles honor the GK rank-error guarantee per group") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    val out = operators.Skew.q86QuantileSketch.run(s, sf).collect()
+    assert(out.nonEmpty)
+    val orders = Tables.orders(s, sf)
+      .select("o_orderpriority", "o_totalprice").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).sorted }
+    // GK guarantee: the returned value's RANK is within n/accuracy of
+    // the target rank; allow one extra rank for boundary semantics
+    val eps = 1.0 / 10000
+    out.foreach { r =>
+      val grp = r.getString(0)
+      val vals = orders(grp)
+      val n = vals.length
+      assert(r.getLong(7) === n.toLong)
+      Seq((r.getDouble(1), 0.5), (r.getDouble(2), 0.9), (r.getDouble(3), 0.99))
+        .foreach { case (approx, q) =>
+          val rankAtOrBelow = vals.count(_ <= approx).toDouble / n
+          val rankBelow = vals.count(_ < approx).toDouble / n
+          val slack = eps + 1.0 / n
+          assert(rankBelow <= q + slack && rankAtOrBelow >= q - slack,
+            f"$grp q=$q: approx $approx%.2f has rank window " +
+              f"[$rankBelow%.4f, $rankAtOrBelow%.4f], outside ±$slack%.4f")
+        }
+      // exact columns must bracket sanely too: p50 <= p90 <= p99
+      assert(r.getDouble(4) <= r.getDouble(5) && r.getDouble(5) <= r.getDouble(6))
+    }
+  }
 }
