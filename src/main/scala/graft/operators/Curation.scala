@@ -959,10 +959,61 @@ object Curation {
            |  round(top_src_docs / n_docs, 4) AS top_source_share
            |FROM shards CROSS JOIN m ORDER BY shard""".stripMargin))
 
+  // ---------------------------------------------------------------- x17
+  /** Cross-modal dedup agreement: the text near-dup pairs (d05's exact
+    * n-gram Jaccard) set against the embedding near-dup pairs (d07's
+    * exact cosine tail) over the SAME documents, classified into both /
+    * text_only / embedding_only with each class's mean scores — the
+    * audit a pipeline runs before trusting ONE modality's dedup to
+    * subsume the other (surface-text dedup misses paraphrases;
+    * embedding dedup misses short verbatim overlaps; the class sizes
+    * quantify both gaps on this corpus).
+    *
+    * Scale shape: both inputs are candidate-bounded pair sets (posting
+    * lists / LSH buckets at scale — d05 and d06/d08's documented
+    * paths); the full-outer join and 3-row rollup are pair-bounded,
+    * never corpus². */
+  val x17ModalityAgreement = QueryDef(
+    "x17_modality_agreement",
+    (s, d) => {
+      val t = Dedup.d05NgramJaccard.run(s, d)
+        .select(col("a_id"), col("b_id"), col("jaccard"))
+      val e = Dedup.d07EmbeddingPairs.run(s, d)
+        .select(col("a_id"), col("b_id"), col("cos"))
+      t.join(e, Seq("a_id", "b_id"), "full_outer")
+        .withColumn("agreement",
+          when(col("jaccard").isNotNull && col("cos").isNotNull, lit("both"))
+            .when(col("jaccard").isNotNull, lit("text_only"))
+            .otherwise(lit("embedding_only")))
+        .groupBy("agreement")
+        .agg(count(lit(1)).as("n_pairs"),
+          r4(avg("jaccard")).as("mean_jaccard"),
+          r4(avg("cos")).as("mean_cos"))
+        .orderBy("agreement")
+    },
+    for {
+      d05Sql <- Dedup.d05NgramJaccard.oracle
+      d07Sql <- Dedup.d07EmbeddingPairs.oracle
+    } yield s"""WITH tp AS (${d05Sql.replace("ORDER BY a_id, b_id", "")}),
+       |ep AS (${d07Sql.replace("ORDER BY a_id, b_id", "")}),
+       |j AS (
+       |  SELECT coalesce(tp.a_id, ep.a_id) AS a_id,
+       |    coalesce(tp.b_id, ep.b_id) AS b_id, jaccard, cos,
+       |    CASE WHEN jaccard IS NOT NULL AND cos IS NOT NULL THEN 'both'
+       |         WHEN jaccard IS NOT NULL THEN 'text_only'
+       |         ELSE 'embedding_only' END AS agreement
+       |  FROM tp FULL OUTER JOIN ep
+       |    ON tp.a_id = ep.a_id AND tp.b_id = ep.b_id)
+       |SELECT agreement, CAST(count(*) AS BIGINT) AS n_pairs,
+       |  round(avg(jaccard), 4) AS mean_jaccard,
+       |  round(avg(cos), 4) AS mean_cos
+       |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)
+
   val all: Seq[QueryDef] =
     Seq(x01Decontaminate, x02StratifiedSample, x03DomainMix,
       t06PiiRedact, t07Repetition, x04ContainmentScore, x05WeightedSample,
       x06PackSequences, x07ClusterReps, x08TemperatureMix, x09LeakageSplit,
       x10CurationPipeline, x11BloomDecontaminate, x12CompactionPlan,
-      x13EpochPlan, x14KAnonymity, x15DsirWeights, x16ShardPlan)
+      x13EpochPlan, x14KAnonymity, x15DsirWeights, x16ShardPlan,
+      x17ModalityAgreement)
 }

@@ -526,4 +526,26 @@ class AnalyticsInvariantSpec extends SparkSpec {
       assert(out.filter(col("top_source_share") > 0.8).count() === 0)
     } finally out.unpersist()
   }
+
+  test("x17: agreement classes partition the union of both pair sets") {
+    val s = spark
+    val out = operators.Curation.x17ModalityAgreement.run(s, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), Option(r.get(2)), Option(r.get(3)))).toMap
+    val nText = operators.Dedup.d05NgramJaccard.run(s, sf).count()
+    val nEmb = operators.Dedup.d07EmbeddingPairs.run(s, sf).count()
+    def n(c: String) = out.get(c).map(_._1).getOrElse(0L)
+    // class counts reconstruct each standalone operator's pair count
+    assert(n("both") + n("text_only") === nText,
+      s"text classes ${n("both")}+${n("text_only")} != d05 $nText")
+    assert(n("both") + n("embedding_only") === nEmb,
+      s"embedding classes ${n("both")}+${n("embedding_only")} != d07 $nEmb")
+    // a class's scores are present exactly for the modalities it covers
+    out.get("text_only").foreach { case (_, j, c) =>
+      assert(j.isDefined && c.isEmpty) }
+    out.get("embedding_only").foreach { case (_, j, c) =>
+      assert(j.isEmpty && c.isDefined) }
+    out.get("both").foreach { case (_, j, c) =>
+      assert(j.isDefined && c.isDefined) }
+  }
 }
