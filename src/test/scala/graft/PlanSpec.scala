@@ -162,4 +162,57 @@ class PlanSpec extends SparkSpec {
       case (k, None) => s.conf.unset(k)
     }
   }
+
+  test("t18: only the score histogram reaches the tertile window") {
+    val p = plan("t18_ppl_buckets")
+    // q59's discipline carried to the perplexity cut: the cumulative
+    // window runs over the (lang, score)-histogram aggregate, not docs
+    val winIdx = p.indexOf("windowspecdefinition")
+    val aggIdx = p.lastIndexOf("HashAggregate")
+    assert(winIdx >= 0 && aggIdx > winIdx,
+      "expected histogram HashAggregate below the tertile window")
+    assert(p.contains("BroadcastHashJoin"),
+      "tertile map must broadcast back, not shuffle the docs")
+  }
+
+  test("x15: bucket log-ratios broadcast; corpus side never all-pairs") {
+    val p = plan("x15_dsir_weights")
+    assert(p.contains("BroadcastHashJoin"),
+      "4096-row lr table must be the broadcast build side")
+    assert(!p.contains("CartesianProduct"), p.take(600))
+    // the only nested-loop joins allowed are the broadcast CROSS of the
+    // 1-row totals scalar (the t08 pattern) — never a predicate BNLJ
+    // over corpus-sized inputs
+    "BroadcastNestedLoopJoin[^\\n]*".r.findAllIn(p).foreach(l =>
+      assert(l.contains("Cross"), s"non-scalar BNLJ: $l"))
+  }
+
+  test("x16: shard plan has no doc-sized window or sort before the rollup") {
+    val p = plan("x16_shard_plan")
+    assert(!p.contains("windowspecdefinition"),
+      "manifest must come from hash-aggs, not a window over docs")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      "expect partial+final aggregation")
+  }
+
+  test("s13: IVF-PQ candidates come from a cell equi-join, ADC codegen'd") {
+    val p = plan("s13_sim_ann_ivfpq")
+    assert(p.contains("BroadcastHashJoin"),
+      "probed query cells must equi-join on cell id")
+    assert(!p.contains("CartesianProduct"),
+      "the whole point vs s04 is no full-corpus scan join")
+    // allowed nested loops: only the broadcast CROSS against the 16-row
+    // centroid table (queries × centroids) — bounded by nlist, not corpus
+    "BroadcastNestedLoopJoin[^\\n]*".r.findAllIn(p).foreach(l =>
+      assert(l.contains("Cross"), s"non-centroid BNLJ: $l"))
+    assert(p.contains("pq_adc"), "ADC distance must be the native expression")
+  }
+
+  test("t19: pair ranking windows only the pair-vocabulary aggregate") {
+    val p = plan("t19_bpe_pairs")
+    val winIdx = p.indexOf("windowspecdefinition")
+    val aggIdx = p.lastIndexOf("HashAggregate")
+    assert(winIdx >= 0 && aggIdx > winIdx,
+      "expected pair-count HashAggregate below the ranking window")
+  }
 }
