@@ -384,7 +384,68 @@ object Relational3 {
            |          AND l3.l_returnflag = 'R')
            |GROUP BY 1 ORDER BY numwait DESC, s_name LIMIT 10""".stripMargin))
 
+  // ---------------------------------------------------------------- q87
+  /** Right-to-be-forgotten deletion planner — the lakehouse maintenance
+    * query behind GDPR erasure at scale (the x12-compaction/x13-epoch
+    * planner family): given a deterministic 1% cohort of users to
+    * forget (md5-prefix sample, q46's convention — a real deployment
+    * joins its erasure-request table), compute per day-partition how
+    * many rows die, how many users are affected, and whether the
+    * engine should REWRITE the partition's files or stamp DELETION
+    * VECTORS (the Delta/Iceberg merge-on-read decision — rewrite only
+    * when the dead fraction clears 5%, else carry DVs and let x12-style
+    * compaction fold them in later).
+    *
+    * Scale shape: the cohort flag is a pure expression (no erasure-set
+    * broadcast needed for the sampled form; the join form broadcasts a
+    * request table that is small by nature), so the whole plan is ONE
+    * map-side-combined hash-agg to the day-partition domain — work ∝
+    * corpus rows read, output ∝ days. */
+  val q87DeletionPlan = QueryDef(
+    "q87_deletion_plan",
+    (s, d) => {
+      val DayUs = 86400000000L
+      val forget = (conv(substring(md5(col("user_id").cast("string")), 1, 8),
+        16, 10).cast("long") % 100L) === 0L
+      Tables.events(s, d)
+        .select((unix_micros(col("ts")) / DayUs).cast("long").as("day"),
+          col("user_id"), forget.cast("long").as("del"))
+        .groupBy("day")
+        .agg(count(lit(1)).as("n_rows"),
+          sum("del").as("n_delete"),
+          countDistinct(when(col("del") === 1L, col("user_id")))
+            .as("n_users_affected"))
+        .withColumn("del_frac",
+          r4(col("n_delete").cast("double") / col("n_rows")))
+        .withColumn("action",
+          when(col("n_delete") === 0L, lit("noop"))
+            .when(col("del_frac") >= 0.05, lit("rewrite"))
+            .otherwise(lit("deletion_vectors")))
+        .select("day", "n_rows", "n_delete", "n_users_affected",
+          "del_frac", "action")
+        .orderBy("day")
+    },
+    Some("""WITH ev AS (
+           |  SELECT epoch_us(ts) // 86400000000 AS day, user_id,
+           |    CASE WHEN ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT
+           |      % 100 = 0 THEN 1 ELSE 0 END AS del
+           |  FROM events),
+           |agg AS (
+           |  SELECT day, CAST(count(*) AS BIGINT) AS n_rows,
+           |    CAST(sum(del) AS BIGINT) AS n_delete,
+           |    CAST(count(DISTINCT CASE WHEN del = 1 THEN user_id END) AS BIGINT)
+           |      AS n_users_affected
+           |  FROM ev GROUP BY 1)
+           |SELECT day, n_rows, n_delete, n_users_affected,
+           |  round(CAST(n_delete AS DOUBLE) / n_rows, 4) AS del_frac,
+           |  CASE WHEN n_delete = 0 THEN 'noop'
+           |       WHEN round(CAST(n_delete AS DOUBLE) / n_rows, 4) >= 0.05
+           |         THEN 'rewrite'
+           |       ELSE 'deletion_vectors' END AS action
+           |FROM agg ORDER BY day""".stripMargin))
+
   val all: Seq[QueryDef] =
     Seq(q69StarJoin, q70EventDedup, q71ArgExtremes, q72Regression,
-      q74VariantExtract, q75HofBattery, q76ZorderLayout, q79ExistsChain)
+      q74VariantExtract, q75HofBattery, q76ZorderLayout, q79ExistsChain,
+      q87DeletionPlan)
 }
