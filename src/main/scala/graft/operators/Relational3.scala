@@ -444,8 +444,50 @@ object Relational3 {
            |       ELSE 'deletion_vectors' END AS action
            |FROM agg ORDER BY day""".stripMargin))
 
+  // ---------------------------------------------------------------- q88
+  /** Incremental materialized-view maintenance over algebraic
+    * aggregates: the event log is carved into a 99% base and a 1% delta
+    * (deterministic md5 carve — q78's snapshot convention), each side
+    * reduces to PARTIAL aggregate state (n, Σv, min, max), and the view
+    * refresh merges the partials instead of rescanning the base — count
+    * and sum add, min/max take extremes, avg derives from the merged
+    * (n, Σv). The output is the refreshed view; the oracle computes the
+    * same view DIRECTLY over the full log, so the hash-match PROVES
+    * merge(partials) == recompute cross-engine — the algebraic-
+    * mergeability contract every IVM engine (and Spark's own partial
+    * aggregation) rests on.
+    *
+    * Scale shape: base partials are a materialized artifact in
+    * production (built once, days-old base never rescanned); refresh
+    * cost ∝ delta + |view|, exactly the d10-incremental posture for
+    * aggregates. */
+  val q88IncrementalView = QueryDef(
+    "q88_incremental_view",
+    (s, d) => {
+      val ev = Tables.events(s, d).select(col("event_type"), col("value"),
+        (conv(substring(md5(col("event_id").cast("string")), 1, 8), 16, 10)
+          .cast("long") % 100L).as("carve"))
+      def partials(side: org.apache.spark.sql.DataFrame) =
+        side.groupBy("event_type")
+          .agg(count(lit(1)).as("n"), sum("value").as("sv"),
+            min("value").as("mn"), max("value").as("mx"))
+      val base = partials(ev.filter(col("carve") =!= 0L))
+      val delta = partials(ev.filter(col("carve") === 0L))
+      base.unionByName(delta)
+        .groupBy("event_type")
+        .agg(sum("n").as("n_rows"), r2(sum("sv")).as("sum_value"),
+          min("mn").as("min_value"), max("mx").as("max_value"),
+          r4(sum("sv") / sum("n")).as("avg_value"))
+        .orderBy("event_type")
+    },
+    Some("""SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+           |  round(sum(value), 2) AS sum_value,
+           |  min(value) AS min_value, max(value) AS max_value,
+           |  round(sum(value) / count(*), 4) AS avg_value
+           |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[QueryDef] =
     Seq(q69StarJoin, q70EventDedup, q71ArgExtremes, q72Regression,
       q74VariantExtract, q75HofBattery, q76ZorderLayout, q79ExistsChain,
-      q87DeletionPlan)
+      q87DeletionPlan, q88IncrementalView)
 }

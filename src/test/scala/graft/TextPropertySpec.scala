@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.functions.{TextFunctions => T}
+
+/** Property gates for the text column functions every dedup / text /
+  * curation operator builds on (TextFunctions): shingle counts, shingle
+  * structure, distinctness, and tokenizer agreement — checked over
+  * generated corpora rather than the fixed testdata, so edge shapes
+  * (single-token docs, repeated tokens, k > n) stay covered as the
+  * operators evolve.
+  */
+class TextPropertySpec extends SparkSpec {
+
+  private def check(prop: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(15), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val tokGen: Gen[String] =
+    Gen.nonEmptyListOf(Gen.alphaLowerChar).map(_.take(6).mkString)
+  private val docGen: Gen[List[String]] =
+    Gen.nonEmptyListOf(tokGen).map(_.take(40))
+
+  /** Evaluate shinglesAll(k) for one token list via a 1-row DataFrame. */
+  private def shinglesOf(toks: List[String], k: Int,
+      distinct: Boolean): Seq[String] = {
+    val s = spark
+    import s.implicits._
+    val col0 = T.tokens(col("text"))
+    val expr0 = if (distinct) T.shingles(col0, k) else T.shinglesAll(col0, k)
+    Seq(toks.mkString(" ")).toDF("text").select(expr0.as("sh"))
+      .collect()(0).getSeq[String](0)
+  }
+
+  test("property: shinglesAll(k) emits exactly max(n-k+1, 0) ordered windows") {
+    check(Prop.forAll(docGen, Gen.choose(1, 5)) { (toks, k) =>
+      val got = shinglesOf(toks, k, distinct = false)
+      val want = toks.sliding(k).filter(_.length == k)
+        .map(_.mkString(" ")).toSeq
+      got == want // count, order, and content all at once
+    })
+  }
+
+  test("property: shingles(k) == distinct of shinglesAll(k), order-preserving") {
+    check(Prop.forAll(docGen, Gen.choose(1, 4)) { (toks, k) =>
+      val all = shinglesOf(toks, k, distinct = false)
+      val dis = shinglesOf(toks, k, distinct = true)
+      dis == all.distinct
+    })
+  }
+
+  test("property: every shingle is k tokens drawn from the document") {
+    check(Prop.forAll(docGen, Gen.choose(2, 4)) { (toks, k) =>
+      val set = toks.toSet
+      shinglesOf(toks, k, distinct = false).forall { sh =>
+        val parts = sh.split(" ", -1).toSeq
+        parts.length == k && parts.forall(set.contains)
+      }
+    })
+  }
+
+  test("property: wordCount equals the naive regex count on generated text") {
+    check(Prop.forAll(docGen) { toks =>
+      val s = spark
+      import s.implicits._
+      val text = toks.mkString(" ")
+      val got = Seq(text).toDF("text")
+        .select(T.wordCount(col("text")).as("n"))
+        .collect()(0).getInt(0)
+      got == T.wordPattern.r.findAllIn(text.toLowerCase).size
+    })
+  }
+}
