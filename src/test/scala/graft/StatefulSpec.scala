@@ -241,6 +241,60 @@ class StatefulSpec extends SparkSpec {
       }
     }
   }
+
+  test("update-mode streaming agg IS incremental view maintenance: == batch q88") {
+    // q88 proves merge(partials) == recompute in batch; a streaming
+    // aggregation in update mode maintains the SAME algebraic state
+    // (count/sum/min/max partials merged per micro-batch), so its final
+    // table must equal the batch view — the streaming leg of the IVM
+    // contract, fed the full sf0.001 log across three micro-batches.
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    val sf = "/root/testdata/sf0.001"
+
+    val events = Tables.events(s, sf)
+      .select(col("event_type"), col("value")).collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+    val input = MemoryStream[(String, Double)]
+    val view = input.toDF().toDF("event_type", "value")
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_rows"), sum("value").as("sum_value"),
+        min("value").as("min_value"), max("value").as("max_value"))
+    val q = view.writeStream.format("memory").queryName("ivm_out")
+      .outputMode(OutputMode.Update())
+      .trigger(Trigger.ProcessingTime(50)).start()
+    val third = events.length / 3
+    Seq(events.slice(0, third), events.slice(third, 2 * third),
+      events.drop(2 * third)).foreach { chunk =>
+      input.addData(chunk.toSeq); q.processAllAvailable()
+    }
+    q.stop()
+    // update mode re-emits a key each time it changes; the LAST emission
+    // per key is the maintained view
+    val streamed = s.sql(
+      """SELECT event_type, n_rows, sum_value, min_value, max_value
+        |FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+        |    ORDER BY n_rows DESC) AS rn FROM ivm_out)
+        |WHERE rn = 1""".stripMargin)
+      .collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    val batch = SparkEntry.queries("q88_incremental_view")(s, sf).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .toMap
+    assert(streamed.keySet == batch.keySet)
+    streamed.foreach { case (k, (n, sv, mn, mx)) =>
+      val (bn, bsv, bmn, bmx) = batch(k)
+      assert(n == bn, s"$k: n $n vs $bn")
+      // batch sum is r2-rounded; min/max are exact in both
+      assert(math.abs(sv - bsv) <= 0.0051, s"$k: sum $sv vs $bsv")
+      assert(mn == bmn && mx == bmx, s"$k: extremes ($mn,$mx) vs ($bmn,$bmx)")
+    }
+  }
 }
 
 /** Shared state for the ForeachWriter test (writer is serialized per task). */
