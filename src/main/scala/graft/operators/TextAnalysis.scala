@@ -694,18 +694,21 @@ object TextAnalysis {
     "t18_ppl_buckets",
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val docs = Tables.documents(s, d)
-      val tf = docs
-        .select(col("doc_id"), explode(T.tokens(col("text"))).as("tok"))
-        .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      // lang rides through the tf aggregate (functionally dependent on
+      // doc_id, so the extra key adds no cardinality) instead of being
+      // re-joined onto the doc-sized score table afterwards — one fewer
+      // corpus-sized shuffle join
+      val tf = Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          explode(T.tokens(col("text"))).as("tok"))
+        .groupBy("doc_id", "lang", "tok").agg(count(lit(1)).as("tf"))
       val uni = tf.groupBy("tok").agg(sum("tf").as("c"))
       val total = uni.agg(sum("c").cast("double").as("total"))
       val scored = tf.join(uni, Seq("tok"))
         .crossJoin(broadcast(total))
-        .groupBy("doc_id")
+        .groupBy("doc_id", "lang")
         .agg(r4(sum(col("tf") * log(col("c") / col("total"))) / sum("tf"))
           .as("score"))
-        .join(docs.select("doc_id", "lang"), Seq("doc_id"))
       val wCum = Window.partitionBy("lang").orderBy("score")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val wAll = Window.partitionBy("lang")
