@@ -486,8 +486,63 @@ object Relational3 {
            |  round(sum(value) / count(*), 4) AS avg_value
            |FROM events GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  // ---------------------------------------------------------------- q91
+  /** Exact order-statistics battery: interpolated quartile
+    * (percentile_cont), discrete decile cut (percentile_disc), median,
+    * and a DETERMINISTIC mode per group — the standard-SQL WITHIN GROUP
+    * surface q34/q86 don't cover. The built-in `mode()` breaks ties
+    * arbitrarily in both engines, so the modal value is computed as a
+    * (value-count hash-agg → per-group argmax with count-desc,
+    * value-asc tie-break) instead — reproducible on any engine and any
+    * partitioning.
+    *
+    * Scale shape: the exact percentiles sort per group (the price of
+    * exactness — q86 is the registered sketch twin for the 100 TB
+    * path); the mode side is a map-side-combined hash-agg to the
+    * (group, distinct value) domain followed by a max_by over the
+    * per-group counts — no window, no re-shuffle past the agg. */
+  val q91OrderStats = QueryDef(
+    "q91_order_stats",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+      val stats = li.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          r4(expr("percentile_cont(0.25) WITHIN GROUP (ORDER BY l_extendedprice)"))
+            .as("p25_cont"),
+          r4(expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice)"))
+            .as("median_price"),
+          expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice)")
+            .as("p90_disc"))
+      val mode = li.groupBy("l_returnflag", "l_extendedprice").count()
+        .groupBy("l_returnflag")
+        .agg(max_by(col("l_extendedprice"),
+            struct(col("count"), col("l_extendedprice") * -1)).as("mode_price"),
+          max("count").as("mode_n"))
+      stats.join(mode, "l_returnflag").orderBy("l_returnflag")
+    },
+    Some("""WITH modes AS (
+           |  SELECT l_returnflag, l_extendedprice, count(*) AS c
+           |  FROM lineitem GROUP BY 1, 2),
+           |best AS (
+           |  SELECT l_returnflag, l_extendedprice AS mode_price, c AS mode_n,
+           |    row_number() OVER (PARTITION BY l_returnflag
+           |      ORDER BY c DESC, l_extendedprice) AS rn
+           |  FROM modes)
+           |SELECT s.l_returnflag, s.n, s.p25_cont, s.median_price, s.p90_disc,
+           |  b.mode_price, b.mode_n
+           |FROM (
+           |  SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n,
+           |    round(quantile_cont(l_extendedprice, 0.25) * 10000) / 10000
+           |      AS p25_cont,
+           |    round(quantile_cont(l_extendedprice, 0.5) * 10000) / 10000
+           |      AS median_price,
+           |    quantile_disc(l_extendedprice, 0.9) AS p90_disc
+           |  FROM lineitem GROUP BY 1) s
+           |JOIN (SELECT * FROM best WHERE rn = 1) b USING (l_returnflag)
+           |ORDER BY 1""".stripMargin))
+
   val all: Seq[QueryDef] =
     Seq(q69StarJoin, q70EventDedup, q71ArgExtremes, q72Regression,
       q74VariantExtract, q75HofBattery, q76ZorderLayout, q79ExistsChain,
-      q87DeletionPlan, q88IncrementalView)
+      q87DeletionPlan, q88IncrementalView, q91OrderStats)
 }

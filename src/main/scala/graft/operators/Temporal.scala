@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{QueryDef, Tables}
+import graft.functions.Rounding
 
 /** Temporal / CDC-style operators: dimension-history (SCD Type 2) builds
   * over an append-only event stream. The reference's envelope model
@@ -638,6 +639,168 @@ object Temporal {
            |  count(DISTINCT user_id) AS n_users
            |FROM ov GROUP BY 1, 2, 3 ORDER BY 1, 2""".stripMargin))
 
+  // ---------------------------------------------------------------- q89
+  /** As-of join direction battery — completes q25's backward-only as-of
+    * with the other two directions pandas' merge_asof and kdb's aj ship:
+    * for every click, the latest purchase at-or-before (backward), the
+    * earliest purchase at-or-after (forward), and the nearer of the two
+    * (nearest, ties → backward), each subject to a 24 h tolerance.
+    *
+    * Scale shape: same as q25 — union the two tagged sides and resolve
+    * every direction with windows over ONE exchange on user_id (two sort
+    * orders share the partitioning, so Catalyst plans exchange-sort-
+    * window-sort-window, no re-shuffle). A per-row non-equi probe join
+    * would be quadratic in hot users and unbounded in skew; the carry
+    * formulation is linear and skew-bounded by the per-user row count.
+    * At equal timestamps the purchase sorts before the click in the
+    * backward order and after it in the forward order, so ties count as
+    * matches in BOTH directions (>= / <= semantics, like merge_asof). */
+  val q89AsofDirections = QueryDef(
+    "q89_asof_directions",
+    (s, d) => {
+      val TolUs = 86400000000L // 24 h
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("user_id"), col("ts"), col("event_id"),
+          when(col("event_type") === "click", 1).otherwise(0).as("is_click"))
+      val wb = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("is_click"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wf = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("is_click").desc, col("event_id"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val p = when(col("is_click") === 0, col("event_id"))
+      val pUs = when(col("is_click") === 0, unix_micros(col("ts")))
+      val enriched = ev
+        .withColumn("back_id0", last(p, ignoreNulls = true).over(wb))
+        .withColumn("back_us", last(pUs, ignoreNulls = true).over(wb))
+        .withColumn("fwd_id0", first(p, ignoreNulls = true).over(wf))
+        .withColumn("fwd_us", first(pUs, ignoreNulls = true).over(wf))
+        .filter(col("is_click") === 1)
+        .withColumn("c_us", unix_micros(col("ts")))
+        .withColumn("back_gap_us",
+          when(col("c_us") - col("back_us") <= TolUs,
+            col("c_us") - col("back_us")))
+        .withColumn("fwd_gap_us",
+          when(col("fwd_us") - col("c_us") <= TolUs,
+            col("fwd_us") - col("c_us")))
+      enriched
+        .select(col("event_id"),
+          when(col("back_gap_us").isNotNull, col("back_id0")).as("back_event_id"),
+          col("back_gap_us"),
+          when(col("fwd_gap_us").isNotNull, col("fwd_id0")).as("fwd_event_id"),
+          col("fwd_gap_us"),
+          when(col("back_gap_us").isNotNull &&
+              (col("fwd_gap_us").isNull || col("back_gap_us") <= col("fwd_gap_us")),
+              lit("b"))
+            .when(col("fwd_gap_us").isNotNull, lit("f"))
+            .as("nearest_dir"))
+        .orderBy("event_id")
+    },
+    Some("""WITH u AS (
+           |  SELECT user_id, ts, event_id,
+           |    CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_click
+           |  FROM events WHERE event_type IN ('click', 'purchase')),
+           |caught AS (
+           |  SELECT *,
+           |    last_value(CASE WHEN is_click = 0 THEN event_id END IGNORE NULLS)
+           |      OVER wb AS back_id0,
+           |    last_value(CASE WHEN is_click = 0 THEN epoch_us(ts) END IGNORE NULLS)
+           |      OVER wb AS back_us,
+           |    first_value(CASE WHEN is_click = 0 THEN event_id END IGNORE NULLS)
+           |      OVER wf AS fwd_id0,
+           |    first_value(CASE WHEN is_click = 0 THEN epoch_us(ts) END IGNORE NULLS)
+           |      OVER wf AS fwd_us
+           |  FROM u
+           |  WINDOW wb AS (PARTITION BY user_id ORDER BY ts, is_click, event_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           |  wf AS (PARTITION BY user_id ORDER BY ts, is_click DESC, event_id
+           |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+           |gapped AS (
+           |  SELECT event_id, back_id0, fwd_id0,
+           |    CASE WHEN epoch_us(ts) - back_us <= 86400000000
+           |         THEN epoch_us(ts) - back_us END AS back_gap_us,
+           |    CASE WHEN fwd_us - epoch_us(ts) <= 86400000000
+           |         THEN fwd_us - epoch_us(ts) END AS fwd_gap_us
+           |  FROM caught WHERE is_click = 1)
+           |SELECT event_id,
+           |  CASE WHEN back_gap_us IS NOT NULL THEN back_id0 END AS back_event_id,
+           |  back_gap_us,
+           |  CASE WHEN fwd_gap_us IS NOT NULL THEN fwd_id0 END AS fwd_event_id,
+           |  fwd_gap_us,
+           |  CASE WHEN back_gap_us IS NOT NULL
+           |         AND (fwd_gap_us IS NULL OR back_gap_us <= fwd_gap_us)
+           |       THEN 'b'
+           |       WHEN fwd_gap_us IS NOT NULL THEN 'f' END AS nearest_dir
+           |FROM gapped ORDER BY event_id""".stripMargin))
+
+  // ---------------------------------------------------------------- q90
+  /** Seasonal-naive forecast evaluation: learn an hour-of-day profile per
+    * event_type on the first half of the timeline (q85's midpoint split
+    * convention), predict each test-half hourly mean with the profile,
+    * and score it against the train-global-mean naive baseline — the
+    * capacity-planning backtest that closes the time-series family
+    * (q60 anomaly, q63 correlation, q64 EWMA, q65 ACF).
+    *
+    * Scale shape: the corpus collapses in ONE map-side-combined hash-agg
+    * to (type, day, hour) buckets; profiles, baselines, and error
+    * metrics all derive from that bounded bucket table (types × days ×
+    * 24), so 100 TB of raw events never reaches a window or join. The
+    * profile join broadcasts (types × 24 rows). */
+  val q90SeasonalNaive = QueryDef(
+    "q90_seasonal_naive",
+    (s, d) => {
+      val DayUs = 86400000000L
+      val HourUs = 3600000000L
+      val b = Tables.events(s, d)
+        .select(col("event_type"),
+          (unix_micros(col("ts")) / DayUs).cast("long").as("day"),
+          ((unix_micros(col("ts")) / HourUs) % 24).cast("int").as("hod"),
+          col("value"))
+        .groupBy("event_type", "day", "hod")
+        .agg(sum("value").as("sv"), count(lit(1)).as("n"))
+      val span = b.agg(min("day").as("d0"), max("day").as("d1"))
+      val bs = b.crossJoin(broadcast(span))
+        .withColumn("is_train", col("day") < expr("(d0 + d1 + 1) div 2"))
+      val prof = bs.filter(col("is_train"))
+        .groupBy("event_type", "hod")
+        .agg((sum("sv") / sum("n")).as("prof_mean"))
+      val glob = bs.filter(col("is_train"))
+        .groupBy("event_type")
+        .agg((sum("sv") / sum("n")).as("glob_mean"))
+      bs.filter(!col("is_train"))
+        .withColumn("test_mean", col("sv") / col("n"))
+        .join(broadcast(prof), Seq("event_type", "hod"))
+        .join(broadcast(glob), Seq("event_type"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_buckets"),
+          Rounding.r4(avg(abs(col("test_mean") - col("prof_mean"))))
+            .as("mae_seasonal"),
+          Rounding.r4(avg(abs(col("test_mean") - col("glob_mean"))))
+            .as("mae_naive"))
+        .orderBy("event_type")
+    },
+    Some("""WITH b AS (
+           |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+           |    (epoch_us(ts) // 3600000000) % 24 AS hod,
+           |    sum(value) AS sv, count(*) AS n
+           |  FROM events GROUP BY 1, 2, 3),
+           |span AS (SELECT min(day) AS d0, max(day) AS d1 FROM b),
+           |bs AS (SELECT b.*, day < (d0 + d1 + 1) // 2 AS is_train
+           |  FROM b CROSS JOIN span),
+           |prof AS (SELECT event_type, hod, sum(sv) / sum(n) AS prof_mean
+           |  FROM bs WHERE is_train GROUP BY 1, 2),
+           |gm AS (SELECT event_type, sum(sv) / sum(n) AS glob_mean
+           |  FROM bs WHERE is_train GROUP BY 1)
+           |SELECT event_type, CAST(count(*) AS BIGINT) AS n_buckets,
+           |  round(avg(abs(sv / n - prof_mean)) * 10000) / 10000 AS mae_seasonal,
+           |  round(avg(abs(sv / n - glob_mean)) * 10000) / 10000 AS mae_naive
+           |FROM bs JOIN prof USING (event_type, hod)
+           |  JOIN gm USING (event_type)
+           |WHERE NOT is_train
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q48Scd2, q55GapFill, q56Ohlc, q60Anomaly,
-    q63SeriesCorr, q64Ewma, q65Autocorr, q78SnapshotDiff, q84IntervalJoin)
+    q63SeriesCorr, q64Ewma, q65Autocorr, q78SnapshotDiff, q84IntervalJoin,
+    q89AsofDirections, q90SeasonalNaive)
 }
