@@ -290,6 +290,46 @@ object Stateful {
     }
   }
 
+  /** One backward as-of enrichment: a click paired with the latest
+    * purchase at-or-before it (q25's output row). */
+  final case class AsofMatch(event_id: Long, purchase_event_id: Long,
+      gap_us: Long)
+  /** Latest purchase seen for the user; pId < 0 ⇔ none yet. */
+  final case class AsofState(pId: Long, pUs: Long)
+
+  /** Streaming twin of the backward as-of join (Relational.q25AsofJoin):
+    * per-user state is ONLY the latest purchase (id, µs) — O(keys)
+    * state, no click buffering beyond the shared reorder horizon — and
+    * every click emits its enrichment the moment it drains. This is the
+    * production stream-enrichment shape ("attach current account /
+    * price / config state to each fact"): the batch formulation's
+    * last-value window carry becomes a 16-byte state cell.
+    *
+    * Tie semantics: batch q25 counts a purchase at the identical µs
+    * timestamp as a valid match (<=); the replay harness orders equal-
+    * timestamp rows by event_id, so a same-µs (click, purchase)
+    * collision resolves by id order instead. µs-identical cross-type
+    * collisions are measure-zero in real logs (and absent from the
+    * testdata — the parity gate asserts exact equality). */
+  def asofStream(df: DataFrame, slack: String = "2 hours"): Dataset[AsofMatch] = {
+    import org.apache.spark.sql.Encoders
+    implicit val stEnc: Encoder[(AsofState, Seq[Ev])] =
+      Encoders.product[(AsofState, Seq[Ev])]
+    implicit val outEnc: Encoder[AsofMatch] = Encoders.product[AsofMatch]
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    implicit val evEnc: Encoder[Ev] = Encoders.product[Ev]
+    orderedPerKey[AsofState, AsofMatch](df, slack, AsofState(-1L, 0L)) {
+      (_, e, st) =>
+        val (_, ts, eid, et, _) = e
+        et match {
+          case "purchase" => (AsofState(eid, microsOf(ts)), Nil)
+          case "click" if st.pId >= 0L =>
+            (st, Seq(AsofMatch(eid, st.pId, microsOf(ts) - st.pUs)))
+          case _ => (st, Nil)
+        }
+    }
+  }
+
   /** Streaming twin of the cohort-retention matrix (Behavioral
     * .q58Retention): emits one (user, cohort_day, day_offset) row the
     * first time a user is active on a new day. Event-time-ordered

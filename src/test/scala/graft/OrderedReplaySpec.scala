@@ -304,6 +304,20 @@ class OrderedReplaySpec extends SparkSpec {
         s"batch-only: ${batch.toSet.diff(streamed.toSet).take(3)}")
   }
 
+  test("streaming as-of enrichment: emitted matches == batch q25 exactly") {
+    val s = spark
+    val out = runStream("ooo_asof")(df => Stateful.asofStream(df, "2 hours"))
+    val streamed = out.filter("event_id >= 0").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val batch = SparkEntry.queries("q25_asof_join")(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed.nonEmpty)
+    // all-integer (ids + µs gap): streamed must equal batch bit-for-bit
+    assert(streamed == batch,
+      s"stream-only: ${streamed.diff(batch).take(3)}; " +
+        s"batch-only: ${batch.diff(streamed).take(3)}")
+  }
+
   test("streaming retention: emitted activity == batch q58 cohort matrix") {
     val s = spark
     val out = runStream("ooo_retention")(df =>
