@@ -27,6 +27,25 @@ class DedupQualitySpec extends SparkSpec {
     assert(rate >= 0.8, f"minhash missed too many true near-dups: $rate%.2f")
   }
 
+  test("d13 recovers a planted shared substring exactly (span + offsets)") {
+    val s = spark
+    import s.implicits._
+    // 30 unique filler tokens per doc, with a 20-token run planted in
+    // doc 1 at token position 6 and in doc 2 at position 11 — the span
+    // finder must report exactly (20, 6, 11) and nothing longer.
+    val shared = (1 to 20).map(i => s"shared$i").mkString(" ")
+    def filler(doc: Int, n: Int, from: Int) =
+      (from until from + n).map(i => s"f${doc}x$i").mkString(" ")
+    val doc1 = filler(1, 5, 0) + " " + shared + " " + filler(1, 5, 5)
+    val doc2 = filler(2, 10, 0) + " " + shared + " " + filler(2, 10, 10)
+    val docs = Seq((1L, doc1), (2L, doc2)).toDF("doc_id", "text")
+    val spans = operators.Dedup.lcsSpans(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(spans.toSeq == Seq((1L, 2L, 20L, 6L, 11L)),
+      s"expected exactly the planted span, got ${spans.toSeq}")
+  }
+
   test("simhash fingerprints of near-duplicates are Hamming-close") {
     val strong = SparkEntry.queries("d05_ngram_jaccard")(spark, sf)
       .filter(col("jaccard") >= 0.5).select("a_id", "b_id")
