@@ -295,7 +295,58 @@ object Skew {
     },
     None)
 
+  // ---------------------------------------------------------------- q92
+  /** Join-key skew audit — the diagnostic run BEFORE pointing a 100 TB
+    * join or aggregation at a key: the 10 hottest user_id values with
+    * their row share, cumulative share, and multiple-of-the-mean. This
+    * is what decides between plain shuffle, q36-style salting, AQE skew
+    * split, or pulling the hot keys into a broadcast side-channel; the
+    * max key's share IS the lower bound on reducer imbalance.
+    *
+    * Scale shape: one map-side-combined hash-agg to the key domain, a
+    * TakeOrdered(10) for the hot set, and a 2-row broadcast of the
+    * (total, n_keys) summary — the counts table never re-shuffles and
+    * nothing corpus-sized reaches the driver. */
+  val q92SkewAudit = QueryDef(
+    "q92_skew_audit",
+    (s, d) => {
+      val counts = Tables.events(s, d).groupBy("user_id")
+        .agg(count(lit(1)).as("n"))
+      val tot = counts.agg(sum("n").as("total"),
+        count(lit(1)).as("n_keys"))
+      val top = counts
+        .orderBy(col("n").desc, col("user_id")).limit(10)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("n").desc, col("user_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      top.crossJoin(broadcast(tot))
+        .select(
+          row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .orderBy(col("n").desc, col("user_id"))).as("rank"),
+          col("user_id"), col("n"),
+          r6(col("n").cast("double") / col("total")).as("share"),
+          r6(sum("n").over(w).cast("double") / col("total")).as("cum_share"),
+          r2(col("n") * col("n_keys").cast("double") / col("total"))
+            .as("x_mean"))
+        .orderBy("rank")
+    },
+    Some("""WITH counts AS (
+           |  SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+           |tot AS (SELECT sum(n) AS total, count(*) AS n_keys FROM counts),
+           |top AS (
+           |  SELECT user_id, n,
+           |    row_number() OVER (ORDER BY n DESC, user_id) AS rank
+           |  FROM counts ORDER BY n DESC, user_id LIMIT 10)
+           |SELECT rank, user_id, n,
+           |  round(CAST(n AS DOUBLE) / total * 1000000) / 1000000 AS share,
+           |  round(sum(n) OVER (ORDER BY rank ROWS UNBOUNDED PRECEDING)
+           |    / CAST(total AS DOUBLE) * 1000000) / 1000000 AS cum_share,
+           |  round(n * CAST(n_keys AS DOUBLE) / total * 100) / 100 AS x_mean
+           |FROM top CROSS JOIN tot ORDER BY rank""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q36SaltedAgg, q46HashSample, q50Histogram,
     q53Profile, q66HeavyHitters, q67SketchRollup, q77GroupHeavyHitters,
-    q86QuantileSketch)
+    q86QuantileSketch, q92SkewAudit)
 }
