@@ -330,6 +330,59 @@ object Stateful {
     }
   }
 
+  /** One forward as-of resolution: a click paired with the earliest
+    * purchase at-or-after it within tolerance, or explicitly unmatched
+    * once the watermark proves no such purchase can arrive (q89's
+    * forward columns). */
+  final case class FwdMatch(event_id: Long, fwd_event_id: Option[Long],
+      fwd_gap_us: Option[Long])
+  /** Clicks awaiting their forward purchase: (event_id, ts µs). */
+  final case class FwdState(pending: Seq[(Long, Long)])
+
+  /** Streaming FORWARD as-of (the other direction of q89): each click
+    * waits for the next purchase; the first purchase to arrive resolves
+    * every pending click within `tolUs` and EXPIRES the rest, and the
+    * watermark hook expires clicks whose tolerance window it has passed
+    * (cus + tolUs < wm ⇒ any future purchase is too late) — so every
+    * click emits EXACTLY ONE row, match or timeout. This is the
+    * stream-stream outer-join-with-timeout pattern at per-key state
+    * granularity: state is only the clicks inside the open tolerance
+    * window since the last purchase, and null completion fires the
+    * moment the watermark proves absence, not at end-of-stream. */
+  def asofFwdStream(df: DataFrame, tolUs: Long = 86400000000L,
+      slack: String = "2 hours"): Dataset[FwdMatch] = {
+    import org.apache.spark.sql.Encoders
+    implicit val stEnc: Encoder[(FwdState, Seq[Ev])] =
+      Encoders.product[(FwdState, Seq[Ev])]
+    implicit val outEnc: Encoder[FwdMatch] = Encoders.product[FwdMatch]
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    implicit val evEnc: Encoder[Ev] = Encoders.product[Ev]
+    orderedPerKeyBy[Long, FwdState, FwdMatch](df, slack, FwdState(Nil))(_._1)(
+      apply = { (_, e, st) =>
+        val (_, ts, eid, et, _) = e
+        val us = microsOf(ts)
+        et match {
+          case "click" => (FwdState(st.pending :+ ((eid, us))), Nil)
+          case "purchase" =>
+            // ordered replay ⇒ every pending click has cus <= us
+            val (hit, miss) = st.pending.partition {
+              case (_, cus) => us - cus <= tolUs }
+            (FwdState(Nil),
+              hit.map { case (ceid, cus) =>
+                FwdMatch(ceid, Some(eid), Some(us - cus)) } ++
+              miss.map { case (ceid, _) => FwdMatch(ceid, None, None) })
+          case _ => (st, Nil)
+        }
+      },
+      onWatermark = { (_, wmMs, st) =>
+        val (dead, live) = st.pending.partition {
+          case (_, cus) => cus + tolUs < wmMs * 1000L }
+        (FwdState(live),
+          dead.map { case (ceid, _) => FwdMatch(ceid, None, None) })
+      },
+      watermarkWakeups = true)
+  }
+
   /** Streaming twin of the cohort-retention matrix (Behavioral
     * .q58Retention): emits one (user, cohort_day, day_offset) row the
     * first time a user is active on a new day. Event-time-ordered

@@ -318,6 +318,26 @@ class OrderedReplaySpec extends SparkSpec {
         s"batch-only: ${batch.diff(streamed).take(3)}")
   }
 
+  test("streaming forward as-of: matches + watermark timeouts == batch q89") {
+    val s = spark
+    val out = runStream("ooo_asof_fwd")(df =>
+      Stateful.asofFwdStream(df, 86400000000L, "2 hours"))
+    val streamed = out.filter("event_id >= 0").collect()
+      .map(r => r.getLong(0) ->
+        (Option(r.get(1)).map(_.asInstanceOf[Long]),
+          Option(r.get(2)).map(_.asInstanceOf[Long]))).toMap
+    val batch = SparkEntry.queries("q89_asof_directions")(s, sf).collect()
+      .map(r => r.getLong(0) ->
+        (Option(r.get(3)).map(_.asInstanceOf[Long]),
+          Option(r.get(4)).map(_.asInstanceOf[Long]))).toMap
+    assert(streamed.nonEmpty)
+    // every click resolves exactly once, match or timeout, and the
+    // resolution equals the batch forward columns bit-for-bit
+    assert(streamed == batch,
+      s"stream-only: ${streamed.toSet.diff(batch.toSet).take(3)}; " +
+        s"batch-only: ${batch.toSet.diff(streamed.toSet).take(3)}")
+  }
+
   test("streaming retention: emitted activity == batch q58 cohort matrix") {
     val s = spark
     val out = runStream("ooo_retention")(df =>
