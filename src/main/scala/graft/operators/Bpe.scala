@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.functions.{TextFunctions => T}
+import graft.functions.Rounding.r4
+
+/** Byte-pair-encoding vocabulary TRAINING and APPLICATION as Spark jobs —
+  * the tokenizer half of the training-data pipeline (t19 counts only the
+  * first round's merge candidates; this runs the loop and tokenizes).
+  *
+  * Scale shape: the corpus is touched ONCE, collapsing to the
+  * (source, word, count) TYPE table — the classic BPE-trainer reduction
+  * (a 100 TB corpus has a few million word types; Zipf does the
+  * compression). Every training round is then: one map-side-combined
+  * pair-count aggregate over the types table, a collect of exactly ONE
+  * row (the argmax merge — the only driver traffic, 1 row × M rounds),
+  * and a typed map applying the merge to the symbol arrays. Lineage is
+  * cut with localCheckpoint every few rounds (q73's iterated-join
+  * hygiene); the types table stays cached and partition-stable
+  * throughout. Application to unseen text reuses the learned merge list
+  * as a broadcast ranking — per-word greedy lowest-rank-first merging,
+  * embarrassingly parallel.
+  */
+object Bpe {
+
+  /** One learned merge: rank r, left a, right b, fused a+b. */
+  final case class Merge(rank: Int, a: String, b: String)
+
+  /** Greedy BPE application: start from characters, repeatedly fuse the
+    * LOWEST-RANK adjacent pair present (left-most on rank ties) until no
+    * learned merge applies — the standard (GPT-2-style) apply loop. */
+  private[graft] def applyMerges(word: String,
+      rank: Map[(String, String), Int]): Vector[String] = {
+    var syms = word.map(_.toString).toVector
+    var done = syms.length < 2
+    while (!done) {
+      var bestIdx = -1
+      var bestRank = Int.MaxValue
+      var i = 0
+      while (i < syms.length - 1) {
+        val r = rank.getOrElse((syms(i), syms(i + 1)), Int.MaxValue)
+        if (r < bestRank) { bestRank = r; bestIdx = i }
+        i += 1
+      }
+      if (bestIdx < 0) done = true
+      else {
+        syms = (syms.take(bestIdx) :+ (syms(bestIdx) + syms(bestIdx + 1))) ++
+          syms.drop(bestIdx + 2)
+        if (syms.length < 2) done = true
+      }
+    }
+    syms
+  }
+
+  /** Train `m` merges on the corpus's word-type table. Deterministic:
+    * the argmax merge breaks count ties on (a, b) lexicographically.
+    * Returns merges in rank order. */
+  private[graft] def train(spark: SparkSession, types: DataFrame,
+      m: Int): Seq[Merge] = {
+    import spark.implicits._
+    // (count, symbols) per word type; symbols start as characters
+    var cur = types.select(col("wc"),
+        expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
+          .as("syms"))
+      .as[(Long, Seq[String])]
+      .cache()
+    cur.count() // materialize before the loop
+    val merges = Seq.newBuilder[Merge]
+    var r = 0
+    var exhausted = false
+    while (r < m && !exhausted) {
+      val top = cur.filter(_._2.length >= 2)
+        .flatMap { case (wc, syms) =>
+          syms.iterator.zip(syms.iterator.drop(1))
+            .map { case (a, b) => ((a, b), wc) } }
+        .groupByKey(_._1).mapValues(_._2).reduceGroups(_ + _)
+        .map { case ((a, b), n) => (n, a, b) }
+        .orderBy(col("_1").desc, col("_2"), col("_3"))
+        .take(1)
+      if (top.isEmpty) exhausted = true
+      else {
+        val (_, a, b) = top(0)
+        merges += Merge(r, a, b)
+        val prev = cur
+        cur = prev.map { case (wc, syms) =>
+          val out = Vector.newBuilder[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+              out += (a + b); i += 2
+            } else { out += syms(i); i += 1 }
+          }
+          (wc, out.result(): Seq[String])
+        }.cache()
+        // cut lineage periodically so round M doesn't replay rounds 1..M-1
+        if (r % 8 == 7) cur = cur.localCheckpoint(eager = true)
+        else cur.count()
+        prev.unpersist(blocking = false)
+      }
+      r += 1
+    }
+    cur.unpersist(blocking = false)
+    merges.result()
+  }
+
+  // ---------------------------------------------------------------- t20
+  /** Train 30 merges on the corpus, tokenize every word type with them,
+    * and report the per-source compression the tokenizer achieves:
+    * running words, BPE tokens, tokens/word, chars/token. Deterministic
+    * (tie-broken training + greedy apply) but not SQL-expressible —
+    * registered rows-only; TextPropertySpec carries the correctness
+    * gates (round-trip concat, zero-merge = characters, planted-merge
+    * recovery, monotone token counts). */
+  val t20BpeTokenize = QueryDef(
+    "t20_bpe_tokenize",
+    (s, d) => {
+      import s.implicits._
+      val types = Tables.documents(s, d)
+        .select(col("source"), explode(T.tokens(col("text"))).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("wc"))
+        .cache()
+      val globalTypes = types.groupBy("w").agg(sum("wc").as("wc"))
+      val merges = train(s, globalTypes, 30)
+      val rank = merges.map(mg => (mg.a, mg.b) -> mg.rank).toMap
+      val bRank = s.sparkContext.broadcast(rank)
+      val perWord = types.as[(String, String, Long)].map {
+        case (src, w, wc) =>
+          (src, wc, applyMerges(w, bRank.value).length.toLong, w.length.toLong)
+      }.toDF("source", "wc", "n_toks", "n_chars")
+      val out = perWord.groupBy("source")
+        .agg(sum("wc").as("n_words"),
+          sum(col("n_toks") * col("wc")).as("n_tokens_bpe"),
+          r4(sum(col("n_toks") * col("wc")).cast("double") / sum("wc"))
+            .as("tokens_per_word"),
+          r4(sum(col("n_chars") * col("wc")).cast("double") /
+            sum(col("n_toks") * col("wc"))).as("chars_per_token"))
+        .orderBy("source")
+      types.unpersist(blocking = false)
+      out
+    },
+    None)
+
+  val all: Seq[QueryDef] = Seq(t20BpeTokenize)
+}

@@ -74,4 +74,41 @@ class TextPropertySpec extends SparkSpec {
       got == T.wordPattern.r.findAllIn(text.toLowerCase).size
     })
   }
+
+  // ------------------------------------------------------------- BPE
+  import graft.operators.Bpe
+
+  test("property: BPE apply round-trips — token concat reproduces the word") {
+    check(Prop.forAll(tokGen, Gen.choose(0, 3)) { (w, nMerges) =>
+      // learn merges from the word's own adjacent pairs, ranked by order
+      val pairs = w.map(_.toString).sliding(2).filter(_.length == 2)
+        .map(p => (p(0), p(1))).toSeq.distinct.take(nMerges)
+      val rank = pairs.zipWithIndex.toMap
+      Bpe.applyMerges(w, rank).mkString == w
+    })
+  }
+
+  test("property: zero merges tokenizes to characters; counts never increase") {
+    check(Prop.forAll(tokGen) { w =>
+      val zero = Bpe.applyMerges(w, Map.empty)
+      val some = Bpe.applyMerges(w,
+        Map((w.take(1), w.slice(1, 2)) -> 0).filter(_ => w.length >= 2))
+      zero == w.map(_.toString).toVector && some.length <= zero.length
+    })
+  }
+
+  test("BPE training recovers a planted dominant pair and fuses it on apply") {
+    val s = spark
+    import s.implicits._
+    // "abab" dominates: round 1 must learn (a,b); round 2 then sees
+    // [ab, ab] everywhere and must learn (ab, ab)
+    val types = Seq(("abab", 50L), ("xy", 3L)).toDF("w", "wc")
+    val merges = Bpe.train(s, types, 2)
+    assert(merges.map(m => (m.a, m.b)) == Seq(("a", "b"), ("ab", "ab")),
+      s"got $merges")
+    val rank = merges.map(m => (m.a, m.b) -> m.rank).toMap
+    assert(Bpe.applyMerges("abab", rank) == Vector("abab"))
+    assert(Bpe.applyMerges("ababx", rank) == Vector("abab", "x"))
+    assert(Bpe.applyMerges("xy", rank) == Vector("x", "y"))
+  }
 }
