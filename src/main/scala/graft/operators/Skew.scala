@@ -346,7 +346,42 @@ object Skew {
            |  round(n * CAST(n_keys AS DOUBLE) / total * 100) / 100 AS x_mean
            |FROM top CROSS JOIN tot ORDER BY rank""".stripMargin))
 
+  // ---------------------------------------------------------------- q93
+  /** Sketch-based audience OVERLAP: distinct users who both clicked and
+    * purchased per day, estimated by inclusion-exclusion over HLL
+    * sketches — |A∩B| ≈ |A| + |B| − |A∪B| — computed in ONE pass with
+    * three conditional approx_count_distinct aggregates (the union
+    * sketch absorbs rows of either type; no join, no second scan).
+    * The exact formulation needs a distinct-pair shuffle and a
+    * self-join; the sketch form is one map-side-combined agg with O(1)
+    * state per (day, sketch) — the only audience-overlap shape that
+    * holds at 100 TB. Engine-specific estimates ⇒ rows-only; SketchSpec
+    * gates the estimate against the exact overlap. */
+  val q93SketchOverlap = QueryDef(
+    "q93_sketch_overlap",
+    (s, d) => {
+      val DayUs = 86400000000L
+      Tables.events(s, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select((unix_micros(col("ts")) / DayUs).cast("long").as("day"),
+          col("event_type"), col("user_id"))
+        .groupBy("day")
+        .agg(
+          approx_count_distinct(
+            when(col("event_type") === "click", col("user_id")), 0.01)
+            .as("est_click"),
+          approx_count_distinct(
+            when(col("event_type") === "purchase", col("user_id")), 0.01)
+            .as("est_purchase"),
+          approx_count_distinct(col("user_id"), 0.01).as("est_union"))
+        .withColumn("est_both",
+          greatest(col("est_click") + col("est_purchase") - col("est_union"),
+            lit(0L)))
+        .orderBy("day")
+    },
+    None)
+
   val all: Seq[QueryDef] = Seq(q36SaltedAgg, q46HashSample, q50Histogram,
     q53Profile, q66HeavyHitters, q67SketchRollup, q77GroupHeavyHitters,
-    q86QuantileSketch, q92SkewAudit)
+    q86QuantileSketch, q92SkewAudit, q93SketchOverlap)
 }

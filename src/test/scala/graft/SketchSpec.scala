@@ -87,6 +87,34 @@ class SketchSpec extends SparkSpec {
       s"union-of-daily vs direct sketch diverge: $viaUnion vs $direct")
   }
 
+  test("q93 inclusion-exclusion overlap tracks the exact click∩purchase set") {
+    val s = spark
+    val est = SparkEntry.queries("q93_sketch_overlap")(s, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+    val DayUs = 86400000000L
+    val exact = Tables.events(s, sf)
+      .filter(col("event_type").isin("click", "purchase"))
+      .select((unix_micros(col("ts")) / DayUs).cast("long").as("day"),
+        col("event_type"), col("user_id"))
+      .groupBy("day", "user_id")
+      .agg(count_distinct(col("event_type")).as("nt"))
+      .filter(col("nt") === 2)
+      .groupBy("day").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // days with zero true overlap are absent from `exact` but still
+    // estimated (as ≈0) — default them in rather than requiring key match
+    assert(exact.keySet.subsetOf(est.keySet))
+    est.foreach { case (day, e) =>
+      val n = exact.getOrElse(day, 0L)
+      // differenced estimate: error budget is the sum of the three
+      // sketches' relative errors on the LARGER sets, so gate on the
+      // union size, not the (small) intersection
+      val slack = math.max(0.05 * n, 8.0)
+      assert(math.abs(e - n) <= slack,
+        s"day $day: estimate $e vs exact $n (slack $slack)")
+    }
+  }
+
   test("q86 approx quantiles honor the GK rank-error guarantee per group") {
     import org.apache.spark.sql.functions._
     val s = spark
