@@ -796,9 +796,70 @@ object TextAnalysis {
            |SELECT rank, pair, n FROM ranked WHERE rank <= 20
            |ORDER BY rank""".stripMargin))
 
+  // ---------------------------------------------------------------- t21
+  /** Corpus text-stats drift report — the relational twin of s12's
+    * embedding drift: carve the corpus into two deterministic md5
+    * halves (a stand-in for "yesterday's crawl vs today's"; a real
+    * deployment splits on ingest batch) and report, per language, the
+    * share of each half it holds, the share drift, and the mean
+    * document length drift. The monitoring table that catches a
+    * scraper/filter regression shifting the language or length mix
+    * before a model trains on it.
+    *
+    * Scale shape: the split flag is a pure expression on doc_id, so the
+    * whole report is ONE map-side-combined hash-agg to the (lang, half)
+    * domain plus a tiny pivot — no join against a snapshot, no second
+    * scan. */
+  val t21DriftReport = QueryDef(
+    "t21_drift_report",
+    (s, d) => {
+      val half = (conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+        16, 10).cast("long") % 2L)
+      val agg = Tables.documents(s, d)
+        .select(col("lang"), half.as("h"), col("n_chars"))
+        .groupBy("lang")
+        .agg(
+          sum(when(col("h") === 0L, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("h") === 1L, 1L).otherwise(0L)).as("n_b"),
+          sum(when(col("h") === 0L, col("n_chars"))).as("ch_a"),
+          sum(when(col("h") === 1L, col("n_chars"))).as("ch_b"))
+      val tot = agg.agg(sum("n_a").as("t_a"), sum("n_b").as("t_b"))
+      agg.crossJoin(broadcast(tot))
+        .select(col("lang"), col("n_a"), col("n_b"),
+          r6(col("n_a").cast("double") / col("t_a")).as("share_a"),
+          r6(col("n_b").cast("double") / col("t_b")).as("share_b"),
+          r6(abs(col("n_a").cast("double") / col("t_a") -
+            col("n_b").cast("double") / col("t_b"))).as("share_drift"),
+          r2(col("ch_a").cast("double") / col("n_a")).as("mean_chars_a"),
+          r2(col("ch_b").cast("double") / col("n_b")).as("mean_chars_b"))
+        .orderBy("lang")
+    },
+    Some("""WITH docs AS (
+           |  SELECT lang, n_chars,
+           |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 2
+           |      AS h
+           |  FROM documents),
+           |agg AS (
+           |  SELECT lang,
+           |    CAST(sum(CASE WHEN h = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+           |    CAST(sum(CASE WHEN h = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+           |    sum(CASE WHEN h = 0 THEN n_chars END) AS ch_a,
+           |    sum(CASE WHEN h = 1 THEN n_chars END) AS ch_b
+           |  FROM docs GROUP BY 1),
+           |tot AS (SELECT sum(n_a) AS t_a, sum(n_b) AS t_b FROM agg)
+           |SELECT lang, n_a, n_b,
+           |  round(CAST(n_a AS DOUBLE) / t_a * 1000000) / 1000000 AS share_a,
+           |  round(CAST(n_b AS DOUBLE) / t_b * 1000000) / 1000000 AS share_b,
+           |  round(abs(CAST(n_a AS DOUBLE) / t_a - CAST(n_b AS DOUBLE) / t_b)
+           |    * 1000000) / 1000000 AS share_drift,
+           |  round(CAST(ch_a AS DOUBLE) / n_a * 100) / 100 AS mean_chars_a,
+           |  round(CAST(ch_b AS DOUBLE) / n_b * 100) / 100 AS mean_chars_b
+           |FROM agg CROSS JOIN tot ORDER BY lang""".stripMargin))
+
   val all: Seq[QueryDef] =
     Seq(t01LangId, t02Quality, t03TokenCount, t04RollingHash, t05TfIdf,
       t08UnigramLm, t09TokenEntropy, t10GopherRules, t11BigramLm,
       t12Collocations, t13LangidConfusion, t14Chunking, t15CorpusDatasheet,
-      t16ChunkDedup, t17QualityClassifier, t18PplBuckets, t19BpePairs)
+      t16ChunkDedup, t17QualityClassifier, t18PplBuckets, t19BpePairs,
+      t21DriftReport)
 }
