@@ -310,22 +310,23 @@ object Skew {
   val q92SkewAudit = QueryDef(
     "q92_skew_audit",
     (s, d) => {
-      val counts = Tables.events(s, d).groupBy("user_id")
+      import org.apache.spark.sql.expressions.Window
+      // ONE pass: corpus → per-key counts → a single bounded typed
+      // aggregate folding (total, n_keys, top-10) together, so the
+      // counts subplan is never planned (and scanned) twice.
+      val topk = udaf(new graft.functions.TopKByCount(10),
+        Encoders.product[(Long, Long)])
+      val summary = Tables.events(s, d).groupBy("user_id")
         .agg(count(lit(1)).as("n"))
-      val tot = counts.agg(sum("n").as("total"),
-        count(lit(1)).as("n_keys"))
-      val top = counts
-        .orderBy(col("n").desc, col("user_id")).limit(10)
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("n").desc, col("user_id"))
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
-          org.apache.spark.sql.expressions.Window.currentRow)
-      top.crossJoin(broadcast(tot))
-        .select(
-          row_number().over(
-            org.apache.spark.sql.expressions.Window
-              .orderBy(col("n").desc, col("user_id"))).as("rank"),
-          col("user_id"), col("n"),
+        .agg(topk(col("user_id"), col("n")).as("s"))
+        .select(col("s._1").as("total"), col("s._2").as("n_keys"),
+          posexplode(col("s._3")))
+        .select(col("total"), col("n_keys"),
+          (col("pos") + 1).cast("int").as("rank"),
+          col("col._2").as("user_id"), col("col._1").as("n"))
+      val w = Window.orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      summary.select(col("rank"), col("user_id"), col("n"),
           r6(col("n").cast("double") / col("total")).as("share"),
           r6(sum("n").over(w).cast("double") / col("total")).as("cum_share"),
           r2(col("n") * col("n_keys").cast("double") / col("total"))
