@@ -759,7 +759,12 @@ object Temporal {
           col("value"))
         .groupBy("event_type", "day", "hod")
         .agg(sum("value").as("sv"), count(lit(1)).as("n"))
-      val span = b.agg(min("day").as("d0"), max("day").as("d1"))
+      // timeline span from the raw single-column scan (a catalog stat at
+      // ingest, per the q83/q85 convention) — NOT derived from `b`,
+      // which would re-plan and re-run the full bucket aggregate
+      val span = Tables.events(s, d)
+        .select((unix_micros(col("ts")) / DayUs).cast("long").as("day"))
+        .agg(min("day").as("d0"), max("day").as("d1"))
       val bs = b.crossJoin(broadcast(span))
         .withColumn("is_train", col("day") < expr("(d0 + d1 + 1) div 2"))
       val prof = bs.filter(col("is_train"))
