@@ -65,6 +65,22 @@ class RecallSpec extends SparkSpec {
     }
   }
 
+  test("s15 nprobe sweep: recall and scan cost both monotone, full-probe recall high") {
+    val rows = SparkEntry.queries("s15_ivf_nprobe_sweep")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 4, 8))
+    // more probes can only add candidates: recall and cost are monotone
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b._2 >= a._2, s"recall fell: $a -> $b")
+      assert(b._3 >= a._3, s"cand_frac fell: $a -> $b")
+    }
+    assert(rows.last._2 >= 0.7,
+      s"nprobe=8 (half the cells) should recover most of top-10: ${rows.last}")
+    assert(rows.head._3 < rows.last._3,
+      "sweep must actually trade scan cost for recall")
+  }
+
   test("s14 matryoshka: truncated ranking structurally sound, overlap measured") {
     val exact = topk("s01_sim_topk")
     val rows = SparkEntry.queries("s14_sim_matryoshka")(spark, sf).collect()
