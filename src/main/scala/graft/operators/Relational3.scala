@@ -541,8 +541,82 @@ object Relational3 {
            |JOIN (SELECT * FROM best WHERE rn = 1) b USING (l_returnflag)
            |ORDER BY 1""".stripMargin))
 
+  // ---------------------------------------------------------------- q94
+  /** Referential-integrity audit across every foreign-key edge of the
+    * schema — the ingest data-quality gate that runs before a corpus is
+    * declared joinable: per relationship, child rows, orphaned child
+    * rows (no matching parent key), and the orphan rate. Zeros here are
+    * the point: the audit PROVES the star joins (q03/q06/q69) are safe.
+    *
+    * Scale shape: each edge is one pass over the child with a left join
+    * against the parent's DISTINCT key set (broadcast for dims; the
+    * orders edge shuffles on the key like the join it certifies) folded
+    * straight into a single-row aggregate — no orphan materialization,
+    * nothing driver-side, 7 rows out regardless of corpus size. */
+  val q94FkAudit = QueryDef(
+    "q94_fk_audit",
+    (s, d) => {
+      def audit(rel: String, child: org.apache.spark.sql.DataFrame,
+          ck: String, parent: org.apache.spark.sql.DataFrame, pk: String) =
+        child.select(col(ck).as("k"))
+          .join(parent.select(col(pk).as("k"), lit(1).as("hit")).distinct(),
+            Seq("k"), "left")
+          .agg(count(lit(1)).as("n_rows"),
+            sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_orphans"))
+          .select(lit(rel).as("relationship"), col("n_rows"),
+            col("n_orphans"),
+            r6(col("n_orphans").cast("double") / col("n_rows"))
+              .as("orphan_rate"))
+      val li = Tables.lineitem(s, d)
+      Seq(
+        audit("customer.nationkey->nation", Tables.customer(s, d),
+          "c_nationkey", Tables.nation(s, d), "n_nationkey"),
+        audit("lineitem.orderkey->orders", li, "l_orderkey",
+          Tables.orders(s, d), "o_orderkey"),
+        audit("lineitem.partkey->part", li, "l_partkey",
+          Tables.part(s, d), "p_partkey"),
+        audit("lineitem.suppkey->supplier", li, "l_suppkey",
+          Tables.supplier(s, d), "s_suppkey"),
+        audit("nation.regionkey->region", Tables.nation(s, d),
+          "n_regionkey", Tables.region(s, d), "r_regionkey"),
+        audit("orders.custkey->customer", Tables.orders(s, d),
+          "o_custkey", Tables.customer(s, d), "c_custkey"),
+        audit("supplier.nationkey->nation", Tables.supplier(s, d),
+          "s_nationkey", Tables.nation(s, d), "n_nationkey"))
+        .reduce(_ unionByName _)
+        .orderBy("relationship")
+    },
+    Some {
+      def one(rel: String, child: String, ck: String, parent: String,
+          pk: String) =
+        s"""SELECT '$rel' AS relationship,
+           |  CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(sum(CASE WHEN p.$pk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_orphans,
+           |  round(sum(CASE WHEN p.$pk IS NULL THEN 1 ELSE 0 END)
+           |    / CAST(count(*) AS DOUBLE) * 1000000) / 1000000 AS orphan_rate
+           |FROM $child c LEFT JOIN (SELECT DISTINCT $pk FROM $parent) p
+           |  ON c.$ck = p.$pk""".stripMargin
+      Seq(
+        one("customer.nationkey->nation", "customer", "c_nationkey",
+          "nation", "n_nationkey"),
+        one("lineitem.orderkey->orders", "lineitem", "l_orderkey",
+          "orders", "o_orderkey"),
+        one("lineitem.partkey->part", "lineitem", "l_partkey",
+          "part", "p_partkey"),
+        one("lineitem.suppkey->supplier", "lineitem", "l_suppkey",
+          "supplier", "s_suppkey"),
+        one("nation.regionkey->region", "nation", "n_regionkey",
+          "region", "r_regionkey"),
+        one("orders.custkey->customer", "orders", "o_custkey",
+          "customer", "c_custkey"),
+        one("supplier.nationkey->nation", "supplier", "s_nationkey",
+          "nation", "n_nationkey"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY relationship")
+    })
+
   val all: Seq[QueryDef] =
     Seq(q69StarJoin, q70EventDedup, q71ArgExtremes, q72Regression,
       q74VariantExtract, q75HofBattery, q76ZorderLayout, q79ExistsChain,
-      q87DeletionPlan, q88IncrementalView, q91OrderStats)
+      q87DeletionPlan, q88IncrementalView, q91OrderStats, q94FkAudit)
 }
