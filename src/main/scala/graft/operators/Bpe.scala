@@ -56,51 +56,65 @@ object Bpe {
 
   /** Train `m` merges on the corpus's word-type table. Deterministic:
     * the argmax merge breaks count ties on (a, b) lexicographically.
-    * Returns merges in rank order. */
+    * Returns merges in rank order.
+    *
+    * Each round stays fully codegen'd: pair counting is an
+    * explode + hash-agg + TakeOrdered(1), and the merge application is
+    * an `aggregate` HOF fold — append x, or replace the tail symbol
+    * with a+b when (tail, x) == (a, b). The fold is equivalent to the
+    * greedy left-to-right scan: after a merge the tail becomes a+b,
+    * which can never equal `a` again (b nonempty), so no double-merge,
+    * and overlapping runs (aaa under (a,a)) resolve identically. The
+    * type table is small, so it coalesces to a few partitions — round
+    * cost is dominated by job latency, not data. */
   private[graft] def train(spark: SparkSession, types: DataFrame,
       m: Int): Seq[Merge] = {
-    import spark.implicits._
     // (count, symbols) per word type; symbols start as characters
     var cur = types.select(col("wc"),
         expr("transform(sequence(1, length(w)), i -> substring(w, i, 1))")
           .as("syms"))
-      .as[(Long, Seq[String])]
+      .coalesce(8)
       .cache()
-    cur.count() // materialize before the loop
     val merges = Seq.newBuilder[Merge]
     var r = 0
     var exhausted = false
+    // ONE job per round: the pair-count take(1) both finds the merge and
+    // materializes the current round's cache; the superseded round's
+    // blocks are freed one round later (after its successor is cached)
+    // so nothing in the live lineage is ever recomputed.
+    var toFree: DataFrame = null
     while (r < m && !exhausted) {
-      val top = cur.filter(_._2.length >= 2)
-        .flatMap { case (wc, syms) =>
-          syms.iterator.zip(syms.iterator.drop(1))
-            .map { case (a, b) => ((a, b), wc) } }
-        .groupByKey(_._1).mapValues(_._2).reduceGroups(_ + _)
-        .map { case ((a, b), n) => (n, a, b) }
-        .orderBy(col("_1").desc, col("_2"), col("_3"))
+      val top = cur.filter(size(col("syms")) >= 2)
+        .select(col("wc"), explode(expr(
+          "transform(sequence(0, size(syms) - 2), " +
+            "i -> struct(syms[i] AS a, syms[i + 1] AS b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("wc").as("n"))
+        .orderBy(col("n").desc, col("a"), col("b"))
         .take(1)
+      if (toFree != null) { toFree.unpersist(blocking = false); toFree = null }
       if (top.isEmpty) exhausted = true
       else {
-        val (_, a, b) = top(0)
+        val (a, b) = (top(0).getString(0), top(0).getString(1))
         merges += Merge(r, a, b)
         val prev = cur
-        cur = prev.map { case (wc, syms) =>
-          val out = Vector.newBuilder[String]
-          var i = 0
-          while (i < syms.length) {
-            if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
-              out += (a + b); i += 2
-            } else { out += syms(i); i += 1 }
-          }
-          (wc, out.result(): Seq[String])
-        }.cache()
+        val fused = aggregate(col("syms"),
+          array().cast("array<string>"),
+          (acc, x) =>
+            when(size(acc) > 0 &&
+                element_at(acc, -1) === lit(a) && x === lit(b),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+              .otherwise(concat(acc, array(x))))
+        cur = prev.select(col("wc"), fused.as("syms")).cache()
         // cut lineage periodically so round M doesn't replay rounds 1..M-1
-        if (r % 8 == 7) cur = cur.localCheckpoint(eager = true)
-        else cur.count()
-        prev.unpersist(blocking = false)
+        if (r % 8 == 7) {
+          cur = cur.localCheckpoint(eager = true)
+          prev.unpersist(blocking = false)
+        } else toFree = prev
       }
       r += 1
     }
+    if (toFree != null) toFree.unpersist(blocking = false)
     cur.unpersist(blocking = false)
     merges.result()
   }
