@@ -805,7 +805,66 @@ object Temporal {
            |WHERE NOT is_train
            |GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  // ---------------------------------------------------------------- q95
+  /** Rolling exact quantiles — the robust-statistics twin of q60's
+    * rolling z-score: per event_type 6-hour bucket, the trailing-12-
+    * bucket exact median and IQR band (p25/p75), plus an outlier flag
+    * for buckets escaping 1.5×IQR. Medians resist the heavy-tailed
+    * value spikes that inflate a mean-based z-score; this is the
+    * monitor you deploy when q60 pages too often.
+    *
+    * Scale shape: identical to q60 — the corpus collapses in ONE
+    * map-side-combined hash-agg to the (type, bucket) domain; the
+    * rolling window then runs over the DOMAIN-BOUNDED series (types ×
+    * buckets), so the exact per-frame quantile sort touches ≤ 12 rows
+    * per frame regardless of corpus size. */
+  val q95RollingQuantiles = QueryDef(
+    "q95_rolling_quantiles",
+    (s, d) => {
+      val BucketUs = 21600000000L // 6 h
+      val w = Window.partitionBy("event_type").orderBy("bucket")
+        .rowsBetween(-11, Window.currentRow)
+      val series = Tables.events(s, d)
+        .select(col("event_type"),
+          (unix_micros(col("ts")) / BucketUs).cast("long").as("bucket"),
+          col("value"))
+        .groupBy("event_type", "bucket")
+        .agg((sum("value") / count(lit(1))).as("v"))
+      series
+        .withColumn("med", expr("percentile(v, 0.5)").over(w))
+        .withColumn("p25", expr("percentile(v, 0.25)").over(w))
+        .withColumn("p75", expr("percentile(v, 0.75)").over(w))
+        .select(col("event_type"), col("bucket"), Rounding.r4(col("v")).as("v"),
+          Rounding.r4(col("med")).as("roll_med"),
+          Rounding.r4(col("p25")).as("roll_p25"),
+          Rounding.r4(col("p75")).as("roll_p75"),
+          (col("v") > col("p75") + (col("p75") - col("p25")) * 1.5 ||
+            col("v") < col("p25") - (col("p75") - col("p25")) * 1.5)
+            .cast("int").as("iqr_outlier"))
+        .orderBy("event_type", "bucket")
+    },
+    Some("""WITH series AS (
+           |  SELECT event_type, epoch_us(ts) // 21600000000 AS bucket,
+           |    sum(value) / count(*) AS v
+           |  FROM events GROUP BY 1, 2),
+           |rolled AS (
+           |  SELECT event_type, bucket, v,
+           |    quantile_cont(v, 0.5)  OVER w AS med,
+           |    quantile_cont(v, 0.25) OVER w AS p25,
+           |    quantile_cont(v, 0.75) OVER w AS p75
+           |  FROM series
+           |  WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+           |    ROWS BETWEEN 11 PRECEDING AND CURRENT ROW))
+           |SELECT event_type, bucket,
+           |  round(v * 10000) / 10000 AS v,
+           |  round(med * 10000) / 10000 AS roll_med,
+           |  round(p25 * 10000) / 10000 AS roll_p25,
+           |  round(p75 * 10000) / 10000 AS roll_p75,
+           |  CAST(v > p75 + (p75 - p25) * 1.5
+           |    OR v < p25 - (p75 - p25) * 1.5 AS INT) AS iqr_outlier
+           |FROM rolled ORDER BY event_type, bucket""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q48Scd2, q55GapFill, q56Ohlc, q60Anomaly,
     q63SeriesCorr, q64Ewma, q65Autocorr, q78SnapshotDiff, q84IntervalJoin,
-    q89AsofDirections, q90SeasonalNaive)
+    q89AsofDirections, q90SeasonalNaive, q95RollingQuantiles)
 }
