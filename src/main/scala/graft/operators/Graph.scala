@@ -307,5 +307,95 @@ object Graph {
            |SELECT node AS part, CAST(min(lvl) AS INT) AS level
            |FROM bfs GROUP BY 1 ORDER BY part""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(q73CopurchaseRank, q81Triangles, q82BfsLevels)
+  // ---------------------------------------------------------------- q96
+  /** Connected components by alternating LARGE-STAR / SMALL-STAR
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC '14) over the ≥2-shared-orders co-purchase graph — the
+    * O(log n)-round algorithm d03's min-label propagation cites as the
+    * adversarial-diameter answer: label propagation needs diameter
+    * rounds (a path graph = n rounds), star contraction provably
+    * converges in O(log n) regardless of shape.
+    *
+    * Per round each node re-points its larger (large-star) or
+    * not-larger (small-star) neighbors at the minimum of its closed
+    * neighborhood; every emitted edge keeps lo < hi, so the edge list
+    * stays canonical and the fixpoint test is a count + hash-sum
+    * aggregate, not a set diff. Scale shape: each phase is one
+    * map-side-combined min-agg on the gather key + one equi-join —
+    * d03/q73/q82's iterated-exchange pattern with materialize()
+    * lineage cuts; nothing driver-sized ever collects. */
+  val q96ConnectedComponents = QueryDef(
+    "q96_connected_components",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      val pairs = li.as("a").join(li.hint("shuffle_hash").as("b"),
+          col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+        .agg(countDistinct(col("a.ok")).as("n_ord"))
+        .filter(col("n_ord") >= 2)
+      def star(e: org.apache.spark.sql.DataFrame, large: Boolean) = {
+        val n = e.select(col("lo").as("u"), col("hi").as("v"))
+          .union(e.select(col("hi").as("u"), col("lo").as("v")))
+        val mTbl = n.groupBy("u").agg(least(min("v"), col("u")).as("m"))
+        val moved = n.join(mTbl, "u")
+          .filter(if (large) col("v") > col("u") else col("v") <= col("u"))
+          .select(col("m").as("lo"), col("v").as("hi"))
+        val base = if (large) moved
+          else moved.union(
+            mTbl.select(col("m").as("lo"), col("u").as("hi")))
+        base.filter(col("lo") =!= col("hi")).distinct()
+      }
+      def sig(e: org.apache.spark.sql.DataFrame): (Long, Long) = {
+        val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(lo, hi))"))
+          .collect()(0)
+        (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+      }
+      var edges = materialize(s,
+        pairs.select(col("u").as("lo"), col("v").as("hi")))
+      var lastMat = edges
+      var prevSig = sig(edges)
+      var converged = false
+      var it = 0
+      while (!converged && it < 12) {
+        val next = materialize(s, star(star(edges, large = true), large = false))
+        val nextSig = sig(next)
+        converged = nextSig == prevSig
+        prevSig = nextSig
+        lastMat.unpersist()
+        lastMat = next
+        edges = next
+        it += 1
+      }
+      // at the fixpoint every edge is (root, member)
+      val lbl = edges.select(col("hi").as("node"), col("lo").as("root"))
+        .union(edges.select(col("lo").as("node"), col("lo").as("root"))
+          .distinct())
+      val out = lbl.distinct().groupBy("root")
+        .agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("n_nodes").desc, col("root"))
+        .limit(20)
+        .localCheckpoint(true)
+      lastMat.unpersist()
+      out
+    },
+    Some("""WITH RECURSIVE
+           |li AS (SELECT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+           |pairs AS (SELECT a.p AS u, b.p AS v
+           |  FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p
+           |  GROUP BY 1, 2 HAVING count(DISTINCT a.ok) >= 2),
+           |edges AS (SELECT u AS src, v AS dst FROM pairs
+           |  UNION ALL SELECT v, u FROM pairs),
+           |nodes AS (SELECT DISTINCT src AS node FROM edges),
+           |reach(u, w) AS (
+           |  SELECT node, node FROM nodes
+           |  UNION
+           |  SELECT r.u, e.dst FROM reach r JOIN edges e ON r.w = e.src),
+           |lbl AS (SELECT u AS node, min(w) AS root FROM reach GROUP BY 1)
+           |SELECT root, CAST(count(*) AS BIGINT) AS n_nodes
+           |FROM lbl GROUP BY 1
+           |ORDER BY n_nodes DESC, root LIMIT 20""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q73CopurchaseRank, q81Triangles, q82BfsLevels,
+    q96ConnectedComponents)
 }
