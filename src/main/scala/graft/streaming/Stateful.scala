@@ -482,6 +482,65 @@ object Stateful {
       watermarkWakeups = true)
   }
 
+  /** Streaming twin of the rolling exact-quantile monitor (Temporal
+    * .q95RollingQuantiles): same bucket state machine as anomalyStream,
+    * but each closing bucket is scored with the exact trailing-12
+    * median/p25/p75 (current bucket INCLUDED, matching q95's rows
+    * frame) using the same linear interpolation Spark's `percentile`
+    * applies — rank (n−1)·q between the two bracketing order
+    * statistics. State is O(1) per key: the open bucket's (sum, count)
+    * plus ≤ 11 trailing closed means. */
+  final case class QuantilePoint(event_type: String, bucket: Long,
+      v: Double, roll_med: Double, roll_p25: Double, roll_p75: Double,
+      iqr_outlier: Int)
+
+  def rollingQuantileStream(df: DataFrame, slack: String = "2 hours")
+      : Dataset[QuantilePoint] = {
+    import org.apache.spark.sql.Encoders
+    implicit val stEnc: Encoder[(TrailState, Seq[Ev])] =
+      Encoders.product[(TrailState, Seq[Ev])]
+    implicit val outEnc: Encoder[QuantilePoint] =
+      Encoders.product[QuantilePoint]
+    implicit val keyEnc: Encoder[String] = Encoders.STRING
+    implicit val evEnc: Encoder[Ev] = Encoders.product[Ev]
+    def pct(sorted: IndexedSeq[Double], q: Double): Double = {
+      val r = (sorted.length - 1) * q
+      val lo = r.toInt
+      val hi = math.ceil(r).toInt
+      sorted(lo) + (sorted(hi) - sorted(lo)) * (r - lo)
+    }
+    def close(et: String, st: TrailState): (TrailState, Seq[QuantilePoint]) = {
+      val mean = st.s / st.n
+      val win = (st.hist.map(_._2) :+ mean).takeRight(12)
+        .sorted.toIndexedSeq
+      val (med, p25, p75) = (pct(win, 0.5), pct(win, 0.25), pct(win, 0.75))
+      val iqr = p75 - p25
+      val out = QuantilePoint(et, st.curBucket, mean, med, p25, p75,
+        if (mean > p75 + iqr * 1.5 || mean < p25 - iqr * 1.5) 1 else 0)
+      (TrailState(-1L, 0.0, 0L,
+        (st.hist :+ ((st.curBucket, mean))).takeRight(12)), Seq(out))
+    }
+    orderedPerKeyBy[String, TrailState, QuantilePoint](df, slack,
+      TrailState(-1L, 0.0, 0L, Nil))(_._4)(
+      apply = { (et, e, st) =>
+        val bucket = Math.floorDiv(e._2.getTime, 21600000L)
+        val v = e._5
+        if (st.curBucket == -1L) (st.copy(curBucket = bucket, s = v, n = 1L), Nil)
+        else if (bucket == st.curBucket)
+          (st.copy(s = st.s + v, n = st.n + 1), Nil)
+        else {
+          val (closed, out) = close(et, st)
+          (closed.copy(curBucket = bucket, s = v, n = 1L), out)
+        }
+      },
+      onWatermark = { (et, wm, st) =>
+        if (st.curBucket >= 0L && wm >= (st.curBucket + 1L) * 21600000L)
+          close(et, st)
+        else (st, Nil)
+      },
+      watermarkWakeups = true)
+  }
+
   /** Streaming twin of the exact recursive EWMA (Temporal.q64Ewma),
     * keyed by event_type: the state machine accumulates the open 6-hour
     * bucket's (sum, count) and carries the previous EWMA value; when the

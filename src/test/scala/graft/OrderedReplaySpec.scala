@@ -338,6 +338,33 @@ class OrderedReplaySpec extends SparkSpec {
         s"batch-only: ${batch.toSet.diff(streamed.toSet).take(3)}")
   }
 
+  test("streaming rolling quantiles: closed buckets == batch q95 (r4 tolerance)") {
+    val s = spark
+    val out = runStream("ooo_rollq")(df =>
+      Stateful.rollingQuantileStream(df, "2 hours"))
+    val streamed = out.filter("event_type <> 'zz_sentinel'").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getInt(6))).toMap
+    val batch = SparkEntry.queries("q95_rolling_quantiles")(s, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getDouble(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getInt(6))).toMap
+    assert(streamed.nonEmpty)
+    assert(streamed.keySet == batch.keySet,
+      s"stream-only: ${streamed.keySet.diff(batch.keySet).take(3)}; " +
+        s"batch-only: ${batch.keySet.diff(streamed.keySet).take(3)}")
+    // batch outputs are r4-rounded; streamed quantiles come from the
+    // same values accumulated in a different FP order — gap bounded by
+    // the rounding half-width
+    streamed.foreach { case (k, (v, med, p25, p75, flag)) =>
+      val (bv, bmed, bp25, bp75, bflag) = batch(k)
+      for ((a, b) <- Seq((v, bv), (med, bmed), (p25, bp25), (p75, bp75)))
+        assert(math.abs(a - b) <= 5e-5 + 1e-9, s"$k: $a vs $b")
+      assert(flag == bflag, s"$k: outlier flag $flag vs $bflag")
+    }
+  }
+
   test("streaming retention: emitted activity == batch q58 cohort matrix") {
     val s = spark
     val out = runStream("ooo_retention")(df =>
