@@ -298,6 +298,81 @@ object Multimodal {
            |SELECT doc_id, seg_start, seg_end, n_frames, mean_energy
            |FROM agg WHERE n_frames >= 2 ORDER BY doc_id, seg_start""".stripMargin))
 
+  // ---------------------------------------------------------------- m06
+  /** Content-defined chunking (CDC) dedup over the binary column — the
+    * rsync/restic/LLM-blob-store dedup shape: a polynomial rolling hash
+    * over a 16-byte window cuts a chunk wherever `hash % 64 == 0`
+    * (bounded to [16, 256] bytes), so boundaries depend on CONTENT, not
+    * offsets — inserting a byte reshifts only the chunks around the
+    * edit, unlike fixed-window chunking (t16) where one insertion
+    * re-fingerprints the whole tail. Chunks are md5'd and duplicate
+    * bytes counted per source.
+    *
+    * Scale shape: the chunker is a typed flatMap (the m02 batched-
+    * decoder convention — per-row byte scan, embarrassingly parallel),
+    * followed by one map-side-combined hash-agg on (source, chunk md5)
+    * and one per-source rollup. Rows-only (the chunk boundary function
+    * is the operator's own); the CDC locality property — planted shared
+    * regions dedupe, an insertion resyncs — is pinned in
+    * AnalyticsInvariantSpec. */
+  final case class Chunk(source: String, doc_id: Long, md5: String, len: Int)
+
+  /** Cut points via polynomial rolling hash over a 16-byte window. */
+  private[graft] def chunksOf(bytes: Array[Byte]): Seq[(Int, Int)] = {
+    val Min = 16; val Max = 256; val W = 16
+    val out = Seq.newBuilder[(Int, Int)]
+    var start = 0
+    var h = 0L
+    var i = 0
+    while (i < bytes.length) {
+      h = h * 257 + (bytes(i) & 0xff)
+      if (i - start + 1 >= W) {
+        // subtract the byte leaving the window: 257^(W-1) mod 2^63 fits
+        h -= powTable(W - 1) * (bytes(i - W + 1) & 0xff)
+      }
+      val len = i - start + 1
+      if ((len >= Min && (h & 63L) == 0L) || len >= Max) {
+        out += ((start, len)); start = i + 1; h = 0L
+      }
+      i += 1
+    }
+    if (start < bytes.length) out += ((start, bytes.length - start))
+    out.result()
+  }
+  private val powTable: Array[Long] = {
+    val t = new Array[Long](17); t(0) = 1L
+    for (i <- 1 to 16) t(i) = t(i - 1) * 257L
+    t
+  }
+
+  val m06CdcDedup = QueryDef(
+    "m06_cdc_chunk_dedup",
+    (s, d) => {
+      import s.implicits._
+      val blobs = Tables.documents(s, d)
+        .select(col("source"), col("doc_id"), col("text").cast("binary").as("blob"))
+        .as[(String, Long, Array[Byte])]
+      val chunks = blobs.flatMap { case (src, id, blob) =>
+        chunksOf(blob).map { case (off, len) =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          md.update(blob, off, len)
+          Chunk(src, id,
+            md.digest().map(b => f"$b%02x").mkString, len)
+        }
+      }
+      chunks.groupBy("source", "md5")
+        .agg(count(lit(1)).as("n_occ"), first(col("len")).as("len"))
+        .groupBy("source")
+        .agg(sum("n_occ").as("n_chunks"),
+          count(lit(1)).as("n_distinct"),
+          sum(col("n_occ") * col("len")).as("total_bytes"),
+          sum((col("n_occ") - 1) * col("len")).as("dup_bytes"))
+        .withColumn("dedup_ratio",
+          r4(col("dup_bytes").cast("double") / col("total_bytes")))
+        .orderBy("source")
+    },
+    None)
+
   val all: Seq[QueryDef] = Seq(m01Meta, m02Features, m03FrameSample,
-    m04MediaNearDup, m05VadSegments)
+    m04MediaNearDup, m05VadSegments, m06CdcDedup)
 }

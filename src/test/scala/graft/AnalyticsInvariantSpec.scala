@@ -548,4 +548,36 @@ class AnalyticsInvariantSpec extends SparkSpec {
     out.get("both").foreach { case (_, j, c) =>
       assert(j.isDefined && c.isDefined) }
   }
+
+  test("m06 CDC chunking: tiles exactly, resyncs after insertion, dedupes shared regions") {
+    import operators.Multimodal.chunksOf
+    def md5s(b: Array[Byte]) = chunksOf(b).map { case (off, len) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.update(b, off, len)
+      md.digest().map(x => f"$x%02x").mkString
+    }
+    // deterministic pseudo-random blob
+    def blob(seed: Long, n: Int): Array[Byte] = {
+      var x = seed
+      Array.fill(n) { x = x * 6364136223846793005L + 1442695040888963407L
+        (x >>> 33).toByte }
+    }
+    val b = blob(7L, 2000)
+    // 1. chunks tile the blob: contiguous offsets, lengths sum to size
+    val ch = chunksOf(b)
+    assert(ch.head._1 == 0 && ch.map(_._2).sum == b.length)
+    assert(ch.sliding(2).forall {
+      case Seq((o1, l1), (o2, _)) => o2 == o1 + l1; case _ => true })
+    assert(ch.forall(_._2 <= 256))
+    // 2. content-defined resync: inserting ONE byte early leaves most
+    //    chunk fingerprints identical (fixed-window chunking loses all)
+    val shifted = (b.take(300) :+ 0x55.toByte) ++ b.drop(300)
+    val (ha, hb) = (md5s(b), md5s(shifted))
+    val shared = ha.toSet.intersect(hb.toSet).size.toDouble / ha.toSet.size
+    assert(shared >= 0.6, f"resync too weak: $shared%.2f shared after insert")
+    // 3. a region shared between two different blobs dedupes
+    val c = blob(99L, 400) ++ b.slice(500, 1200) ++ blob(13L, 400)
+    assert(md5s(b).toSet.intersect(md5s(c).toSet).nonEmpty,
+      "shared 700-byte region produced no common chunk")
+  }
 }
