@@ -864,7 +864,97 @@ object Temporal {
            |    OR v < p25 - (p75 - p25) * 1.5 AS INT) AS iqr_outlier
            |FROM rolled ORDER BY event_type, bucket""".stripMargin))
 
+  // ---------------------------------------------------------------- q97
+  /** MERGE (upsert + delete) application — the lakehouse `MERGE INTO`
+    * executed relationally: a keyed base snapshot, a delta batch of
+    * INSERT / UPDATE / DELETE operations (derived here by deterministic
+    * md5 carves — a real deployment reads its CDC feed), and the next
+    * snapshot = base ∖ deletes, updates applied via coalesce, inserts
+    * unioned — with per-type row/op accounting proving exactly what the
+    * merge did. Delete wins over update on the same key (the anti-join
+    * runs first), matching MERGE's WHEN MATCHED THEN DELETE precedence.
+    *
+    * Scale shape: one anti join + one left join on the snapshot key +
+    * a union — all hash-partitioned on event_id with no window and no
+    * driver state; the base is read thrice only because this fixture
+    * DERIVES it (a real snapshot is a materialized table, so each read
+    * is a table scan, and the delta side is increment-sized). */
+  val q97MergeApply = QueryDef(
+    "q97_merge_apply",
+    (s, d) => {
+      def h(c: org.apache.spark.sql.Column, salt: String) =
+        conv(substring(md5(concat(c.cast("string"), lit(salt))), 1, 8),
+          16, 10).cast("long")
+      val ev = Tables.events(s, d)
+        .select(col("event_id"), col("event_type"), col("value"),
+          (h(col("event_id"), "") % 100L).as("carve"))
+      val base = ev.filter(col("carve") =!= 0L)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val ins = ev.filter(col("carve") === 0L)
+        .select(col("event_id"), col("event_type"), col("value"))
+      val upd = base.filter(h(col("event_id"), "u") % 37L === 0L)
+        .select(col("event_id"), (col("value") + 10.0).as("new_value"))
+      val del = base.filter(h(col("event_id"), "d") % 41L === 0L)
+        .select(col("event_id"), col("event_type"))
+      val merged = base
+        .join(del.select("event_id"), Seq("event_id"), "left_anti")
+        .join(upd, Seq("event_id"), "left")
+        .select(col("event_id"), col("event_type"),
+          coalesce(col("new_value"), col("value")).as("value"),
+          col("new_value").isNotNull.cast("long").as("was_upd"),
+          lit(0L).as("was_ins"))
+        .unionByName(ins.select(col("event_id"), col("event_type"),
+          col("value"), lit(0L).as("was_upd"), lit(1L).as("was_ins")))
+      merged.groupBy("event_type")
+        .agg(count(lit(1)).as("n_rows"),
+          Rounding.r2(sum("value")).as("sum_value"),
+          sum("was_upd").as("n_updated"), sum("was_ins").as("n_inserted"))
+        .join(del.groupBy("event_type").agg(count(lit(1)).as("n_deleted")),
+          Seq("event_type"), "left")
+        .select(col("event_type"), col("n_rows"), col("sum_value"),
+          col("n_updated"), col("n_inserted"),
+          coalesce(col("n_deleted"), lit(0L)).as("n_deleted"))
+        .orderBy("event_type")
+    },
+    Some("""WITH ev AS (
+           |  SELECT event_id, event_type, value,
+           |    ('0x' || substr(md5(CAST(event_id AS VARCHAR) || ''), 1, 8))
+           |      ::BIGINT % 100 AS carve
+           |  FROM events),
+           |base AS (SELECT event_id, event_type, value FROM ev
+           |  WHERE carve <> 0),
+           |ins AS (SELECT event_id, event_type, value FROM ev
+           |  WHERE carve = 0),
+           |upd AS (SELECT event_id, value + 10.0 AS new_value FROM base
+           |  WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR) || 'u'),
+           |    1, 8))::BIGINT % 37 = 0),
+           |del AS (SELECT event_id, event_type FROM base
+           |  WHERE ('0x' || substr(md5(CAST(event_id AS VARCHAR) || 'd'),
+           |    1, 8))::BIGINT % 41 = 0),
+           |merged AS (
+           |  SELECT b.event_id, b.event_type,
+           |    COALESCE(u.new_value, b.value) AS value,
+           |    CASE WHEN u.new_value IS NOT NULL THEN 1 ELSE 0 END AS was_upd,
+           |    0 AS was_ins
+           |  FROM base b
+           |  LEFT JOIN upd u ON b.event_id = u.event_id
+           |  WHERE b.event_id NOT IN (SELECT event_id FROM del)
+           |  UNION ALL
+           |  SELECT event_id, event_type, value, 0, 1 FROM ins),
+           |summary AS (
+           |  SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+           |    round(sum(value), 2) AS sum_value,
+           |    CAST(sum(was_upd) AS BIGINT) AS n_updated,
+           |    CAST(sum(was_ins) AS BIGINT) AS n_inserted
+           |  FROM merged GROUP BY 1),
+           |dels AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_deleted
+           |  FROM del GROUP BY 1)
+           |SELECT s.event_type, n_rows, sum_value, n_updated, n_inserted,
+           |  COALESCE(n_deleted, 0) AS n_deleted
+           |FROM summary s LEFT JOIN dels USING (event_type)
+           |ORDER BY event_type""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q48Scd2, q55GapFill, q56Ohlc, q60Anomaly,
     q63SeriesCorr, q64Ewma, q65Autocorr, q78SnapshotDiff, q84IntervalJoin,
-    q89AsofDirections, q90SeasonalNaive, q95RollingQuantiles)
+    q89AsofDirections, q90SeasonalNaive, q95RollingQuantiles, q97MergeApply)
 }
