@@ -396,6 +396,96 @@ object Graph {
            |FROM lbl GROUP BY 1
            |ORDER BY n_nodes DESC, root LIMIT 20""".stripMargin))
 
+  // ---------------------------------------------------------------- q98
+  /** Link prediction over the ≥2-shared-orders co-purchase graph
+    * (q82/q96's sparsified substrate): for every NON-adjacent pair with
+    * at least one common neighbor, the three classic scores — common
+    * neighbors, Jaccard of neighborhoods, Adamic–Adar — ranked by
+    * common-neighbor count. The recommendation / graph-completion query
+    * ("parts bought together with both of these") every co-occurrence
+    * graph serves.
+    *
+    * Adamic–Adar is an order-dependent float sum in its textbook form;
+    * here each center contributes FLOOR(1e6/ln(deg)) micro-units so the
+    * per-pair score is an exact BIGINT sum (the q73 fixed-point
+    * convention) — hash-matchable cross-engine.
+    *
+    * Scale shape: candidate pairs are wedges enumerated at their center
+    * (one self-equi-join of the symmetric edge list on the center node,
+    * u < v to emit each pair once) — Σdeg² work, the same bound q81's
+    * triangle count pays and the reason both run on the sparsified
+    * graph; existing edges leave via a left-anti equi-join; degrees
+    * attach by two equi-joins on the pair endpoints. Every shuffle key
+    * (center, pair, endpoint) scales with the edge set. */
+  val q98LinkPrediction = QueryDef(
+    "q98_link_prediction",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      val pairs = li.as("a").join(li.hint("shuffle_hash").as("b"),
+          col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+        .agg(countDistinct(col("a.ok")).as("n_ord"))
+        .filter(col("n_ord") >= 2)
+        .select("u", "v")
+        .persist()
+      val edges = pairs.select(col("u").as("src"), col("v").as("dst"))
+        .union(pairs.select(col("v").as("src"), col("u").as("dst")))
+      val deg = edges.groupBy(col("src").as("n"))
+        .agg(count(lit(1)).cast("long").as("dg"))
+      // wedge enumeration at the center: each common neighbor of (u, v)
+      // contributes one row; the center's AA weight rides along
+      val wedged = edges.as("e1")
+        .join(deg.select(col("n").as("src"), col("dg").as("cdeg")), "src")
+        .as("e1")
+        .join(edges.hint("shuffle_hash").as("e2"),
+          col("e1.src") === col("e2.src") && col("e1.dst") < col("e2.dst"))
+        .select(col("e1.dst").as("u"), col("e2.dst").as("v"),
+          expr("CAST(floor(1000000.0 / ln(cdeg)) AS BIGINT)").as("aa_w"))
+      val scored = wedged.groupBy("u", "v")
+        .agg(count(lit(1)).cast("long").as("common_neighbors"),
+          sum("aa_w").as("aa_micro"))
+        .join(pairs, Seq("u", "v"), "left_anti")
+        .join(deg.select(col("n").as("u"), col("dg").as("du")), "u")
+        .join(deg.select(col("n").as("v"), col("dg").as("dv")), "v")
+        .select(col("u"), col("v"), col("common_neighbors"), col("aa_micro"),
+          r6(col("common_neighbors").cast("double") /
+            (col("du") + col("dv") - col("common_neighbors"))).as("jaccard"))
+      val out = scored.orderBy(col("common_neighbors").desc,
+          col("aa_micro").desc, col("u"), col("v"))
+        .limit(20)
+        .localCheckpoint(true) // materialize, then free the cached graph
+      pairs.unpersist()
+      out
+    },
+    Some("""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+           |pairs AS (SELECT a.p AS u, b.p AS v
+           |  FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p
+           |  GROUP BY 1, 2 HAVING count(DISTINCT a.ok) >= 2),
+           |edges AS (SELECT u AS src, v AS dst FROM pairs
+           |  UNION ALL SELECT v, u FROM pairs),
+           |deg AS (SELECT src AS n, CAST(count(*) AS BIGINT) AS dg
+           |  FROM edges GROUP BY 1),
+           |wedged AS (SELECT e1.dst AS u, e2.dst AS v,
+           |    CAST(floor(1000000.0 / ln(d.dg)) AS BIGINT) AS aa_w
+           |  FROM edges e1
+           |  JOIN deg d ON e1.src = d.n
+           |  JOIN edges e2 ON e1.src = e2.src AND e1.dst < e2.dst),
+           |scored AS (SELECT u, v,
+           |    CAST(count(*) AS BIGINT) AS common_neighbors,
+           |    CAST(sum(aa_w) AS BIGINT) AS aa_micro
+           |  FROM wedged GROUP BY 1, 2),
+           |nonadj AS (SELECT s.* FROM scored s
+           |  WHERE NOT EXISTS (SELECT 1 FROM pairs p
+           |                    WHERE p.u = s.u AND p.v = s.v))
+           |SELECT s.u, s.v, s.common_neighbors, s.aa_micro,
+           |  round(s.common_neighbors * 1000000.0 /
+           |        (du.dg + dv.dg - s.common_neighbors)) / 1000000 AS jaccard
+           |FROM nonadj s
+           |JOIN deg du ON s.u = du.n JOIN deg dv ON s.v = dv.n
+           |ORDER BY common_neighbors DESC, aa_micro DESC, u, v
+           |LIMIT 20""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q73CopurchaseRank, q81Triangles, q82BfsLevels,
-    q96ConnectedComponents)
+    q96ConnectedComponents, q98LinkPrediction)
 }

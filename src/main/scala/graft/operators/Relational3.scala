@@ -615,8 +615,55 @@ object Relational3 {
         .mkString("", "\nUNION ALL\n", "\nORDER BY relationship")
     })
 
+  // ---------------------------------------------------------------- q99
+  /** Benford first-digit audit over `l_extendedprice` — the fraud /
+    * synthetic-data screen that joins q94's FK audit in the ingest
+    * data-quality gate: naturally-occurring multiplicative amounts
+    * follow log10(1+1/d); a generator that draws prices uniformly (as
+    * TPC-H's does) fails it loudly, which is exactly what the audit is
+    * for — the output TELLS you these prices are synthetic.
+    *
+    * The leading digit comes from the DECIMAL STRING of exact cents
+    * (round(price*100) as BIGINT), not from floor(x/10^floor(log10 x)) —
+    * float log10 misclassifies values adjacent to powers of ten, and
+    * both engines agree on integer-to-string.
+    *
+    * Scale shape: one projection + one 9-group map-side-combined
+    * hash-agg; the expected-law table is an expression, not data. */
+  val q99BenfordAudit = QueryDef(
+    "q99_benford_audit",
+    (s, d) => {
+      val digits = Tables.lineitem(s, d)
+        .select(substring(expr(
+            "CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS STRING)"),
+          1, 1).cast("int").as("digit"))
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+      val total = sum("n").over(
+        org.apache.spark.sql.expressions.Window.partitionBy())
+      digits
+        .withColumn("obs_frac", r6(col("n").cast("double") / total))
+        .withColumn("exp_frac", r6(log10(lit(1.0) + lit(1.0) / col("digit"))))
+        .withColumn("excess", r6(col("n").cast("double") / total -
+          log10(lit(1.0) + lit(1.0) / col("digit"))))
+        .orderBy("digit")
+    },
+    Some("""WITH d AS (SELECT CAST(substring(
+           |    CAST(CAST(round(l_extendedprice * 100) AS BIGINT) AS VARCHAR),
+           |    1, 1) AS INT) AS digit
+           |  FROM lineitem),
+           |g AS (SELECT digit, CAST(count(*) AS BIGINT) AS n,
+           |    sum(count(*)) OVER () AS total
+           |  FROM d GROUP BY 1)
+           |SELECT digit, n,
+           |  round(n * 1.0 / total * 1000000) / 1000000 AS obs_frac,
+           |  round(log10(1 + 1.0 / digit) * 1000000) / 1000000 AS exp_frac,
+           |  round((n * 1.0 / total - log10(1 + 1.0 / digit)) * 1000000)
+           |    / 1000000 AS excess
+           |FROM g ORDER BY digit""".stripMargin))
+
   val all: Seq[QueryDef] =
     Seq(q69StarJoin, q70EventDedup, q71ArgExtremes, q72Regression,
       q74VariantExtract, q75HofBattery, q76ZorderLayout, q79ExistsChain,
-      q87DeletionPlan, q88IncrementalView, q91OrderStats, q94FkAudit)
+      q87DeletionPlan, q88IncrementalView, q91OrderStats, q94FkAudit,
+      q99BenfordAudit)
 }

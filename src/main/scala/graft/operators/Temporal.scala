@@ -954,7 +954,78 @@ object Temporal {
            |FROM summary s LEFT JOIN dels USING (event_type)
            |ORDER BY event_type""".stripMargin))
 
+  // --------------------------------------------------------------- q100
+  /** Time-weighted average price (TWAP) per (event_type, day) over
+    * irregular ticks — the kdb-style temporal aggregate q56's OHLC family
+    * lacks: each observation holds until the NEXT one (piecewise-constant
+    * interpolation), the last of the day until midnight, so a burst of
+    * 100 ticks in one minute moves the day's mean by one minute's worth,
+    * not 100 observations' worth. `mean_value` (the unweighted mean)
+    * rides along precisely to expose that difference.
+    *
+    * Numerics: weights are exact µs→ms integers from lead(); values are
+    * exact cents; Σ(cents·ms) accumulates in DECIMAL(38,0) (Spark) /
+    * HUGEINT (DuckDB) so the aggregate is an order-proof integer sum —
+    * the q73/t17 fixed-point convention — and only the final division is
+    * float. The day session opens at its first tick (no prior-close
+    * carry-in) — the "session TWAP" convention, documented not implied.
+    *
+    * Scale shape: one projection, one lead() window per (event_type,
+    * day) — the partition is a day of one type, the irreducible
+    * ordered-scan unit every as-of/merge_asof shares (q25/q89); the
+    * day's rows sort-spill within their partition, never globally. The
+    * rollup after it is a map-side-combined hash-agg to the (type, day)
+    * domain. */
+  val q100Twap = QueryDef(
+    "q100_twap",
+    (s, d) => {
+      import Rounding.r6
+      val w = Window.partitionBy("event_type", "day")
+        .orderBy(col("us").asc, col("event_id").asc)
+      val base = Tables.events(s, d)
+        .select(col("event_type"), to_date(col("ts")).as("day"),
+          unix_micros(col("ts")).as("us"), col("event_id"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      base
+        .withColumn("next_us", coalesce(lead("us", 1).over(w),
+          unix_micros(date_add(col("day"), 1).cast("timestamp"))))
+        .withColumn("w_ms", expr("(next_us - us) div 1000"))
+        .groupBy("event_type", "day")
+        .agg(count(lit(1)).as("n_events"),
+          sum("w_ms").as("dur_ms"),
+          sum(expr("CAST(cents * w_ms AS DECIMAL(38,0))")).as("swv"),
+          sum("cents").as("scents"))
+        .select(col("event_type"), col("day"), col("n_events"),
+          col("dur_ms"),
+          r6(col("swv").cast("double") / col("dur_ms") / 100).as("twap"),
+          r6(col("scents").cast("double") / col("n_events") / 100)
+            .as("mean_value"))
+        .orderBy("event_type", "day")
+    },
+    Some("""WITH base AS (
+           |  SELECT event_type, CAST(ts AS DATE) AS day,
+           |    epoch_us(ts) AS us, event_id,
+           |    CAST(round(value * 100) AS BIGINT) AS cents
+           |  FROM events),
+           |led AS (
+           |  SELECT event_type, day, cents,
+           |    (coalesce(
+           |       lead(us) OVER (PARTITION BY event_type, day
+           |                      ORDER BY us, event_id),
+           |       epoch_us(CAST(day + INTERVAL 1 DAY AS TIMESTAMP))) - us)
+           |      // 1000 AS w_ms
+           |  FROM base)
+           |SELECT event_type, day,
+           |  CAST(count(*) AS BIGINT) AS n_events,
+           |  CAST(sum(w_ms) AS BIGINT) AS dur_ms,
+           |  round(CAST(sum(CAST(cents AS HUGEINT) * w_ms) AS DOUBLE)
+           |        / sum(w_ms) / 100 * 1000000) / 1000000 AS twap,
+           |  round(CAST(sum(cents) AS DOUBLE) / count(*) / 100 * 1000000)
+           |    / 1000000 AS mean_value
+           |FROM led GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q48Scd2, q55GapFill, q56Ohlc, q60Anomaly,
     q63SeriesCorr, q64Ewma, q65Autocorr, q78SnapshotDiff, q84IntervalJoin,
-    q89AsofDirections, q90SeasonalNaive, q95RollingQuantiles, q97MergeApply)
+    q89AsofDirections, q90SeasonalNaive, q95RollingQuantiles, q97MergeApply,
+    q100Twap)
 }

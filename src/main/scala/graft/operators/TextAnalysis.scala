@@ -856,10 +856,64 @@ object TextAnalysis {
            |  round(CAST(ch_b AS DOUBLE) / n_b * 100) / 100 AS mean_chars_b
            |FROM agg CROSS JOIN tot ORDER BY lang""".stripMargin))
 
+  // ---------------------------------------------------------------- t22
+  /** Per-document n-gram NOVELTY: the fraction of a document's distinct
+    * 5-gram shingles whose corpus-wide FIRST occurrence (minimum doc_id
+    * — ingest order in this corpus) is this document. The curriculum /
+    * marginal-value signal dedup doesn't give: d01–d11 ask "is this a
+    * copy of something", novelty asks "how much does this document add
+    * that the corpus before it didn't have" — the greedy-selection score
+    * in data-pruning pipelines (what D4/DoReMi-style curation ranks by),
+    * and near-zero novelty late in ingest is the drift alarm t21 reads
+    * at corpus level.
+    *
+    * Scale shape: one explode to distinct per-doc shingles (array_distinct
+    * row-local), one map-side-combined min-agg on the shingle key — the
+    * d09 posting-list shape — then an equi-join back on the shingle and a
+    * hash-agg to the doc domain. Only (shingle, doc_id) pairs ever
+    * shuffle; novelty of an increment against a 100 TB corpus probes the
+    * materialized shingle→first_doc table, the d10 incremental posture.
+    * Docs shorter than 5 tokens have no shingles and drop out — the
+    * documented domain. */
+  val t22Novelty = QueryDef(
+    "t22_ngram_novelty",
+    (s, d) => {
+      val sh = Tables.documents(s, d)
+        .select(col("doc_id"), T.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), explode(T.shingles(col("toks"), 5)).as("sh"))
+      val first = sh.groupBy("sh").agg(min("doc_id").as("first_doc"))
+      sh.join(first, "sh")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+            .as("n_novel"))
+        .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+          r6(col("n_novel").cast("double") / col("n_shingles"))
+            .as("novelty"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH sh AS (
+           |  SELECT DISTINCT doc_id, sh FROM (
+           |    SELECT doc_id,
+           |      unnest(list_transform(range(1, greatest(len(t)-4, 0)+1),
+           |        i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' ||
+           |             t[i+3] || ' ' || t[i+4])) AS sh
+           |    FROM (SELECT doc_id, string_split(text, ' ') AS t
+           |          FROM documents))),
+           |first AS (SELECT sh, min(doc_id) AS first_doc FROM sh GROUP BY 1)
+           |SELECT s.doc_id,
+           |  CAST(count(*) AS BIGINT) AS n_shingles,
+           |  CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+           |    AS BIGINT) AS n_novel,
+           |  round(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END)
+           |    / CAST(count(*) AS DOUBLE) * 1000000) / 1000000 AS novelty
+           |FROM sh s JOIN first f USING (sh)
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[QueryDef] =
     Seq(t01LangId, t02Quality, t03TokenCount, t04RollingHash, t05TfIdf,
       t08UnigramLm, t09TokenEntropy, t10GopherRules, t11BigramLm,
       t12Collocations, t13LangidConfusion, t14Chunking, t15CorpusDatasheet,
       t16ChunkDedup, t17QualityClassifier, t18PplBuckets, t19BpePairs,
-      t21DriftReport)
+      t21DriftReport, t22Novelty)
 }
