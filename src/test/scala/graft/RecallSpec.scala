@@ -39,6 +39,21 @@ class RecallSpec extends SparkSpec {
     assert(recall >= 0.5, f"PQ recall collapsed: $recall%.2f")
   }
 
+  test("SQ8 ANN recall@10 vs exact brute force, and above PQ") {
+    val exact = topk("s01_sim_topk")
+    val sq = topk("s17_sim_ann_sq8")
+    val pq = topk("s04_sim_ann_pq")
+    val sqRecall = exact.keys.count(sq.contains).toDouble / exact.size
+    val pqRecall = exact.keys.count(pq.contains).toDouble / exact.size
+    info(f"recall@10 — sq8(rerank=64): $sqRecall%.2f (pq: $pqRecall%.2f)")
+    // 8 bits PER DIMENSION is nearly lossless — the whole point of SQ8
+    // over PQ's 4 bits per 8-dim subvector; if its recall ever drops to
+    // PQ's level the quantizer stats are broken.
+    assert(sqRecall >= 0.8, f"SQ8 recall collapsed: $sqRecall%.2f")
+    assert(sqRecall >= pqRecall,
+      f"SQ8 ($sqRecall%.2f) must not lose to the 32x-smaller PQ ($pqRecall%.2f)")
+  }
+
   test("IVF-PQ composed ANN recall@10 vs exact brute force and vs its parents") {
     val exact = topk("s01_sim_topk")
     val ivf = topk("s03_sim_ann_ivf")
