@@ -696,6 +696,73 @@ object Stateful {
       watermarkWakeups = true)
   }
 
+  /** One closed TWAP day: all-INTEGER accumulators (exact cents,
+    * ms-weighted cent-ms products), so the parity check against batch
+    * q100 applies the identical final-division expressions to identical
+    * integers — the q83/q85 bit-for-bit convention. */
+  final case class TwapDay(event_type: String, day: Long, n_events: Long,
+      dur_ms: Long, swv: Long, scents: Long)
+  /** Open day's accumulators + the last tick (whose weight is unknown
+    * until the next tick or day end) — O(1) per key. */
+  final case class TwapState(curDay: Long, n: Long, swv: Long, scents: Long,
+      durMs: Long, lastUs: Long, lastCents: Long)
+
+  /** Streaming twin of the batch TWAP (Temporal.q100Twap), keyed by
+    * event_type: each replayed tick settles the PREVIOUS tick's weight
+    * (t − lastUs, exact integer ms); a day closes when ordered replay
+    * crosses midnight (the last tick's weight runs to day end — the
+    * batch lead()-coalesce) or the watermark passes day end. The
+    * piecewise-constant-holds semantics that make TWAP a window query in
+    * batch become O(1) per-key state here — the same volume-to-domain
+    * collapse as peakStream, without even a minute map.
+    *
+    * Cents use the exact Spark Round(double) semantics
+    * (BigDecimal.valueOf + HALF_UP) so streamed integers equal the batch
+    * projection bit-for-bit. */
+  def twapStream(df: DataFrame, slack: String = "2 hours"): Dataset[TwapDay] = {
+    import org.apache.spark.sql.Encoders
+    implicit val stEnc: Encoder[(TwapState, Seq[Ev])] =
+      Encoders.product[(TwapState, Seq[Ev])]
+    implicit val outEnc: Encoder[TwapDay] = Encoders.product[TwapDay]
+    implicit val keyEnc: Encoder[String] = Encoders.STRING
+    implicit val evEnc: Encoder[Ev] = Encoders.product[Ev]
+    val DayUs = 86400000000L
+    val empty = TwapState(-1L, 0L, 0L, 0L, 0L, 0L, 0L)
+    def centsOf(v: Double): Long =
+      java.math.BigDecimal.valueOf(v * 100)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+    def settle(st: TwapState, untilUs: Long): TwapState = {
+      val w = Math.floorDiv(untilUs - st.lastUs, 1000L)
+      st.copy(swv = st.swv + st.lastCents * w, durMs = st.durMs + w)
+    }
+    def open(day: Long, t: Long, cents: Long): TwapState =
+      TwapState(day, 1L, 0L, cents, 0L, t, cents)
+    def close(et: String, st: TwapState): Seq[TwapDay] =
+      if (st.curDay < 0L) Nil
+      else {
+        val fin = settle(st, (st.curDay + 1L) * DayUs)
+        Seq(TwapDay(et, fin.curDay, fin.n, fin.durMs, fin.swv, fin.scents))
+      }
+    orderedPerKeyBy[String, TwapState, TwapDay](df, slack, empty)(_._4)(
+      apply = { (et, e, st) =>
+        val t = microsOf(e._2)
+        val day = Math.floorDiv(t, DayUs)
+        val cents = centsOf(e._5)
+        if (st.curDay == -1L) (open(day, t, cents), Nil)
+        else if (day == st.curDay) {
+          val s2 = settle(st, t)
+          (s2.copy(n = s2.n + 1L, scents = s2.scents + cents,
+            lastUs = t, lastCents = cents), Nil)
+        } else (open(day, t, cents), close(et, st))
+      },
+      onWatermark = { (et, wm, st) =>
+        if (st.curDay >= 0L && wm >= (st.curDay + 1L) * 86400000L)
+          (empty, close(et, st))
+        else (st, Nil)
+      },
+      watermarkWakeups = true)
+  }
+
   def scd2Stream(ds: Dataset[(Long, java.sql.Timestamp, Long, String)])(
       implicit e1: Encoder[Scd2State], e2: Encoder[Scd2Period],
       e3: Encoder[Long]): Dataset[Scd2Period] =

@@ -224,6 +224,31 @@ class OrderedReplaySpec extends SparkSpec {
         s"batch-only: ${batch.toSet.diff(streamed.toSet).take(3)}")
   }
 
+  test("streaming twap: closed days == batch q100 exactly") {
+    val s = spark
+    import graft.functions.Rounding.r6
+    val out = runStream("ooo_twap")(df => Stateful.twapStream(df, "2 hours"))
+    // identical final-division expressions over the streamed integers as
+    // the batch query applies to its aggregates — bit-for-bit comparable
+    val streamed = out.filter("event_type <> 'zz_sentinel'")
+      .select(col("event_type"), col("day"), col("n_events"), col("dur_ms"),
+        r6(col("swv").cast("double") / col("dur_ms") / 100).as("twap"),
+        r6(col("scents").cast("double") / col("n_events") / 100)
+          .as("mean_value"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))).toMap
+    val batch = SparkEntry.queries("q100_twap")(s, sf)
+      .withColumn("day", datediff(col("day"), lit("1970-01-01")).cast("long"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(streamed.nonEmpty)
+    assert(streamed == batch,
+      s"stream-only: ${streamed.toSet.diff(batch.toSet).take(3)}; " +
+        s"batch-only: ${batch.toSet.diff(streamed.toSet).take(3)}")
+  }
+
   test("streaming interval join: session/surge twins == batch q84 exactly") {
     val s = spark
     // the surge threshold (per-type mean 5-min-bucket count) is a
