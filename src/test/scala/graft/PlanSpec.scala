@@ -215,4 +215,33 @@ class PlanSpec extends SparkSpec {
     assert(winIdx >= 0 && aggIdx > winIdx,
       "expected pair-count HashAggregate below the ranking window")
   }
+
+  test("q98: link prediction is equi-joins only — no cartesian wedge build") {
+    val p = plan("q98_link_prediction")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "wedges must enumerate via the center-node equi-join")
+  }
+
+  test("t22: novelty joins shingles back on the posting key, no window") {
+    val p = plan("t22_ngram_novelty")
+    assert(!p.contains("windowspecdefinition"),
+      "first-doc must be a min-agg on the shingle key, not a window")
+    assert(!p.contains("CartesianProduct"), "no all-pairs shingle compare")
+  }
+
+  test("q100: twap is one lead() pass then a hash-agg — no self-join") {
+    val p = plan("q100_twap")
+    assert("SortMergeJoin|BroadcastHashJoin|CartesianProduct".r
+      .findFirstIn(p).isEmpty, "lead() shape must not join")
+    assert(p.contains("HashAggregate"), "day rollup must hash-aggregate")
+  }
+
+  test("s17: SQ8 codes are genuinely 1-byte and the scan never shuffles") {
+    val df = SparkEntry.queries("s17_sim_ann_sq8")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    // corpus side moves only through the broadcast of the 5-row query set
+    assert(!p.contains("SortMergeJoin"), "corpus must not shuffle-join")
+    assert(p.contains("cosine_similarity"), "scoring must stay native")
+  }
 }
