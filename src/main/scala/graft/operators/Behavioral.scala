@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.{QueryDef, Tables}
-import graft.functions.Rounding.{r4, r6}
+import graft.functions.Rounding.{r2, r4, r6}
 
 /** Behavioral / product-analytics operators over the event stream: the
   * ordered funnel and the cohort-retention matrix. These are the two
@@ -504,7 +504,171 @@ object Behavioral {
            |WHERE c1 > 0 AND c2 > 0
            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
+  /** Shared scoring + rollup tail of q102: band a per-customer
+    * (rec_days, freq, mon_cents) table into 1–5 RFM scores and roll up
+    * per cell. Factored out so the streaming twin (Stateful.rfmStream's
+    * emitted snapshot) runs IDENTICAL code after its incremental
+    * per-customer state pass. */
+  def q102Rollup(per: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val scored = per
+      .withColumn("r_score",
+        when(col("rec_days") <= 60, 5).when(col("rec_days") <= 120, 4)
+          .when(col("rec_days") <= 240, 3).when(col("rec_days") <= 400, 2)
+          .otherwise(1))
+      .withColumn("f_score",
+        when(col("freq") >= 14, 5).when(col("freq") >= 12, 4)
+          .when(col("freq") >= 10, 3).when(col("freq") >= 8, 2)
+          .otherwise(1))
+      .withColumn("m_score",
+        when(col("mon_cents") >= 320000000L, 5)
+          .when(col("mon_cents") >= 260000000L, 4)
+          .when(col("mon_cents") >= 220000000L, 3)
+          .when(col("mon_cents") >= 170000000L, 2)
+          .otherwise(1))
+    scored.groupBy("r_score", "f_score", "m_score")
+      .agg(count(lit(1)).as("n_customers"),
+        r2(sum("mon_cents") / 100.0 / count(lit(1))).as("avg_monetary"),
+        r2(sum("rec_days").cast("double") / count(lit(1)))
+          .as("avg_rec_days"))
+      .orderBy("r_score", "f_score", "m_score")
+  }
+
+  // --------------------------------------------------------------- q102
+  /** RFM segmentation over the order history: per customer recency
+    * (days since last order, against the corpus max date — a catalog
+    * stat), frequency (order count) and monetary (lifetime spend), each
+    * banded into a 1–5 score by FIXED value thresholds, then rolled up
+    * per (r, f, m) cell.
+    *
+    * Fixed bands, not ntile, deliberately: quantile scoring needs a
+    * global rank (one window over every customer — the q54-style exact
+    * form that q59 exists to replace), while fixed bands are a pure
+    * projection + hash aggregate, so the query is two map-side-combined
+    * shuffles at any scale. The thresholds are the quintile boundaries
+    * of the synthetic corpus, frozen as constants the way a production
+    * scoring job freezes its band definitions. */
+  val q102RfmSegments = QueryDef(
+    "q102_rfm_segments",
+    (s, d) => {
+      val DayUs = 86400000000L
+      // o_orderdate is TIMESTAMP_NTZ; the cast is an identity under the
+      // UTC session TZ both engines pin. Money moves in exact BIGINT
+      // cents so every sum is order-proof (the t17/q100 convention).
+      val ord = Tables.orders(s, d)
+        .select(col("o_custkey"),
+          (unix_micros(col("o_orderdate").cast("timestamp")) / DayUs)
+            .cast("long").as("day"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+      // corpus max date: single-column scan → one scalar (catalog stat)
+      val span = Tables.orders(s, d)
+        .select((unix_micros(col("o_orderdate").cast("timestamp")) / DayUs)
+          .cast("long").as("day"))
+        .agg(max("day").as("dmax"))
+      val per = ord.crossJoin(broadcast(span))
+        .groupBy("o_custkey")
+        .agg(min(col("dmax") - col("day")).as("rec_days"),
+          count(lit(1)).as("freq"),
+          sum("cents").as("mon_cents"))
+      q102Rollup(per)
+    },
+    Some("""WITH per AS (
+           |  SELECT o_custkey,
+           |    min((SELECT max(epoch_us(o_orderdate) // 86400000000)
+           |         FROM orders) - epoch_us(o_orderdate) // 86400000000)
+           |      AS rec_days,
+           |    count(*) AS freq,
+           |    sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS mon_cents
+           |  FROM orders GROUP BY 1),
+           |scored AS (
+           |  SELECT *,
+           |    CASE WHEN rec_days <= 60 THEN 5 WHEN rec_days <= 120 THEN 4
+           |         WHEN rec_days <= 240 THEN 3 WHEN rec_days <= 400 THEN 2
+           |         ELSE 1 END AS r_score,
+           |    CASE WHEN freq >= 14 THEN 5 WHEN freq >= 12 THEN 4
+           |         WHEN freq >= 10 THEN 3 WHEN freq >= 8 THEN 2
+           |         ELSE 1 END AS f_score,
+           |    CASE WHEN mon_cents >= 320000000 THEN 5
+           |         WHEN mon_cents >= 260000000 THEN 4
+           |         WHEN mon_cents >= 220000000 THEN 3
+           |         WHEN mon_cents >= 170000000 THEN 2
+           |         ELSE 1 END AS m_score
+           |  FROM per)
+           |SELECT r_score, f_score, m_score,
+           |  CAST(count(*) AS BIGINT) AS n_customers,
+           |  round(sum(mon_cents) / 100.0 / count(*) * 100) / 100
+           |    AS avg_monetary,
+           |  round(CAST(sum(rec_days) AS DOUBLE) / count(*) * 100) / 100
+           |    AS avg_rec_days
+           |FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin))
+
+  // --------------------------------------------------------------- q103
+  /** Cohort lifetime value: customers are cohorted by first-order month;
+    * each later order lands in an age bucket (months since cohort), and
+    * the running per-customer cumulative revenue traces the LTV curve.
+    *
+    * Scale shape: one per-customer hash-agg for the cohort month, one
+    * equi-join back to orders, one (cohort × age) hash-agg — all
+    * map-side combined. The only window runs over the cohort×age
+    * aggregate (≤ months² rows regardless of data size), never over
+    * orders. */
+  val q103CohortLtv = QueryDef(
+    "q103_cohort_ltv",
+    (s, d) => {
+      // revenue moves in exact BIGINT cents end-to-end (sums and the
+      // running cumulative are order-proof; floats appear only in the
+      // final per-row division of two exact integers)
+      val ord = Tables.orders(s, d)
+        .select(col("o_custkey"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate")))
+            .cast("long").as("om"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val coh = ord.groupBy("o_custkey").agg(min("om").as("cm"))
+      val sizes = coh.groupBy("cm")
+        .agg(count(lit(1)).as("cohort_size"))
+      val cells = ord.join(coh, "o_custkey")
+        .withColumn("age", (col("om") - col("cm")).cast("int"))
+        .groupBy(col("cm"), col("age"))
+        .agg(count(lit(1)).as("n_orders"),
+          countDistinct("o_custkey").as("n_active"),
+          sum("cents").as("rev_cents"))
+      val w = Window.partitionBy("cm").orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      cells.join(broadcast(sizes), "cm")
+        .withColumn("cum_cents", sum("rev_cents").over(w))
+        .select(
+          ((col("cm") - 1) / 12).cast("int").as("cohort_year"),
+          (((col("cm") - 1) % 12) + 1).cast("int").as("cohort_month"),
+          col("age"), col("n_orders"), col("n_active"), col("cohort_size"),
+          r2(col("rev_cents") / 100.0).as("revenue"),
+          r4(col("cum_cents") / 100.0 / col("cohort_size"))
+            .as("ltv_per_customer"))
+        .orderBy("cohort_year", "cohort_month", "age")
+    },
+    Some("""WITH ord AS (
+           |  SELECT o_custkey,
+           |    year(o_orderdate) * 12 + month(o_orderdate) AS om,
+           |    CAST(round(o_totalprice * 100) AS BIGINT) AS cents
+           |  FROM orders),
+           |coh AS (SELECT o_custkey, min(om) AS cm FROM ord GROUP BY 1),
+           |sizes AS (SELECT cm, count(*) AS cohort_size FROM coh GROUP BY 1),
+           |cells AS (
+           |  SELECT cm, CAST(om - cm AS INT) AS age,
+           |    CAST(count(*) AS BIGINT) AS n_orders,
+           |    CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_active,
+           |    sum(cents) AS rev_cents
+           |  FROM ord JOIN coh USING (o_custkey) GROUP BY 1, 2)
+           |SELECT CAST((cm - 1) // 12 AS INT) AS cohort_year,
+           |  CAST((cm - 1) % 12 + 1 AS INT) AS cohort_month,
+           |  age, n_orders, n_active, cohort_size,
+           |  round(rev_cents / 100.0 * 100) / 100 AS revenue,
+           |  round(sum(rev_cents) OVER (PARTITION BY cm ORDER BY age
+           |      ROWS UNBOUNDED PRECEDING) / 100.0 / cohort_size * 10000)
+           |    / 10000 AS ltv_per_customer
+           |FROM cells JOIN sizes USING (cm)
+           |ORDER BY 1, 2, 3""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q57Funnel, q58Retention, q61Markov,
     q62SessionPaths, q68Attribution, q80SlidingDistinct, q83PeakConcurrency,
-    q85DecileMobility)
+    q85DecileMobility, q102RfmSegments, q103CohortLtv)
 }

@@ -486,6 +486,60 @@ object Graph {
            |ORDER BY common_neighbors DESC, aa_micro DESC, u, v
            |LIMIT 20""".stripMargin))
 
+  // --------------------------------------------------------------- q105
+  /** Mutual best-partner detection on the co-purchase graph: each part's
+    * top co-purchase partner (by shared-order count, part-key
+    * tie-break), kept only when the relationship is reciprocal — the
+    * "best friends" pairs that anchor bundle recommendations.
+    *
+    * Scale shape: pair counts are one shuffle-hash self-join on the
+    * order key plus a hash-agg; the top-1-per-part window runs over the
+    * aggregated pair table (≤ one row per co-purchase pair), never over
+    * lineitem; the mutual check is a self-equi-join of the (part →
+    * best) table with itself on the reversed key. No global window, no
+    * cartesian step. */
+  val q105MutualTop = QueryDef(
+    "q105_mutual_top_partner",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      // directed pair counts (both directions in one pass via the
+      // a≠b join — symmetric, so each unordered pair appears twice)
+      val counts = li.as("a").join(li.hint("shuffle_hash").as("b"),
+          col("a.ok") === col("b.ok") && col("a.p") =!= col("b.p"))
+        .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+        .agg(countDistinct(col("a.ok")).as("n_ord"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("u").orderBy(col("n_ord").desc, col("v"))
+      val best = counts
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("u"), col("v").as("best"), col("n_ord"))
+      best.as("x").join(best.as("y"),
+          col("x.u") === col("y.best") && col("x.best") === col("y.u") &&
+            col("x.u") < col("y.u"))
+        .select(col("x.u").as("part_a"), col("x.best").as("part_b"),
+          col("x.n_ord").as("n_shared_orders"))
+        .orderBy(col("n_shared_orders").desc, col("part_a"))
+        .limit(50)
+    },
+    Some("""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+           |counts AS (
+           |  SELECT a.p AS u, b.p AS v, count(DISTINCT a.ok) AS n_ord
+           |  FROM li a JOIN li b ON a.ok = b.ok AND a.p <> b.p
+           |  GROUP BY 1, 2),
+           |best AS (
+           |  SELECT u, v AS best, n_ord FROM (
+           |    SELECT *, row_number() OVER (PARTITION BY u
+           |        ORDER BY n_ord DESC, v) AS rn
+           |    FROM counts) WHERE rn = 1)
+           |SELECT x.u AS part_a, x.best AS part_b,
+           |  x.n_ord AS n_shared_orders
+           |FROM best x JOIN best y
+           |  ON x.u = y.best AND x.best = y.u AND x.u < y.u
+           |ORDER BY n_shared_orders DESC, part_a
+           |LIMIT 50""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q73CopurchaseRank, q81Triangles, q82BfsLevels,
-    q96ConnectedComponents, q98LinkPrediction)
+    q96ConnectedComponents, q98LinkPrediction, q105MutualTop)
 }

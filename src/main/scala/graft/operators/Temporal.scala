@@ -1024,8 +1024,80 @@ object Temporal {
            |    / 1000000 AS mean_value
            |FROM led GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
+  // --------------------------------------------------------------- q104
+  /** CUSUM change-point scan: per event_type the daily mean value is
+    * reduced to a cumulative sum of deviations from the series mean;
+    * a day is flagged when |CUSUM| exceeds 2× the daily-mean standard
+    * deviation — the classic mean-shift detector (a sustained shift
+    * accumulates linearly while noise cancels).
+    *
+    * Scale shape: the raw log collapses to (type, day) by one
+    * map-side-combined hash-agg; the series stats are a second tiny agg
+    * over that; the running sum windows only the (type × days)
+    * aggregate — bounded by the calendar, not the data volume. The
+    * deviations feeding the CUSUM are pre-rounded to 6dp so the
+    * running float sum is bit-identical across engines and partition
+    * counts. */
+  val q104Cusum = QueryDef(
+    "q104_cusum_changepoint",
+    (s, d) => {
+      val DayUs = 86400000000L
+      // values move in exact BIGINT milli-units; the daily mean is
+      // rounded back to an integer so the series stats, deviations, and
+      // the running CUSUM are all exact integer arithmetic — order-proof
+      // across partitions AND engines. Floats appear only in final
+      // per-row divisions of exact integers (deterministic).
+      val daily = Tables.events(s, d)
+        .select(col("event_type"),
+          (unix_micros(col("ts")) / DayUs).cast("long").as("day"),
+          round(col("value") * 1000).cast("long").as("vm"))
+        .groupBy("event_type", "day")
+        .agg(round(sum("vm") / count(lit(1))).cast("long").as("mi"))
+      // exact two-pass variance in integers: nd·Σm² − (Σm)²
+      val stats = daily.groupBy("event_type")
+        .agg(count(lit(1)).as("nd"), sum("mi").as("sm"),
+          sum(col("mi") * col("mi")).as("sm2"))
+        .select(col("event_type"), col("nd"), col("sm"),
+          sqrt((col("nd") * col("sm2") - col("sm") * col("sm"))
+            .cast("double") / (col("nd") * (col("nd") - 1))).as("sd_milli"))
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      daily.join(broadcast(stats), "event_type")
+        // dev scaled by nd to stay integer: dev = mi·nd − Σm
+        .withColumn("devs", col("mi") * col("nd") - col("sm"))
+        .withColumn("cusums", sum("devs").over(w))
+        .select(col("event_type"), col("day"),
+          Rounding.r4(col("mi") / 1000.0).as("daily_mean"),
+          Rounding.r4(col("cusums").cast("double") / col("nd") / 1000.0)
+            .as("cusum"),
+          (abs(col("cusums").cast("double") / col("nd")) >
+            col("sd_milli") * 2).as("shifted"))
+        .orderBy("event_type", "day")
+    },
+    Some("""WITH daily AS (
+           |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+           |    CAST(round(sum(CAST(round(value * 1000) AS BIGINT))
+           |      / count(*)) AS BIGINT) AS mi
+           |  FROM events GROUP BY 1, 2),
+           |stats AS (
+           |  SELECT event_type, count(*) AS nd, sum(mi) AS sm,
+           |    sqrt(CAST(count(*) * sum(mi * mi) - sum(mi) * sum(mi)
+           |        AS DOUBLE) / (count(*) * (count(*) - 1))) AS sd_milli
+           |  FROM daily GROUP BY 1),
+           |cs AS (
+           |  SELECT daily.*, nd, sm, sd_milli,
+           |    sum(mi * nd - sm) OVER (PARTITION BY event_type
+           |      ORDER BY day ROWS UNBOUNDED PRECEDING) AS cusums
+           |  FROM daily JOIN stats USING (event_type))
+           |SELECT event_type, day,
+           |  round(mi / 1000.0 * 10000) / 10000 AS daily_mean,
+           |  round(CAST(cusums AS DOUBLE) / nd / 1000.0 * 10000) / 10000
+           |    AS cusum,
+           |  abs(CAST(cusums AS DOUBLE) / nd) > sd_milli * 2 AS shifted
+           |FROM cs ORDER BY 1, 2""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q48Scd2, q55GapFill, q56Ohlc, q60Anomaly,
     q63SeriesCorr, q64Ewma, q65Autocorr, q78SnapshotDiff, q84IntervalJoin,
     q89AsofDirections, q90SeasonalNaive, q95RollingQuantiles, q97MergeApply,
-    q100Twap)
+    q100Twap, q104Cusum)
 }

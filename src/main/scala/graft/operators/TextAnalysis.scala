@@ -910,10 +910,62 @@ object TextAnalysis {
            |FROM sh s JOIN first f USING (sh)
            |GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  // ---------------------------------------------------------------- t23
+  /** Flesch-style readability: words (non-space runs), sentences
+    * (terminator runs, floored at 1), and a syllable proxy (vowel-group
+    * runs — the standard dictionary-free estimator), combined as
+    * 206.835 − 1.015·(words/sentences) − 84.6·(vgroups/words) and
+    * banded easy/medium/hard. A pure per-row projection — zero
+    * shuffles, fully codegen'd, embarrassingly parallel at any scale —
+    * and a core training-data curation signal (readability-banded
+    * mixing). */
+  val t23Readability = QueryDef(
+    "t23_readability",
+    (s, d) => {
+      val doc = Tables.documents(s, d)
+      val words = size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+      val sents = greatest(lit(1),
+        size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))))
+      val vg = size(regexp_extract_all(lower(col("text")),
+        lit("[aeiouy]+"), lit(0)))
+      doc.filter(words > 0)
+        .select(col("doc_id"), col("lang"),
+          words.cast("long").as("n_words"),
+          sents.cast("long").as("n_sents"),
+          vg.cast("long").as("n_vgroups"))
+        .withColumn("flesch",
+          r4(lit(206.835)
+            - lit(1.015) * col("n_words") / col("n_sents")
+            - lit(84.6) * col("n_vgroups") / col("n_words")))
+        .withColumn("band",
+          when(col("flesch") >= 60, "easy")
+            .when(col("flesch") >= 30, "medium").otherwise("hard"))
+        .orderBy("doc_id")
+    },
+    Some("""WITH f AS (
+           |  SELECT doc_id, lang,
+           |    CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT)
+           |      AS n_words,
+           |    CAST(greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+           |      AS BIGINT) AS n_sents,
+           |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+           |      AS BIGINT) AS n_vgroups
+           |  FROM documents),
+           |sc AS (
+           |  SELECT *,
+           |    round((206.835 - 1.015 * n_words / n_sents
+           |      - 84.6 * n_vgroups / n_words) * 10000) / 10000 AS flesch
+           |  FROM f WHERE n_words > 0)
+           |SELECT doc_id, lang, n_words, n_sents, n_vgroups, flesch,
+           |  CASE WHEN flesch >= 60 THEN 'easy'
+           |       WHEN flesch >= 30 THEN 'medium'
+           |       ELSE 'hard' END AS band
+           |FROM sc ORDER BY doc_id""".stripMargin))
+
   val all: Seq[QueryDef] =
     Seq(t01LangId, t02Quality, t03TokenCount, t04RollingHash, t05TfIdf,
       t08UnigramLm, t09TokenEntropy, t10GopherRules, t11BigramLm,
       t12Collocations, t13LangidConfusion, t14Chunking, t15CorpusDatasheet,
       t16ChunkDedup, t17QualityClassifier, t18PplBuckets, t19BpePairs,
-      t21DriftReport, t22Novelty)
+      t21DriftReport, t22Novelty, t23Readability)
 }

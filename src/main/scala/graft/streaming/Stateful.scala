@@ -926,6 +926,62 @@ object Stateful {
       watermarkWakeups = true)
   }
 
+  /** Per-customer running RFM state (q102's `per` table). */
+  final case class RfmRow(o_custkey: Long, rec_days: Long, freq: Long,
+      mon_cents: Long)
+  final case class RfmState(lastDay: Long, freq: Long, cents: Long,
+      done: Boolean)
+
+  /** Streaming twin of q102's per-customer pass: recency/frequency/
+    * monetary folded as O(1) state per customer — max order day, an
+    * order counter, and an exact BIGINT cents total, all commutative, so
+    * no reorder buffer is needed and arrival order is irrelevant. The
+    * snapshot emits once per customer when the watermark passes
+    * `endDay` (the corpus max order day — the same catalog-at-ingest
+    * stat the batch query takes from its single-column span scan), and
+    * the banding + rollup then run over the emitted customers-sized
+    * table via Behavioral.q102Rollup — identical code to batch.
+    *
+    * Input columns: o_custkey, ts (order timestamp), cents. */
+  def rfmStream(df: DataFrame, endDay: Long, slack: String = "2 hours")
+      : Dataset[RfmRow] = {
+    import org.apache.spark.sql.Encoders
+    implicit val stEnc: Encoder[RfmState] = Encoders.product[RfmState]
+    implicit val outEnc: Encoder[RfmRow] = Encoders.product[RfmRow]
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    implicit val rowEnc: Encoder[(Long, java.sql.Timestamp, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.TIMESTAMP,
+        Encoders.scalaLong)
+    val DayUs = 86400000000L
+    val ds = df.withWatermark("ts", slack)
+      .select("o_custkey", "ts", "cents")
+      .as[(Long, java.sql.Timestamp, Long)]
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (cust: Long, rows: Iterator[(Long, java.sql.Timestamp, Long)],
+            state: GroupState[RfmState]) =>
+          val st0 = state.getOption.getOrElse(RfmState(Long.MinValue, 0L, 0L,
+            false))
+          var lastDay = st0.lastDay; var freq = st0.freq
+          var cents = st0.cents
+          rows.foreach { r =>
+            val day = microsOf(r._2) / DayUs
+            if (day > lastDay) lastDay = day
+            freq += 1L; cents += r._3
+          }
+          val wm = state.getCurrentWatermarkMs()
+          if (!st0.done && wm > endDay * 86400000L + 1L) {
+            state.update(RfmState(lastDay, freq, cents, true))
+            Iterator.single(RfmRow(cust, endDay - lastDay, freq, cents))
+          } else {
+            state.update(RfmState(lastDay, freq, cents, st0.done))
+            if (!st0.done) state.setTimeoutTimestamp(wm + 1L)
+            Iterator.empty
+          }
+      }
+  }
+
   /** Per-user event counts in each timeline half (q85's `wide` table). */
   final case class HalfCounts(user_id: Long, c1: Long, c2: Long)
   final case class HalfState(c1: Long, c2: Long, done: Boolean)

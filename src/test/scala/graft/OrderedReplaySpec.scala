@@ -305,6 +305,68 @@ class OrderedReplaySpec extends SparkSpec {
         s"batch-only: ${batchAgg.toSet.diff(streamedAgg.toSet).take(3)}")
   }
 
+  test("streaming RFM: per-customer state == batch q102 rollup") {
+    val s = spark
+    import s.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+
+    // corpus max order day (catalog stat at ingest — the batch query's
+    // single-column span scan)
+    val dmax = Tables.orders(s, sf)
+      .select((unix_micros(col("o_orderdate").cast("timestamp"))
+        / 86400000000L).cast("long").as("day"))
+      .agg(max("day")).head.getLong(0)
+    // the RFM state is commutative (max/count/sum), but the FEED must
+    // still respect the watermark contract — rows arriving after the
+    // watermark passes the timeline end are late-beyond-slack and
+    // correctly dropped — so shuffle within the slack horizon (the
+    // shuffledEvents convention: jitter < 30 min against 2 h slack)
+    val orders = Tables.orders(s, sf)
+      .select(col("o_custkey"),
+        col("o_orderdate").cast("timestamp").as("ts"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .as[(Long, java.sql.Timestamp, Long)].collect()
+      .sortBy { r =>
+        val jitter = Math.floorMod(r._1 * 2654435761L + r._3, 1800000L)
+        (r._2.getTime + jitter, r._1)
+      }
+
+    val input = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val q = Stateful.rfmStream(
+        input.toDS().toDF("o_custkey", "ts", "cents"), dmax, "2 hours")
+      .writeStream.format("memory").queryName("ooo_rfm")
+      .trigger(Trigger.ProcessingTime(50)).start()
+    val third = orders.length / 3
+    Seq(orders.slice(0, third), orders.slice(third, 2 * third),
+      orders.drop(2 * third)).foreach { chunk =>
+      input.addData(chunk.toSeq); q.processAllAvailable()
+    }
+    // two sentinel rounds: the first advances the watermark past the
+    // timeline end, the second runs the batch in which the event-time
+    // timeouts fire and every customer's snapshot emits
+    val sentTs = new java.sql.Timestamp((dmax + 30L) * 86400000L)
+    for (i <- 1 to 2) {
+      input.addData((-1L, new java.sql.Timestamp(sentTs.getTime + i), 0L))
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    val wide = s.table("ooo_rfm").filter("o_custkey >= 0")
+    assert(wide.count() > 0)
+    val streamed = operators.Behavioral.q102Rollup(wide).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toSeq
+    val batch = SparkEntry.queries("q102_rfm_segments")(s, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toSeq
+    // identical rollup code over identical integer state ⇒ bit-for-bit
+    assert(streamed == batch,
+      s"stream-only: ${streamed.toSet.diff(batch.toSet).take(3)}; " +
+        s"batch-only: ${batch.toSet.diff(streamed.toSet).take(3)}")
+  }
+
   test("streaming decile mobility: half counts == batch q85 cross-tab") {
     val s = spark
     // timeline span (one min/max agg — a catalog stat at ingest, as the

@@ -53,4 +53,16 @@ class ScaleInvarianceSpec extends SparkSpec {
   test("q77 grouped heavy hitters invariant to partition count") {
     invariant("q77_group_heavy_hitters", sf001)
   }
+
+  test("q102 RFM segments invariant to partition count (exact cents)") {
+    invariant("q102_rfm_segments", sf001)
+  }
+
+  test("q103 cohort LTV invariant to partition count (exact cents)") {
+    invariant("q103_cohort_ltv", sf001)
+  }
+
+  test("q104 CUSUM invariant to partition count (integer pipeline)") {
+    invariant("q104_cusum_changepoint", sf001)
+  }
 }
