@@ -602,6 +602,39 @@ object Behavioral {
            |    AS avg_rec_days
            |FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin))
 
+  /** Shared tail of q103: roll a per-(customer, cohort-month,
+    * order-month) cell table — columns (o_custkey, cm, om, n, mcents) —
+    * into the registered cohort-LTV output. Factored out so the
+    * streaming twin (Stateful.cohortStream's emitted snapshot) runs
+    * IDENTICAL code after its incremental per-customer state pass. */
+  def q103Rollup(custMonth: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    // cells and sizes both derive from custMonth — rename the join key
+    // on the sizes side so the self-join never carries conflicting
+    // attribute references (bites when custMonth is a memory-sink table)
+    val sizes = custMonth.select("o_custkey", "cm").distinct()
+      .groupBy("cm").agg(count(lit(1)).as("cohort_size"))
+      .withColumnRenamed("cm", "cm_sz")
+    val cells = custMonth
+      .withColumn("age", (col("om") - col("cm")).cast("int"))
+      .groupBy(col("cm"), col("age"))
+      .agg(sum("n").as("n_orders"), count(lit(1)).as("n_active"),
+        sum("mcents").as("rev_cents"))
+    val w = Window.partitionBy("cm").orderBy("age")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells.join(broadcast(sizes), col("cm") === col("cm_sz"))
+      .drop("cm_sz")
+      .withColumn("cum_cents", sum("rev_cents").over(w))
+      .select(
+        ((col("cm") - 1) / 12).cast("int").as("cohort_year"),
+        (((col("cm") - 1) % 12) + 1).cast("int").as("cohort_month"),
+        col("age"), col("n_orders"), col("n_active"), col("cohort_size"),
+        r2(col("rev_cents") / 100.0).as("revenue"),
+        r4(col("cum_cents") / 100.0 / col("cohort_size"))
+          .as("ltv_per_customer"))
+      .orderBy("cohort_year", "cohort_month", "age")
+  }
+
   // --------------------------------------------------------------- q103
   /** Cohort lifetime value: customers are cohorted by first-order month;
     * each later order lands in an age bucket (months since cohort), and
@@ -624,26 +657,10 @@ object Behavioral {
             .cast("long").as("om"),
           round(col("o_totalprice") * 100).cast("long").as("cents"))
       val coh = ord.groupBy("o_custkey").agg(min("om").as("cm"))
-      val sizes = coh.groupBy("cm")
-        .agg(count(lit(1)).as("cohort_size"))
-      val cells = ord.join(coh, "o_custkey")
-        .withColumn("age", (col("om") - col("cm")).cast("int"))
-        .groupBy(col("cm"), col("age"))
-        .agg(count(lit(1)).as("n_orders"),
-          countDistinct("o_custkey").as("n_active"),
-          sum("cents").as("rev_cents"))
-      val w = Window.partitionBy("cm").orderBy("age")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      cells.join(broadcast(sizes), "cm")
-        .withColumn("cum_cents", sum("rev_cents").over(w))
-        .select(
-          ((col("cm") - 1) / 12).cast("int").as("cohort_year"),
-          (((col("cm") - 1) % 12) + 1).cast("int").as("cohort_month"),
-          col("age"), col("n_orders"), col("n_active"), col("cohort_size"),
-          r2(col("rev_cents") / 100.0).as("revenue"),
-          r4(col("cum_cents") / 100.0 / col("cohort_size"))
-            .as("ltv_per_customer"))
-        .orderBy("cohort_year", "cohort_month", "age")
+      val custMonth = ord.join(coh, "o_custkey")
+        .groupBy("o_custkey", "cm", "om")
+        .agg(count(lit(1)).as("n"), sum("cents").as("mcents"))
+      q103Rollup(custMonth)
     },
     Some("""WITH ord AS (
            |  SELECT o_custkey,

@@ -982,6 +982,70 @@ object Stateful {
       }
   }
 
+  /** One (customer, order-month) accumulator cell (q103's `custMonth`
+    * table): cm = the customer's cohort month, om = the order month. */
+  final case class CustMonth(o_custkey: Long, cm: Long, om: Long, n: Long,
+      mcents: Long)
+  final case class CohortState(months: Seq[(Long, Long, Long)],
+      done: Boolean)
+
+  /** Streaming twin of q103's per-customer pass: each customer's order
+    * history folds into a month → (order count, exact BIGINT cents)
+    * map, state bounded by the CALENDAR (months in the timeline), not
+    * order volume. The fold is commutative, so arrival order within the
+    * watermark contract is irrelevant; the cohort month is resolved at
+    * close as the minimum month seen (no ordering assumption on which
+    * order arrives first). Snapshots emit when the watermark passes
+    * `endDay` (the corpus max order day — the catalog-at-ingest stat),
+    * and the cohort/age rollup then runs over the emitted table via
+    * Behavioral.q103Rollup — identical code to batch.
+    *
+    * Input columns: o_custkey, ts (order timestamp), cents. */
+  def cohortStream(df: DataFrame, endDay: Long, slack: String = "2 hours")
+      : Dataset[CustMonth] = {
+    import org.apache.spark.sql.Encoders
+    implicit val stEnc: Encoder[CohortState] = Encoders.product[CohortState]
+    implicit val outEnc: Encoder[CustMonth] = Encoders.product[CustMonth]
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    implicit val rowEnc: Encoder[(Long, java.sql.Timestamp, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.TIMESTAMP,
+        Encoders.scalaLong)
+    val ds = df.withWatermark("ts", slack)
+      .select("o_custkey", "ts", "cents")
+      .as[(Long, java.sql.Timestamp, Long)]
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (cust: Long, rows: Iterator[(Long, java.sql.Timestamp, Long)],
+            state: GroupState[CohortState]) =>
+          val st0 = state.getOption.getOrElse(CohortState(Nil, false))
+          val acc = scala.collection.mutable.LinkedHashMap
+            .from(st0.months.map(m => m._1 -> (m._2, m._3)))
+          rows.foreach { r =>
+            val c = java.util.Calendar.getInstance(
+              java.util.TimeZone.getTimeZone("UTC"))
+            c.setTimeInMillis(r._2.getTime)
+            val om = (c.get(java.util.Calendar.YEAR) * 12
+              + c.get(java.util.Calendar.MONTH) + 1).toLong
+            val (n0, s0) = acc.getOrElse(om, (0L, 0L))
+            acc(om) = (n0 + 1L, s0 + r._3)
+          }
+          val months = acc.iterator.map(kv => (kv._1, kv._2._1, kv._2._2))
+            .toSeq
+          val wm = state.getCurrentWatermarkMs()
+          if (!st0.done && wm > endDay * 86400000L + 1L) {
+            state.update(CohortState(months, true))
+            val cm = months.iterator.map(_._1).min
+            months.iterator
+              .map(m => CustMonth(cust, cm, m._1, m._2, m._3))
+          } else {
+            state.update(CohortState(months, st0.done))
+            if (!st0.done) state.setTimeoutTimestamp(wm + 1L)
+            Iterator.empty
+          }
+      }
+  }
+
   /** Per-user event counts in each timeline half (q85's `wide` table). */
   final case class HalfCounts(user_id: Long, c1: Long, c2: Long)
   final case class HalfState(c1: Long, c2: Long, done: Boolean)

@@ -367,6 +367,59 @@ class OrderedReplaySpec extends SparkSpec {
         s"batch-only: ${batch.toSet.diff(streamed.toSet).take(3)}")
   }
 
+  test("streaming cohort LTV: per-customer month map == batch q103") {
+    val s = spark
+    import s.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+
+    val dmax = Tables.orders(s, sf)
+      .select((unix_micros(col("o_orderdate").cast("timestamp"))
+        / 86400000000L).cast("long").as("day"))
+      .agg(max("day")).head.getLong(0)
+    // shuffled within the slack horizon (the shuffledEvents convention)
+    val orders = Tables.orders(s, sf)
+      .select(col("o_custkey"),
+        col("o_orderdate").cast("timestamp").as("ts"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"))
+      .as[(Long, java.sql.Timestamp, Long)].collect()
+      .sortBy { r =>
+        val jitter = Math.floorMod(r._1 * 2654435761L + r._3, 1800000L)
+        (r._2.getTime + jitter, r._1)
+      }
+
+    val input = MemoryStream[(Long, java.sql.Timestamp, Long)]
+    val q = Stateful.cohortStream(
+        input.toDS().toDF("o_custkey", "ts", "cents"), dmax, "2 hours")
+      .writeStream.format("memory").queryName("ooo_cohort")
+      .trigger(Trigger.ProcessingTime(50)).start()
+    val third = orders.length / 3
+    Seq(orders.slice(0, third), orders.slice(third, 2 * third),
+      orders.drop(2 * third)).foreach { chunk =>
+      input.addData(chunk.toSeq); q.processAllAvailable()
+    }
+    val sentTs = new java.sql.Timestamp((dmax + 30L) * 86400000L)
+    for (i <- 1 to 2) {
+      input.addData((-1L, new java.sql.Timestamp(sentTs.getTime + i), 0L))
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    val snap = s.table("ooo_cohort").filter("o_custkey >= 0")
+    assert(snap.count() > 0)
+    val streamed = operators.Behavioral.q103Rollup(snap).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6), r.getDouble(7))).toSeq
+    val batch = SparkEntry.queries("q103_cohort_ltv")(s, sf).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6), r.getDouble(7))).toSeq
+    // identical rollup code over identical integer state ⇒ bit-for-bit
+    assert(streamed == batch,
+      s"stream-only: ${streamed.toSet.diff(batch.toSet).take(3)}; " +
+        s"batch-only: ${batch.toSet.diff(streamed.toSet).take(3)}")
+  }
+
   test("streaming decile mobility: half counts == batch q85 cross-tab") {
     val s = spark
     // timeline span (one min/max agg — a catalog stat at ingest, as the
