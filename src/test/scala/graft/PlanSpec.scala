@@ -244,4 +244,49 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "corpus must not shuffle-join")
     assert(p.contains("cosine_similarity"), "scoring must stay native")
   }
+
+  test("q102: fixed-band RFM scoring has no window at all") {
+    val p = plan("q102_rfm_segments")
+    // the whole point of value bands over ntile: projection + hash-aggs
+    assert(!p.contains("Window"), "fixed bands must not rank customers")
+    assert(p.contains("HashAggregate"), "rollup must hash-aggregate")
+  }
+
+  test("q103: the LTV window runs over the cohort aggregate, not orders") {
+    val p = plan("q103_cohort_ltv")
+    // the window's child chain must contain an aggregate below it —
+    // the running sum sees (cohort × age) cells, never raw orders
+    val winIdx = p.indexOf("Window")
+    assert(winIdx >= 0, "running LTV needs its window")
+    assert(p.indexOf("HashAggregate", winIdx) >= 0,
+      "window input must be the aggregated cohort cells")
+  }
+
+  test("q104: CUSUM windows only the (type, day) aggregate") {
+    val p = plan("q104_cusum_changepoint")
+    val winIdx = p.indexOf("Window")
+    assert(winIdx >= 0, "running CUSUM needs its window")
+    assert(p.indexOf("HashAggregate", winIdx) >= 0,
+      "window input must be the daily aggregate, not raw events")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "series stats must broadcast back, not shuffle-join")
+  }
+
+  test("q105: pair counts shuffle-hash; top-1 windows the aggregate") {
+    val p = plan("q105_mutual_top_partner")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "co-purchase pairing must stay an equi-join on the order key")
+    val winIdx = p.indexOf("Window")
+    assert(winIdx >= 0 && p.indexOf("HashAggregate", winIdx) >= 0,
+      "row_number must rank the aggregated pair counts, not lineitem")
+  }
+
+  test("t23: readability is a pure projection — no exchange before sort") {
+    val p = plan("t23_readability")
+    assert(!p.contains("HashAggregate") && !p.contains("Join"),
+      "scoring must stay per-row")
+    // exactly the output-order sort's single exchange
+    assert("Exchange".r.findAllIn(p).length <= 1, p.take(400))
+  }
 }
