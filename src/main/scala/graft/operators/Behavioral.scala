@@ -685,7 +685,164 @@ object Behavioral {
            |FROM cells JOIN sizes USING (cm)
            |ORDER BY 1, 2, 3""".stripMargin))
 
+  // --------------------------------------------------------------- q106
+  /** A/B experiment readout: view-exposed users split into control/
+    * treatment by a deterministic md5 hash (q46/q87's convention — a
+    * deployment joins its assignment table instead), conversion = a
+    * purchase within 24 h of the first view, reported as per-arm rates,
+    * absolute lift, and the pooled two-proportion z-score the
+    * ship/no-ship decision reads.
+    *
+    * Scale shape: one per-user hash-agg (map-side combined), then a
+    * single-row global aggregate — the corpus collapses before any
+    * statistics. Counts are exact BIGINTs; the rates/lift/z are final
+    * per-row divisions of exact integers, so the readout is bit-stable
+    * across partitionings and engines. */
+  val q106AbLift = QueryDef(
+    "q106_ab_lift",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"))
+      // exposed population = users with a first view; conversion = a
+      // purchase within 24 h after it (the q57/q107 funnel sequencing)
+      val exposed = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t1"))
+      val per = ev.filter(col("event_type") === "purchase")
+        .join(exposed, "user_id")
+        .groupBy("user_id")
+        .agg(max(when(col("ts") > col("t1") &&
+            unix_micros(col("ts")) - unix_micros(col("t1")) <= 86400000000L,
+          1L).otherwise(0L)).as("conv"))
+        .join(exposed.select("user_id"), Seq("user_id"), "right_outer")
+        .na.fill(0L, Seq("conv"))
+        .withColumn("arm",
+          (expr("cast(conv(substring(md5(cast(user_id as string)), 1, 8), 16, 10) as bigint)")
+            % 2).cast("int"))
+      val agg = per.agg(
+        sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_control"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_treat"),
+        sum(when(col("arm") === 0, col("conv")).otherwise(0L))
+          .as("conv_control"),
+        sum(when(col("arm") === 1, col("conv")).otherwise(0L))
+          .as("conv_treat"))
+      agg
+        .withColumn("rate_control",
+          r6(col("conv_control").cast("double") / col("n_control")))
+        .withColumn("rate_treat",
+          r6(col("conv_treat").cast("double") / col("n_treat")))
+        .withColumn("abs_lift",
+          r6(col("conv_treat").cast("double") / col("n_treat")
+            - col("conv_control").cast("double") / col("n_control")))
+        .withColumn("p_pool",
+          (col("conv_control") + col("conv_treat")).cast("double")
+            / (col("n_control") + col("n_treat")))
+        .withColumn("z_score",
+          r4((col("conv_treat").cast("double") / col("n_treat")
+              - col("conv_control").cast("double") / col("n_control"))
+            / sqrt(col("p_pool") * (lit(1.0) - col("p_pool"))
+              * (lit(1.0) / col("n_control") + lit(1.0) / col("n_treat")))))
+        .drop("p_pool")
+    },
+    Some("""WITH exposed AS (
+           |  SELECT user_id, min(ts) AS t1 FROM events
+           |  WHERE event_type = 'view' GROUP BY 1),
+           |per AS (
+           |  SELECT x.user_id,
+           |    coalesce(max(CASE WHEN e.event_type = 'purchase'
+           |      AND e.ts > t1
+           |      AND epoch_us(e.ts) - epoch_us(t1) <= 86400000000
+           |      THEN 1 ELSE 0 END), 0) AS conv,
+           |    ('0x' || substr(md5(CAST(x.user_id AS VARCHAR)), 1, 8))::BIGINT
+           |      % 2 AS arm
+           |  FROM exposed x LEFT JOIN events e
+           |    ON e.user_id = x.user_id AND e.event_type = 'purchase'
+           |  GROUP BY x.user_id),
+           |agg AS (
+           |  SELECT
+           |    sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_control,
+           |    sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_treat,
+           |    sum(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS conv_control,
+           |    sum(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS conv_treat
+           |  FROM per)
+           |SELECT CAST(n_control AS BIGINT) AS n_control,
+           |  CAST(n_treat AS BIGINT) AS n_treat,
+           |  CAST(conv_control AS BIGINT) AS conv_control,
+           |  CAST(conv_treat AS BIGINT) AS conv_treat,
+           |  round(CAST(conv_control AS DOUBLE) / n_control * 1000000)
+           |    / 1000000 AS rate_control,
+           |  round(CAST(conv_treat AS DOUBLE) / n_treat * 1000000)
+           |    / 1000000 AS rate_treat,
+           |  round((CAST(conv_treat AS DOUBLE) / n_treat
+           |    - CAST(conv_control AS DOUBLE) / n_control) * 1000000)
+           |    / 1000000 AS abs_lift,
+           |  round((CAST(conv_treat AS DOUBLE) / n_treat
+           |      - CAST(conv_control AS DOUBLE) / n_control)
+           |    / sqrt((CAST(conv_control + conv_treat AS DOUBLE)
+           |        / (n_control + n_treat))
+           |      * (1.0 - CAST(conv_control + conv_treat AS DOUBLE)
+           |        / (n_control + n_treat))
+           |      * (1.0 / n_control + 1.0 / n_treat)) * 10000) / 10000
+           |    AS z_score
+           |FROM agg""".stripMargin))
+
+  // --------------------------------------------------------------- q107
+  /** Conversion-latency distribution: per user, the gap from first view
+    * to the first purchase strictly after it (q57's funnel sequencing),
+    * summarized as exact interpolated percentiles in minutes — the
+    * time-to-convert table under the funnel's how-many counts.
+    *
+    * Scale shape: two filtered per-user hash-aggs and one equi-join
+    * (the q57 shape), then a single-row percentile aggregate over the
+    * users-sized lag table. Lags are exact integer µs; the mean is a
+    * division of exact integers, and the percentile interpolation runs
+    * on integers so both engines compute identical doubles. */
+  val q107ConversionLag = QueryDef(
+    "q107_conversion_lag",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val v = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t1"))
+      val lag = ev.filter(col("event_type") === "purchase")
+        .join(v, "user_id").filter(col("ts") > col("t1"))
+        .groupBy("user_id")
+        .agg((unix_micros(min("ts")) - unix_micros(min("t1"))).as("lag_us"))
+      lag.agg(
+        count(lit(1)).as("n_converted"),
+        r4(sum("lag_us").cast("double") / count(lit(1)) / 60000000.0)
+          .as("mean_minutes"),
+        r4(expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY lag_us)")
+          / 60000000.0).as("p50_minutes"),
+        r4(expr("percentile_cont(0.9) WITHIN GROUP (ORDER BY lag_us)")
+          / 60000000.0).as("p90_minutes"),
+        r4(expr("percentile_cont(0.99) WITHIN GROUP (ORDER BY lag_us)")
+          / 60000000.0).as("p99_minutes"),
+        r4(max("lag_us").cast("double") / 60000000.0).as("max_minutes"))
+    },
+    Some("""WITH v AS (
+           |  SELECT user_id, min(ts) AS t1 FROM events
+           |  WHERE event_type = 'view' GROUP BY 1),
+           |lag AS (
+           |  SELECT e.user_id,
+           |    epoch_us(min(e.ts)) - epoch_us(min(t1)) AS lag_us
+           |  FROM events e JOIN v USING (user_id)
+           |  WHERE e.event_type = 'purchase' AND e.ts > t1
+           |  GROUP BY 1)
+           |SELECT CAST(count(*) AS BIGINT) AS n_converted,
+           |  round(CAST(sum(lag_us) AS DOUBLE) / count(*) / 60000000.0
+           |    * 10000) / 10000 AS mean_minutes,
+           |  round(quantile_cont(lag_us, 0.5) / 60000000.0 * 10000) / 10000
+           |    AS p50_minutes,
+           |  round(quantile_cont(lag_us, 0.9) / 60000000.0 * 10000) / 10000
+           |    AS p90_minutes,
+           |  round(quantile_cont(lag_us, 0.99) / 60000000.0 * 10000) / 10000
+           |    AS p99_minutes,
+           |  round(CAST(max(lag_us) AS DOUBLE) / 60000000.0 * 10000) / 10000
+           |    AS max_minutes
+           |FROM lag""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q57Funnel, q58Retention, q61Markov,
     q62SessionPaths, q68Attribution, q80SlidingDistinct, q83PeakConcurrency,
-    q85DecileMobility, q102RfmSegments, q103CohortLtv)
+    q85DecileMobility, q102RfmSegments, q103CohortLtv, q106AbLift,
+    q107ConversionLag)
 }

@@ -77,6 +77,32 @@ class CohortAnalyticsSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("q106: arms partition the exposed users and stats are coherent") {
+    val s = spark
+    val row = operators.Behavioral.q106AbLift.run(s, sf).head
+    val (nc, nt) = (row.getLong(0), row.getLong(1))
+    val (cc, ct) = (row.getLong(2), row.getLong(3))
+    val exposed = Tables.events(s, sf)
+      .filter(col("event_type") === "view")
+      .select(countDistinct("user_id")).head.getLong(0)
+    assert(nc + nt === exposed)
+    assert(cc <= nc && ct <= nt && cc >= 0 && ct >= 0)
+    val (rc, rt) = (row.getDouble(4), row.getDouble(5))
+    assert(rc >= 0.0 && rc <= 1.0 && rt >= 0.0 && rt <= 1.0)
+    // lift is the rate difference (to the 1e-6 rounding grid)
+    assert(math.abs(row.getDouble(6) - (rt - rc)) < 2e-6)
+  }
+
+  test("q107: conversion-lag percentiles are ordered and positive") {
+    val s = spark
+    val row = operators.Behavioral.q107ConversionLag.run(s, sf).head
+    assert(row.getLong(0) > 0)
+    val (mean, p50, p90, p99, mx) = (row.getDouble(1), row.getDouble(2),
+      row.getDouble(3), row.getDouble(4), row.getDouble(5))
+    assert(p50 > 0 && p50 <= p90 && p90 <= p99 && p99 <= mx)
+    assert(mean > 0 && mean <= mx)
+  }
+
   test("t23: bands match the flesch thresholds and counts are sane") {
     val s = spark
     val out = operators.TextAnalysis.t23Readability.run(s, sf).cache()
