@@ -373,6 +373,79 @@ object Multimodal {
     },
     None)
 
+  // ---------------------------------------------------------------- m07
+  /** Interleaved vision+text sequence assembly (the MMC4/OBELICS
+    * dataloader manifest): each document contributes an image element
+    * (fixed 64 vision tokens — the patch-embedding budget a VLM
+    * reserves per image) followed by its text tokens, documents stay
+    * atomic, and consecutive documents pack into 2048-token training
+    * sequences. Output is the per-sequence manifest a dataloader
+    * consumes: element counts, the vision/text token split, fill ratio,
+    * and the first/last document (by pack order) bounding the slice.
+    *
+    * Scale shape: x06's salted distributed prefix sum (md5-bucket carry
+    * base + within-bucket window) computes every document's cumulative
+    * offset without a global single-partition window; the manifest is
+    * one (source, bin) hash-agg with exact-integer argmin/argmax for
+    * the boundary docs. */
+  val m07InterleavedPack = QueryDef(
+    "m07_interleaved_pack",
+    (s, d) => {
+      import graft.functions.{TextFunctions => T}
+      import org.apache.spark.sql.expressions.Window
+      val ctx = 2048.0
+      val VisionTok = 64L
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"),
+          (size(T.tokens(col("text"))) + VisionTok).as("cost"),
+          size(T.tokens(col("text"))).cast("long").as("tok"),
+          md5(col("doc_id").cast("string")).as("h"))
+        .withColumn("bkt", substring(col("h"), 1, 2))
+      val wCarry = Window.partitionBy("source").orderBy("bkt")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = docs.groupBy("source", "bkt")
+        .agg(sum("cost").as("bcost"))
+        .withColumn("base", coalesce(sum("bcost").over(wCarry), lit(0L)))
+        .select("source", "bkt", "base")
+      val wLocal = Window.partitionBy("source", "bkt")
+        .orderBy(col("h"), col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs.join(broadcast(offsets), Seq("source", "bkt"))
+        .withColumn("cum", col("base") + sum("cost").over(wLocal))
+        .select(col("source"), col("doc_id"), col("tok"), col("cost"),
+          col("cum"),
+          floor((col("cum") - col("cost")) / lit(ctx)).cast("long").as("bin"))
+        .groupBy("source", "bin")
+        .agg(count(lit(1)).as("n_docs"),
+          count(lit(1)).as("n_images"),
+          (count(lit(1)) * VisionTok).as("vision_tokens"),
+          sum("tok").as("text_tokens"),
+          r4(sum("cost") / lit(ctx)).as("fill_ratio"),
+          min_by(col("doc_id"), col("cum")).as("first_doc_id"),
+          max_by(col("doc_id"), col("cum")).as("last_doc_id"))
+        .orderBy("source", "bin")
+    },
+    Some("""WITH d AS (
+           |  SELECT doc_id, source,
+           |    len(string_split(text, ' ')) AS tok,
+           |    len(string_split(text, ' ')) + 64 AS cost
+           |  FROM documents),
+           |c AS (
+           |  SELECT source, doc_id, tok, cost,
+           |    sum(cost) OVER (PARTITION BY source
+           |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+           |      ROWS UNBOUNDED PRECEDING) AS cum
+           |  FROM d)
+           |SELECT source, CAST(floor((cum - cost) / 2048.0) AS BIGINT) AS bin,
+           |  CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(count(*) AS BIGINT) AS n_images,
+           |  CAST(count(*) * 64 AS BIGINT) AS vision_tokens,
+           |  CAST(sum(tok) AS BIGINT) AS text_tokens,
+           |  round(sum(cost) / 2048.0 * 10000) / 10000 AS fill_ratio,
+           |  arg_min(doc_id, cum) AS first_doc_id,
+           |  arg_max(doc_id, cum) AS last_doc_id
+           |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(m01Meta, m02Features, m03FrameSample,
-    m04MediaNearDup, m05VadSegments, m06CdcDedup)
+    m04MediaNearDup, m05VadSegments, m06CdcDedup, m07InterleavedPack)
 }

@@ -84,6 +84,32 @@ class AnalyticsInvariantSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("m07: interleaved packing conserves docs, images, and tokens") {
+    val s = spark
+    val out = operators.Multimodal.m07InterleavedPack.run(s, sf).cache()
+    try {
+      val docs = Tables.documents(s, sf)
+        .select(size(split(col("text"), " ")).as("tok"))
+      val nDocs = docs.count()
+      assert(out.agg(sum("n_docs")).head.getLong(0) === nDocs)
+      // exactly one image per document, each costing its fixed budget
+      assert(out.agg(sum("n_images")).head.getLong(0) === nDocs)
+      assert(out.filter(col("vision_tokens") =!= col("n_images") * 64L)
+        .count() === 0)
+      assert(out.agg(sum("text_tokens")).head.getLong(0) ===
+        docs.agg(sum("tok")).head.getLong(0))
+      // the manifest's boundary docs exist and bins start at 0 per shard
+      assert(out.filter(col("first_doc_id").isNull ||
+        col("last_doc_id").isNull).count() === 0)
+      assert(out.groupBy("source").agg(min("bin").as("b"))
+        .filter(col("b") =!= 0).count() === 0)
+      // fill ≈ (vision + text) / 2048 on every row
+      assert(out.filter(abs(col("fill_ratio") -
+          (col("vision_tokens") + col("text_tokens")) / lit(2048.0))
+        > lit(1e-3)).count() === 0)
+    } finally out.unpersist()
+  }
+
   test("s07: flagged outliers are the per-label cosine minima, z < 0") {
     val s = spark
     val out = operators.Similarity.s07CentroidOutliers.run(s, sf).cache()
