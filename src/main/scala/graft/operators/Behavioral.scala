@@ -715,10 +715,21 @@ object Behavioral {
           1L).otherwise(0L)).as("conv"))
         .join(exposed.select("user_id"), Seq("user_id"), "right_outer")
         .na.fill(0L, Seq("conv"))
-        .withColumn("arm",
-          (expr("cast(conv(substring(md5(cast(user_id as string)), 1, 8), 16, 10) as bigint)")
-            % 2).cast("int"))
-      val agg = per.agg(
+      q106Rollup(per)
+    },
+    q106OracleSql)
+
+  /** Shared tail of q106: md5-arm a per-user (user_id, conv) table and
+    * reduce it to the one-row experiment readout. Factored out so the
+    * streaming twin (Stateful.abStream's emitted snapshot) runs
+    * IDENTICAL code after its incremental per-user state pass. */
+  def q106Rollup(perUser: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val per = perUser
+      .withColumn("arm",
+        (expr("cast(conv(substring(md5(cast(user_id as string)), 1, 8), 16, 10) as bigint)")
+          % 2).cast("int"))
+    val agg = per.agg(
         sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_control"),
         sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_treat"),
         sum(when(col("arm") === 0, col("conv")).otherwise(0L))
@@ -742,8 +753,10 @@ object Behavioral {
             / sqrt(col("p_pool") * (lit(1.0) - col("p_pool"))
               * (lit(1.0) / col("n_control") + lit(1.0) / col("n_treat")))))
         .drop("p_pool")
-    },
-    Some("""WITH exposed AS (
+  }
+
+  // lazy: referenced by q106AbLift's constructor above its declaration
+  private lazy val q106OracleSql = Some("""WITH exposed AS (
            |  SELECT user_id, min(ts) AS t1 FROM events
            |  WHERE event_type = 'view' GROUP BY 1),
            |per AS (
@@ -783,7 +796,7 @@ object Behavioral {
            |        / (n_control + n_treat))
            |      * (1.0 / n_control + 1.0 / n_treat)) * 10000) / 10000
            |    AS z_score
-           |FROM agg""".stripMargin))
+           |FROM agg""".stripMargin)
 
   // --------------------------------------------------------------- q107
   /** Conversion-latency distribution: per user, the gap from first view

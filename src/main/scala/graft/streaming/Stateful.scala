@@ -926,6 +926,71 @@ object Stateful {
       watermarkWakeups = true)
   }
 
+  /** One exposed user's experiment outcome (q106's `per` table). */
+  final case class AbUser(user_id: Long, conv: Long)
+  final case class AbState(minViewUs: Long, purchases: Seq[Long],
+      done: Boolean)
+
+  /** Streaming twin of q106's per-user pass — the live experiment
+    * counter. State per user: the running min first-view time plus the
+    * purchases still inside the live 24 h qualification window (a
+    * purchase with p − t1 > 24 h can NEVER qualify later — t1 only
+    * decreases, widening the gap — so it prunes immediately; state is
+    * bounded by the per-user purchase rate × window, the asofFwdStream
+    * pending-seq posture). Conversion is deliberately NOT decided
+    * during replay: a late-arriving EARLIER view lowers t1 and can push
+    * a previously-in-window purchase past 24 h, so the p > t1 ∧
+    * p − t1 ≤ 24 h test runs once at close against the final t1.
+    * Users with no view never emit (the exposed-population filter).
+    * The arm split + z-score readout then runs over the emitted
+    * snapshot via Behavioral.q106Rollup — identical code to batch. */
+  def abStream(df: DataFrame, endDay: Long, slack: String = "2 hours")
+      : Dataset[AbUser] = {
+    import org.apache.spark.sql.Encoders
+    implicit val stEnc: Encoder[AbState] = Encoders.product[AbState]
+    implicit val outEnc: Encoder[AbUser] = Encoders.product[AbUser]
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    implicit val evEnc: Encoder[Ev] = Encoders.product[Ev]
+    val TolUs = 86400000000L
+    val ds = df.withWatermark("ts", slack)
+      .select("user_id", "ts", "event_id", "event_type", "value").as[Ev]
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[Ev], state: GroupState[AbState]) =>
+          val st0 = state.getOption.getOrElse(AbState(Long.MaxValue, Nil,
+            false))
+          var minView = st0.minViewUs
+          var purch = st0.purchases
+          rows.foreach { e =>
+            val t = microsOf(e._2)
+            e._4 match {
+              case "view" if t < minView =>
+                minView = t
+                purch = purch.filter(p => p - minView <= TolUs)
+              case "purchase" if minView == Long.MaxValue ||
+                  t - minView <= TolUs =>
+                purch = purch :+ t
+              case _ => ()
+            }
+          }
+          val wm = state.getCurrentWatermarkMs()
+          if (!st0.done && wm > endDay * 86400000L + 1L) {
+            state.update(AbState(minView, Nil, true))
+            if (minView == Long.MaxValue) Iterator.empty
+            else {
+              val conv = purch.exists(p =>
+                p > minView && p - minView <= TolUs)
+              Iterator.single(AbUser(user, if (conv) 1L else 0L))
+            }
+          } else {
+            state.update(AbState(minView, purch, st0.done))
+            if (!st0.done) state.setTimeoutTimestamp(wm + 1L)
+            Iterator.empty
+          }
+      }
+  }
+
   /** Per-customer running RFM state (q102's `per` table). */
   final case class RfmRow(o_custkey: Long, rec_days: Long, freq: Long,
       mon_cents: Long)

@@ -305,6 +305,26 @@ class OrderedReplaySpec extends SparkSpec {
         s"batch-only: ${batchAgg.toSet.diff(streamedAgg.toSet).take(3)}")
   }
 
+  test("streaming A/B readout: per-user conversion state == batch q106") {
+    val s = spark
+    val endDay = Tables.events(s, sf)
+      .select((unix_micros(col("ts")) / 86400000000L).cast("long").as("day"))
+      .agg(max("day")).head.getLong(0)
+    val out = runStream("ooo_ab")(df => Stateful.abStream(df, endDay))
+    val snap = out.filter("user_id >= 0")
+    assert(snap.count() > 0)
+    val streamed = operators.Behavioral.q106Rollup(snap).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7)))
+      .toSeq
+    val batch = SparkEntry.queries("q106_ab_lift")(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6), r.getDouble(7)))
+      .toSeq
+    // identical rollup code over identical integer state ⇒ bit-for-bit
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+  }
+
   test("streaming RFM: per-customer state == batch q102 rollup") {
     val s = spark
     import s.implicits._
