@@ -854,8 +854,59 @@ object Behavioral {
            |    AS max_minutes
            |FROM lag""".stripMargin))
 
+  // --------------------------------------------------------------- q108
+  /** Conversion trend: q106's 24 h-conversion metric cut by the WEEK of
+    * each user's first view — the time series a team watches to see
+    * whether a launch moved the funnel, and the temporal complement of
+    * q106's single-number readout.
+    *
+    * Scale shape: the same two per-user hash-aggs + equi-join as
+    * q106/q107, then one calendar-bounded (week) hash-agg; counts are
+    * exact BIGINTs and the rate is a final per-row division. */
+  val q108FunnelTrend = QueryDef(
+    "q108_funnel_trend",
+    (s, d) => {
+      val WeekUs = 604800000000L
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"))
+      val exposed = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t1"))
+      val conv = ev.filter(col("event_type") === "purchase")
+        .join(exposed, "user_id")
+        .groupBy("user_id")
+        .agg(max(when(col("ts") > col("t1") &&
+            unix_micros(col("ts")) - unix_micros(col("t1")) <= 86400000000L,
+          1L).otherwise(0L)).as("conv"))
+      exposed.join(conv, Seq("user_id"), "left_outer")
+        .na.fill(0L, Seq("conv"))
+        .withColumn("week",
+          (unix_micros(col("t1")) / WeekUs).cast("long"))
+        .groupBy("week")
+        .agg(count(lit(1)).as("n_exposed"),
+          sum("conv").as("n_converted"),
+          r6(sum("conv").cast("double") / count(lit(1))).as("conv_rate"))
+        .orderBy("week")
+    },
+    Some("""WITH exposed AS (
+           |  SELECT user_id, min(ts) AS t1 FROM events
+           |  WHERE event_type = 'view' GROUP BY 1),
+           |conv AS (
+           |  SELECT e.user_id,
+           |    max(CASE WHEN e.ts > t1
+           |      AND epoch_us(e.ts) - epoch_us(t1) <= 86400000000
+           |      THEN 1 ELSE 0 END) AS conv
+           |  FROM events e JOIN exposed USING (user_id)
+           |  WHERE e.event_type = 'purchase' GROUP BY 1)
+           |SELECT epoch_us(t1) // 604800000000 AS week,
+           |  CAST(count(*) AS BIGINT) AS n_exposed,
+           |  CAST(sum(coalesce(conv, 0)) AS BIGINT) AS n_converted,
+           |  round(CAST(sum(coalesce(conv, 0)) AS DOUBLE) / count(*)
+           |    * 1000000) / 1000000 AS conv_rate
+           |FROM exposed LEFT JOIN conv USING (user_id)
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q57Funnel, q58Retention, q61Markov,
     q62SessionPaths, q68Attribution, q80SlidingDistinct, q83PeakConcurrency,
     q85DecileMobility, q102RfmSegments, q103CohortLtv, q106AbLift,
-    q107ConversionLag)
+    q107ConversionLag, q108FunnelTrend)
 }

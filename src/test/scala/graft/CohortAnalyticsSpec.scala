@@ -103,6 +103,23 @@ class CohortAnalyticsSpec extends SparkSpec {
     assert(mean > 0 && mean <= mx)
   }
 
+  test("q108: weekly trend reconciles with q106's global readout") {
+    val s = spark
+    val trend = operators.Behavioral.q108FunnelTrend.run(s, sf).cache()
+    try {
+      val ab = operators.Behavioral.q106AbLift.run(s, sf).head
+      // Σweeks == the experiment's exposed/converted totals
+      assert(trend.agg(sum("n_exposed")).head.getLong(0) ===
+        ab.getLong(0) + ab.getLong(1))
+      assert(trend.agg(sum("n_converted")).head.getLong(0) ===
+        ab.getLong(2) + ab.getLong(3))
+      assert(trend.filter(col("n_converted") > col("n_exposed"))
+        .count() === 0)
+      assert(trend.filter(col("conv_rate") < 0 || col("conv_rate") > 1)
+        .count() === 0)
+    } finally trend.unpersist()
+  }
+
   test("t23: bands match the flesch thresholds and counts are sane") {
     val s = spark
     val out = operators.TextAnalysis.t23Readability.run(s, sf).cache()
