@@ -35,6 +35,33 @@ class ExtensionsSpec extends SparkSpec {
       events.filter(col("event_type") === "click").count())
   }
 
+  test("dynamic partition pruning: a dim-side filter prunes fact dirs at runtime") {
+    val s = spark
+    import s.implicits._
+    val factDir = tmpDir("dpp_fact")
+    val dimDir = tmpDir("dpp_dim")
+    val events = Tables.events(s, "/root/testdata/sf0.001")
+    events.write.mode("overwrite").partitionBy("event_type").parquet(factDir)
+    // dim carries an attribute the filter hits — the partition keys to
+    // keep are only known AFTER the dim scan runs, so static pruning
+    // can't apply and the optimizer must inject a runtime DPP filter
+    Seq(("click", "funnel"), ("view", "funnel"), ("purchase", "revenue"),
+      ("login", "auth"), ("logout", "auth"))
+      .toDF("event_type", "family").write.mode("overwrite").parquet(dimDir)
+
+    val fact = s.read.parquet(factDir)
+    val dim = s.read.parquet(dimDir).filter(col("family") === "revenue")
+    val joined = fact.join(dim, "event_type")
+      .agg(count(lit(1)).as("n"), sum("value").as("sv"))
+    val plan = joined.queryExecution.executedPlan.toString
+    // at 100 TB this is the TPC-DS star-join saver: the fact scan lists
+    // only the partitions the filtered dim admits, at runtime
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected a runtime partition-pruning subquery in:\n${plan.take(1200)}")
+    assert(joined.head.getLong(0) ===
+      events.filter(col("event_type") === "purchase").count())
+  }
+
   test("bucketed tables co-locate the join: no shuffle exchange in the plan") {
     val s = spark
     import s.implicits._
