@@ -7,7 +7,7 @@ import org.apache.spark.sql.graft.Bridge
 import org.apache.spark.sql.types.LongType
 
 import graft.{QueryDef, Tables}
-import graft.plans.{AsOfJoinPlan, AsOfJoinStrategy}
+import graft.plans.{AsOfJoinPlan, AsOfJoinStrategy, BandJoinPlan, BandJoinStrategy}
 
 /** DataFrame-level entry point for the native as-of join operator
   * (graft.plans.AsOfJoinExec). Resolves the key/time/sequence columns
@@ -47,6 +47,21 @@ object AsOf {
       tolUs, forward))
   }
 
+  /** Native keyed band join (graft.plans.BandJoinExec): inner pairs
+    * with equal keys and |rightTs − leftTs| ≤ tolUs, executed as one
+    * co-partitioned sliding-window merge. */
+  def bandJoin(left: DataFrame, right: DataFrame,
+      leftKey: String, rightKey: String, leftTs: String, rightTs: String,
+      tolUs: Long): DataFrame = {
+    require(tolUs >= 0L, s"band tolerance must be >= 0, got $tolUs")
+    val spark = left.sparkSession
+    Bridge.addStrategy(spark, new BandJoinStrategy)
+    Bridge.ofRows(spark, BandJoinPlan(
+      Bridge.analyzed(left), Bridge.analyzed(right),
+      attr(left, leftKey), attr(right, rightKey),
+      attr(left, leftTs), attr(right, rightTs), tolUs))
+  }
+
   // --------------------------------------------------------------- q101
   /** q25's click→latest-purchase enrichment through the NATIVE operator
     * instead of the union+window rewrite — same oracle, so the custom
@@ -77,5 +92,46 @@ object AsOf {
            |  ON e.user_id = p.user_id AND e.ts >= p.ts
            |ORDER BY e.event_id""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(q101AsofNative)
+  // --------------------------------------------------------------- q109
+  /** Click↔purchase pairs within ±30 minutes per user through the
+    * NATIVE band join, rolled up to the co-action summary — the keyed
+    * time-band join q84's bucket-explode family approximates, executed
+    * as a single sliding-window merge (PlanSpec pins BandJoinExec
+    * present and no nested-loop join). The aggregate keeps every
+    * statistic in exact integer µs, so it hash-matches the plain theta
+    * join DuckDB runs on the same predicate. */
+  val q109BandNative = QueryDef(
+    "q109_band_native",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id").as("ck"), unix_micros(col("ts")).as("ct"),
+          col("event_id").as("click_id"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("user_id").as("pk"), unix_micros(col("ts")).as("pt"),
+          col("event_id").as("purchase_id"))
+      bandJoin(clicks, purchases, "ck", "pk", "ct", "pt",
+          tolUs = 1800000000L)
+        .groupBy(col("ck").as("user_id"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(abs(col("pt") - col("ct"))).as("sum_abs_gap_us"),
+          min(col("pt") - col("ct")).as("min_gap_us"),
+          max(col("pt") - col("ct")).as("max_gap_us"))
+        .orderBy("user_id")
+    },
+    Some("""SELECT c.user_id,
+           |  CAST(count(*) AS BIGINT) AS n_pairs,
+           |  CAST(sum(abs(epoch_us(p.ts) - epoch_us(c.ts))) AS BIGINT)
+           |    AS sum_abs_gap_us,
+           |  CAST(min(epoch_us(p.ts) - epoch_us(c.ts)) AS BIGINT)
+           |    AS min_gap_us,
+           |  CAST(max(epoch_us(p.ts) - epoch_us(c.ts)) AS BIGINT)
+           |    AS max_gap_us
+           |FROM (SELECT * FROM events WHERE event_type = 'click') c
+           |JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+           |  ON c.user_id = p.user_id
+           |  AND abs(epoch_us(p.ts) - epoch_us(c.ts)) <= 1800000000
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q101AsofNative, q109BandNative)
 }

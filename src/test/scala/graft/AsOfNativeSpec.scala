@@ -90,4 +90,59 @@ class AsOfNativeSpec extends SparkSpec {
     assert(run(fwd = true, tol = -1L) ==
       Map(10L -> Some(20L), 11L -> Some(20L), 12L -> None, 13L -> None))
   }
+
+  test("q109 plan: BandJoinExec merge, no nested-loop or theta-residual join") {
+    val df = SparkEntry.queries("q109_band_native")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BandJoin"), s"missing custom node:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      "band must execute as the sliding merge, not a nested loop")
+  }
+
+  test("native band join == DataFrame theta join on real data") {
+    val s = spark
+    val TolUs = 1800000000L
+    val ev = Tables.events(s, sf)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("ck"), unix_micros(col("ts")).as("ct"),
+        col("event_id").as("click_id"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pk"), unix_micros(col("ts")).as("pt"),
+        col("event_id").as("purchase_id"))
+    val native = AsOf.bandJoin(clicks, purchases, "ck", "pk", "ct", "pt",
+        TolUs)
+      .select("click_id", "purchase_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val theta = clicks.join(purchases,
+        col("ck") === col("pk") && abs(col("pt") - col("ct")) <= TolUs)
+      .select("click_id", "purchase_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(native.nonEmpty)
+    assert(native == theta,
+      s"native-only: ${native.diff(theta).take(3)}; " +
+        s"theta-only: ${theta.diff(native).take(3)}")
+  }
+
+  test("band edge semantics: inclusive edges, per-key isolation, empty side") {
+    val s = spark
+    import s.implicits._
+    val left = Seq((1L, 100L, 10L), (1L, 200L, 11L), (2L, 100L, 12L))
+      .toDF("k", "t", "lid").repartition(4, col("k"))
+    val right = Seq((1L, 50L, 20L), (1L, 150L, 21L), (1L, 260L, 22L),
+        (2L, 300L, 23L), (9L, 100L, 24L))
+      .toDF("rk", "rt", "rid").repartition(3, col("rk"))
+    val got = AsOf.bandJoin(left, right, "k", "rk", "t", "rt", 50L)
+      .select("lid", "rid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // lid 10 (k1,t100): band [50,150] → rids 20 (edge) and 21 (edge);
+    // lid 11 (k1,t200): band [150,250] → rid 21 only (260 is out);
+    // lid 12 (k2,t100): band [50,150] → nothing (k2's 300 is out);
+    // key 9 on the right never pairs
+    assert(got == Set((10L, 20L), (10L, 21L), (11L, 21L)))
+    // empty right side → empty result, not a failure
+    val none = AsOf.bandJoin(left, right.filter(col("rk") === 99L),
+      "k", "rk", "t", "rt", 50L)
+    assert(none.count() === 0L)
+  }
 }
