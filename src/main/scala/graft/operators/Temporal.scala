@@ -1038,41 +1038,61 @@ object Temporal {
     * deviations feeding the CUSUM are pre-rounded to 6dp so the
     * running float sum is bit-identical across engines and partition
     * counts. */
+  /** q104's daily exact-integer milli-unit means: (event_type, day, mi). */
+  def q104Daily(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val DayUs = 86400000000L
+    Tables.events(s, d)
+      .select(col("event_type"),
+        (unix_micros(col("ts")) / DayUs).cast("long").as("day"),
+        round(col("value") * 1000).cast("long").as("vm"))
+      .groupBy("event_type", "day")
+      .agg(round(sum("vm") / count(lit(1))).cast("long").as("mi"))
+  }
+
+  /** q104's per-type series stats — exact two-pass variance in
+    * integers: nd·Σm² − (Σm)². At ingest these land in the catalog; the
+    * streaming monitor (Stateful.cusumStream) consumes them as its
+    * reference parameters, the surgeIslands/d08 posture. */
+  def q104Stats(daily: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    daily.groupBy("event_type")
+      .agg(count(lit(1)).as("nd"), sum("mi").as("sm"),
+        sum(col("mi") * col("mi")).as("sm2"))
+      .select(col("event_type"), col("nd"), col("sm"),
+        sqrt((col("nd") * col("sm2") - col("sm") * col("sm"))
+          .cast("double") / (col("nd") * (col("nd") - 1))).as("sd_milli"))
+
+  /** q104's final projection over (event_type, day, mi, cusums, nd,
+    * sd_milli) — shared with the streaming twin so both sides apply the
+    * IDENTICAL final-division expressions to identical integers (the
+    * q100/TWAP parity convention). */
+  def q104Finish(withCusum: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    withCusum.select(col("event_type"), col("day"),
+      Rounding.r4(col("mi") / 1000.0).as("daily_mean"),
+      Rounding.r4(col("cusums").cast("double") / col("nd") / 1000.0)
+        .as("cusum"),
+      (abs(col("cusums").cast("double") / col("nd")) >
+        col("sd_milli") * 2).as("shifted"))
+      .orderBy("event_type", "day")
+
   val q104Cusum = QueryDef(
     "q104_cusum_changepoint",
     (s, d) => {
-      val DayUs = 86400000000L
       // values move in exact BIGINT milli-units; the daily mean is
       // rounded back to an integer so the series stats, deviations, and
       // the running CUSUM are all exact integer arithmetic — order-proof
       // across partitions AND engines. Floats appear only in final
       // per-row divisions of exact integers (deterministic).
-      val daily = Tables.events(s, d)
-        .select(col("event_type"),
-          (unix_micros(col("ts")) / DayUs).cast("long").as("day"),
-          round(col("value") * 1000).cast("long").as("vm"))
-        .groupBy("event_type", "day")
-        .agg(round(sum("vm") / count(lit(1))).cast("long").as("mi"))
-      // exact two-pass variance in integers: nd·Σm² − (Σm)²
-      val stats = daily.groupBy("event_type")
-        .agg(count(lit(1)).as("nd"), sum("mi").as("sm"),
-          sum(col("mi") * col("mi")).as("sm2"))
-        .select(col("event_type"), col("nd"), col("sm"),
-          sqrt((col("nd") * col("sm2") - col("sm") * col("sm"))
-            .cast("double") / (col("nd") * (col("nd") - 1))).as("sd_milli"))
+      val daily = q104Daily(s, d)
+      val stats = q104Stats(daily)
       val w = Window.partitionBy("event_type").orderBy("day")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      daily.join(broadcast(stats), "event_type")
+      q104Finish(daily.join(broadcast(stats), "event_type")
         // dev scaled by nd to stay integer: dev = mi·nd − Σm
         .withColumn("devs", col("mi") * col("nd") - col("sm"))
-        .withColumn("cusums", sum("devs").over(w))
-        .select(col("event_type"), col("day"),
-          Rounding.r4(col("mi") / 1000.0).as("daily_mean"),
-          Rounding.r4(col("cusums").cast("double") / col("nd") / 1000.0)
-            .as("cusum"),
-          (abs(col("cusums").cast("double") / col("nd")) >
-            col("sd_milli") * 2).as("shifted"))
-        .orderBy("event_type", "day")
+        .withColumn("cusums", sum("devs").over(w)))
     },
     Some("""WITH daily AS (
            |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,

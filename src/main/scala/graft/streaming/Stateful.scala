@@ -926,6 +926,74 @@ object Stateful {
       watermarkWakeups = true)
   }
 
+  /** One closed day of the streaming CUSUM monitor — integer state only;
+    * the final divisions/flag run through Temporal.q104Finish, identical
+    * to batch (the q100/TWAP parity convention). */
+  final case class CusumDay(event_type: String, day: Long, mi: Long,
+      cusums: Long)
+  /** Open day's accumulators + the running scaled CUSUM. */
+  final case class CusumState(curDay: Long, sumMilli: Long, n: Long,
+      cusums: Long)
+
+  /** Streaming twin of the q104 change-point scan — the live CUSUM
+    * monitor. The batch query is two-pass (the deviation is against the
+    * full-series mean), so the monitor takes the per-type reference
+    * stats (nd = days, sm = Σ daily means — both exact integers) as
+    * ingest catalog parameters, the surgeIslands/d08
+    * stats-at-ingest posture: production fits them on the reference
+    * window and monitors the live stream against them. Per-type state
+    * is O(1): the open day's (Σ milli-value, count) plus the running
+    * scaled CUSUM. A day closes when ordered replay crosses into a
+    * later day or the watermark passes day end; closing folds
+    * mi = round(Σ/n) and cusum += mi·nd − sm with the exact Spark
+    * Round(double) semantics (BigDecimal.valueOf + HALF_UP), so the
+    * emitted integers equal the batch aggregates bit-for-bit. */
+  def cusumStream(df: DataFrame, refStats: Map[String, (Long, Long)],
+      slack: String = "2 hours"): Dataset[CusumDay] = {
+    import org.apache.spark.sql.Encoders
+    implicit val stEnc: Encoder[(CusumState, Seq[Ev])] =
+      Encoders.product[(CusumState, Seq[Ev])]
+    implicit val outEnc: Encoder[CusumDay] = Encoders.product[CusumDay]
+    implicit val keyEnc: Encoder[String] = Encoders.STRING
+    implicit val evEnc: Encoder[Ev] = Encoders.product[Ev]
+    val DayUs = 86400000000L
+    val empty = CusumState(-1L, 0L, 0L, 0L)
+    def milliOf(v: Double): Long =
+      java.math.BigDecimal.valueOf(v * 1000)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+    def roundDiv(s: Long, n: Long): Long =
+      java.math.BigDecimal.valueOf(s.toDouble / n)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+    def close(et: String, st: CusumState): (CusumState, Seq[CusumDay]) =
+      if (st.curDay < 0L) (st, Nil)
+      else {
+        val (nd, sm) = refStats.getOrElse(et, (1L, 0L))
+        val mi = roundDiv(st.sumMilli, st.n)
+        val cus = st.cusums + (mi * nd - sm)
+        (CusumState(-1L, 0L, 0L, cus),
+          Seq(CusumDay(et, st.curDay, mi, cus)))
+      }
+    orderedPerKeyBy[String, CusumState, CusumDay](df, slack, empty)(_._4)(
+      apply = { (et, e, st) =>
+        val day = Math.floorDiv(microsOf(e._2), DayUs)
+        val vm = milliOf(e._5)
+        if (st.curDay == -1L)
+          (st.copy(curDay = day, sumMilli = vm, n = 1L), Nil)
+        else if (day == st.curDay)
+          (st.copy(sumMilli = st.sumMilli + vm, n = st.n + 1L), Nil)
+        else {
+          val (closed, out) = close(et, st)
+          (closed.copy(curDay = day, sumMilli = vm, n = 1L), out)
+        }
+      },
+      onWatermark = { (et, wm, st) =>
+        if (st.curDay >= 0L && wm >= (st.curDay + 1L) * 86400000L)
+          close(et, st)
+        else (st, Nil)
+      },
+      watermarkWakeups = true)
+  }
+
   /** One exposed user's experiment outcome (q106's `per` table). */
   final case class AbUser(user_id: Long, conv: Long)
   final case class AbState(minViewUs: Long, purchases: Seq[Long],

@@ -305,6 +305,33 @@ class OrderedReplaySpec extends SparkSpec {
         s"batch-only: ${batchAgg.toSet.diff(streamedAgg.toSet).take(3)}")
   }
 
+  test("streaming CUSUM monitor: closed days == batch q104 rows") {
+    val s = spark
+    // reference stats fitted at ingest (exact integers — the catalog
+    // parameters the live monitor runs against)
+    val daily = operators.Temporal.q104Daily(s, sf)
+    val stats = operators.Temporal.q104Stats(daily).cache()
+    val statsMap = stats.collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val out = runStream("ooo_cusum")(df =>
+      Stateful.cusumStream(df, statsMap))
+    val snap = out.filter(col("event_type") =!= "zz_sentinel")
+    assert(snap.count() > 0)
+    val streamed = operators.Temporal.q104Finish(
+        snap.join(stats, "event_type")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getBoolean(4))).toSeq
+    val batch = SparkEntry.queries("q104_cusum_changepoint")(s, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getBoolean(4))).toSeq
+    stats.unpersist()
+    // identical integer folds + identical final expressions ⇒ bit-for-bit
+    assert(streamed == batch,
+      s"stream-only: ${streamed.toSet.diff(batch.toSet).take(3)}; " +
+        s"batch-only: ${batch.toSet.diff(streamed.toSet).take(3)}")
+  }
+
   test("streaming A/B readout: per-user conversion state == batch q106") {
     val s = spark
     val endDay = Tables.events(s, sf)
