@@ -1009,11 +1009,80 @@ object Curation {
        |  round(avg(cos), 4) AS mean_cos
        |FROM j GROUP BY 1 ORDER BY 1""".stripMargin)
 
+  // ---------------------------------------------------------------- x18
+  /** Curriculum ordering plan: x16's 32 training shards scored by mean
+    * t23 readability and assigned a serve phase (easy → medium → hard by
+    * FIXED mean-Flesch bands — the q102 fixed-band posture, no global
+    * window), yielding the shard serve order a curriculum-learning
+    * dataloader follows. Per-doc Flesch is deterministic double math
+    * from integer regex counts, rounded ONCE to integer micro-units so
+    * the per-shard mean is an exact BIGINT sum — order-proof, bit-exact
+    * cross-engine (the x15/t17 fixed-point trick).
+    *
+    * Scale shape: one projection + one 32-ary hash-agg; everything after
+    * is shard-cardinality arithmetic. */
+  val x18CurriculumPlan = QueryDef(
+    "x18_curriculum_plan",
+    (s, d) => {
+      val S = 32
+      val words = size(regexp_extract_all(col("text"), lit("\\S+"), lit(0)))
+      val sents = greatest(lit(1),
+        size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))))
+      val vg = size(regexp_extract_all(lower(col("text")),
+        lit("[aeiouy]+"), lit(0)))
+      val flesch = lit(206.835) - lit(1.015) * words / sents -
+        lit(84.6) * vg / words
+      val perShard = Tables.documents(s, d)
+        .filter(words > 0)
+        .select(
+          (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long") % S).cast("int").as("shard"),
+          col("n_chars"),
+          round(flesch * 1000000).cast("long").as("fl_micro"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("n_chars"),
+          sum("fl_micro").as("sfl"))
+        .withColumn("mean_flesch",
+          r4(col("sfl") / 1000000.0 / col("n_docs")))
+      perShard
+        .withColumn("phase",
+          when(col("mean_flesch") >= 33.0, "1_easy")
+            .when(col("mean_flesch") >= 28.0, "2_medium")
+            .otherwise("3_hard"))
+        .select("shard", "n_docs", "n_chars", "mean_flesch", "phase")
+        .orderBy("phase", "shard")
+    },
+    Some("""WITH f AS (
+           |  SELECT
+           |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+           |      % 32 AS shard,
+           |    n_chars,
+           |    CAST(round((206.835
+           |      - 1.015 * len(regexp_extract_all(text, '\S+'))
+           |        / greatest(1, len(regexp_extract_all(text, '[.!?]+')))
+           |      - 84.6 * len(regexp_extract_all(lower(text), '[aeiouy]+'))
+           |        / len(regexp_extract_all(text, '\S+'))) * 1000000)
+           |      AS BIGINT) AS fl_micro
+           |  FROM documents
+           |  WHERE len(regexp_extract_all(text, '\S+')) > 0),
+           |ps AS (
+           |  SELECT CAST(shard AS INT) AS shard,
+           |    CAST(count(*) AS BIGINT) AS n_docs,
+           |    CAST(sum(n_chars) AS BIGINT) AS n_chars,
+           |    round(sum(fl_micro) / 1000000.0 / count(*) * 10000) / 10000
+           |      AS mean_flesch
+           |  FROM f GROUP BY 1)
+           |SELECT shard, n_docs, n_chars, mean_flesch,
+           |  CASE WHEN mean_flesch >= 33.0 THEN '1_easy'
+           |       WHEN mean_flesch >= 28.0 THEN '2_medium'
+           |       ELSE '3_hard' END AS phase
+           |FROM ps ORDER BY phase, shard""".stripMargin))
+
   val all: Seq[QueryDef] =
     Seq(x01Decontaminate, x02StratifiedSample, x03DomainMix,
       t06PiiRedact, t07Repetition, x04ContainmentScore, x05WeightedSample,
       x06PackSequences, x07ClusterReps, x08TemperatureMix, x09LeakageSplit,
       x10CurationPipeline, x11BloomDecontaminate, x12CompactionPlan,
       x13EpochPlan, x14KAnonymity, x15DsirWeights, x16ShardPlan,
-      x17ModalityAgreement)
+      x17ModalityAgreement, x18CurriculumPlan)
 }
