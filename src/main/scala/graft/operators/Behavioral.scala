@@ -122,19 +122,27 @@ object Behavioral {
     * — one exchange, arbitrary parallelism); the pair aggregate is
     * map-side combined into a card(types)² matrix, and the normalizing
     * window runs over that tiny matrix only. */
+  /** Shared tail of q61: count a (prev_type, next_type) pair table and
+    * row-normalize. Factored out so the streaming twin
+    * (Stateful.markovStream's emitted transitions) runs IDENTICAL code
+    * after its incremental per-user pass — all-integer counts, so the
+    * twin is bit-for-bit. */
+  def q61Rollup(pairs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    pairs.groupBy("prev_type", "next_type").agg(count(lit(1)).as("n"))
+      .withColumn("p",
+        r6(col("n") / sum("n").over(Window.partitionBy("prev_type"))))
+      .orderBy("prev_type", "next_type")
+
   val q61Markov = QueryDef(
     "q61_markov_transitions",
     (s, d) => {
       val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-      Tables.events(s, d)
+      q61Rollup(Tables.events(s, d)
         .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
         .withColumn("prev_type", lag("event_type", 1).over(w))
         .filter(col("prev_type").isNotNull)
-        .select(col("prev_type"), col("event_type").as("next_type"))
-        .groupBy("prev_type", "next_type").agg(count(lit(1)).as("n"))
-        .withColumn("p",
-          r6(col("n") / sum("n").over(Window.partitionBy("prev_type"))))
-        .orderBy("prev_type", "next_type")
+        .select(col("prev_type"), col("event_type").as("next_type")))
     },
     Some("""WITH seq AS (
            |  SELECT user_id, event_type,

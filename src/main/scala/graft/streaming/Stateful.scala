@@ -290,6 +290,32 @@ object Stateful {
     }
   }
 
+  /** One observed first-order transition (q61's pair row). */
+  final case class Transition(user_id: Long, prev_type: String,
+      next_type: String)
+
+  /** Streaming twin of q61's pair-extraction pass: each user's event
+    * stream replayed in event-time order (the ordered-replay harness —
+    * the consecutive-pair relation is exactly what arrival order would
+    * corrupt), emitting one transition per event with a predecessor.
+    * State is O(1) per user: the last event type. The count +
+    * row-normalize rollup then runs over the emitted pairs via
+    * Behavioral.q61Rollup — identical code to batch, all-integer, so
+    * the transition matrix matches bit-for-bit. */
+  def markovStream(df: DataFrame, slack: String = "2 hours")
+      : Dataset[Transition] = {
+    import org.apache.spark.sql.Encoders
+    implicit val stEnc: Encoder[(String, Seq[Ev])] =
+      Encoders.product[(String, Seq[Ev])]
+    implicit val outEnc: Encoder[Transition] = Encoders.product[Transition]
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    implicit val evEnc: Encoder[Ev] = Encoders.product[Ev]
+    orderedPerKey[String, Transition](df, slack, "") { (user, e, st) =>
+      val next = e._4
+      (next, if (st.nonEmpty) Seq(Transition(user, st, next)) else Nil)
+    }
+  }
+
   /** One backward as-of enrichment: a click paired with the latest
     * purchase at-or-before it (q25's output row). */
   final case class AsofMatch(event_id: Long, purchase_event_id: Long,

@@ -305,6 +305,25 @@ class OrderedReplaySpec extends SparkSpec {
         s"batch-only: ${batchAgg.toSet.diff(streamedAgg.toSet).take(3)}")
   }
 
+  test("streaming markov transitions: replayed pairs == batch q61 matrix") {
+    val s = spark
+    val out = runStream("ooo_markov")(df => Stateful.markovStream(df))
+    val snap = out.filter("user_id >= 0")
+      .select("prev_type", "next_type")
+    assert(snap.count() > 0)
+    val streamed = operators.Behavioral.q61Rollup(snap).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    val batch = SparkEntry.queries("q61_markov_transitions")(s, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    // all-integer counts through the shared rollup ⇒ bit-for-bit
+    assert(streamed == batch,
+      s"stream-only: ${streamed.toSet.diff(batch.toSet).take(3)}; " +
+        s"batch-only: ${batch.toSet.diff(streamed.toSet).take(3)}")
+  }
+
   test("streaming CUSUM monitor: closed days == batch q104 rows") {
     val s = spark
     // reference stats fitted at ingest (exact integers — the catalog
