@@ -170,6 +170,15 @@ object Behavioral {
     * order-insensitive to shuffle nondeterminism — the rn key makes the
     * path deterministic); path counting is a bounded-cardinality
     * hash-agg and the top-20 is a TakeOrdered, not a global sort. */
+  /** Shared tail of q62: count a per-session `path` table and take the
+    * top 20 — all-integer, shared with the streaming twin
+    * (Stateful.sessionPathStream) for bit-for-bit parity. */
+  def q62Rollup(paths: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    paths.groupBy("path").agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(20)
+
   val q62SessionPaths = QueryDef(
     "q62_session_paths",
     (s, d) => {
@@ -191,9 +200,7 @@ object Behavioral {
         .agg(array_join(
           transform(array_sort(collect_list(struct(col("rn"), col("event_type")))),
             x => x.getField("event_type")), ">").as("path"))
-        .groupBy("path").agg(count(lit(1)).as("n_sessions"))
-        .orderBy(col("n_sessions").desc, col("path"))
-        .limit(20)
+        .transform(q62Rollup)
     },
     Some("""WITH gapped AS (
            |  SELECT user_id, ts, event_id, event_type,

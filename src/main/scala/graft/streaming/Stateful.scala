@@ -316,6 +316,54 @@ object Stateful {
     }
   }
 
+  /** One closed session's opening path (q62's per-session row). */
+  final case class SessionPath(user_id: Long, path: String)
+  final case class PathState(lastUs: Long, p1: String, p2: String,
+      p3: String, open: Boolean)
+
+  /** Streaming twin of q62's sessionize-and-collect pass: per user, the
+    * gap-sessionization state machine (>10 min silence splits — q37's
+    * rule) carrying only the session's first ≤3 event types and its
+    * last event time. A session closes when ordered replay breaks the
+    * gap or the watermark proves the gap can no longer be filled
+    * (lastUs + 10 min behind the watermark), emitting its opening path;
+    * the top-20 count then runs over the emitted paths via
+    * Behavioral.q62Rollup — identical all-integer code to batch. */
+  def sessionPathStream(df: DataFrame, slack: String = "2 hours")
+      : Dataset[SessionPath] = {
+    import org.apache.spark.sql.Encoders
+    implicit val stEnc: Encoder[(PathState, Seq[Ev])] =
+      Encoders.product[(PathState, Seq[Ev])]
+    implicit val outEnc: Encoder[SessionPath] = Encoders.product[SessionPath]
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    implicit val evEnc: Encoder[Ev] = Encoders.product[Ev]
+    val GapUs = 600L * 1000000L
+    val empty = PathState(0L, "", "", "", open = false)
+    def pathOf(st: PathState): String =
+      Seq(st.p1, st.p2, st.p3).filter(_.nonEmpty).mkString(">")
+    def push(st: PathState, et: String): PathState =
+      if (st.p1.isEmpty) st.copy(p1 = et)
+      else if (st.p2.isEmpty) st.copy(p2 = et)
+      else if (st.p3.isEmpty) st.copy(p3 = et)
+      else st
+    orderedPerKeyBy[Long, PathState, SessionPath](df, slack, empty)(_._1)(
+      apply = { (user, e, st) =>
+        val t = microsOf(e._2)
+        if (!st.open)
+          (push(empty.copy(open = true), e._4).copy(lastUs = t), Nil)
+        else if (t - st.lastUs > GapUs)
+          (push(empty.copy(open = true), e._4).copy(lastUs = t),
+            Seq(SessionPath(user, pathOf(st))))
+        else (push(st, e._4).copy(lastUs = t), Nil)
+      },
+      onWatermark = { (user, wm, st) =>
+        if (st.open && wm > st.lastUs / 1000L + 600000L)
+          (empty, Seq(SessionPath(user, pathOf(st))))
+        else (st, Nil)
+      },
+      watermarkWakeups = true)
+  }
+
   /** One backward as-of enrichment: a click paired with the latest
     * purchase at-or-before it (q25's output row). */
   final case class AsofMatch(event_id: Long, purchase_event_id: Long,

@@ -324,6 +324,21 @@ class OrderedReplaySpec extends SparkSpec {
         s"batch-only: ${batch.toSet.diff(streamed.toSet).take(3)}")
   }
 
+  test("streaming session paths: closed sessions == batch q62 top-20") {
+    val s = spark
+    val out = runStream("ooo_paths")(df => Stateful.sessionPathStream(df))
+    val snap = out.filter("user_id >= 0").select("path")
+    assert(snap.count() > 0)
+    val streamed = operators.Behavioral.q62Rollup(snap).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    val batch = SparkEntry.queries("q62_session_paths")(s, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    // all-integer counts through the shared rollup ⇒ bit-for-bit
+    assert(streamed == batch,
+      s"stream-only: ${streamed.toSet.diff(batch.toSet).take(3)}; " +
+        s"batch-only: ${batch.toSet.diff(streamed.toSet).take(3)}")
+  }
+
   test("streaming CUSUM monitor: closed days == batch q104 rows") {
     val s = spark
     // reference stats fitted at ingest (exact integers — the catalog
