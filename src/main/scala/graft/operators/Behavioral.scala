@@ -243,6 +243,19 @@ object Behavioral {
     * row_number windows over the SAME (user_id) partitioning the join
     * just produced — and a final card(types²) hash-agg. No per-user
     * collection, no self-join on the raw log. */
+  /** Shared tail of q68: roll a per-user (first_touch, last_touch,
+    * gap_us) table into the attribution matrix. The mean latency sums
+    * exact integer µs before the one division, so the rollup is
+    * order-proof and the streaming twin (Stateful.attributionStream)
+    * matches bit-for-bit. */
+  def q68Rollup(perUser: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    perUser.groupBy("first_touch", "last_touch")
+      .agg(count(lit(1)).as("n_conversions"),
+        r4(sum("gap_us").cast("double") / 60000000.0 / count(lit(1)))
+          .as("avg_mins_to_convert"))
+      .orderBy("first_touch", "last_touch")
+
   val q68Attribution = QueryDef(
     "q68_attribution",
     (s, d) => {
@@ -266,11 +279,9 @@ object Behavioral {
         .agg(max(when(col("rn_a") === 1, col("event_type"))).as("first_touch"),
           max(when(col("rn_d") === 1, col("event_type"))).as("last_touch"),
           max(when(col("rn_d") === 1,
-            (unix_micros(col("conv_ts")) - unix_micros(col("ts"))) / 60000000.0))
-            .as("mins"))
-        .groupBy("first_touch", "last_touch")
-        .agg(count(lit(1)).as("n_conversions"), r4(avg("mins")).as("avg_mins_to_convert"))
-        .orderBy("first_touch", "last_touch")
+            unix_micros(col("conv_ts")) - unix_micros(col("ts"))))
+            .as("gap_us"))
+        .transform(q68Rollup)
     },
     Some("""WITH conv AS (
            |  SELECT user_id, ts AS conv_ts, event_id AS conv_id
@@ -294,11 +305,12 @@ object Behavioral {
            |    max(CASE WHEN rn_a = 1 THEN event_type END) AS first_touch,
            |    max(CASE WHEN rn_d = 1 THEN event_type END) AS last_touch,
            |    max(CASE WHEN rn_d = 1 THEN
-           |      (epoch_us(conv_ts) - epoch_us(ts)) / 60000000.0 END) AS mins
+           |      epoch_us(conv_ts) - epoch_us(ts) END) AS gap_us
            |  FROM touches GROUP BY 1)
            |SELECT first_touch, last_touch,
            |  CAST(count(*) AS BIGINT) AS n_conversions,
-           |  round(avg(mins) * 10000) / 10000 AS avg_mins_to_convert
+           |  round(CAST(sum(gap_us) AS DOUBLE) / 60000000.0 / count(*)
+           |    * 10000) / 10000 AS avg_mins_to_convert
            |FROM per_user GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
   // ---------------------------------------------------------------- q80

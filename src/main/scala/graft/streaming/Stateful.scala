@@ -316,6 +316,47 @@ object Stateful {
     }
   }
 
+  /** One converted user's attribution (q68's per-user row). */
+  final case class Attribution(user_id: Long, first_touch: String,
+      last_touch: String, gap_us: Long)
+  final case class AttrState(firstTouch: String, lastTouch: String,
+      lastUs: Long, converted: Boolean)
+
+  /** Streaming twin of q68's per-user pass: on the ordered replay the
+    * journey is exact at every event, so the attribution row emits THE
+    * MOMENT the first purchase arrives — no watermark close, no reorder
+    * ambiguity (the "strictly before (ts, event_id)" rule is replay
+    * order itself). State is O(1): first/last touch type + last touch
+    * time, frozen after conversion; users whose first purchase has no
+    * prior touch emit nothing (the batch inner join). The attribution
+    * matrix then runs over the emitted rows via Behavioral.q68Rollup —
+    * exact-µs sums, bit-for-bit with batch. */
+  def attributionStream(df: DataFrame, slack: String = "2 hours")
+      : Dataset[Attribution] = {
+    import org.apache.spark.sql.Encoders
+    implicit val stEnc: Encoder[(AttrState, Seq[Ev])] =
+      Encoders.product[(AttrState, Seq[Ev])]
+    implicit val outEnc: Encoder[Attribution] = Encoders.product[Attribution]
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    implicit val evEnc: Encoder[Ev] = Encoders.product[Ev]
+    val empty = AttrState("", "", 0L, converted = false)
+    orderedPerKey[AttrState, Attribution](df, slack, empty) { (user, e, st) =>
+      if (st.converted) (st, Nil)
+      else e._4 match {
+        case "view" | "click" =>
+          val first = if (st.firstTouch.isEmpty) e._4 else st.firstTouch
+          (st.copy(firstTouch = first, lastTouch = e._4,
+            lastUs = microsOf(e._2)), Nil)
+        case "purchase" =>
+          val done = st.copy(converted = true)
+          if (st.lastTouch.isEmpty) (done, Nil)
+          else (done, Seq(Attribution(user, st.firstTouch, st.lastTouch,
+            microsOf(e._2) - st.lastUs)))
+        case _ => (st, Nil)
+      }
+    }
+  }
+
   /** One closed session's opening path (q62's per-session row). */
   final case class SessionPath(user_id: Long, path: String)
   final case class PathState(lastUs: Long, p1: String, p2: String,

@@ -339,6 +339,24 @@ class OrderedReplaySpec extends SparkSpec {
         s"batch-only: ${batch.toSet.diff(streamed.toSet).take(3)}")
   }
 
+  test("streaming attribution: conversion-time emissions == batch q68") {
+    val s = spark
+    val out = runStream("ooo_attr")(df => Stateful.attributionStream(df))
+    val snap = out.filter("user_id >= 0")
+      .select("first_touch", "last_touch", "gap_us")
+    assert(snap.count() > 0)
+    val streamed = operators.Behavioral.q68Rollup(snap).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    val batch = SparkEntry.queries("q68_attribution")(s, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3))).toSeq
+    // exact-µs sums through the shared rollup ⇒ bit-for-bit
+    assert(streamed == batch,
+      s"stream-only: ${streamed.toSet.diff(batch.toSet).take(3)}; " +
+        s"batch-only: ${batch.toSet.diff(streamed.toSet).take(3)}")
+  }
+
   test("streaming CUSUM monitor: closed days == batch q104 rows") {
     val s = spark
     // reference stats fitted at ingest (exact integers — the catalog
