@@ -1,0 +1,134 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.{QueryDef, Tables}
+import graft.functions.Rounding.{r4, r6}
+
+/** Security-analytics operators over the event stream — the reference's
+  * actual domain (runreveal/cheetah ships security telemetry:
+  * README.md:9-16, the Windows Event Log source, the S3 audit sink).
+  * These are the two detections every UEBA/NDR pipeline runs on exactly
+  * this envelope shape (keyed, timestamped events): behavioral rarity
+  * scoring and beaconing (periodicity) detection.
+  */
+object Security {
+
+  // --------------------------------------------------------------- q110
+  /** UEBA rarity score: each (event_type, hour-of-day) cell's global
+    * frequency becomes a surprise weight −ln(p); a user's score is the
+    * sum of the surprise of their events — users living in rare cells
+    * float to the top, the baseline behavioral-anomaly ranking.
+    *
+    * Scale shape: the cell table is card(types)×24 — built by one
+    * map-side-combined hash-agg and broadcast back; the per-user score
+    * is a second hash-agg. Each cell's −ln(p) is computed ONCE from a
+    * division of exact integers and rounded ONCE to integer micro-nats
+    * (the x15/t17 fixed-point trick), so the per-user sum is an exact
+    * BIGINT — order-proof, bit-exact cross-engine. */
+  val q110RarityScore = QueryDef(
+    "q110_rarity_score",
+    (s, d) => {
+      val HourUs = 3600000000L
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          ((unix_micros(col("ts")) / HourUs) % 24).cast("int").as("hod"))
+      // total from the raw scan — a catalog stat at ingest
+      val total = Tables.events(s, d)
+        .agg(count(lit(1)).as("n_total"))
+      val cells = ev.groupBy("event_type", "hod")
+        .agg(count(lit(1)).as("n_cell"))
+        .crossJoin(broadcast(total))
+        .select(col("event_type"), col("hod"),
+          round(-log(col("n_cell").cast("double") / col("n_total"))
+            * 1000000).cast("long").as("surprise_micro"))
+      ev.join(broadcast(cells), Seq("event_type", "hod"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_events"),
+          sum("surprise_micro").as("sm"))
+        .select(col("user_id"), col("n_events"),
+          r4(col("sm") / 1000000.0).as("score_nats"),
+          r4(col("sm") / 1000000.0 / col("n_events")).as("mean_nats"))
+        .orderBy(col("score_nats").desc, col("user_id"))
+        .limit(20)
+    },
+    Some("""WITH ev AS (
+           |  SELECT user_id, event_type,
+           |    (epoch_us(ts) // 3600000000) % 24 AS hod
+           |  FROM events),
+           |total AS (SELECT count(*) AS n_total FROM events),
+           |cells AS (
+           |  SELECT event_type, hod,
+           |    CAST(round(-ln(CAST(count(*) AS DOUBLE)
+           |      / (SELECT n_total FROM total)) * 1000000) AS BIGINT)
+           |      AS surprise_micro
+           |  FROM ev GROUP BY 1, 2)
+           |SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+           |  round(sum(surprise_micro) / 1000000.0 * 10000) / 10000
+           |    AS score_nats,
+           |  round(sum(surprise_micro) / 1000000.0 / count(*) * 10000)
+           |    / 10000 AS mean_nats
+           |FROM ev JOIN cells USING (event_type, hod)
+           |GROUP BY 1 ORDER BY score_nats DESC, user_id
+           |LIMIT 20""".stripMargin))
+
+  // --------------------------------------------------------------- q111
+  /** Beaconing detection: per (user, event_type) channel, the
+    * coefficient of variation of inter-arrival gaps — automated C2
+    * check-ins tick with near-constant periods (CV → 0) while human
+    * activity is bursty (CV ≥ 1). Channels with enough events and the
+    * lowest CV rank first; on this synthetic uniform log the finding is
+    * that NOTHING beacons (all CVs near 1) — exactly what the detector
+    * should say, the q99/Benford convention.
+    *
+    * Scale shape: one exchange on user_id for the gap window (lag),
+    * then gaps collapse to exact integer-second sums and sum-of-squares
+    * per channel — q104's integer two-pass variance — so the ranking is
+    * bit-stable; the top-20 is a TakeOrdered. */
+  val q111Beaconing = QueryDef(
+    "q111_beaconing",
+    (s, d) => {
+      val w = Window.partitionBy("user_id", "event_type")
+        .orderBy("ts", "event_id")
+      val gaps = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"),
+          col("event_id"))
+        .withColumn("gap_s",
+          ((unix_micros(col("ts"))
+            - unix_micros(lag("ts", 1).over(w))) / 1000000L).cast("long"))
+        .filter(col("gap_s").isNotNull)
+      gaps.groupBy("user_id", "event_type")
+        .agg(count(lit(1)).as("n_gaps"), sum("gap_s").as("sg"),
+          sum(col("gap_s") * col("gap_s")).as("sg2"))
+        .filter(col("n_gaps") >= 10)
+        .select(col("user_id"), col("event_type"), col("n_gaps"),
+          r4(col("sg").cast("double") / col("n_gaps")).as("mean_gap_s"),
+          r4(sqrt((col("n_gaps") * col("sg2") - col("sg") * col("sg"))
+              .cast("double") / (col("n_gaps") * (col("n_gaps") - 1)))
+            / (col("sg").cast("double") / col("n_gaps"))).as("cv"))
+        .orderBy(col("cv").asc, col("user_id"), col("event_type"))
+        .limit(20)
+    },
+    Some("""WITH gaps AS (
+           |  SELECT user_id, event_type,
+           |    (epoch_us(ts) - epoch_us(lag(ts, 1) OVER (
+           |      PARTITION BY user_id, event_type
+           |      ORDER BY ts, event_id))) // 1000000 AS gap_s
+           |  FROM events),
+           |ch AS (
+           |  SELECT user_id, event_type,
+           |    CAST(count(*) AS BIGINT) AS n_gaps,
+           |    sum(gap_s) AS sg, sum(gap_s * gap_s) AS sg2
+           |  FROM gaps WHERE gap_s IS NOT NULL
+           |  GROUP BY 1, 2 HAVING count(*) >= 10)
+           |SELECT user_id, event_type, n_gaps,
+           |  round(CAST(sg AS DOUBLE) / n_gaps * 10000) / 10000
+           |    AS mean_gap_s,
+           |  round(sqrt(CAST(n_gaps * sg2 - sg * sg AS DOUBLE)
+           |      / (n_gaps * (n_gaps - 1)))
+           |    / (CAST(sg AS DOUBLE) / n_gaps) * 10000) / 10000 AS cv
+           |FROM ch ORDER BY cv ASC, user_id, event_type
+           |LIMIT 20""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q110RarityScore, q111Beaconing)
+}
