@@ -26,6 +26,36 @@ object Security {
     * division of exact integers and rounded ONCE to integer micro-nats
     * (the x15/t17 fixed-point trick), so the per-user sum is an exact
     * BIGINT — order-proof, bit-exact cross-engine. */
+  /** Shared tail of q110: rank a per-user (user_id, n_events, sm) table
+    * — sm in exact integer micro-nats — into the top-20 anomaly board.
+    * Shared with the streaming twin (Stateful.rarityStream) for
+    * bit-for-bit parity. */
+  def q110Rollup(perUser: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    perUser.select(col("user_id"), col("n_events"),
+      r4(col("sm") / 1000000.0).as("score_nats"),
+      r4(col("sm") / 1000000.0 / col("n_events")).as("mean_nats"))
+      .orderBy(col("score_nats").desc, col("user_id"))
+      .limit(20)
+
+  /** q110's surprise-weight cell table (event_type, hod →
+    * micro-nats) — fitted at ingest; the streaming monitor consumes it
+    * as its reference parameters. */
+  def q110Cells(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val HourUs = 3600000000L
+    val total = Tables.events(s, d).agg(count(lit(1)).as("n_total"))
+    Tables.events(s, d)
+      .select(col("event_type"),
+        ((unix_micros(col("ts")) / HourUs) % 24).cast("int").as("hod"))
+      .groupBy("event_type", "hod")
+      .agg(count(lit(1)).as("n_cell"))
+      .crossJoin(broadcast(total))
+      .select(col("event_type"), col("hod"),
+        round(-log(col("n_cell").cast("double") / col("n_total"))
+          * 1000000).cast("long").as("surprise_micro"))
+  }
+
   val q110RarityScore = QueryDef(
     "q110_rarity_score",
     (s, d) => {
@@ -33,24 +63,11 @@ object Security {
       val ev = Tables.events(s, d)
         .select(col("user_id"), col("event_type"),
           ((unix_micros(col("ts")) / HourUs) % 24).cast("int").as("hod"))
-      // total from the raw scan — a catalog stat at ingest
-      val total = Tables.events(s, d)
-        .agg(count(lit(1)).as("n_total"))
-      val cells = ev.groupBy("event_type", "hod")
-        .agg(count(lit(1)).as("n_cell"))
-        .crossJoin(broadcast(total))
-        .select(col("event_type"), col("hod"),
-          round(-log(col("n_cell").cast("double") / col("n_total"))
-            * 1000000).cast("long").as("surprise_micro"))
-      ev.join(broadcast(cells), Seq("event_type", "hod"))
+      ev.join(broadcast(q110Cells(s, d)), Seq("event_type", "hod"))
         .groupBy("user_id")
         .agg(count(lit(1)).as("n_events"),
           sum("surprise_micro").as("sm"))
-        .select(col("user_id"), col("n_events"),
-          r4(col("sm") / 1000000.0).as("score_nats"),
-          r4(col("sm") / 1000000.0 / col("n_events")).as("mean_nats"))
-        .orderBy(col("score_nats").desc, col("user_id"))
-        .limit(20)
+        .transform(q110Rollup)
     },
     Some("""WITH ev AS (
            |  SELECT user_id, event_type,
@@ -85,6 +102,21 @@ object Security {
     * then gaps collapse to exact integer-second sums and sum-of-squares
     * per channel — q104's integer two-pass variance — so the ranking is
     * bit-stable; the top-20 is a TakeOrdered. */
+  /** Shared tail of q111: rank a per-channel (user_id, event_type,
+    * n_gaps, sg, sg2) table — exact integer-second sums — into the
+    * lowest-CV top-20. Shared with the streaming twin
+    * (Stateful.beaconStream) for bit-for-bit parity. */
+  def q111Rollup(ch: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    ch.filter(col("n_gaps") >= 10)
+      .select(col("user_id"), col("event_type"), col("n_gaps"),
+        r4(col("sg").cast("double") / col("n_gaps")).as("mean_gap_s"),
+        r4(sqrt((col("n_gaps") * col("sg2") - col("sg") * col("sg"))
+            .cast("double") / (col("n_gaps") * (col("n_gaps") - 1)))
+          / (col("sg").cast("double") / col("n_gaps"))).as("cv"))
+      .orderBy(col("cv").asc, col("user_id"), col("event_type"))
+      .limit(20)
+
   val q111Beaconing = QueryDef(
     "q111_beaconing",
     (s, d) => {
@@ -100,14 +132,7 @@ object Security {
       gaps.groupBy("user_id", "event_type")
         .agg(count(lit(1)).as("n_gaps"), sum("gap_s").as("sg"),
           sum(col("gap_s") * col("gap_s")).as("sg2"))
-        .filter(col("n_gaps") >= 10)
-        .select(col("user_id"), col("event_type"), col("n_gaps"),
-          r4(col("sg").cast("double") / col("n_gaps")).as("mean_gap_s"),
-          r4(sqrt((col("n_gaps") * col("sg2") - col("sg") * col("sg"))
-              .cast("double") / (col("n_gaps") * (col("n_gaps") - 1)))
-            / (col("sg").cast("double") / col("n_gaps"))).as("cv"))
-        .orderBy(col("cv").asc, col("user_id"), col("event_type"))
-        .limit(20)
+        .transform(q111Rollup)
     },
     Some("""WITH gaps AS (
            |  SELECT user_id, event_type,

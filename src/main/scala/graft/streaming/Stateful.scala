@@ -1109,6 +1109,102 @@ object Stateful {
       watermarkWakeups = true)
   }
 
+  /** One user's running rarity tally (q110's per-user row). */
+  final case class RarityRow(user_id: Long, n_events: Long, sm: Long)
+  final case class RarityState(n: Long, sm: Long, done: Boolean)
+
+  /** Streaming twin of q110's per-user pass — the live UEBA score. The
+    * surprise-weight cell table ((event_type, hour) → micro-nats)
+    * arrives as an ingest catalog parameter (Security.q110Cells — the
+    * stats-at-ingest posture); per-user state is two exact BIGINT
+    * counters, commutative, so arrival order is irrelevant and no
+    * reorder buffer is needed. Snapshots emit when the watermark passes
+    * the timeline end; the top-20 board runs over them via the shared
+    * Security.q110Rollup — bit-for-bit with batch. */
+  def rarityStream(df: DataFrame, cells: Map[(String, Int), Long],
+      endDay: Long, slack: String = "2 hours"): Dataset[RarityRow] = {
+    import org.apache.spark.sql.Encoders
+    implicit val stEnc: Encoder[RarityState] = Encoders.product[RarityState]
+    implicit val outEnc: Encoder[RarityRow] = Encoders.product[RarityRow]
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    implicit val evEnc: Encoder[Ev] = Encoders.product[Ev]
+    val HourUs = 3600000000L
+    val ds = df.withWatermark("ts", slack)
+      .select("user_id", "ts", "event_id", "event_type", "value").as[Ev]
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[Ev], state: GroupState[RarityState]) =>
+          val st0 = state.getOption.getOrElse(RarityState(0L, 0L, false))
+          var n = st0.n; var sm = st0.sm
+          rows.foreach { e =>
+            val hod = ((microsOf(e._2) / HourUs) % 24L).toInt
+            cells.get((e._4, hod)).foreach { w => n += 1L; sm += w }
+          }
+          val wm = state.getCurrentWatermarkMs()
+          if (!st0.done && wm > endDay * 86400000L + 1L) {
+            state.update(RarityState(n, sm, true))
+            if (n == 0L) Iterator.empty
+            else Iterator.single(RarityRow(user, n, sm))
+          } else {
+            state.update(RarityState(n, sm, st0.done))
+            if (!st0.done) state.setTimeoutTimestamp(wm + 1L)
+            Iterator.empty
+          }
+      }
+  }
+
+  /** One channel's closed gap statistics (q111's per-channel row). */
+  final case class BeaconRow(user_id: Long, event_type: String,
+      n_gaps: Long, sg: Long, sg2: Long)
+  final case class BeaconState(lastUs: Long, n: Long, sg: Long, sg2: Long,
+      done: Boolean)
+
+  /** Streaming twin of q111's per-channel pass — the live beaconing
+    * tracker. Keyed by (user, event_type); the inter-arrival gap
+    * relation is order-sensitive, so the ordered-replay harness folds
+    * each gap as exact integer seconds into (n, Σg, Σg²) — O(1) state
+    * per channel. Snapshots emit when the watermark passes
+    * `endDayExclusive` (first day AFTER the timeline — the halfCounts
+    * d1+1 convention; a watermark past it proves every real row has
+    * DRAINED from the reorder buffer, where a mid-last-day threshold
+    * would close channels while their tail gaps were still held); the
+    * CV ranking runs over them via the shared Security.q111Rollup —
+    * bit-for-bit with batch. */
+  def beaconStream(df: DataFrame, endDayExclusive: Long,
+      slack: String = "2 hours")
+      : Dataset[BeaconRow] = {
+    import org.apache.spark.sql.Encoders
+    implicit val stEnc: Encoder[(BeaconState, Seq[Ev])] =
+      Encoders.product[(BeaconState, Seq[Ev])]
+    implicit val outEnc: Encoder[BeaconRow] = Encoders.product[BeaconRow]
+    implicit val keyEnc: Encoder[(Long, String)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
+    implicit val evEnc: Encoder[Ev] = Encoders.product[Ev]
+    val empty = BeaconState(-1L, 0L, 0L, 0L, done = false)
+    orderedPerKeyBy[(Long, String), BeaconState, BeaconRow](df, slack,
+      empty)(e => (e._1, e._4))(
+      apply = { (key, e, st) =>
+        if (st.done) (st, Nil)
+        else {
+          val t = microsOf(e._2)
+          if (st.lastUs < 0L) (st.copy(lastUs = t), Nil)
+          else {
+            val g = (t - st.lastUs) / 1000000L
+            (st.copy(lastUs = t, n = st.n + 1L, sg = st.sg + g,
+              sg2 = st.sg2 + g * g), Nil)
+          }
+        }
+      },
+      onWatermark = { (key, wm, st) =>
+        if (!st.done && st.n > 0L && wm > endDayExclusive * 86400000L + 1L)
+          (st.copy(done = true),
+            Seq(BeaconRow(key._1, key._2, st.n, st.sg, st.sg2)))
+        else (st, Nil)
+      },
+      watermarkWakeups = true)
+  }
+
   /** One exposed user's experiment outcome (q106's `per` table). */
   final case class AbUser(user_id: Long, conv: Long)
   final case class AbState(minViewUs: Long, purchases: Seq[Long],

@@ -357,6 +357,51 @@ class OrderedReplaySpec extends SparkSpec {
         s"batch-only: ${batch.toSet.diff(streamed.toSet).take(3)}")
   }
 
+  test("streaming UEBA rarity: per-user tallies == batch q110 board") {
+    val s = spark
+    // surprise cells fitted at ingest (exact integer micro-nats)
+    val cells = operators.Security.q110Cells(s, sf).collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val endDay = Tables.events(s, sf)
+      .select((unix_micros(col("ts")) / 86400000000L).cast("long").as("day"))
+      .agg(max("day")).head.getLong(0)
+    val out = runStream("ooo_rarity")(df =>
+      Stateful.rarityStream(df, cells, endDay))
+    val snap = out.filter("user_id >= 0")
+    assert(snap.count() > 0)
+    val streamed = operators.Security.q110Rollup(snap).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toSeq
+    val batch = SparkEntry.queries("q110_rarity_score")(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3))).toSeq
+    // exact integer tallies through the shared rollup ⇒ bit-for-bit
+    assert(streamed == batch,
+      s"stream-only: ${streamed.toSet.diff(batch.toSet).take(3)}; " +
+        s"batch-only: ${batch.toSet.diff(streamed.toSet).take(3)}")
+  }
+
+  test("streaming beaconing: per-channel gap stats == batch q111") {
+    val s = spark
+    val endDay = Tables.events(s, sf)
+      .select((unix_micros(col("ts")) / 86400000000L).cast("long").as("day"))
+      .agg(max("day")).head.getLong(0)
+    val out = runStream("ooo_beacon")(df =>
+      Stateful.beaconStream(df, endDay + 1L))
+    val snap = out.filter("user_id >= 0")
+    assert(snap.count() > 0)
+    val streamed = operators.Security.q111Rollup(snap).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    val batch = SparkEntry.queries("q111_beaconing")(s, sf).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    // exact integer-second sums through the shared rollup ⇒ bit-for-bit
+    assert(streamed == batch,
+      s"stream-only: ${streamed.toSet.diff(batch.toSet).take(3)}; " +
+        s"batch-only: ${batch.toSet.diff(streamed.toSet).take(3)}")
+  }
+
   test("streaming CUSUM monitor: closed days == batch q104 rows") {
     val s = spark
     // reference stats fitted at ingest (exact integers — the catalog
