@@ -155,5 +155,60 @@ object Security {
            |FROM ch ORDER BY cv ASC, user_id, event_type
            |LIMIT 20""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(q110RarityScore, q111Beaconing)
+  // --------------------------------------------------------------- q112
+  /** First-time-seen detection: the day each (user, event_type) pair
+    * first appears, rolled up to the daily novelty series per type —
+    * the SIEM primitive behind "first admin login from this host"
+    * alerts. A novelty spike marks onboarding waves or lateral
+    * movement; the steady-state rate is the baseline alert budget.
+    *
+    * Scale shape: one map-side-combined min-agg on the (user, type)
+    * pair key, then a calendar-bounded (type, day) hash-agg with a
+    * running share — the cumulative window sees only the aggregate.
+    * All-integer counts; the share divides exact integers. */
+  val q112FirstSeen = QueryDef(
+    "q112_first_seen",
+    (s, d) => {
+      val DayUs = 86400000000L
+      val firsts = Tables.events(s, d)
+        .select(col("user_id"), col("event_type"),
+          (unix_micros(col("ts")) / DayUs).cast("long").as("day"))
+        .groupBy("user_id", "event_type")
+        .agg(min("day").as("first_day"))
+      val w = Window.partitionBy("event_type").orderBy("first_day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val totals = firsts.groupBy("event_type")
+        .agg(count(lit(1)).as("n_pairs"))
+      firsts.groupBy("event_type", "first_day")
+        .agg(count(lit(1)).as("n_new"))
+        .withColumn("cum_new", sum("n_new").over(w))
+        .join(broadcast(totals), "event_type")
+        .select(col("event_type"), col("first_day"), col("n_new"),
+          col("cum_new"),
+          r6(col("cum_new").cast("double") / col("n_pairs"))
+            .as("coverage"))
+        .orderBy("event_type", "first_day")
+    },
+    Some("""WITH firsts AS (
+           |  SELECT user_id, event_type,
+           |    min(epoch_us(ts) // 86400000000) AS first_day
+           |  FROM events GROUP BY 1, 2),
+           |daily AS (
+           |  SELECT event_type, first_day,
+           |    CAST(count(*) AS BIGINT) AS n_new
+           |  FROM firsts GROUP BY 1, 2),
+           |tot AS (
+           |  SELECT event_type, count(*) AS n_pairs FROM firsts GROUP BY 1)
+           |SELECT event_type, first_day, n_new,
+           |  CAST(sum(n_new) OVER (PARTITION BY event_type
+           |    ORDER BY first_day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           |    AS cum_new,
+           |  round(CAST(sum(n_new) OVER (PARTITION BY event_type
+           |      ORDER BY first_day ROWS UNBOUNDED PRECEDING) AS DOUBLE)
+           |    / n_pairs * 1000000) / 1000000 AS coverage
+           |FROM daily JOIN tot USING (event_type)
+           |ORDER BY 1, 2""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q110RarityScore, q111Beaconing,
+    q112FirstSeen)
 }

@@ -30,6 +30,25 @@ class SecuritySpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("q112: first-seen series covers every pair exactly once") {
+    val s = spark
+    val out = operators.Security.q112FirstSeen.run(s, sf).cache()
+    try {
+      assert(out.count() > 0)
+      // the series ends at full coverage for every type…
+      val last = out.groupBy("event_type")
+        .agg(max("cum_new").as("cn"), max("coverage").as("cov"))
+      assert(last.filter(abs(col("cov") - 1.0) > 1e-9).count() === 0)
+      // …and Σ daily novelty reconstructs the distinct pair count
+      val pairs = Tables.events(s, sf)
+        .select("user_id", "event_type").distinct()
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+      assert(out.groupBy("event_type").agg(sum("n_new").as("sn"))
+        .join(pairs, "event_type")
+        .filter(col("sn") =!= col("n")).count() === 0)
+    } finally out.unpersist()
+  }
+
   test("q111: beaconing CVs are non-negative and ranked ascending") {
     val s = spark
     val out = operators.Security.q111Beaconing.run(s, sf).cache()
