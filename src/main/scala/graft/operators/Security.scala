@@ -166,6 +166,28 @@ object Security {
     * pair key, then a calendar-bounded (type, day) hash-agg with a
     * running share — the cumulative window sees only the aggregate.
     * All-integer counts; the share divides exact integers. */
+  /** Shared tail of q112: roll a per-pair (user_id, event_type,
+    * first_day) table into the daily novelty series. Shared with the
+    * streaming twin (Stateful.firstSeenStream) — all-integer, so the
+    * twin is bit-for-bit. */
+  def q112Rollup(firsts: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy("event_type").orderBy("first_day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totals = firsts.groupBy("event_type")
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumnRenamed("event_type", "et_sz")
+    firsts.groupBy("event_type", "first_day")
+      .agg(count(lit(1)).as("n_new"))
+      .withColumn("cum_new", sum("n_new").over(w))
+      .join(broadcast(totals), col("event_type") === col("et_sz"))
+      .select(col("event_type"), col("first_day"), col("n_new"),
+        col("cum_new"),
+        r6(col("cum_new").cast("double") / col("n_pairs"))
+          .as("coverage"))
+      .orderBy("event_type", "first_day")
+  }
+
   val q112FirstSeen = QueryDef(
     "q112_first_seen",
     (s, d) => {
@@ -175,19 +197,7 @@ object Security {
           (unix_micros(col("ts")) / DayUs).cast("long").as("day"))
         .groupBy("user_id", "event_type")
         .agg(min("day").as("first_day"))
-      val w = Window.partitionBy("event_type").orderBy("first_day")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val totals = firsts.groupBy("event_type")
-        .agg(count(lit(1)).as("n_pairs"))
-      firsts.groupBy("event_type", "first_day")
-        .agg(count(lit(1)).as("n_new"))
-        .withColumn("cum_new", sum("n_new").over(w))
-        .join(broadcast(totals), "event_type")
-        .select(col("event_type"), col("first_day"), col("n_new"),
-          col("cum_new"),
-          r6(col("cum_new").cast("double") / col("n_pairs"))
-            .as("coverage"))
-        .orderBy("event_type", "first_day")
+      q112Rollup(firsts)
     },
     Some("""WITH firsts AS (
            |  SELECT user_id, event_type,

@@ -1154,6 +1154,59 @@ object Stateful {
       }
   }
 
+  /** One (user, event_type) pair's first-seen day (q112's row). */
+  final case class FirstSeenRow(user_id: Long, event_type: String,
+      first_day: Long)
+  final case class FirstSeenState(minDay: Long, done: Boolean)
+
+  /** Streaming twin of q112's per-pair pass — live first-time-seen
+    * tracking. The fold is a commutative min over the event day, so no
+    * reorder buffer is needed; each (user, type) pair's state is one
+    * BIGINT. Snapshots emit when the watermark passes `endDayExclusive`
+    * (d1+1 — the beaconStream convention), and the daily novelty series
+    * runs over them via the shared Security.q112Rollup — all-integer,
+    * bit-for-bit with batch. (A production deployment would instead
+    * emit each pair the FIRST time it appears — the alert path — and
+    * fold the series incrementally; the snapshot form is the
+    * batch-parity twin.) */
+  def firstSeenStream(df: DataFrame, endDayExclusive: Long,
+      slack: String = "2 hours"): Dataset[FirstSeenRow] = {
+    import org.apache.spark.sql.Encoders
+    implicit val stEnc: Encoder[FirstSeenState] =
+      Encoders.product[FirstSeenState]
+    implicit val outEnc: Encoder[FirstSeenRow] =
+      Encoders.product[FirstSeenRow]
+    implicit val keyEnc: Encoder[(Long, String)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.STRING)
+    implicit val evEnc: Encoder[Ev] = Encoders.product[Ev]
+    val DayUs = 86400000000L
+    val ds = df.withWatermark("ts", slack)
+      .select("user_id", "ts", "event_id", "event_type", "value").as[Ev]
+    ds.groupByKey(e => (e._1, e._4))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (key: (Long, String), rows: Iterator[Ev],
+            state: GroupState[FirstSeenState]) =>
+          val st0 = state.getOption.getOrElse(
+            FirstSeenState(Long.MaxValue, false))
+          var minDay = st0.minDay
+          rows.foreach { e =>
+            val day = microsOf(e._2) / DayUs
+            if (day < minDay) minDay = day
+          }
+          val wm = state.getCurrentWatermarkMs()
+          if (!st0.done && wm > endDayExclusive * 86400000L + 1L) {
+            state.update(FirstSeenState(minDay, true))
+            if (minDay == Long.MaxValue) Iterator.empty
+            else Iterator.single(FirstSeenRow(key._1, key._2, minDay))
+          } else {
+            state.update(FirstSeenState(minDay, st0.done))
+            if (!st0.done) state.setTimeoutTimestamp(wm + 1L)
+            Iterator.empty
+          }
+      }
+  }
+
   /** One channel's closed gap statistics (q111's per-channel row). */
   final case class BeaconRow(user_id: Long, event_type: String,
       n_gaps: Long, sg: Long, sg2: Long)

@@ -402,6 +402,27 @@ class OrderedReplaySpec extends SparkSpec {
         s"batch-only: ${batch.toSet.diff(streamed.toSet).take(3)}")
   }
 
+  test("streaming first-seen: pair snapshots == batch q112 series") {
+    val s = spark
+    val endDay = Tables.events(s, sf)
+      .select((unix_micros(col("ts")) / 86400000000L).cast("long").as("day"))
+      .agg(max("day")).head.getLong(0)
+    val out = runStream("ooo_firstseen")(df =>
+      Stateful.firstSeenStream(df, endDay + 1L))
+    val snap = out.filter("user_id >= 0")
+    assert(snap.count() > 0)
+    val streamed = operators.Security.q112Rollup(snap).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    val batch = SparkEntry.queries("q112_first_seen")(s, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq
+    // all-integer through the shared rollup ⇒ bit-for-bit
+    assert(streamed == batch,
+      s"stream-only: ${streamed.toSet.diff(batch.toSet).take(3)}; " +
+        s"batch-only: ${batch.toSet.diff(streamed.toSet).take(3)}")
+  }
+
   test("streaming CUSUM monitor: closed days == batch q104 rows") {
     val s = spark
     // reference stats fitted at ingest (exact integers — the catalog
