@@ -17,10 +17,17 @@ import graft.expressions.{CosineSimilarity, DotProduct, PqAdc}
   * getOrCreate on an already-running session).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.functions.foreach { case (name, info, builder) =>
       ext.injectFunction((FunctionIdentifier(name), info, builder))
     }
+    // the custom-join filter pushdown (plans.PushFilterThroughGraftJoins)
+    // and the plan strategies ride along for --conf deployments; live
+    // sessions get them via Bridge.addStrategy/addOptimization in AsOf
+    ext.injectOptimizerRule(_ => graft.plans.PushFilterThroughGraftJoins)
+    ext.injectPlannerStrategy(_ => new graft.plans.AsOfJoinStrategy)
+    ext.injectPlannerStrategy(_ => new graft.plans.BandJoinStrategy)
+  }
 }
 
 object GraftExtensions {

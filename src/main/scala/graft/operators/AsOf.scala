@@ -40,6 +40,7 @@ object AsOf {
       : DataFrame = {
     val spark = left.sparkSession
     Bridge.addStrategy(spark, new AsOfJoinStrategy)
+    Bridge.addOptimization(spark, graft.plans.PushFilterThroughGraftJoins)
     Bridge.ofRows(spark, AsOfJoinPlan(
       Bridge.analyzed(left), Bridge.analyzed(right),
       attr(left, leftKey), attr(right, rightKey),
@@ -56,6 +57,7 @@ object AsOf {
     require(tolUs >= 0L, s"band tolerance must be >= 0, got $tolUs")
     val spark = left.sparkSession
     Bridge.addStrategy(spark, new BandJoinStrategy)
+    Bridge.addOptimization(spark, graft.plans.PushFilterThroughGraftJoins)
     Bridge.ofRows(spark, BandJoinPlan(
       Bridge.analyzed(left), Bridge.analyzed(right),
       attr(left, leftKey), attr(right, rightKey),

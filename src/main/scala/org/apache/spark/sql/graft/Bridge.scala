@@ -37,4 +37,16 @@ object Bridge {
     if (!exp.extraStrategies.exists(_.getClass == strategy.getClass))
       exp.extraStrategies = exp.extraStrategies :+ strategy
   }
+
+  /** Idempotently add an optimizer rule to a LIVE session (the
+    * programmatic analog of injectOptimizerRule; runs in the
+    * User Provided Optimizers batch). */
+  def addOptimization(spark: org.apache.spark.sql.SparkSession,
+      rule: org.apache.spark.sql.catalyst.rules.Rule[
+        org.apache.spark.sql.catalyst.plans.logical.LogicalPlan]): Unit = {
+    val exp = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+      .experimental
+    if (!exp.extraOptimizations.exists(_.getClass == rule.getClass))
+      exp.extraOptimizations = exp.extraOptimizations :+ rule
+  }
 }

@@ -124,6 +124,49 @@ class AsOfNativeSpec extends SparkSpec {
         s"theta-only: ${theta.diff(native).take(3)}")
   }
 
+  test("optimizer rule: left filters push through the custom joins to the scan") {
+    val s = spark
+    val ev = Tables.events(s, sf)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("ck"), unix_micros(col("ts")).as("ct"),
+        col("event_id"), col("value").as("cv"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("pk"), unix_micros(col("ts")).as("pt"),
+        col("event_id").as("pid"))
+    // filter applied ABOVE the join, on a LEFT-side column the join
+    // condition never touches — only the pushdown rule can move it
+    val joined = AsOf.join(clicks, purchases, "ck", "pk", "ct", "pt", "pid")
+      .filter(col("cv") > 100.0)
+    val opt = joined.queryExecution.optimizedPlan
+    val asof = opt.collectFirst { case j: graft.plans.AsOfJoinPlan => j }
+    assert(asof.isDefined, s"as-of node lost in:\n$opt")
+    assert(asof.get.left.collectFirst {
+      case f: org.apache.spark.sql.catalyst.plans.logical.Filter => f
+    }.isDefined || asof.get.left.toString.contains("PushedFilters"),
+      s"left filter did not push below the join:\n$opt")
+    // and it reaches the parquet scan as a pushed filter
+    val phys = joined.queryExecution.executedPlan.toString
+    assert(phys.contains("GreaterThan(value,100.0)"),
+      s"predicate missing from PushedFilters:\n${phys.take(1500)}")
+    // results identical to filtering before the join by hand
+    val manual = AsOf.join(clicks.filter(col("cv") > 100.0), purchases,
+      "ck", "pk", "ct", "pt", "pid")
+    assert(joined.count() === manual.count())
+    // a RIGHT-side predicate on the left-outer as-of must NOT push:
+    // it observes null-completed columns
+    val rightPred = AsOf.join(clicks, purchases, "ck", "pk", "ct", "pt",
+        "pid")
+      .filter(col("pid").isNotNull)
+    val opt2 = rightPred.queryExecution.optimizedPlan
+    // the IsNotNull must remain a Filter sitting ABOVE the join node
+    val stillAbove = opt2.collectFirst {
+      case org.apache.spark.sql.catalyst.plans.logical.Filter(c,
+          _: graft.plans.AsOfJoinPlan) => c
+    }
+    assert(stillAbove.exists(_.toString.toLowerCase.contains("isnotnull")),
+      s"right-side predicate illegally pushed through as-of:\n$opt2")
+  }
+
   test("band edge semantics: inclusive edges, per-key isolation, empty side") {
     val s = spark
     import s.implicits._
