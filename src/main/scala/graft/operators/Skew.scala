@@ -382,7 +382,76 @@ object Skew {
     },
     None)
 
+  // --------------------------------------------------------------- q113
+  /** Pareto / contribution curve: how concentrated is revenue across
+    * parts — the 80/20 report behind assortment and capacity decisions.
+    * Parts aggregate to exact BIGINT cents, collapse into fixed-width
+    * revenue bands (the q59 value-histogram posture: the descending
+    * cumulative runs over the band table, whose cardinality is bounded
+    * by max-part-revenue / width, never by the part count), and each
+    * band reports the cumulative part/revenue share from the top plus
+    * the flag marking where the curve crosses 80 %.
+    *
+    * All-integer until the final share divisions of exact sums —
+    * order-proof, bit-exact cross-engine. */
+  val q113Pareto = QueryDef(
+    "q113_pareto",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val BandCents = 25000000L
+      val parts = Tables.lineitem(s, d)
+        .select(col("l_partkey"),
+          round(col("l_extendedprice") * 100).cast("long").as("cents"))
+        .groupBy("l_partkey").agg(sum("cents").as("rev"))
+      val bands = parts
+        .select((col("rev") / BandCents).cast("long").as("band"),
+          col("rev"))
+        .groupBy("band")
+        .agg(count(lit(1)).as("n_parts"), sum("rev").as("band_cents"))
+      val totals = bands.agg(sum("n_parts").as("tp"),
+        sum("band_cents").as("tc"))
+      val w = Window.orderBy(col("band").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      bands.crossJoin(broadcast(totals))
+        .withColumn("cum_parts", sum("n_parts").over(w))
+        .withColumn("cum_cents", sum("band_cents").over(w))
+        .select(col("band"), col("n_parts"),
+          r2(col("band_cents") / 100.0).as("band_revenue"),
+          col("cum_parts"),
+          r6(col("cum_parts").cast("double") / col("tp")).as("part_share"),
+          r6(col("cum_cents").cast("double") / col("tc")).as("rev_share"),
+          (col("cum_cents") * 5L >= col("tc") * 4L).as("covers_80pct"))
+        .orderBy(col("band").desc)
+    },
+    Some("""WITH parts AS (
+           |  SELECT l_partkey,
+           |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS rev
+           |  FROM lineitem GROUP BY 1),
+           |bands AS (
+           |  SELECT rev // 25000000 AS band,
+           |    CAST(count(*) AS BIGINT) AS n_parts,
+           |    sum(rev) AS band_cents
+           |  FROM parts GROUP BY 1),
+           |tot AS (SELECT sum(n_parts) AS tp, sum(band_cents) AS tc
+           |  FROM bands),
+           |c AS (
+           |  SELECT bands.*, tp, tc,
+           |    sum(n_parts) OVER (ORDER BY band DESC
+           |      ROWS UNBOUNDED PRECEDING) AS cum_parts,
+           |    sum(band_cents) OVER (ORDER BY band DESC
+           |      ROWS UNBOUNDED PRECEDING) AS cum_cents
+           |  FROM bands CROSS JOIN tot)
+           |SELECT band, n_parts,
+           |  round(band_cents / 100.0 * 100) / 100 AS band_revenue,
+           |  CAST(cum_parts AS BIGINT) AS cum_parts,
+           |  round(CAST(cum_parts AS DOUBLE) / tp * 1000000) / 1000000
+           |    AS part_share,
+           |  round(CAST(cum_cents AS DOUBLE) / tc * 1000000) / 1000000
+           |    AS rev_share,
+           |  cum_cents * 5 >= tc * 4 AS covers_80pct
+           |FROM c ORDER BY band DESC""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q36SaltedAgg, q46HashSample, q50Histogram,
     q53Profile, q66HeavyHitters, q67SketchRollup, q77GroupHeavyHitters,
-    q86QuantileSketch, q92SkewAudit, q93SketchOverlap)
+    q86QuantileSketch, q92SkewAudit, q93SketchOverlap, q113Pareto)
 }

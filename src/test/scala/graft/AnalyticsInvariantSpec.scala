@@ -110,6 +110,30 @@ class AnalyticsInvariantSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("q113: pareto curve is monotone and closes at full shares") {
+    val s = spark
+    val out = operators.Skew.q113Pareto.run(s, sf).cache()
+    try {
+      assert(out.count() > 0)
+      // curve rows are in descending band order; shares grow monotonically
+      val rows = out.collect()
+      val ps = rows.map(_.getAs[Double]("part_share"))
+      val rs = rows.map(_.getAs[Double]("rev_share"))
+      assert(ps.sameElements(ps.sorted) && rs.sameElements(rs.sorted))
+      // the last row covers everything exactly
+      assert(math.abs(ps.last - 1.0) < 1e-9 &&
+        math.abs(rs.last - 1.0) < 1e-9)
+      // the 80% flag is a threshold: false rows strictly precede true
+      val flags = rows.map(_.getAs[Boolean]("covers_80pct"))
+      assert(!flags.sliding(2).exists { case Array(a, b) => a && !b })
+      assert(flags.last)
+      // parts conserve: Σ n_parts == distinct parts in lineitem
+      val n = Tables.lineitem(s, sf)
+        .select(countDistinct("l_partkey")).head.getLong(0)
+      assert(out.agg(sum("n_parts")).head.getLong(0) === n)
+    } finally out.unpersist()
+  }
+
   test("s07: flagged outliers are the per-label cosine minima, z < 0") {
     val s = spark
     val out = operators.Similarity.s07CentroidOutliers.run(s, sf).cache()
