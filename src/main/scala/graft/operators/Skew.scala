@@ -451,7 +451,51 @@ object Skew {
            |  cum_cents * 5 >= tc * 4 AS covers_80pct
            |FROM c ORDER BY band DESC""".stripMargin))
 
+  // --------------------------------------------------------------- q114
+  /** Per-source Gini coefficient over document lengths — q113's
+    * single-number twin, the inequality diagnostic a data-mix review
+    * reads per domain (a source whose token mass sits in a few huge
+    * docs behaves differently under packing/sampling than a uniform
+    * one). Exact rank formula G = Σ(2i − n − 1)·xᵢ / (n·Σx) over
+    * ascending lengths.
+    *
+    * Scale shape: ONE window partitioned by source (high cardinality —
+    * one exchange, parallel across sources; the x07 posture) feeding a
+    * same-key hash-agg; the numerator is an exact BIGINT sum with a
+    * (n_chars, doc_id) total order so ranks are deterministic. */
+  val q114SourceGini = QueryDef(
+    "q114_source_gini",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("source")
+        .orderBy(col("n_chars").asc, col("doc_id").asc)
+      Tables.documents(s, d)
+        .select(col("source"), col("doc_id"), col("n_chars"))
+        .withColumn("i", row_number().over(w).cast("long"))
+        .withColumn("n",
+          count(lit(1)).over(Window.partitionBy("source")).cast("long"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"),
+          sum((col("i") * 2L - col("n") - 1L) * col("n_chars")).as("num"))
+        .select(col("source"), col("n_docs"), col("total_chars"),
+          r6(col("num").cast("double")
+            / (col("n_docs") * col("total_chars"))).as("gini"))
+        .orderBy("source")
+    },
+    Some("""WITH r AS (
+           |  SELECT source, n_chars,
+           |    row_number() OVER (PARTITION BY source
+           |      ORDER BY n_chars, doc_id) AS i,
+           |    count(*) OVER (PARTITION BY source) AS n
+           |  FROM documents)
+           |SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+           |  CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           |  round(CAST(sum((2 * i - n - 1) * n_chars) AS DOUBLE)
+           |    / (count(*) * sum(n_chars)) * 1000000) / 1000000 AS gini
+           |FROM r GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q36SaltedAgg, q46HashSample, q50Histogram,
     q53Profile, q66HeavyHitters, q67SketchRollup, q77GroupHeavyHitters,
-    q86QuantileSketch, q92SkewAudit, q93SketchOverlap, q113Pareto)
+    q86QuantileSketch, q92SkewAudit, q93SketchOverlap, q113Pareto,
+    q114SourceGini)
 }

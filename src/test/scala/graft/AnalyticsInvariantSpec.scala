@@ -134,6 +134,41 @@ class AnalyticsInvariantSpec extends SparkSpec {
     } finally out.unpersist()
   }
 
+  test("q114: Gini is in [0,1) and zero only under perfect equality") {
+    val s = spark
+    val out = operators.Skew.q114SourceGini.run(s, sf).cache()
+    try {
+      assert(out.count() > 0)
+      assert(out.filter(col("gini") < 0 || col("gini") >= 1).count() === 0)
+      // hand-check one source against the rank formula on driver side
+      val src = out.head.getString(0)
+      val xs = Tables.documents(s, sf).filter(col("source") === src)
+        .orderBy(col("n_chars").asc, col("doc_id").asc)
+        .select("n_chars").collect().map(_.getLong(0))
+      val n = xs.length.toLong
+      val num = xs.zipWithIndex.map { case (x, i0) =>
+        (2L * (i0 + 1) - n - 1L) * x }.sum
+      val expected = num.toDouble / (n * xs.sum)
+      val got = out.filter(col("source") === src)
+        .head.getDouble(3)
+      assert(math.abs(got - expected) < 1e-4, s"$got vs $expected")
+    } finally out.unpersist()
+  }
+
+  test("d15: cluster-size histogram reconstructs the d03 clustering") {
+    val s = spark
+    val out = operators.Dedup.d15ClusterSizes.run(s, sf).cache()
+    try {
+      val lbl = operators.Dedup.minhashClustersCached(s, sf)
+      assert(out.agg(sum("docs_covered")).head.getLong(0) === lbl.count())
+      assert(out.agg(sum("n_clusters_of_sz")).head.getLong(0) ===
+        lbl.select("cluster_id").distinct().count())
+      // shares sum to 1 over the histogram
+      val shareSum = out.agg(sum("doc_share")).head.getDouble(0)
+      assert(math.abs(shareSum - 1.0) < 1e-3)
+    } finally out.unpersist()
+  }
+
   test("s07: flagged outliers are the per-label cosine minima, z < 0") {
     val s = spark
     val out = operators.Similarity.s07CentroidOutliers.run(s, sf).cache()
