@@ -1116,8 +1116,52 @@ object Temporal {
            |  abs(CAST(cusums AS DOUBLE) / nd) > sd_milli * 2 AS shifted
            |FROM cs ORDER BY 1, 2""".stripMargin))
 
+  // --------------------------------------------------------------- q115
+  /** Day-of-week activity profile: per event_type, event counts by
+    * weekday with each cell's share and its deviation from the uniform
+    * 1/7 — the weekly-seasonality companion to q90's hour-of-day
+    * profile (staffing follows weekday shape; a flat profile means
+    * machine traffic, a weekday hump means humans). Epoch day 0 is a
+    * Thursday, so dow = (day + 4) % 7 with Monday = 0 — pure integer
+    * arithmetic both engines compute identically, no calendar library.
+    *
+    * Scale shape: ONE map-side-combined hash-agg to the types×7 grid;
+    * totals broadcast back; shares divide exact integers. */
+  val q115WeekdayProfile = QueryDef(
+    "q115_weekday_profile",
+    (s, d) => {
+      val DayUs = 86400000000L
+      val cells = Tables.events(s, d)
+        .select(col("event_type"),
+          (((unix_micros(col("ts")) / DayUs) + 4L) % 7L).cast("int")
+            .as("dow"))
+        .groupBy("event_type", "dow")
+        .agg(count(lit(1)).as("n"))
+      val totals = cells.groupBy("event_type")
+        .agg(sum("n").as("tot"))
+        .withColumnRenamed("event_type", "et_t")
+      cells.join(broadcast(totals), col("event_type") === col("et_t"))
+        .select(col("event_type"), col("dow"), col("n"),
+          Rounding.r6(col("n").cast("double") / col("tot")).as("share"),
+          Rounding.r6(col("n").cast("double") / col("tot") - 1.0 / 7.0)
+            .as("dev_from_uniform"))
+        .orderBy("event_type", "dow")
+    },
+    Some("""WITH cells AS (
+           |  SELECT event_type,
+           |    CAST((epoch_us(ts) // 86400000000 + 4) % 7 AS INT) AS dow,
+           |    CAST(count(*) AS BIGINT) AS n
+           |  FROM events GROUP BY 1, 2),
+           |tot AS (SELECT event_type, sum(n) AS tot FROM cells GROUP BY 1)
+           |SELECT event_type, dow, n,
+           |  round(CAST(n AS DOUBLE) / tot * 1000000) / 1000000 AS share,
+           |  round((CAST(n AS DOUBLE) / tot - 1.0 / 7.0) * 1000000)
+           |    / 1000000 AS dev_from_uniform
+           |FROM cells JOIN tot USING (event_type)
+           |ORDER BY 1, 2""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q48Scd2, q55GapFill, q56Ohlc, q60Anomaly,
     q63SeriesCorr, q64Ewma, q65Autocorr, q78SnapshotDiff, q84IntervalJoin,
     q89AsofDirections, q90SeasonalNaive, q95RollingQuantiles, q97MergeApply,
-    q100Twap, q104Cusum)
+    q100Twap, q104Cusum, q115WeekdayProfile)
 }

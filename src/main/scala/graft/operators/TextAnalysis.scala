@@ -962,10 +962,56 @@ object TextAnalysis {
            |       ELSE 'hard' END AS band
            |FROM sc ORDER BY doc_id""".stripMargin))
 
+  // ---------------------------------------------------------------- t24
+  /** Lexical richness per source: type-token ratio, hapax share (tokens
+    * seen exactly once), and mean token frequency — the vocabulary-
+    * diversity cut a data-mix review reads beside t15's volume numbers
+    * (templated/boilerplate sources show low TTR and a thin hapax
+    * tail; rich prose shows the opposite).
+    *
+    * Scale shape: explode → one (source, token) hash-agg (map-side
+    * combined, vocabulary-sized output by Heaps' law) → one per-source
+    * rollup. All-integer counts; ratios divide exact sums. */
+  val t24LexicalRichness = QueryDef(
+    "t24_lexical_richness",
+    (s, d) => {
+      val tokens = Tables.documents(s, d)
+        .select(col("source"), explode(T.tokens(col("text"))).as("tok"))
+        .groupBy("source", "tok")
+        .agg(count(lit(1)).as("n"))
+      tokens.groupBy("source")
+        .agg(count(lit(1)).as("n_types"), sum("n").as("n_tokens"),
+          sum(when(col("n") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+        .select(col("source"), col("n_types"), col("n_tokens"),
+          col("n_hapax"),
+          r6(col("n_types").cast("double") / col("n_tokens")).as("ttr"),
+          r6(col("n_hapax").cast("double") / col("n_types"))
+            .as("hapax_share"),
+          r4(col("n_tokens").cast("double") / col("n_types"))
+            .as("mean_freq"))
+        .orderBy("source")
+    },
+    Some("""WITH tok AS (
+           |  SELECT source, unnest(string_split(text, ' ')) AS tok
+           |  FROM documents),
+           |tf AS (
+           |  SELECT source, tok, count(*) AS n FROM tok GROUP BY 1, 2)
+           |SELECT source, CAST(count(*) AS BIGINT) AS n_types,
+           |  CAST(sum(n) AS BIGINT) AS n_tokens,
+           |  CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_hapax,
+           |  round(CAST(count(*) AS DOUBLE) / sum(n) * 1000000) / 1000000
+           |    AS ttr,
+           |  round(CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+           |    / count(*) * 1000000) / 1000000 AS hapax_share,
+           |  round(CAST(sum(n) AS DOUBLE) / count(*) * 10000) / 10000
+           |    AS mean_freq
+           |FROM tf GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[QueryDef] =
     Seq(t01LangId, t02Quality, t03TokenCount, t04RollingHash, t05TfIdf,
       t08UnigramLm, t09TokenEntropy, t10GopherRules, t11BigramLm,
       t12Collocations, t13LangidConfusion, t14Chunking, t15CorpusDatasheet,
       t16ChunkDedup, t17QualityClassifier, t18PplBuckets, t19BpePairs,
-      t21DriftReport, t22Novelty, t23Readability)
+      t21DriftReport, t22Novelty, t23Readability, t24LexicalRichness)
 }

@@ -120,6 +120,34 @@ class CohortAnalyticsSpec extends SparkSpec {
     } finally trend.unpersist()
   }
 
+  test("q115: weekday shares sum to one and deviations cancel per type") {
+    val s = spark
+    val out = operators.Temporal.q115WeekdayProfile.run(s, sf).cache()
+    try {
+      assert(out.count() > 0)
+      assert(out.filter(col("dow") < 0 || col("dow") > 6).count() === 0)
+      val sums = out.groupBy("event_type")
+        .agg(sum("share").as("ss"), sum("dev_from_uniform").as("sd"))
+      assert(sums.filter(abs(col("ss") - 1.0) > 1e-3).count() === 0)
+      assert(sums.filter(abs(col("sd")) > 1e-3).count() === 0)
+    } finally out.unpersist()
+  }
+
+  test("t24: richness ratios are coherent with the token counts") {
+    val s = spark
+    val out = operators.TextAnalysis.t24LexicalRichness.run(s, sf).cache()
+    try {
+      assert(out.count() > 0)
+      // types ≤ tokens, hapax ≤ types, and ttr·mean_freq ≈ 1
+      assert(out.filter(col("n_types") > col("n_tokens") ||
+        col("n_hapax") > col("n_types")).count() === 0)
+      assert(out.filter(col("ttr") <= 0 || col("ttr") > 1 ||
+        col("hapax_share") < 0 || col("hapax_share") > 1).count() === 0)
+      assert(out.filter(abs(col("ttr") * col("mean_freq") - 1.0) > 1e-2)
+        .count() === 0)
+    } finally out.unpersist()
+  }
+
   test("t23: bands match the flesch thresholds and counts are sane") {
     val s = spark
     val out = operators.TextAnalysis.t23Readability.run(s, sf).cache()
