@@ -932,8 +932,80 @@ object Behavioral {
            |FROM exposed LEFT JOIN conv USING (user_id)
            |GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  // --------------------------------------------------------------- q116
+  /** Market-basket association rules over per-(user, day) baskets:
+    * for every event-type pair a < b, the support, confidence(a→b) and
+    * lift — the co-occurrence diagnostic behind "users who error also
+    * churn"-style findings. A basket is the distinct set of event types
+    * a user produced on one day.
+    *
+    * Scale shape: distinct → ONE hash-agg to (user, day) baskets with a
+    * collect_set bounded by the event-type taxonomy (a catalog stat,
+    * single digits to hundreds — never data-sized), pairs exploded from
+    * the sorted set so a < b needs no join, then a hash-agg onto the
+    * types² grid. Type totals and the basket count are grid-sized and
+    * broadcast. No self-join of the event log against itself. */
+  val q116BasketLift = QueryDef(
+    "q116_basket_lift",
+    (s, d) => {
+      val DayUs = 86400000000L
+      val baskets = Tables.events(s, d)
+        .select(col("user_id"),
+          (unix_micros(col("ts")) / DayUs).cast("long").as("day"),
+          col("event_type"))
+        .distinct()
+      val sets = baskets.groupBy("user_id", "day")
+        .agg(sort_array(collect_set(col("event_type"))).as("types"))
+      val pairs = sets
+        .select(col("types"), posexplode(col("types")).as(Seq("i", "lhs")))
+        .select(col("i"), col("lhs"),
+          posexplode(col("types")).as(Seq("j", "rhs")))
+        .filter(col("i") < col("j"))
+        .groupBy("lhs", "rhs").agg(count(lit(1)).as("n_ab"))
+      val typeCounts = baskets.groupBy("event_type")
+        .agg(count(lit(1)).as("n"))
+      val tot = sets.agg(count(lit(1)).as("n_baskets"))
+      pairs
+        .join(broadcast(typeCounts.withColumnRenamed("event_type", "et_a")
+          .withColumnRenamed("n", "n_lhs")), col("lhs") === col("et_a"))
+        .join(broadcast(typeCounts.withColumnRenamed("event_type", "et_b")
+          .withColumnRenamed("n", "n_rhs")), col("rhs") === col("et_b"))
+        .crossJoin(broadcast(tot))
+        .select(col("lhs"), col("rhs"), col("n_ab"), col("n_lhs"),
+          col("n_rhs"), col("n_baskets"),
+          r6(col("n_ab").cast("double") / col("n_baskets")).as("support"),
+          r6(col("n_ab").cast("double") / col("n_lhs")).as("confidence"),
+          r6(col("n_ab").cast("double") * col("n_baskets")
+            / (col("n_lhs").cast("double") * col("n_rhs"))).as("lift"))
+        .orderBy("lhs", "rhs")
+    },
+    Some("""WITH b AS (
+           |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day,
+           |    event_type FROM events),
+           |bk AS (SELECT user_id, day FROM b GROUP BY 1, 2),
+           |tot AS (SELECT CAST(count(*) AS BIGINT) AS n_baskets FROM bk),
+           |tc AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n
+           |  FROM b GROUP BY 1),
+           |pc AS (
+           |  SELECT x.event_type AS lhs, y.event_type AS rhs,
+           |    CAST(count(*) AS BIGINT) AS n_ab
+           |  FROM b x JOIN b y ON x.user_id = y.user_id AND x.day = y.day
+           |    AND x.event_type < y.event_type
+           |  GROUP BY 1, 2)
+           |SELECT lhs, rhs, n_ab, ta.n AS n_lhs, tb.n AS n_rhs, n_baskets,
+           |  round(CAST(n_ab AS DOUBLE) / n_baskets * 1000000) / 1000000
+           |    AS support,
+           |  round(CAST(n_ab AS DOUBLE) / ta.n * 1000000) / 1000000
+           |    AS confidence,
+           |  round(CAST(n_ab AS DOUBLE) * n_baskets
+           |    / (CAST(ta.n AS DOUBLE) * tb.n) * 1000000) / 1000000 AS lift
+           |FROM pc
+           |JOIN tc ta ON pc.lhs = ta.event_type
+           |JOIN tc tb ON pc.rhs = tb.event_type
+           |CROSS JOIN tot ORDER BY 1, 2""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q57Funnel, q58Retention, q61Markov,
     q62SessionPaths, q68Attribution, q80SlidingDistinct, q83PeakConcurrency,
     q85DecileMobility, q102RfmSegments, q103CohortLtv, q106AbLift,
-    q107ConversionLag, q108FunnelTrend)
+    q107ConversionLag, q108FunnelTrend, q116BasketLift)
 }

@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.Encoders
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
-import graft.functions.Rounding.{r2, r6}
+import graft.functions.Rounding.{r2, r4, r6}
 import graft.functions.{TextFunctions => T}
 
 /** Skew-handling patterns for hot keys at cluster scale.
@@ -494,8 +494,71 @@ object Skew {
            |    / (count(*) * sum(n_chars)) * 1000000) / 1000000 AS gini
            |FROM r GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  // --------------------------------------------------------------- q117
+  /** MAD-based robust outlier audit: per event_type, the median and the
+    * median absolute deviation of `value`, and how many rows sit beyond
+    * 3 robust sigmas (MAD × 1.4826 ≈ σ for a normal). The robust twin
+    * of q60's z-score — a handful of billion-dollar rows can't drag the
+    * center the way they drag a mean/stddev.
+    *
+    * Scale shape: three hash-agg passes over the same scan (median →
+    * MAD → outlier count), each keyed by event_type with the grid-sized
+    * per-type stats broadcast back — never a sort of the full log.
+    * Values move as exact milli-unit BIGINTs so the percentile
+    * interpolation is on integers (the established parity posture). */
+  val q117MadOutliers = QueryDef(
+    "q117_mad_outliers",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("event_type"),
+          expr("cast(round(value * 1000) as bigint)").as("mv"))
+      val med = ev.groupBy("event_type")
+        .agg(expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY mv)")
+          .as("med_mv"))
+        .withColumnRenamed("event_type", "et_m")
+      val dev = ev.join(broadcast(med), col("event_type") === col("et_m"))
+        .withColumn("adev", abs(col("mv").cast("double") - col("med_mv")))
+      val mad = dev.groupBy("event_type")
+        .agg(expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY adev)")
+          .as("mad_mv"))
+        .withColumnRenamed("event_type", "et_d")
+      dev.join(broadcast(mad), col("event_type") === col("et_d"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          r4(first(col("med_mv")) / 1000.0).as("median"),
+          r4(first(col("mad_mv")) / 1000.0).as("mad"),
+          sum(when(col("adev") > lit(3.0) * lit(1.4826) * col("mad_mv"), 1L)
+            .otherwise(0L)).as("n_outliers"))
+        .withColumn("outlier_share",
+          r6(col("n_outliers").cast("double") / col("n")))
+        .orderBy("event_type")
+    },
+    Some("""WITH e AS (
+           |  SELECT event_type, CAST(round(value * 1000) AS BIGINT) AS mv
+           |  FROM events),
+           |med AS (
+           |  SELECT event_type, quantile_cont(mv, 0.5) AS med_mv
+           |  FROM e GROUP BY 1),
+           |dev AS (
+           |  SELECT e.event_type, mv,
+           |    abs(CAST(mv AS DOUBLE) - med_mv) AS adev, med_mv
+           |  FROM e JOIN med USING (event_type)),
+           |mad AS (
+           |  SELECT event_type, quantile_cont(adev, 0.5) AS mad_mv
+           |  FROM dev GROUP BY 1)
+           |SELECT dev.event_type, CAST(count(*) AS BIGINT) AS n,
+           |  round(any_value(med_mv) / 1000.0 * 10000) / 10000 AS median,
+           |  round(any_value(mad_mv) / 1000.0 * 10000) / 10000 AS mad,
+           |  CAST(sum(CASE WHEN adev > 3.0 * 1.4826 * mad_mv
+           |    THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           |  round(CAST(sum(CASE WHEN adev > 3.0 * 1.4826 * mad_mv
+           |      THEN 1 ELSE 0 END) AS DOUBLE) / count(*) * 1000000)
+           |    / 1000000 AS outlier_share
+           |FROM dev JOIN mad USING (event_type)
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q36SaltedAgg, q46HashSample, q50Histogram,
     q53Profile, q66HeavyHitters, q67SketchRollup, q77GroupHeavyHitters,
     q86QuantileSketch, q92SkewAudit, q93SketchOverlap, q113Pareto,
-    q114SourceGini)
+    q114SourceGini, q117MadOutliers)
 }

@@ -1008,10 +1008,81 @@ object TextAnalysis {
            |    AS mean_freq
            |FROM tf GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  // ---------------------------------------------------------------- t25
+  /** Zipf rank-frequency fit per language: least-squares slope of
+    * ln(freq) vs ln(rank) over the top-200 token ranks. Natural text
+    * sits near slope −1; templated or synthetic text bends away from
+    * it, so the slope is a one-number corpus-naturalness check beside
+    * t24's richness ratios.
+    *
+    * Scale shape: one (lang, tok) hash-agg (vocabulary-sized), one
+    * window per lang for ranks (vocab-sized input, top-200 kept), then
+    * a per-lang rollup of FIVE integer sums. ln values move as exact
+    * micro-unit BIGINTs so every sum is order-proof; the regression
+    * closed form divides exact integers only at the end. */
+  val t25ZipfSlope = QueryDef(
+    "t25_zipf_slope",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val K = 200
+      val freq = Tables.documents(s, d)
+        .select(col("lang"), explode(T.tokens(col("text"))).as("tok"))
+        .groupBy("lang", "tok").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("lang")
+        .orderBy(col("n").desc, col("tok").asc)
+      val xy = freq.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= K)
+        .select(col("lang"),
+          expr("cast(round(ln(rank) * 1000000) as bigint)").as("x"),
+          expr("cast(round(ln(n) * 1000000) as bigint)").as("y"))
+      xy.groupBy("lang")
+        .agg(count(lit(1)).as("k"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .withColumn("slope_raw",
+          (col("k") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (col("k") * col("sxx") - col("sx") * col("sx")).cast("double"))
+        .select(col("lang"), col("k"), r4(col("slope_raw")).as("slope"),
+          r4((col("sy").cast("double") / 1000000.0
+            - col("slope_raw") * col("sx") / 1000000.0) / col("k"))
+            .as("intercept"))
+        .orderBy("lang")
+    },
+    Some("""WITH freq AS (
+           |  SELECT lang, tok, count(*) AS n
+           |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok
+           |        FROM documents)
+           |  GROUP BY 1, 2),
+           |rk AS (
+           |  SELECT lang, n, row_number() OVER (PARTITION BY lang
+           |    ORDER BY n DESC, tok) AS rank
+           |  FROM freq),
+           |xy AS (
+           |  SELECT lang,
+           |    CAST(round(ln(rank) * 1000000) AS BIGINT) AS x,
+           |    CAST(round(ln(n) * 1000000) AS BIGINT) AS y
+           |  FROM rk WHERE rank <= 200),
+           |agg AS (
+           |  SELECT lang, CAST(count(*) AS BIGINT) AS k,
+           |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+           |    CAST(sum(x * y) AS BIGINT) AS sxy,
+           |    CAST(sum(x * x) AS BIGINT) AS sxx
+           |  FROM xy GROUP BY 1),
+           |sl AS (
+           |  SELECT lang, k, sx, sy,
+           |    CAST(k * sxy - sx * sy AS DOUBLE)
+           |      / CAST(k * sxx - sx * sx AS DOUBLE) AS slope_raw
+           |  FROM agg)
+           |SELECT lang, k, round(slope_raw * 10000) / 10000 AS slope,
+           |  round((CAST(sy AS DOUBLE) / 1000000
+           |    - slope_raw * sx / 1000000) / k * 10000) / 10000 AS intercept
+           |FROM sl ORDER BY lang""".stripMargin))
+
   val all: Seq[QueryDef] =
     Seq(t01LangId, t02Quality, t03TokenCount, t04RollingHash, t05TfIdf,
       t08UnigramLm, t09TokenEntropy, t10GopherRules, t11BigramLm,
       t12Collocations, t13LangidConfusion, t14Chunking, t15CorpusDatasheet,
       t16ChunkDedup, t17QualityClassifier, t18PplBuckets, t19BpePairs,
-      t21DriftReport, t22Novelty, t23Readability, t24LexicalRichness)
+      t21DriftReport, t22Novelty, t23Readability, t24LexicalRichness,
+      t25ZipfSlope)
 }
