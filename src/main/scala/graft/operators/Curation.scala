@@ -1078,11 +1078,89 @@ object Curation {
            |       ELSE '3_hard' END AS phase
            |FROM ps ORDER BY phase, shard""".stripMargin))
 
+  // ---------------------------------------------------------------- x19
+  /** Token-budget waterfilling: allocate a training budget (40% of the
+    * corpus's tokens) across sources so every source gets
+    * min(supply, L) tokens for one shared water level L — small sources
+    * are taken whole, big sources are capped at L, and Σ alloc = budget.
+    * The fairness allocator behind "no domain may dominate the mix"
+    * policies, solved in closed form: sort supplies ascending; for each
+    * split point the candidate level is (budget − funded prefix) /
+    * (#sources above), and exactly one candidate is consistent.
+    *
+    * Scale shape: ONE hash-agg to the per-source supply table (source
+    * cardinality — a catalog stat, never data-sized), windows over that
+    * bounded table, and a broadcast scalar for the level. The budget is
+    * exact integer arithmetic (×2 div 5); only the level itself is a
+    * double, computed from exact BIGINTs in one expression. */
+  val x19TokenBudget = QueryDef(
+    "x19_token_budget",
+    (s, d) => {
+      val perSrc = Tables.documents(s, d)
+        .groupBy("source").agg(expr("sum(n_chars) div 4").as("supply"))
+      val w = Window.orderBy(col("supply").asc, col("source").asc)
+      val g = Window.partitionBy()
+      val ranked = perSrc
+        .withColumn("i", row_number().over(w).cast("long"))
+        .withColumn("prefix", sum("supply").over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .withColumn("prev_supply", lag("supply", 1).over(w))
+        .withColumn("n", count(lit(1)).over(g).cast("long"))
+        .withColumn("b", expr("sum(supply) over () * 2 div 5"))
+        .withColumn("lvl",
+          (col("b") - (col("prefix") - col("supply"))).cast("double")
+            / (col("n") - col("i") + 1L))
+      val level = ranked.agg(
+        min(when((col("i") === 1L || col("prev_supply") <= col("lvl"))
+          && col("lvl") < col("supply"), col("lvl"))).as("level"))
+      ranked.crossJoin(broadcast(level))
+        .withColumn("alloc_tokens",
+          when(col("level").isNull, col("supply"))
+            .otherwise(least(col("supply"),
+              floor(col("level")).cast("long"))))
+        .select(col("source"), col("supply").as("supply_tokens"),
+          col("alloc_tokens"),
+          (col("alloc_tokens") === col("supply")).as("funded"),
+          r6(col("alloc_tokens").cast("double") / col("supply"))
+            .as("fill_ratio"))
+        .orderBy("source")
+    },
+    Some("""WITH per_src AS (
+           |  SELECT source, CAST(sum(n_chars) // 4 AS BIGINT) AS supply
+           |  FROM documents GROUP BY 1),
+           |rk AS (
+           |  SELECT source, supply,
+           |    CAST(row_number() OVER w AS BIGINT) AS i,
+           |    CAST(sum(supply) OVER (ORDER BY supply, source
+           |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS prefix,
+           |    lag(supply) OVER w AS prev_supply,
+           |    CAST(count(*) OVER () AS BIGINT) AS n,
+           |    CAST(sum(supply) OVER () * 2 // 5 AS BIGINT) AS b
+           |  FROM per_src WINDOW w AS (ORDER BY supply, source)),
+           |cand AS (
+           |  SELECT *, CAST(b - (prefix - supply) AS DOUBLE)
+           |    / (n - i + 1) AS lvl
+           |  FROM rk),
+           |lev AS (
+           |  SELECT min(CASE WHEN (i = 1 OR prev_supply <= lvl)
+           |    AND lvl < supply THEN lvl END) AS level FROM cand),
+           |alloc AS (
+           |  SELECT source, supply,
+           |    CASE WHEN level IS NULL THEN supply
+           |         ELSE least(supply, CAST(floor(level) AS BIGINT)) END
+           |      AS alloc_tokens
+           |  FROM cand CROSS JOIN lev)
+           |SELECT source, supply AS supply_tokens, alloc_tokens,
+           |  alloc_tokens = supply AS funded,
+           |  round(CAST(alloc_tokens AS DOUBLE) / supply * 1000000)
+           |    / 1000000 AS fill_ratio
+           |FROM alloc ORDER BY source""".stripMargin))
+
   val all: Seq[QueryDef] =
     Seq(x01Decontaminate, x02StratifiedSample, x03DomainMix,
       t06PiiRedact, t07Repetition, x04ContainmentScore, x05WeightedSample,
       x06PackSequences, x07ClusterReps, x08TemperatureMix, x09LeakageSplit,
       x10CurationPipeline, x11BloomDecontaminate, x12CompactionPlan,
       x13EpochPlan, x14KAnonymity, x15DsirWeights, x16ShardPlan,
-      x17ModalityAgreement, x18CurriculumPlan)
+      x17ModalityAgreement, x18CurriculumPlan, x19TokenBudget)
 }

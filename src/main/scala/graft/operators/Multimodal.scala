@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Dataset, SparkSession}
 import graft.{QueryDef, Tables}
-import graft.functions.Rounding.r4
+import graft.functions.Rounding.{r4, r6}
 
 /** Multimodal column handling: media payloads as opaque `binary` columns
   * with typed metadata, plus a batched decode/feature-extract stage.
@@ -446,6 +446,79 @@ object Multimodal {
            |  arg_max(doc_id, cum) AS last_doc_id
            |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
+  // ---------------------------------------------------------------- m08
+  /** Aspect-ratio bucket batching plan (the SDXL-style trick: group
+    * images by nearest aspect bucket so a batch shares one canvas and
+    * nothing is cropped to square). Each image goes to the bucket
+    * minimizing |aspect − target| over a fixed 5-target ladder; per
+    * bucket the plan reports batch count at batch-size 32 and the
+    * padding waste the last partial batch costs.
+    *
+    * Scale shape: metadata-only — width/height ride beside the blob so
+    * no payload bytes move; the 5-row bucket ladder is broadcast; the
+    * argmin is a per-doc_id window over exactly 5 rows; one hash-agg
+    * onto the bucket grid. Aspect means move as exact micro-unit
+    * BIGINTs (integer div), so sums are order-proof. Zero-dimension
+    * rows (invalid metadata) are excluded as decode rejects. */
+  val m08AspectBuckets = QueryDef(
+    "m08_aspect_buckets",
+    (s, d) => {
+      import s.implicits._
+      import org.apache.spark.sql.expressions.Window
+      val targets =
+        broadcast(Seq(0.5, 0.75, 1.0, 4.0 / 3.0, 2.0).toDF("target"))
+      val v = mediaDataset(s, d).toDF()
+        .filter(col("width") > 0 && col("height") > 0)
+        .select(col("doc_id"),
+          (col("width").cast("double") / col("height")).as("aspect"),
+          expr("cast(width as bigint) * 1000000 div height").as("am"))
+      val w = Window.partitionBy("doc_id")
+        .orderBy(abs(col("aspect") - col("target")).asc, col("target").asc)
+      v.crossJoin(targets)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .groupBy("target")
+        .agg(count(lit(1)).as("n_images"), sum("am").as("sum_am"))
+        .withColumn("n_batches", expr("(n_images + 31) div 32"))
+        .withColumn("pad_waste", col("n_batches") * 32L - col("n_images"))
+        .select(col("target").as("bucket_target"), col("n_images"),
+          col("n_batches"), col("pad_waste"),
+          r6(col("pad_waste").cast("double")
+            / (col("n_batches") * 32L).cast("double")).as("pad_share"),
+          r4(col("sum_am").cast("double") / col("n_images") / 1000000.0)
+            .as("mean_aspect"))
+        .orderBy("bucket_target")
+    },
+    Some("""WITH m AS (
+           |  SELECT doc_id, CAST(n_chars % 640 AS INT) AS w,
+           |    CAST(n_chars % 480 AS INT) AS h
+           |  FROM documents),
+           |v AS (
+           |  SELECT doc_id, CAST(w AS DOUBLE) / h AS aspect,
+           |    CAST(w AS BIGINT) * 1000000 // h AS am
+           |  FROM m WHERE w > 0 AND h > 0),
+           |t(target) AS (VALUES (CAST(0.5 AS DOUBLE)), (0.75), (1.0),
+           |  (CAST(4 AS DOUBLE) / 3), (2.0)),
+           |asg AS (
+           |  SELECT doc_id, am, target,
+           |    row_number() OVER (PARTITION BY doc_id
+           |      ORDER BY abs(aspect - target), target) AS rk
+           |  FROM v CROSS JOIN t),
+           |agg AS (
+           |  SELECT target, CAST(count(*) AS BIGINT) AS n_images,
+           |    CAST(sum(am) AS BIGINT) AS sum_am,
+           |    CAST((count(*) + 31) // 32 AS BIGINT) AS n_batches
+           |  FROM asg WHERE rk = 1 GROUP BY 1)
+           |SELECT target AS bucket_target, n_images, n_batches,
+           |  n_batches * 32 - n_images AS pad_waste,
+           |  round(CAST(n_batches * 32 - n_images AS DOUBLE)
+           |    / CAST(n_batches * 32 AS DOUBLE) * 1000000) / 1000000
+           |    AS pad_share,
+           |  round(CAST(sum_am AS DOUBLE) / n_images / 1000000 * 10000)
+           |    / 10000 AS mean_aspect
+           |FROM agg ORDER BY bucket_target""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(m01Meta, m02Features, m03FrameSample,
-    m04MediaNearDup, m05VadSegments, m06CdcDedup, m07InterleavedPack)
+    m04MediaNearDup, m05VadSegments, m06CdcDedup, m07InterleavedPack,
+    m08AspectBuckets)
 }
