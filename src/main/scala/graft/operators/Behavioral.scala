@@ -945,39 +945,46 @@ object Behavioral {
     * the sorted set so a < b needs no join, then a hash-agg onto the
     * types² grid. Type totals and the basket count are grid-sized and
     * broadcast. No self-join of the event log against itself. */
+  /** Rule computation from the distinct (user_id, day, event_type)
+    * basket membership table — shared verbatim by the streaming twin,
+    * which reconstructs the same baskets from its per-(user, day)
+    * bitmask state snapshot. */
+  def q116Rollup(baskets: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val sets = baskets.groupBy("user_id", "day")
+      .agg(sort_array(collect_set(col("event_type"))).as("types"))
+    val pairs = sets
+      .select(col("types"), posexplode(col("types")).as(Seq("i", "lhs")))
+      .select(col("i"), col("lhs"),
+        posexplode(col("types")).as(Seq("j", "rhs")))
+      .filter(col("i") < col("j"))
+      .groupBy("lhs", "rhs").agg(count(lit(1)).as("n_ab"))
+    val typeCounts = baskets.groupBy("event_type")
+      .agg(count(lit(1)).as("n"))
+    val tot = sets.agg(count(lit(1)).as("n_baskets"))
+    pairs
+      .join(broadcast(typeCounts.withColumnRenamed("event_type", "et_a")
+        .withColumnRenamed("n", "n_lhs")), col("lhs") === col("et_a"))
+      .join(broadcast(typeCounts.withColumnRenamed("event_type", "et_b")
+        .withColumnRenamed("n", "n_rhs")), col("rhs") === col("et_b"))
+      .crossJoin(broadcast(tot))
+      .select(col("lhs"), col("rhs"), col("n_ab"), col("n_lhs"),
+        col("n_rhs"), col("n_baskets"),
+        r6(col("n_ab").cast("double") / col("n_baskets")).as("support"),
+        r6(col("n_ab").cast("double") / col("n_lhs")).as("confidence"),
+        r6(col("n_ab").cast("double") * col("n_baskets")
+          / (col("n_lhs").cast("double") * col("n_rhs"))).as("lift"))
+      .orderBy("lhs", "rhs")
+  }
+
   val q116BasketLift = QueryDef(
     "q116_basket_lift",
     (s, d) => {
-      val DayUs = 86400000000L
-      val baskets = Tables.events(s, d)
+      q116Rollup(Tables.events(s, d)
         .select(col("user_id"),
-          (unix_micros(col("ts")) / DayUs).cast("long").as("day"),
+          expr("unix_micros(ts) div 86400000000").as("day"),
           col("event_type"))
-        .distinct()
-      val sets = baskets.groupBy("user_id", "day")
-        .agg(sort_array(collect_set(col("event_type"))).as("types"))
-      val pairs = sets
-        .select(col("types"), posexplode(col("types")).as(Seq("i", "lhs")))
-        .select(col("i"), col("lhs"),
-          posexplode(col("types")).as(Seq("j", "rhs")))
-        .filter(col("i") < col("j"))
-        .groupBy("lhs", "rhs").agg(count(lit(1)).as("n_ab"))
-      val typeCounts = baskets.groupBy("event_type")
-        .agg(count(lit(1)).as("n"))
-      val tot = sets.agg(count(lit(1)).as("n_baskets"))
-      pairs
-        .join(broadcast(typeCounts.withColumnRenamed("event_type", "et_a")
-          .withColumnRenamed("n", "n_lhs")), col("lhs") === col("et_a"))
-        .join(broadcast(typeCounts.withColumnRenamed("event_type", "et_b")
-          .withColumnRenamed("n", "n_rhs")), col("rhs") === col("et_b"))
-        .crossJoin(broadcast(tot))
-        .select(col("lhs"), col("rhs"), col("n_ab"), col("n_lhs"),
-          col("n_rhs"), col("n_baskets"),
-          r6(col("n_ab").cast("double") / col("n_baskets")).as("support"),
-          r6(col("n_ab").cast("double") / col("n_lhs")).as("confidence"),
-          r6(col("n_ab").cast("double") * col("n_baskets")
-            / (col("n_lhs").cast("double") * col("n_rhs"))).as("lift"))
-        .orderBy("lhs", "rhs")
+        .distinct())
     },
     Some("""WITH b AS (
            |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day,

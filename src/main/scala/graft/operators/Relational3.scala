@@ -661,9 +661,82 @@ object Relational3 {
            |    / 1000000 AS excess
            |FROM g ORDER BY digit""".stripMargin))
 
+  // --------------------------------------------------------------- q118
+  /** Price-volume bridge: decompose each brand's 1996→1997 revenue
+    * delta into a volume effect (quantity change at old prices) and a
+    * price effect (price change at new volume) via the exact identity
+    * q₂p₂ − q₁p₁ = (q₂−q₁)·p₁ + (p₂−p₁)·q₂ — the finance-review
+    * waterfall that answers "did we sell more, or sell dearer?".
+    *
+    * Scale shape: lineitem⋈orders on the order key (both year filters
+    * pushed to the scans), lineitem⋈part for the brand dim, then ONE
+    * conditional hash-agg pivots both periods in a single pass — no
+    * self-join of two period subqueries. Quantities and cents move as
+    * exact BIGINTs; unit prices divide them only in the final bounded
+    * projection. */
+  val q118PriceVolumeBridge = QueryDef(
+    "q118_price_volume_bridge",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d)
+          .select(col("o_orderkey"), year(col("o_orderdate")).as("yr"))
+          .filter(col("yr").isin(1996, 1997)),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.part(s, d).select(col("p_partkey"), col("p_brand")),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand"), col("yr"),
+          expr("cast(round(l_quantity) as bigint)").as("qc"),
+          expr("cast(round(l_extendedprice * 100) as bigint)").as("cc"))
+      li.groupBy("p_brand")
+        .agg(sum(when(col("yr") === 1996, col("qc"))).as("q1"),
+          sum(when(col("yr") === 1996, col("cc"))).as("c1"),
+          sum(when(col("yr") === 1997, col("qc"))).as("q2"),
+          sum(when(col("yr") === 1997, col("cc"))).as("c2"))
+        .filter(col("q1") > 0L && col("q2") > 0L)
+        .withColumn("p1", col("c1").cast("double") / col("q1"))
+        .withColumn("p2", col("c2").cast("double") / col("q2"))
+        .select(col("p_brand"),
+          r2(col("c1").cast("double") / 100.0).as("rev_prev"),
+          r2(col("c2").cast("double") / 100.0).as("rev_curr"),
+          r2((col("c2") - col("c1")).cast("double") / 100.0).as("delta"),
+          r2((col("q2") - col("q1")).cast("double") * col("p1") / 100.0)
+            .as("volume_effect"),
+          r2((col("p2") - col("p1")) * col("q2").cast("double") / 100.0)
+            .as("price_effect"))
+        .orderBy("p_brand")
+    },
+    Some("""WITH li AS (
+           |  SELECT p_brand, year(o_orderdate) AS yr,
+           |    CAST(round(l_quantity) AS BIGINT) AS qc,
+           |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cc
+           |  FROM lineitem
+           |  JOIN orders ON l_orderkey = o_orderkey
+           |  JOIN part ON l_partkey = p_partkey
+           |  WHERE year(o_orderdate) IN (1996, 1997)),
+           |agg AS (
+           |  SELECT p_brand,
+           |    CAST(sum(CASE WHEN yr = 1996 THEN qc END) AS BIGINT) AS q1,
+           |    CAST(sum(CASE WHEN yr = 1996 THEN cc END) AS BIGINT) AS c1,
+           |    CAST(sum(CASE WHEN yr = 1997 THEN qc END) AS BIGINT) AS q2,
+           |    CAST(sum(CASE WHEN yr = 1997 THEN cc END) AS BIGINT) AS c2
+           |  FROM li GROUP BY 1),
+           |pp AS (
+           |  SELECT *, CAST(c1 AS DOUBLE) / q1 AS p1,
+           |    CAST(c2 AS DOUBLE) / q2 AS p2
+           |  FROM agg WHERE q1 > 0 AND q2 > 0)
+           |SELECT p_brand,
+           |  round(CAST(c1 AS DOUBLE) / 100.0 * 100) / 100 AS rev_prev,
+           |  round(CAST(c2 AS DOUBLE) / 100.0 * 100) / 100 AS rev_curr,
+           |  round(CAST(c2 - c1 AS DOUBLE) / 100.0 * 100) / 100 AS delta,
+           |  round(CAST(q2 - q1 AS DOUBLE) * p1 / 100.0 * 100) / 100
+           |    AS volume_effect,
+           |  round((p2 - p1) * CAST(q2 AS DOUBLE) / 100.0 * 100) / 100
+           |    AS price_effect
+           |FROM pp ORDER BY p_brand""".stripMargin))
+
   val all: Seq[QueryDef] =
     Seq(q69StarJoin, q70EventDedup, q71ArgExtremes, q72Regression,
       q74VariantExtract, q75HofBattery, q76ZorderLayout, q79ExistsChain,
       q87DeletionPlan, q88IncrementalView, q91OrderStats, q94FkAudit,
-      q99BenfordAudit)
+      q99BenfordAudit, q118PriceVolumeBridge)
 }

@@ -1485,4 +1485,64 @@ object Stateful {
           }
       }
   }
+
+  /** One closed (user, day) basket as an event-type bitmask (q116's
+    * distinct basket membership, packed). */
+  final case class BasketRow(user_id: Long, day: Long, mask: Long)
+  final case class BasketMaskState(mask: Long, done: Boolean)
+
+  /** Streaming twin of q116's basket construction: per-(user, day)
+    * state is ONE Long — a bitmask over the event-type taxonomy
+    * (`typeIndex`, a catalog stat fitted at ingest; taxonomies are
+    * single digits to hundreds, never data-sized). The fold is a
+    * commutative OR, so arrival order is irrelevant and duplicate
+    * events are absorbed for free — the streaming form of the batch
+    * DISTINCT. Each basket emits once when the watermark passes the
+    * EXCLUSIVE end of its own day (progressive per-day close, not a
+    * timeline-end snapshot), after which the association rollup runs
+    * over the emitted baskets via Behavioral.q116Rollup — identical
+    * code to batch. */
+  def basketStream(df: DataFrame, typeIndex: Map[String, Int],
+      slack: String = "2 hours"): Dataset[BasketRow] = {
+    import org.apache.spark.sql.Encoders
+    implicit val stEnc: Encoder[BasketMaskState] =
+      Encoders.product[BasketMaskState]
+    implicit val outEnc: Encoder[BasketRow] = Encoders.product[BasketRow]
+    implicit val keyEnc: Encoder[(Long, Long)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+    implicit val rowEnc: Encoder[(Long, java.sql.Timestamp, String)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.TIMESTAMP,
+        Encoders.STRING)
+    val DayUs = 86400000000L
+    val idx = df.sparkSession.sparkContext.broadcast(typeIndex)
+    val ds = df.withWatermark("ts", slack)
+      .select("user_id", "ts", "event_type")
+      .as[(Long, java.sql.Timestamp, String)]
+    ds.groupByKey(r => (r._1, microsOf(r._2) / DayUs))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (key: (Long, Long),
+            rows: Iterator[(Long, java.sql.Timestamp, String)],
+            state: GroupState[BasketMaskState]) =>
+          val st0 = state.getOption.getOrElse(BasketMaskState(0L, false))
+          var mask = st0.mask
+          rows.foreach { r =>
+            idx.value.get(r._3).foreach(i => mask |= (1L << i))
+          }
+          // close at the day's EXCLUSIVE end: by the watermark contract
+          // no further row with ts inside this day can arrive once the
+          // watermark passes it
+          val dayEndMs = (key._2 + 1L) * 86400000L
+          val wm = state.getCurrentWatermarkMs()
+          if (!st0.done && wm > dayEndMs) {
+            state.update(BasketMaskState(mask, true))
+            Iterator.single(BasketRow(key._1, key._2, mask))
+          } else {
+            state.update(BasketMaskState(mask, st0.done))
+            if (!st0.done)
+              state.setTimeoutTimestamp(math.max(wm + 1L, dayEndMs + 1L))
+            Iterator.empty
+          }
+      }
+  }
 }

@@ -670,6 +670,40 @@ class OrderedReplaySpec extends SparkSpec {
     }
   }
 
+  test("streaming baskets: bitmask day-close == batch q116 rules") {
+    val s = spark
+    import s.implicits._
+    // event-type taxonomy (catalog stat fitted at ingest): type → bit
+    val types = Tables.events(s, sf)
+      .select("event_type").distinct().collect()
+      .map(_.getString(0)).sorted
+    val typeIndex = types.zipWithIndex.toMap
+    val out = runStream("ooo_basket")(df =>
+      Stateful.basketStream(df, typeIndex))
+    val snap = out.filter("user_id >= 0 and mask != 0")
+    assert(snap.count() > 0)
+    // unpack each closed basket's bitmask back to membership rows, then
+    // run the SHARED rollup — identical code to batch
+    val baskets = snap.collect()
+      .flatMap { r =>
+        val (u, day, mask) = (r.getLong(0), r.getLong(1), r.getLong(2))
+        types.indices.filter(i => (mask & (1L << i)) != 0L)
+          .map(i => (u, day, types(i)))
+      }.toSeq.toDF("user_id", "day", "event_type")
+    val streamed = operators.Behavioral.q116Rollup(baskets).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6), r.getDouble(7),
+        r.getDouble(8))).toSeq
+    val batch = SparkEntry.queries("q116_basket_lift")(s, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6), r.getDouble(7),
+        r.getDouble(8))).toSeq
+    // identical rollup code over identical basket membership ⇒ bit-for-bit
+    assert(streamed == batch,
+      s"stream-only: ${streamed.toSet.diff(batch.toSet).take(3)}; " +
+        s"batch-only: ${batch.toSet.diff(streamed.toSet).take(3)}")
+  }
+
   test("streaming retention: emitted activity == batch q58 cohort matrix") {
     val s = spark
     val out = runStream("ooo_retention")(df =>
