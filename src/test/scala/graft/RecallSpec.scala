@@ -197,4 +197,26 @@ class RecallSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
     assert(out.map(e => (e._1, e._2, e._3)).toSeq == again.toSeq)
   }
+
+  test("graph-walk ANN recall@10 vs exact brute force + beam structure") {
+    val exact = topk("s01_sim_topk")
+    val walk = topk("s19_graph_walk")
+    val recall = exact.keys.count(walk.contains).toDouble / exact.size
+    info(f"recall@10 — graph walk(beam=8, hops=3): $recall%.2f")
+    // measured 0.72 at sf0.001 / 0.78 at sf0.01 for the degree-8 graph;
+    // a drop below 0.6 means the seed slice or the walk broke
+    assert(recall >= 0.6, f"graph-walk recall collapsed: $recall%.2f")
+    val rows = SparkEntry.queries("s19_graph_walk")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    rows.groupBy(_._1).foreach { case (qid, hits) =>
+      val sorted = hits.sortBy(_._2)
+      assert(sorted.length <= 10, s"qid $qid returned ${sorted.length} hits")
+      assert(sorted.map(_._2).toSeq == (1 to sorted.length).toSeq,
+        s"qid $qid ranks not contiguous")
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a._4 >= b._4; case _ => true
+      }, s"qid $qid sims not non-increasing")
+      assert(hits.forall(_._3 != qid), s"qid $qid returned itself")
+    }
+  }
 }
