@@ -1160,8 +1160,87 @@ object Temporal {
            |FROM cells JOIN tot USING (event_type)
            |ORDER BY 1, 2""".stripMargin))
 
+  // --------------------------------------------------------------- q119
+  /** Holt double-exponential smoothing with a one-step-ahead backtest:
+    * per event_type, the daily-mean series is smoothed with level +
+    * trend state (α = 0.5, β = 0.25 — exact binary fractions, so the
+    * float recursion is bit-identical across engines), and each day is
+    * scored against the forecast made BEFORE seeing it — q64's EWMA
+    * upgraded with a trend term and an honest backtest column.
+    *
+    * Scale shape: the corpus-sized work is q104's one hash-agg to the
+    * types×days grid (exact milli-unit integer means); the smoothing
+    * fold runs per type over the day-bounded series in flatMapGroups —
+    * inherently sequential per key, parallel across keys, the q64
+    * posture. */
+  /** Shared final projection over (event_type, day, mi, f) rows —
+    * identical code for the batch fold and the streaming twin's
+    * emitted days. */
+  def q119Finish(raw: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import graft.functions.Rounding.r4
+    raw.select(col("event_type"), col("day"),
+      r4(col("mi") / 1000.0).as("daily_mean"),
+      r4(col("f") / 1000.0).as("forecast"),
+      r4(abs(col("mi").cast("double") - col("f")) / 1000.0).as("abs_err"))
+      .orderBy("event_type", "day")
+  }
+
+  val q119HoltForecast = QueryDef(
+    "q119_holt_forecast",
+    (s, d) => {
+      import s.implicits._
+      val daily = q104Daily(s, d).as[(String, Long, Long)]
+      val raw = daily.groupByKey(_._1)
+        .flatMapGroups { (k, it) =>
+          val pts = it.toArray.sortBy(_._2)
+          var l = 0.0; var b = 0.0
+          pts.iterator.zipWithIndex.map { case ((_, day, mi), i) =>
+            val m = mi.toDouble
+            val fOpt = if (i == 0) None else Some(l + b)
+            if (i == 0) { l = m; b = 0.0 }
+            else {
+              val lNew = 0.5 * m + 0.5 * (l + b)
+              b = 0.25 * (lNew - l) + 0.75 * b
+              l = lNew
+            }
+            (k, day, mi, fOpt)
+          }
+        }
+        .toDF("event_type", "day", "mi", "f")
+      q119Finish(raw)
+    },
+    Some("""WITH RECURSIVE daily AS (
+           |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+           |    CAST(round(sum(CAST(round(value * 1000) AS BIGINT))
+           |      / count(*)) AS BIGINT) AS mi
+           |  FROM events GROUP BY 1, 2),
+           |s AS (
+           |  SELECT event_type, day, mi,
+           |    row_number() OVER (PARTITION BY event_type ORDER BY day)
+           |      AS rn
+           |  FROM daily),
+           |r AS (
+           |  SELECT event_type, day, mi, rn, CAST(mi AS DOUBLE) AS l,
+           |    CAST(0 AS DOUBLE) AS b, CAST(NULL AS DOUBLE) AS f
+           |  FROM s WHERE rn = 1
+           |  UNION ALL
+           |  SELECT s.event_type, s.day, s.mi, s.rn,
+           |    0.5 * s.mi + 0.5 * (r.l + r.b),
+           |    0.25 * ((0.5 * s.mi + 0.5 * (r.l + r.b)) - r.l)
+           |      + 0.75 * r.b,
+           |    r.l + r.b
+           |  FROM s JOIN r ON s.event_type = r.event_type
+           |    AND s.rn = r.rn + 1)
+           |SELECT event_type, day,
+           |  round(mi / 1000.0 * 10000) / 10000 AS daily_mean,
+           |  round(f / 1000.0 * 10000) / 10000 AS forecast,
+           |  round(abs(CAST(mi AS DOUBLE) - f) / 1000.0 * 10000) / 10000
+           |    AS abs_err
+           |FROM r ORDER BY 1, 2""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q48Scd2, q55GapFill, q56Ohlc, q60Anomaly,
     q63SeriesCorr, q64Ewma, q65Autocorr, q78SnapshotDiff, q84IntervalJoin,
     q89AsofDirections, q90SeasonalNaive, q95RollingQuantiles, q97MergeApply,
-    q100Twap, q104Cusum, q115WeekdayProfile)
+    q100Twap, q104Cusum, q115WeekdayProfile, q119HoltForecast)
 }

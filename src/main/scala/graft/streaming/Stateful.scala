@@ -1109,6 +1109,76 @@ object Stateful {
       watermarkWakeups = true)
   }
 
+  /** One closed day of the live Holt forecaster (q119's raw row): the
+    * exact-milli daily mean and the forecast that was standing BEFORE
+    * the day was seen (None for the series head). */
+  final case class HoltDay(event_type: String, day: Long, mi: Long,
+      f: Option[Double])
+  final case class HoltState(curDay: Long, sumMilli: Long, n: Long,
+      l: Double, b: Double, started: Boolean)
+
+  /** Streaming twin of q119: a LIVE double-exponential forecaster. The
+    * open day accumulates an exact integer (sum, count); when the
+    * watermark closes the day the level/trend state advances with the
+    * same α = 0.5, β = 0.25 exact-binary-fraction arithmetic as the
+    * batch fold (bit-identical doubles), emitting the day with the
+    * forecast that preceded it. Days close in order per type via the
+    * ordered-replay harness, so the recursion sees the same sequence
+    * the batch sort produces; q119Finish then runs over the emitted
+    * rows — identical code to batch. */
+  def holtStream(df: DataFrame, slack: String = "2 hours")
+      : Dataset[HoltDay] = {
+    import org.apache.spark.sql.Encoders
+    implicit val stEnc: Encoder[(HoltState, Seq[Ev])] =
+      Encoders.product[(HoltState, Seq[Ev])]
+    implicit val outEnc: Encoder[HoltDay] = Encoders.product[HoltDay]
+    implicit val keyEnc: Encoder[String] = Encoders.STRING
+    implicit val evEnc: Encoder[Ev] = Encoders.product[Ev]
+    val DayUs = 86400000000L
+    val empty = HoltState(-1L, 0L, 0L, 0.0, 0.0, false)
+    def milliOf(v: Double): Long =
+      java.math.BigDecimal.valueOf(v * 1000)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+    def roundDiv(s: Long, n: Long): Long =
+      java.math.BigDecimal.valueOf(s.toDouble / n)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+    def close(et: String, st: HoltState): (HoltState, Seq[HoltDay]) =
+      if (st.curDay < 0L) (st, Nil)
+      else {
+        val mi = roundDiv(st.sumMilli, st.n)
+        val m = mi.toDouble
+        if (!st.started)
+          (HoltState(-1L, 0L, 0L, m, 0.0, true),
+            Seq(HoltDay(et, st.curDay, mi, None)))
+        else {
+          val f = st.l + st.b
+          val lNew = 0.5 * m + 0.5 * (st.l + st.b)
+          val bNew = 0.25 * (lNew - st.l) + 0.75 * st.b
+          (HoltState(-1L, 0L, 0L, lNew, bNew, true),
+            Seq(HoltDay(et, st.curDay, mi, Some(f))))
+        }
+      }
+    orderedPerKeyBy[String, HoltState, HoltDay](df, slack, empty)(_._4)(
+      apply = { (et, e, st) =>
+        val day = Math.floorDiv(microsOf(e._2), DayUs)
+        val vm = milliOf(e._5)
+        if (st.curDay == -1L)
+          (st.copy(curDay = day, sumMilli = vm, n = 1L), Nil)
+        else if (day == st.curDay)
+          (st.copy(sumMilli = st.sumMilli + vm, n = st.n + 1L), Nil)
+        else {
+          val (closed, out) = close(et, st)
+          (closed.copy(curDay = day, sumMilli = vm, n = 1L), out)
+        }
+      },
+      onWatermark = { (et, wm, st) =>
+        if (st.curDay >= 0L && wm >= (st.curDay + 1L) * 86400000L)
+          close(et, st)
+        else (st, Nil)
+      },
+      watermarkWakeups = true)
+  }
+
   /** One user's running rarity tally (q110's per-user row). */
   final case class RarityRow(user_id: Long, n_events: Long, sm: Long)
   final case class RarityState(n: Long, sm: Long, done: Boolean)

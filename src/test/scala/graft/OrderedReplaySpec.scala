@@ -670,6 +670,27 @@ class OrderedReplaySpec extends SparkSpec {
     }
   }
 
+  test("streaming Holt forecaster: closed days == batch q119 rows") {
+    val s = spark
+    val out = runStream("ooo_holt")(df => Stateful.holtStream(df))
+    val snap = out.filter(col("event_type") =!= "zz_sentinel")
+    assert(snap.count() > 0)
+    val streamed = operators.Temporal.q119Finish(
+        snap.select("event_type", "day", "mi", "f")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        if (r.isNullAt(3)) null else r.getDouble(3),
+        if (r.isNullAt(4)) null else r.getDouble(4))).toSeq
+    val batch = SparkEntry.queries("q119_holt_forecast")(s, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        if (r.isNullAt(3)) null else r.getDouble(3),
+        if (r.isNullAt(4)) null else r.getDouble(4))).toSeq
+    // exact integer day means + exact-binary-fraction smoothing through
+    // the shared finisher ⇒ bit-for-bit
+    assert(streamed == batch,
+      s"stream-only: ${streamed.toSet.diff(batch.toSet).take(3)}; " +
+        s"batch-only: ${batch.toSet.diff(streamed.toSet).take(3)}")
+  }
+
   test("streaming baskets: bitmask day-close == batch q116 rules") {
     val s = spark
     import s.implicits._
