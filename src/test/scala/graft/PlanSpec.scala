@@ -289,4 +289,70 @@ class PlanSpec extends SparkSpec {
     // exactly the output-order sort's single exchange
     assert("Exchange".r.findAllIn(p).length <= 1, p.take(400))
   }
+
+  test("q116: baskets never self-join the event log; grid sides broadcast") {
+    val p = plan("q116_basket_lift")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      "pairs must explode from the bounded per-basket set, not a log self-join")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "type totals and the basket count must broadcast")
+    assert(p.contains("Generate"), "pair enumeration must be the explode")
+  }
+
+  test("q117: MAD is hash-aggs + broadcast stats — no full-log sort") {
+    val p = plan("q117_mad_outliers")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"),
+      "per-type medians must broadcast back")
+    assert(!p.contains("SortMergeJoin"), "stats joins must not shuffle the log")
+  }
+
+  test("q118: bridge pivots both periods in conditional aggs, no self-join") {
+    val p = plan("q118_price_volume_bridge")
+    // one scan of lineitem: two period subqueries unioned/joined would
+    // show the lineitem parquet twice
+    assert("lineitem\\.parquet".r.findAllIn(p).length <= 1,
+      "both periods must come from ONE lineitem scan")
+    assert(p.contains("HashAggregate"), "period pivot must hash-aggregate")
+  }
+
+  test("q119: Holt folds over the daily aggregate, not raw events") {
+    val p = plan("q119_holt_forecast")
+    val fmgIdx = p.indexOf("MapGroups")
+    val aggIdx = p.indexOf("HashAggregate")
+    assert(fmgIdx >= 0, "smoothing fold must be the per-key flatMapGroups")
+    assert(aggIdx >= 0 && aggIdx > fmgIdx,
+      "fold input must be the (type, day) hash-agg below it in the plan")
+  }
+
+  test("t25: Zipf windows the vocab aggregate; top-200 filter above it") {
+    val p = plan("t25_zipf_slope")
+    val winIdx = p.indexOf("windowspecdefinition")
+    assert(winIdx >= 0, "ranking needs its per-lang window")
+    assert(p.indexOf("HashAggregate", winIdx) >= 0,
+      "window input must be the (lang, tok) aggregate, not raw tokens")
+  }
+
+  test("x19: waterfill windows the source-cardinality supply table only") {
+    val p = plan("x19_token_budget")
+    val winIdx = p.indexOf("Window")
+    assert(winIdx >= 0 && p.indexOf("HashAggregate", winIdx) >= 0,
+      "windows must run over the per-source aggregate, never documents")
+    assert(p.contains("BroadcastNestedLoopJoin") ||
+      p.contains("BroadcastExchange"), "the level scalar must broadcast")
+  }
+
+  test("m08: bucketing moves metadata only — no blob bytes in the plan") {
+    val p = plan("m08_aspect_buckets")
+    assert(!p.contains("SortMergeJoin"),
+      "the 5-row ladder must broadcast, not shuffle-join")
+    assert(!p.toLowerCase.contains("blob"),
+      "no payload column may survive pruning into the bucketing plan")
+  }
+
+  test("s19: the walk never scans the corpus after seeding") {
+    val p = plan("s19_graph_walk")
+    assert(!p.contains("CartesianProduct"),
+      "hops must be equi-joins on the edge key (seed crossJoin broadcasts)")
+    assert(p.contains("cosine_similarity"), "scoring must stay native")
+  }
 }
