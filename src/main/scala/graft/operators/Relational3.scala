@@ -674,6 +674,24 @@ object Relational3 {
     * self-join of two period subqueries. Quantities and cents move as
     * exact BIGINTs; unit prices divide them only in the final bounded
     * projection. */
+  /** Shared bridge arithmetic over per-brand (q1, c1, q2, c2) exact
+    * integer totals — identical code for the batch pivot and the
+    * streaming twin's state snapshot. */
+  def q118Finish(agg: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    agg.filter(col("q1") > 0L && col("q2") > 0L)
+      .withColumn("p1", col("c1").cast("double") / col("q1"))
+      .withColumn("p2", col("c2").cast("double") / col("q2"))
+      .select(col("p_brand"),
+        r2(col("c1").cast("double") / 100.0).as("rev_prev"),
+        r2(col("c2").cast("double") / 100.0).as("rev_curr"),
+        r2((col("c2") - col("c1")).cast("double") / 100.0).as("delta"),
+        r2((col("q2") - col("q1")).cast("double") * col("p1") / 100.0)
+          .as("volume_effect"),
+        r2((col("p2") - col("p1")) * col("q2").cast("double") / 100.0)
+          .as("price_effect"))
+      .orderBy("p_brand")
+
   val q118PriceVolumeBridge = QueryDef(
     "q118_price_volume_bridge",
     (s, d) => {
@@ -687,23 +705,11 @@ object Relational3 {
         .select(col("p_brand"), col("yr"),
           expr("cast(round(l_quantity) as bigint)").as("qc"),
           expr("cast(round(l_extendedprice * 100) as bigint)").as("cc"))
-      li.groupBy("p_brand")
+      q118Finish(li.groupBy("p_brand")
         .agg(sum(when(col("yr") === 1996, col("qc"))).as("q1"),
           sum(when(col("yr") === 1996, col("cc"))).as("c1"),
           sum(when(col("yr") === 1997, col("qc"))).as("q2"),
-          sum(when(col("yr") === 1997, col("cc"))).as("c2"))
-        .filter(col("q1") > 0L && col("q2") > 0L)
-        .withColumn("p1", col("c1").cast("double") / col("q1"))
-        .withColumn("p2", col("c2").cast("double") / col("q2"))
-        .select(col("p_brand"),
-          r2(col("c1").cast("double") / 100.0).as("rev_prev"),
-          r2(col("c2").cast("double") / 100.0).as("rev_curr"),
-          r2((col("c2") - col("c1")).cast("double") / 100.0).as("delta"),
-          r2((col("q2") - col("q1")).cast("double") * col("p1") / 100.0)
-            .as("volume_effect"),
-          r2((col("p2") - col("p1")) * col("q2").cast("double") / 100.0)
-            .as("price_effect"))
-        .orderBy("p_brand")
+          sum(when(col("yr") === 1997, col("cc"))).as("c2")))
     },
     Some("""WITH li AS (
            |  SELECT p_brand, year(o_orderdate) AS yr,

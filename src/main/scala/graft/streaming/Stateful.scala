@@ -1556,6 +1556,65 @@ object Stateful {
       }
   }
 
+  /** One brand's period totals for the live revenue bridge (q118's
+    * pivot row): exact BIGINT quantity/cents per compared year. */
+  final case class BridgeRow(p_brand: String, q1: Long, c1: Long,
+      q2: Long, c2: Long)
+  final case class BridgeState(q1: Long, c1: Long, q2: Long, c2: Long,
+      done: Boolean)
+
+  /** Streaming twin of q118: the live price-volume bridge. Input rows
+    * are brand-enriched line items (the dimension lookup happens at
+    * ingest — broadcast join against the part/orders dims, the
+    * documented enrichment posture); per-brand state is FOUR exact
+    * BIGINT counters split by the compared years, all commutative, so
+    * arrival order is irrelevant. Snapshots emit when the watermark
+    * passes `endDay`, and the bridge arithmetic runs over the
+    * brand-sized table via Relational3.q118Finish — identical code to
+    * batch.
+    *
+    * Input columns: p_brand, ts (order timestamp), qc, cc. */
+  def bridgeStream(df: DataFrame, y1: Int, y2: Int, endDay: Long,
+      slack: String = "2 hours"): Dataset[BridgeRow] = {
+    import org.apache.spark.sql.Encoders
+    implicit val stEnc: Encoder[BridgeState] = Encoders.product[BridgeState]
+    implicit val outEnc: Encoder[BridgeRow] = Encoders.product[BridgeRow]
+    implicit val keyEnc: Encoder[String] = Encoders.STRING
+    implicit val rowEnc
+        : Encoder[(String, java.sql.Timestamp, Long, Long)] =
+      Encoders.tuple(Encoders.STRING, Encoders.TIMESTAMP,
+        Encoders.scalaLong, Encoders.scalaLong)
+    val ds = df.withWatermark("ts", slack)
+      .select("p_brand", "ts", "qc", "cc")
+      .as[(String, java.sql.Timestamp, Long, Long)]
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (brand: String,
+            rows: Iterator[(String, java.sql.Timestamp, Long, Long)],
+            state: GroupState[BridgeState]) =>
+          val st0 = state.getOption.getOrElse(
+            BridgeState(0L, 0L, 0L, 0L, false))
+          var q1 = st0.q1; var c1 = st0.c1
+          var q2 = st0.q2; var c2 = st0.c2
+          rows.foreach { r =>
+            val yr = java.time.Instant.ofEpochSecond(microsOf(r._2) / 1000000L)
+              .atZone(java.time.ZoneOffset.UTC).getYear
+            if (yr == y1) { q1 += r._3; c1 += r._4 }
+            else if (yr == y2) { q2 += r._3; c2 += r._4 }
+          }
+          val wm = state.getCurrentWatermarkMs()
+          if (!st0.done && wm > endDay * 86400000L + 1L) {
+            state.update(BridgeState(q1, c1, q2, c2, true))
+            Iterator.single(BridgeRow(brand, q1, c1, q2, c2))
+          } else {
+            state.update(BridgeState(q1, c1, q2, c2, st0.done))
+            if (!st0.done) state.setTimeoutTimestamp(wm + 1L)
+            Iterator.empty
+          }
+      }
+  }
+
   /** One closed (user, day) basket as an event-type bitmask (q116's
     * distinct basket membership, packed). */
   final case class BasketRow(user_id: Long, day: Long, mask: Long)

@@ -670,6 +670,67 @@ class OrderedReplaySpec extends SparkSpec {
     }
   }
 
+  test("streaming bridge: per-brand year totals == batch q118 effects") {
+    val s = spark
+    import s.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+
+    val dmax = Tables.orders(s, sf)
+      .select((unix_micros(col("o_orderdate").cast("timestamp"))
+        / 86400000000L).cast("long").as("day"))
+      .agg(max("day")).head.getLong(0)
+    // brand-enriched line items (the ingest-time dimension lookup),
+    // shuffled within the slack horizon (the shuffledEvents convention)
+    val items = Tables.lineitem(s, sf)
+      .join(Tables.orders(s, sf),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.part(s, sf), col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"),
+        col("o_orderdate").cast("timestamp").as("ts"),
+        expr("cast(round(l_quantity) as bigint)").as("qc"),
+        expr("cast(round(l_extendedprice * 100) as bigint)").as("cc"))
+      .as[(String, java.sql.Timestamp, Long, Long)].collect()
+      .sortBy { r =>
+        val jitter = Math.floorMod(r._4 * 2654435761L + r._3, 1800000L)
+        (r._2.getTime + jitter, r._4)
+      }
+
+    val input = MemoryStream[(String, java.sql.Timestamp, Long, Long)]
+    val q = Stateful.bridgeStream(
+        input.toDS().toDF("p_brand", "ts", "qc", "cc"), 1996, 1997, dmax)
+      .writeStream.format("memory").queryName("ooo_bridge")
+      .trigger(Trigger.ProcessingTime(50)).start()
+    val third = items.length / 3
+    Seq(items.slice(0, third), items.slice(third, 2 * third),
+      items.drop(2 * third)).foreach { chunk =>
+      input.addData(chunk.toSeq); q.processAllAvailable()
+    }
+    val sentTs = new java.sql.Timestamp((dmax + 30L) * 86400000L)
+    for (i <- 1 to 2) {
+      input.addData(("zz", new java.sql.Timestamp(sentTs.getTime + i),
+        0L, 0L))
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    val snap = s.table("ooo_bridge").filter(col("p_brand") =!= "zz")
+    assert(snap.count() > 0)
+    val streamed = operators.Relational3.q118Finish(snap).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSeq
+    val batch = SparkEntry.queries("q118_price_volume_bridge")(s, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5))).toSeq
+    // commutative exact-integer state through the shared finisher ⇒
+    // bit-for-bit
+    assert(streamed == batch,
+      s"stream-only: ${streamed.toSet.diff(batch.toSet).take(3)}; " +
+        s"batch-only: ${batch.toSet.diff(streamed.toSet).take(3)}")
+  }
+
   test("streaming Holt forecaster: closed days == batch q119 rows") {
     val s = spark
     val out = runStream("ooo_holt")(df => Stateful.holtStream(df))
