@@ -198,6 +198,22 @@ class RecallSpec extends SparkSpec {
     assert(out.map(e => (e._1, e._2, e._3)).toSeq == again.toSeq)
   }
 
+  test("s20 beam sweep: recall and visited cost both monotone in beam") {
+    val rows = SparkEntry.queries("s20_beam_sweep")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(3), r.getDouble(4)))
+      .sortBy(_._1)
+    info(rows.map(r => f"beam=${r._1}: recall=${r._4}%.2f visited=${r._3}")
+      .mkString(", "))
+    assert(rows.map(_._1).toSeq == Seq(2, 4, 8))
+    assert(rows.sliding(2).forall {
+      case Array(a, b) => a._4 <= b._4; case _ => true
+    }, "recall must be non-decreasing in beam width")
+    assert(rows.sliding(2).forall {
+      case Array(a, b) => a._3 < b._3; case _ => true
+    }, "visited cost must strictly grow with beam width")
+    assert(rows.last._4 >= 0.6, "widest beam must reach s19's floor")
+  }
+
   test("graph-walk ANN recall@10 vs exact brute force + beam structure") {
     val exact = topk("s01_sim_topk")
     val walk = topk("s19_graph_walk")
