@@ -1156,11 +1156,65 @@ object Curation {
            |    / 1000000 AS fill_ratio
            |FROM alloc ORDER BY source""".stripMargin))
 
+  // ---------------------------------------------------------------- x20
+  /** Dedup-aware sampling: draw a 40% budget so near-duplicate clusters
+    * (d03's transitive MinHash components) contribute their members
+    * round-robin — every cluster's rank-1 representative enters before
+    * ANY cluster's rank-2 — with deterministic md5 priority inside each
+    * rank tier. The sampler a curation pipeline wants after dedup
+    * LABELING but before dedup DELETION: duplicates only enter once the
+    * budget exceeds the distinct-content count.
+    *
+    * Scale shape: cluster labels are the d03 ingest artifact (parquet,
+    * not a held persist); per-cluster rank is a window on the
+    * high-cardinality cluster key. The global admission cut is exact
+    * here (the oracle twin); at corpus scale the (rank, priority)
+    * cutoff comes from a quantile sketch over the rank histogram — the
+    * q54↔q59 split. */
+  val x20DedupAwareSample = QueryDef(
+    "x20_dedup_aware_sample",
+    (s, d) => {
+      val lbl = Dedup.minhashClustersCached(s, d)
+      val wc = Window.partitionBy("cluster_id")
+        .orderBy(col("pri"), col("doc_id"))
+      val wg = Window.orderBy(col("r"), col("pri"), col("doc_id"))
+      lbl
+        .withColumn("pri",
+          conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long"))
+        .withColumn("r", row_number().over(wc))
+        .withColumn("total", count(lit(1)).over(Window.partitionBy()))
+        .withColumn("g", row_number().over(wg))
+        .select(col("doc_id"), col("cluster_id"),
+          col("r").cast("int").as("cluster_rank"),
+          (col("g") <= expr("total * 2 div 5")).as("sampled"))
+        .orderBy("doc_id")
+    },
+    Some(Dedup.minhashCteSql +
+      """
+        |, pr AS (
+        |  SELECT doc_id, cluster_id,
+        |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+        |      AS pri
+        |  FROM lbl),
+        |rk AS (
+        |  SELECT *, row_number() OVER (PARTITION BY cluster_id
+        |      ORDER BY pri, doc_id) AS r,
+        |    CAST(count(*) OVER () AS BIGINT) AS total
+        |  FROM pr),
+        |g AS (
+        |  SELECT *, row_number() OVER (ORDER BY r, pri, doc_id) AS g
+        |  FROM rk)
+        |SELECT doc_id, cluster_id, CAST(r AS INT) AS cluster_rank,
+        |  g <= total * 2 // 5 AS sampled
+        |FROM g ORDER BY doc_id""".stripMargin))
+
   val all: Seq[QueryDef] =
     Seq(x01Decontaminate, x02StratifiedSample, x03DomainMix,
       t06PiiRedact, t07Repetition, x04ContainmentScore, x05WeightedSample,
       x06PackSequences, x07ClusterReps, x08TemperatureMix, x09LeakageSplit,
       x10CurationPipeline, x11BloomDecontaminate, x12CompactionPlan,
       x13EpochPlan, x14KAnonymity, x15DsirWeights, x16ShardPlan,
-      x17ModalityAgreement, x18CurriculumPlan, x19TokenBudget)
+      x17ModalityAgreement, x18CurriculumPlan, x19TokenBudget,
+      x20DedupAwareSample)
 }
