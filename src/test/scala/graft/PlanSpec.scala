@@ -290,6 +290,18 @@ class PlanSpec extends SparkSpec {
     assert("Exchange".r.findAllIn(p).length <= 1, p.take(400))
   }
 
+  test("q08/q52: rank filters push down as partial top-k (WindowGroupLimit)") {
+    // Catalyst's InferWindowGroupLimit turns row_number()<=k into a
+    // per-partition bounded heap BEFORE the window sort — the difference
+    // between sorting k rows per group and sorting the whole table at
+    // 100 TB. Pin it so a refactor that breaks the rank-predicate
+    // pattern (e.g. filtering on a derived column) fails loudly.
+    assert(plan("q08_topk_per_group").contains("WindowGroupLimit"),
+      "q08 lost the partial top-k pushdown")
+    assert(plan("q52_lateral_topn").contains("WindowGroupLimit"),
+      "q52 lost the partial top-k pushdown")
+  }
+
   test("q116: baskets never self-join the event log; grid sides broadcast") {
     val p = plan("q116_basket_lift")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
