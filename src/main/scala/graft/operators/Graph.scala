@@ -540,6 +540,114 @@ object Graph {
            |ORDER BY n_shared_orders DESC, part_a
            |LIMIT 50""".stripMargin))
 
+  // --------------------------------------------------------------- q120
+  private val KCoreRounds = 12
+
+  /** k-core decomposition summary over the ≥2-shared-orders co-purchase
+    * graph (q96's substrate): for k ∈ {2, 3}, iteratively peel nodes of
+    * degree < k until fixpoint and report the surviving core's node
+    * count, edge count, and density — the cohesion audit that separates
+    * a real community structure from a star-shaped hub (stars die at
+    * k = 2, cliques survive every k).
+    *
+    * Both engines run AT MOST `KCoreRounds` peels: Spark stops at the
+    * fixpoint (further rounds are no-ops), the oracle unrolls exactly
+    * `KCoreRounds` survivor CTEs — so the results agree even if an
+    * adversarial graph were still shrinking at the cap (peeling on
+    * real graphs converges in a handful of rounds).
+    *
+    * Scale shape: per round ONE symmetric-degree hash-agg + two
+    * left-semi equi-joins of the edge list against the survivor set —
+    * O(E) per round, the d03/q96 iterate-a-bounded-op posture with
+    * materialize/unpersist hygiene; the fixpoint check is a 1-row
+    * count (the q96 signature pattern). */
+  val q120KCore = QueryDef(
+    "q120_kcore",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      val pairs = li.as("a").join(li.hint("shuffle_hash").as("b"),
+          col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+        .agg(countDistinct(col("a.ok")).as("n_ord"))
+        .filter(col("n_ord") >= 2)
+        .select("u", "v")
+      val edges0 = materialize(s, pairs)
+      val rows = Seq(2, 3).map { k =>
+        var edges = edges0
+        var lastMat: org.apache.spark.sql.DataFrame = null
+        var prevEdges = -1L
+        var nEdges = edges.count()
+        var it = 0
+        while (nEdges != prevEdges && it < KCoreRounds) {
+          val deg = edges.select(col("u").as("node"))
+            .union(edges.select(col("v").as("node")))
+            .groupBy("node").agg(count(lit(1)).as("deg"))
+          val keep = deg.filter(col("deg") >= k).select("node")
+          val next = materialize(s,
+            edges.join(keep, edges("u") === keep("node"), "left_semi")
+              .join(keep, edges("v") === keep("node"), "left_semi"))
+          if (lastMat != null) lastMat.unpersist()
+          lastMat = next
+          edges = next
+          prevEdges = nEdges
+          nEdges = edges.count()
+          it += 1
+        }
+        val nNodes = edges.select(col("u").as("node"))
+          .union(edges.select(col("v").as("node")))
+          .distinct().count()
+        if (lastMat != null) lastMat.unpersist()
+        (k, nNodes, nEdges)
+      }
+      edges0.unpersist()
+      import s.implicits._
+      rows.toDF("k", "n_nodes", "n_edges")
+        .select(col("k"), col("n_nodes"), col("n_edges"),
+          graft.functions.Rounding.r6(
+            when(col("n_nodes") >= 2L,
+              col("n_edges").cast("double") * 2.0
+                / (col("n_nodes").cast("double") * (col("n_nodes") - 1L)))
+              .otherwise(lit(0.0))).as("density"))
+        .orderBy("k")
+    },
+    Some {
+      // every survivor CTE is referenced twice by the next peel —
+      // MATERIALIZED stops the planner from inlining the chain
+      // exponentially (2^rounds copies of the pairs subtree otherwise)
+      def peels(k: Int): String = (1 to KCoreRounds).map { i =>
+        s"""s${k}_$i AS MATERIALIZED (
+           |  SELECT src AS node FROM sym
+           |  JOIN s${k}_${i - 1} a ON sym.src = a.node
+           |  JOIN s${k}_${i - 1} b ON sym.dst = b.node
+           |  GROUP BY 1 HAVING count(*) >= $k)""".stripMargin
+      }.mkString(",\n")
+      def core(k: Int): String =
+        s"""SELECT $k AS k,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM s${k}_$KCoreRounds)
+           |    AS n_nodes,
+           |  (SELECT CAST(count(*) AS BIGINT) FROM pairs p
+           |    JOIN s${k}_$KCoreRounds a ON p.u = a.node
+           |    JOIN s${k}_$KCoreRounds b ON p.v = b.node) AS n_edges"""
+          .stripMargin
+      s"""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+         |pairs AS MATERIALIZED (SELECT a.p AS u, b.p AS v
+         |  FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p
+         |  GROUP BY 1, 2 HAVING count(DISTINCT a.ok) >= 2),
+         |sym AS MATERIALIZED (SELECT u AS src, v AS dst FROM pairs
+         |  UNION ALL SELECT v, u FROM pairs),
+         |s2_0 AS (SELECT DISTINCT src AS node FROM sym),
+         |${peels(2)},
+         |s3_0 AS (SELECT DISTINCT src AS node FROM sym),
+         |${peels(3)},
+         |cores AS (${core(2)} UNION ALL ${core(3)})
+         |SELECT k, n_nodes, n_edges,
+         |  CASE WHEN n_nodes >= 2 THEN round(CAST(n_edges AS DOUBLE) * 2.0
+         |    / (CAST(n_nodes AS DOUBLE) * (n_nodes - 1)) * 1000000)
+         |    / 1000000 ELSE 0.0 END AS density
+         |FROM cores ORDER BY k""".stripMargin
+    })
+
   val all: Seq[QueryDef] = Seq(q73CopurchaseRank, q81Triangles, q82BfsLevels,
-    q96ConnectedComponents, q98LinkPrediction, q105MutualTop)
+    q96ConnectedComponents, q98LinkPrediction, q105MutualTop, q120KCore)
 }
