@@ -1011,8 +1011,128 @@ object Behavioral {
            |JOIN tc tb ON pc.rhs = tb.event_type
            |CROSS JOIN tot ORDER BY 1, 2""".stripMargin))
 
+  // --------------------------------------------------------------- q121
+  /** Multi-touch attribution: the same pre-conversion touch journeys as
+    * q68, credited under the THREE models a marketing review compares —
+    * linear (1/n each), U-shaped position (40% first, 40% last, 20%
+    * split across middles), and 7-day-half-life time decay — rolled to
+    * per-(model, channel) credit totals and within-model shares.
+    * Credits are exact integer micro-units throughout (integer division
+    * of a 1e6 budget; the decay weight rounds ONCE to micro-units, the
+    * q110/x15 fixed-point posture), so every sum is order-proof and the
+    * documented cost of exactness is the sub-micro division dust.
+    *
+    * Scale shape: q68's touch construction (per-user windows over the
+    * filtered touch set), one per-user decay-normalization window, a
+    * 3-way stack unpivot, and ONE hash-agg onto the models×channels
+    * grid with the model totals joined back from a grid-sized
+    * aggregate. */
+  val q121MultiTouch = QueryDef(
+    "q121_multitouch_attribution",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"))
+      val wp = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val conv = ev.filter(col("event_type") === "purchase")
+        .withColumn("rn", row_number().over(wp)).filter(col("rn") === 1)
+        .select(col("user_id"), col("ts").as("conv_ts"),
+          col("event_id").as("conv_id"))
+      val wa = Window.partitionBy("user_id")
+        .orderBy(col("ts").asc, col("event_id").asc)
+      val wd = Window.partitionBy("user_id")
+        .orderBy(col("ts").desc, col("event_id").desc)
+      val wu = Window.partitionBy("user_id")
+      val touches = ev.filter(col("event_type").isin("view", "click"))
+        .join(conv, "user_id")
+        .filter(struct(col("ts"), col("event_id")) <
+          struct(col("conv_ts"), col("conv_id")))
+        .withColumn("rn_a", row_number().over(wa))
+        .withColumn("rn_d", row_number().over(wd))
+        .withColumn("n", count(lit(1)).over(wu))
+        .withColumn("w", expr("cast(round(pow(2.0, " +
+          "-((unix_micros(conv_ts) - unix_micros(ts)) / 86400000000.0) " +
+          "/ 7.0) * 1000000) as bigint)"))
+        .withColumn("sw", sum("w").over(wu))
+        .withColumn("c_lin", expr("1000000 div n"))
+        .withColumn("c_pos",
+          when(col("n") === 1L, 1000000L)
+            .when(col("rn_a") === 1, when(col("n") === 2L, 500000L)
+              .otherwise(400000L))
+            .when(col("rn_d") === 1, when(col("n") === 2L, 500000L)
+              .otherwise(400000L))
+            .otherwise(expr("200000 div (n - 2)")))
+        .withColumn("c_dec", expr("w * 1000000 div sw"))
+      val credits = touches.select(col("event_type"),
+        expr("stack(3, 'linear', c_lin, 'position', c_pos, " +
+          "'time_decay', c_dec) as (model, credit)"))
+        .groupBy("model", "event_type")
+        .agg(count(lit(1)).as("n_touches"),
+          sum("credit").as("credit_micro"))
+      val totals = credits.groupBy("model")
+        .agg(sum("credit_micro").as("tot"))
+        .withColumnRenamed("model", "model_t")
+      credits.join(broadcast(totals), col("model") === col("model_t"))
+        .select(col("model"), col("event_type"), col("n_touches"),
+          col("credit_micro"),
+          r6(col("credit_micro").cast("double") / col("tot"))
+            .as("credit_share"))
+        .orderBy("model", "event_type")
+    },
+    Some("""WITH conv AS (
+           |  SELECT user_id, ts AS conv_ts, event_id AS conv_id
+           |  FROM (SELECT user_id, ts, event_id,
+           |          row_number() OVER (PARTITION BY user_id
+           |            ORDER BY ts, event_id) AS rn
+           |        FROM events WHERE event_type = 'purchase')
+           |  WHERE rn = 1),
+           |touches AS (
+           |  SELECT e.user_id, e.event_type,
+           |    row_number() OVER (PARTITION BY e.user_id
+           |      ORDER BY e.ts ASC, e.event_id ASC) AS rn_a,
+           |    row_number() OVER (PARTITION BY e.user_id
+           |      ORDER BY e.ts DESC, e.event_id DESC) AS rn_d,
+           |    CAST(count(*) OVER (PARTITION BY e.user_id) AS BIGINT)
+           |      AS n,
+           |    CAST(round(pow(2.0,
+           |      -((epoch_us(c.conv_ts) - epoch_us(e.ts))
+           |        / 86400000000.0) / 7.0) * 1000000) AS BIGINT) AS w
+           |  FROM events e JOIN conv c USING (user_id)
+           |  WHERE e.event_type IN ('view', 'click')
+           |    AND (e.ts, e.event_id) < (c.conv_ts, c.conv_id)),
+           |wn AS (
+           |  SELECT *, CAST(sum(w) OVER (PARTITION BY user_id) AS BIGINT)
+           |    AS sw
+           |  FROM touches),
+           |cr AS (
+           |  SELECT event_type, 'linear' AS model,
+           |    1000000 // n AS credit FROM wn
+           |  UNION ALL
+           |  SELECT event_type, 'position',
+           |    CASE WHEN n = 1 THEN 1000000
+           |         WHEN rn_a = 1 THEN CASE WHEN n = 2 THEN 500000
+           |           ELSE 400000 END
+           |         WHEN rn_d = 1 THEN CASE WHEN n = 2 THEN 500000
+           |           ELSE 400000 END
+           |         ELSE 200000 // (n - 2) END FROM wn
+           |  UNION ALL
+           |  SELECT event_type, 'time_decay', w * 1000000 // sw FROM wn),
+           |agg AS (
+           |  SELECT model, event_type,
+           |    CAST(count(*) AS BIGINT) AS n_touches,
+           |    CAST(sum(credit) AS BIGINT) AS credit_micro
+           |  FROM cr GROUP BY 1, 2),
+           |tot AS (
+           |  SELECT model, CAST(sum(credit_micro) AS BIGINT) AS tot
+           |  FROM agg GROUP BY 1)
+           |SELECT agg.model, event_type, n_touches, credit_micro,
+           |  round(CAST(credit_micro AS DOUBLE) / tot * 1000000) / 1000000
+           |    AS credit_share
+           |FROM agg JOIN tot ON agg.model = tot.model
+           |ORDER BY 1, 2""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q57Funnel, q58Retention, q61Markov,
     q62SessionPaths, q68Attribution, q80SlidingDistinct, q83PeakConcurrency,
     q85DecileMobility, q102RfmSegments, q103CohortLtv, q106AbLift,
-    q107ConversionLag, q108FunnelTrend, q116BasketLift)
+    q107ConversionLag, q108FunnelTrend, q116BasketLift, q121MultiTouch)
 }
