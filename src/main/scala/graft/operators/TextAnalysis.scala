@@ -1078,11 +1078,92 @@ object TextAnalysis {
            |    - slope_raw * sx / 1000000) / k * 10000) / 10000 AS intercept
            |FROM sl ORDER BY lang""".stripMargin))
 
+  // ---------------------------------------------------------------- t26
+  /** Quality-threshold ROI sweep: the d14 calibration pattern applied
+    * to t08's unigram LM score — for four candidate cutoffs, how many
+    * documents and how many tokens a "drop everything below τ" filter
+    * costs. The table read before committing a quality bar: the doc
+    * loss and the token loss diverge when low-quality docs are long.
+    *
+    * Scale shape: the per-doc score table is computed ONCE (t08's two
+    * hash-aggs), then a constant 4-way explode + one hash-agg onto the
+    * threshold grid; scores are t08's r4-rounded doubles, so the
+    * cutoff comparisons are bit-identical cross-engine. */
+  val t26QualitySweep = QueryDef(
+    "t26_quality_threshold_sweep",
+    (s, d) => {
+      val tokens = Tables.documents(s, d).select(col("doc_id"),
+        explode(T.tokens(col("text"))).as("tok"))
+      val tf = tokens.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val uni = tf.groupBy("tok").agg(sum("tf").as("c"))
+      val total = uni.agg(sum("c").cast("double").as("total"))
+      val perDoc = tf.join(uni, Seq("tok"))
+        .crossJoin(broadcast(total))
+        .groupBy("doc_id")
+        .agg(sum("tf").as("n_toks"),
+          r4(sum(col("tf") * log(col("c") / col("total"))) / sum("tf"))
+            .as("score"))
+      val taus = Seq(-3.45, -3.41, -3.40, -3.39)
+      perDoc
+        .select(col("n_toks"), col("score"),
+          explode(array(taus.map(lit): _*)).as("tau"))
+        .groupBy("tau")
+        .agg(sum(when(col("score") >= col("tau"), 1L).otherwise(0L))
+          .as("n_kept"),
+          sum(when(col("score") < col("tau"), 1L).otherwise(0L))
+            .as("n_removed"),
+          sum(when(col("score") >= col("tau"), col("n_toks"))
+            .otherwise(0L)).as("toks_kept"),
+          sum(when(col("score") < col("tau"), col("n_toks"))
+            .otherwise(0L)).as("toks_removed"))
+        .select(col("tau"), col("n_kept"), col("n_removed"),
+          col("toks_kept"), col("toks_removed"),
+          r6(col("n_removed").cast("double")
+            / (col("n_kept") + col("n_removed"))).as("doc_removal_share"),
+          r6(col("toks_removed").cast("double")
+            / (col("toks_kept") + col("toks_removed")))
+            .as("token_removal_share"))
+        .orderBy("tau")
+    },
+    Some("""WITH tokens AS (
+           |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+           |  FROM documents),
+           |tf AS (SELECT doc_id, tok, count(*) AS tf FROM tokens
+           |  GROUP BY 1, 2),
+           |uni AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS c FROM tf
+           |  GROUP BY 1),
+           |total AS (SELECT CAST(sum(c) AS DOUBLE) AS total FROM uni),
+           |per_doc AS (
+           |  SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_toks,
+           |    round(sum(tf * ln(c / total)) / sum(tf), 4) AS score
+           |  FROM tf JOIN uni USING (tok) CROSS JOIN total
+           |  GROUP BY doc_id),
+           |sweep AS (
+           |  SELECT unnest([CAST(-3.45 AS DOUBLE), -3.41, -3.40, -3.39])
+           |    AS tau, n_toks, score
+           |  FROM per_doc)
+           |SELECT tau,
+           |  CAST(sum(CASE WHEN score >= tau THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_kept,
+           |  CAST(sum(CASE WHEN score < tau THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_removed,
+           |  CAST(sum(CASE WHEN score >= tau THEN n_toks ELSE 0 END)
+           |    AS BIGINT) AS toks_kept,
+           |  CAST(sum(CASE WHEN score < tau THEN n_toks ELSE 0 END)
+           |    AS BIGINT) AS toks_removed,
+           |  round(CAST(sum(CASE WHEN score < tau THEN 1 ELSE 0 END)
+           |    AS DOUBLE) / count(*) * 1000000) / 1000000
+           |    AS doc_removal_share,
+           |  round(CAST(sum(CASE WHEN score < tau THEN n_toks ELSE 0 END)
+           |      AS DOUBLE) / sum(n_toks) * 1000000) / 1000000
+           |    AS token_removal_share
+           |FROM sweep GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[QueryDef] =
     Seq(t01LangId, t02Quality, t03TokenCount, t04RollingHash, t05TfIdf,
       t08UnigramLm, t09TokenEntropy, t10GopherRules, t11BigramLm,
       t12Collocations, t13LangidConfusion, t14Chunking, t15CorpusDatasheet,
       t16ChunkDedup, t17QualityClassifier, t18PplBuckets, t19BpePairs,
       t21DriftReport, t22Novelty, t23Readability, t24LexicalRichness,
-      t25ZipfSlope)
+      t25ZipfSlope, t26QualitySweep)
 }
