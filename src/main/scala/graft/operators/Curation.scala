@@ -1209,6 +1209,86 @@ object Curation {
         |  g <= total * 2 // 5 AS sampled
         |FROM g ORDER BY doc_id""".stripMargin))
 
+  // ---------------------------------------------------------------- x21
+  /** Post-dedup mix rebalance: deduplication is not distribution-
+    * neutral — a source whose docs are mostly near-duplicates loses
+    * far more mass than a diverse one when clusters collapse to their
+    * representatives. Per source: doc/char volumes before and after
+    * keeping one (min-doc_id) representative per d03 cluster, both
+    * char shares, the dedup loss, and the rebalance weight
+    * (share_pre / share_post) that restores the pre-dedup mix when
+    * applied to the surviving docs.
+    *
+    * Scale shape: labels are the d03 parquet ingest artifact; reps are
+    * one min-agg on the cluster key; everything else is two hash-aggs
+    * onto the source grid with the totals broadcast. Char sums are
+    * exact BIGINTs; shares divide them once at the end. */
+  val x21PostDedupRebalance = QueryDef(
+    "x21_post_dedup_rebalance",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val reps = Dedup.minhashClustersCached(s, d)
+        .groupBy("cluster_id").agg(min("doc_id").as("doc_id"))
+        .select("doc_id")
+      val pre = docs.groupBy("source")
+        .agg(count(lit(1)).as("n_docs_pre"),
+          sum("n_chars").as("chars_pre"))
+      val post = docs.join(reps, "doc_id").groupBy("source")
+        .agg(count(lit(1)).as("n_docs_post"),
+          sum("n_chars").as("chars_post"))
+      val joined = pre.join(post, Seq("source"), "left")
+        .na.fill(0L, Seq("n_docs_post", "chars_post"))
+      val totals = joined.agg(sum("chars_pre").as("tot_pre"),
+        sum("chars_post").as("tot_post"))
+      joined.crossJoin(broadcast(totals))
+        .select(col("source"), col("n_docs_pre"), col("n_docs_post"),
+          col("chars_pre"), col("chars_post"),
+          r6(col("chars_pre").cast("double") / col("tot_pre"))
+            .as("share_pre"),
+          r6(col("chars_post").cast("double") / col("tot_post"))
+            .as("share_post"),
+          r6(lit(1.0) - col("n_docs_post").cast("double")
+            / col("n_docs_pre")).as("dedup_loss"),
+          when(col("chars_post") > 0L,
+            r4((col("chars_pre").cast("double") / col("tot_pre"))
+              / (col("chars_post").cast("double") / col("tot_post"))))
+            .as("rebalance_weight"))
+        .orderBy("source")
+    },
+    Some(Dedup.minhashCteSql +
+      """
+        |, reps AS (
+        |  SELECT min(doc_id) AS doc_id FROM lbl GROUP BY cluster_id),
+        |pre AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs_pre,
+        |    CAST(sum(n_chars) AS BIGINT) AS chars_pre
+        |  FROM documents GROUP BY 1),
+        |post AS (
+        |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs_post,
+        |    CAST(sum(n_chars) AS BIGINT) AS chars_post
+        |  FROM documents JOIN reps USING (doc_id) GROUP BY 1),
+        |j AS (
+        |  SELECT source, n_docs_pre,
+        |    coalesce(n_docs_post, 0) AS n_docs_post, chars_pre,
+        |    coalesce(chars_post, 0) AS chars_post
+        |  FROM pre LEFT JOIN post USING (source)),
+        |tot AS (
+        |  SELECT CAST(sum(chars_pre) AS BIGINT) AS tot_pre,
+        |    CAST(sum(chars_post) AS BIGINT) AS tot_post FROM j)
+        |SELECT source, n_docs_pre, n_docs_post, chars_pre, chars_post,
+        |  round(CAST(chars_pre AS DOUBLE) / tot_pre * 1000000) / 1000000
+        |    AS share_pre,
+        |  round(CAST(chars_post AS DOUBLE) / tot_post * 1000000)
+        |    / 1000000 AS share_post,
+        |  round((1.0 - CAST(n_docs_post AS DOUBLE) / n_docs_pre)
+        |    * 1000000) / 1000000 AS dedup_loss,
+        |  CASE WHEN chars_post > 0 THEN
+        |    round((CAST(chars_pre AS DOUBLE) / tot_pre)
+        |      / (CAST(chars_post AS DOUBLE) / tot_post) * 10000) / 10000
+        |    END AS rebalance_weight
+        |FROM j CROSS JOIN tot ORDER BY source""".stripMargin))
+
   val all: Seq[QueryDef] =
     Seq(x01Decontaminate, x02StratifiedSample, x03DomainMix,
       t06PiiRedact, t07Repetition, x04ContainmentScore, x05WeightedSample,
@@ -1216,5 +1296,5 @@ object Curation {
       x10CurationPipeline, x11BloomDecontaminate, x12CompactionPlan,
       x13EpochPlan, x14KAnonymity, x15DsirWeights, x16ShardPlan,
       x17ModalityAgreement, x18CurriculumPlan, x19TokenBudget,
-      x20DedupAwareSample)
+      x20DedupAwareSample, x21PostDedupRebalance)
 }
