@@ -740,9 +740,61 @@ object Relational3 {
            |    AS price_effect
            |FROM pp ORDER BY p_brand""".stripMargin))
 
+  // --------------------------------------------------------------- q122
+  /** Open-order backlog series: each order enters the backlog on its
+    * order day and leaves the day AFTER its last line ships; the series
+    * is the running sum of +1/−1 day deltas — the operational WIP curve
+    * an ops review reads next to q83's concurrency peaks. Orders with
+    * no lineitem (none in this corpus — q94 certifies the FK) would
+    * stay open forever, which is the honest semantics.
+    *
+    * Scale shape: one per-order max-agg for ship completion, two
+    * projections to (day, ±1) deltas, ONE hash-agg onto the calendar
+    * domain, and the cumulative window runs over that day-bounded
+    * aggregate — never over orders. All-integer. */
+  val q122OrderBacklog = QueryDef(
+    "q122_order_backlog",
+    (s, d) => {
+      val DayUs = 86400000000L
+      val opened = Tables.orders(s, d)
+        .select((unix_micros(col("o_orderdate").cast("timestamp")) / DayUs)
+          .cast("long").as("day"),
+          lit(1L).as("opened"), lit(0L).as("closed"))
+      val closed = Tables.lineitem(s, d)
+        .groupBy("l_orderkey")
+        .agg(max(unix_micros(col("l_shipdate").cast("timestamp")))
+          .as("last_us"))
+        .select(((col("last_us") / DayUs).cast("long") + 1L).as("day"),
+          lit(0L).as("opened"), lit(1L).as("closed"))
+      val w = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      opened.unionByName(closed)
+        .groupBy("day")
+        .agg(sum("opened").as("n_opened"), sum("closed").as("n_closed"))
+        .withColumn("backlog",
+          sum(col("n_opened") - col("n_closed")).over(w))
+        .orderBy("day")
+    },
+    Some("""WITH deltas AS (
+           |  SELECT epoch_us(o_orderdate) // 86400000000 AS day,
+           |    1 AS opened, 0 AS closed
+           |  FROM orders
+           |  UNION ALL
+           |  SELECT max(epoch_us(l_shipdate)) // 86400000000 + 1,
+           |    0, 1
+           |  FROM lineitem GROUP BY l_orderkey),
+           |days AS (
+           |  SELECT day, CAST(sum(opened) AS BIGINT) AS n_opened,
+           |    CAST(sum(closed) AS BIGINT) AS n_closed
+           |  FROM deltas GROUP BY 1)
+           |SELECT day, n_opened, n_closed,
+           |  CAST(sum(n_opened - n_closed) OVER (ORDER BY day
+           |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS backlog
+           |FROM days ORDER BY day""".stripMargin))
+
   val all: Seq[QueryDef] =
     Seq(q69StarJoin, q70EventDedup, q71ArgExtremes, q72Regression,
       q74VariantExtract, q75HofBattery, q76ZorderLayout, q79ExistsChain,
       q87DeletionPlan, q88IncrementalView, q91OrderStats, q94FkAudit,
-      q99BenfordAudit, q118PriceVolumeBridge)
+      q99BenfordAudit, q118PriceVolumeBridge, q122OrderBacklog)
 }
