@@ -1063,20 +1063,17 @@ object Behavioral {
               .otherwise(400000L))
             .otherwise(expr("200000 div (n - 2)")))
         .withColumn("c_dec", expr("w * 1000000 div sw"))
-      val credits = touches.select(col("event_type"),
+      val wm = Window.partitionBy("model")
+      touches.select(col("event_type"),
         expr("stack(3, 'linear', c_lin, 'position', c_pos, " +
           "'time_decay', c_dec) as (model, credit)"))
         .groupBy("model", "event_type")
         .agg(count(lit(1)).as("n_touches"),
           sum("credit").as("credit_micro"))
-      val totals = credits.groupBy("model")
-        .agg(sum("credit_micro").as("tot"))
-        .withColumnRenamed("model", "model_t")
-      credits.join(broadcast(totals), col("model") === col("model_t"))
         .select(col("model"), col("event_type"), col("n_touches"),
           col("credit_micro"),
-          r6(col("credit_micro").cast("double") / col("tot"))
-            .as("credit_share"))
+          r6(col("credit_micro").cast("double")
+            / sum("credit_micro").over(wm)).as("credit_share"))
         .orderBy("model", "event_type")
     },
     Some("""WITH conv AS (
@@ -1121,15 +1118,12 @@ object Behavioral {
            |  SELECT model, event_type,
            |    CAST(count(*) AS BIGINT) AS n_touches,
            |    CAST(sum(credit) AS BIGINT) AS credit_micro
-           |  FROM cr GROUP BY 1, 2),
-           |tot AS (
-           |  SELECT model, CAST(sum(credit_micro) AS BIGINT) AS tot
-           |  FROM agg GROUP BY 1)
-           |SELECT agg.model, event_type, n_touches, credit_micro,
-           |  round(CAST(credit_micro AS DOUBLE) / tot * 1000000) / 1000000
-           |    AS credit_share
-           |FROM agg JOIN tot ON agg.model = tot.model
-           |ORDER BY 1, 2""".stripMargin))
+           |  FROM cr GROUP BY 1, 2)
+           |SELECT model, event_type, n_touches, credit_micro,
+           |  round(CAST(credit_micro AS DOUBLE)
+           |    / CAST(sum(credit_micro) OVER (PARTITION BY model)
+           |      AS BIGINT) * 1000000) / 1000000 AS credit_share
+           |FROM agg ORDER BY 1, 2""".stripMargin))
 
   val all: Seq[QueryDef] = Seq(q57Funnel, q58Retention, q61Markov,
     q62SessionPaths, q68Attribution, q80SlidingDistinct, q83PeakConcurrency,

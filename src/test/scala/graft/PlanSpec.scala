@@ -302,6 +302,38 @@ class PlanSpec extends SparkSpec {
       "q52 lost the partial top-k pushdown")
   }
 
+  test("q121: credit models stack-unpivot one touch table, no re-scan") {
+    val p = plan("q121_multitouch_attribution")
+    // three models must come from ONE events scan via stack(), not
+    // three model subqueries unioned over the log
+    // conv + touches = two scans; three-model subqueries would show six
+    assert("events\\.parquet".r.findAllIn(p).length <= 2,
+      "all models must read ONE touch construction")
+    assert(!p.contains("CartesianProduct"), "no all-pairs anywhere")
+    val winIdx = p.indexOf("windowspecdefinition(model")
+    assert(winIdx >= 0 && p.indexOf("HashAggregate", winIdx) >= 0,
+      "the share window must run over the models×channels aggregate")
+  }
+
+  test("q122: backlog cumulative runs over the day aggregate") {
+    val p = plan("q122_order_backlog")
+    val winIdx = p.indexOf("Window")
+    assert(winIdx >= 0, "the running backlog needs its window")
+    assert(p.indexOf("HashAggregate", winIdx) >= 0,
+      "window input must be the calendar-bounded day aggregate")
+  }
+
+  test("t26: the sweep explodes the per-doc score table, not tokens") {
+    val p = plan("t26_quality_threshold_sweep")
+    // the threshold explode must sit ABOVE the per-doc aggregate: a
+    // Generate with no aggregate below it would mean the 4-way explode
+    // ran over raw tokens
+    val genIdx = p.indexOf("Generate explode([-3.45")
+    assert(genIdx >= 0, "threshold sweep explode missing")
+    assert(p.indexOf("HashAggregate", genIdx) >= 0,
+      "explode input must be the aggregated per-doc score table")
+  }
+
   test("q116: baskets never self-join the event log; grid sides broadcast") {
     val p = plan("q116_basket_lift")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
