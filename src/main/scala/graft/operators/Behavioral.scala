@@ -1125,8 +1125,61 @@ object Behavioral {
            |      AS BIGINT) * 1000000) / 1000000 AS credit_share
            |FROM agg ORDER BY 1, 2""".stripMargin))
 
+  // --------------------------------------------------------------- q123
+  /** DAU / MAU stickiness: per day, the exact distinct daily actives,
+    * the exact distinct trailing-28-day actives, and their ratio — the
+    * engagement metric every growth dashboard leads with. Spelled with
+    * q80's posting-list trick at calendar grain: dedup (user, day)
+    * once, explode each active day into the 28 windows it can serve,
+    * dedup (user, window), count — no range self-join, no per-window
+    * re-scan, constant explode factor 28.
+    *
+    * Windows short of a full 28-day history (the first 27 days) report
+    * the partial trailing count, the standard dashboard convention.
+    *
+    * Scale shape: two hash-aggs with map-side partials; traffic ∝
+    * distinct (user, day) pairs × 28, never events × 28. */
+  val q123DauMau = QueryDef(
+    "q123_dau_mau",
+    (s, d) => {
+      val pairs = Tables.events(s, d)
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .distinct()
+      val dau = pairs.groupBy("day").agg(count(lit(1)).as("dau"))
+      val mau = pairs
+        .select(col("user_id"),
+          explode(sequence(col("day"), col("day") + 27L)).as("w"))
+        .distinct()
+        .groupBy("w").agg(count(lit(1)).as("mau"))
+        .withColumnRenamed("w", "day")
+      // report only days with activity (dau side): trailing windows
+      // beyond the timeline end are index artifacts, not days
+      dau.join(mau, "day")
+        .select(col("day"), col("dau"), col("mau"),
+          r6(col("dau").cast("double") / col("mau")).as("stickiness"))
+        .orderBy("day")
+    },
+    Some("""WITH pairs AS (
+           |  SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+           |  FROM events),
+           |dau AS (
+           |  SELECT day, CAST(count(*) AS BIGINT) AS dau
+           |  FROM pairs GROUP BY 1),
+           |expanded AS (
+           |  SELECT DISTINCT user_id, day + gs.g AS w
+           |  FROM pairs, generate_series(0, 27) gs(g)),
+           |mau AS (
+           |  SELECT w AS day, CAST(count(*) AS BIGINT) AS mau
+           |  FROM expanded GROUP BY 1)
+           |SELECT day, dau, mau,
+           |  round(CAST(dau AS DOUBLE) / mau * 1000000) / 1000000
+           |    AS stickiness
+           |FROM dau JOIN mau USING (day) ORDER BY day""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q57Funnel, q58Retention, q61Markov,
     q62SessionPaths, q68Attribution, q80SlidingDistinct, q83PeakConcurrency,
     q85DecileMobility, q102RfmSegments, q103CohortLtv, q106AbLift,
-    q107ConversionLag, q108FunnelTrend, q116BasketLift, q121MultiTouch)
+    q107ConversionLag, q108FunnelTrend, q116BasketLift, q121MultiTouch,
+    q123DauMau)
 }
