@@ -752,28 +752,43 @@ object Relational3 {
     * projections to (day, ±1) deltas, ONE hash-agg onto the calendar
     * domain, and the cumulative window runs over that day-bounded
     * aggregate — never over orders. All-integer. */
+  /** Shared series build from per-order (open_day, close_day) rows
+    * (close_day null = never shipped) — identical code for the batch
+    * join and the streaming twin's state snapshot. */
+  def q122Rollup(perOrder: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val opened = perOrder
+      .select(col("open_day").as("day"), lit(1L).as("opened"),
+        lit(0L).as("closed"))
+    val closed = perOrder.filter(col("close_day").isNotNull)
+      .select(col("close_day").as("day"), lit(0L).as("opened"),
+        lit(1L).as("closed"))
+    val w = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    opened.unionByName(closed)
+      .groupBy("day")
+      .agg(sum("opened").as("n_opened"), sum("closed").as("n_closed"))
+      .withColumn("backlog",
+        sum(col("n_opened") - col("n_closed")).over(w))
+      .orderBy("day")
+  }
+
   val q122OrderBacklog = QueryDef(
     "q122_order_backlog",
     (s, d) => {
       val DayUs = 86400000000L
-      val opened = Tables.orders(s, d)
-        .select((unix_micros(col("o_orderdate").cast("timestamp")) / DayUs)
-          .cast("long").as("day"),
-          lit(1L).as("opened"), lit(0L).as("closed"))
-      val closed = Tables.lineitem(s, d)
-        .groupBy("l_orderkey")
-        .agg(max(unix_micros(col("l_shipdate").cast("timestamp")))
-          .as("last_us"))
-        .select(((col("last_us") / DayUs).cast("long") + 1L).as("day"),
-          lit(0L).as("opened"), lit(1L).as("closed"))
-      val w = Window.orderBy("day")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      opened.unionByName(closed)
-        .groupBy("day")
-        .agg(sum("opened").as("n_opened"), sum("closed").as("n_closed"))
-        .withColumn("backlog",
-          sum(col("n_opened") - col("n_closed")).over(w))
-        .orderBy("day")
+      val perOrder = Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          (unix_micros(col("o_orderdate").cast("timestamp")) / DayUs)
+            .cast("long").as("open_day"))
+        .join(Tables.lineitem(s, d)
+          .groupBy("l_orderkey")
+          .agg(max(unix_micros(col("l_shipdate").cast("timestamp")))
+            .as("last_us")),
+          col("o_orderkey") === col("l_orderkey"), "left")
+        .select(col("open_day"),
+          ((col("last_us") / DayUs).cast("long") + 1L).as("close_day"))
+      q122Rollup(perOrder)
     },
     Some("""WITH deltas AS (
            |  SELECT epoch_us(o_orderdate) // 86400000000 AS day,

@@ -1615,6 +1615,67 @@ object Stateful {
       }
   }
 
+  /** One order's lifecycle for the live backlog (q122's per-order
+    * row): open day + the day AFTER its last observed ship (None if
+    * nothing shipped). */
+  final case class OrderLife(o_orderkey: Long, open_day: Long,
+      close_day: Option[Long])
+  final case class OrderLifeState(openUs: Long, maxShipUs: Long,
+      done: Boolean)
+
+  /** Streaming twin of q122: the live order-backlog tracker. The feed
+    * interleaves order-open rows and line-ship rows keyed by order;
+    * per-order state is TWO Longs — the open timestamp and the max
+    * ship timestamp seen — both commutative folds, so arrival order
+    * (even ships before their open row) is irrelevant. Snapshots emit
+    * when the watermark passes `endDay`; the delta/cumulative series
+    * then runs via Relational3.q122Rollup — identical code to batch.
+    * (A production tracker would also emit provisional +1 deltas on
+    * open for the live gauge; the snapshot path is the parity
+    * surface.)
+    *
+    * Input columns: kind ('open' | 'ship'), o_orderkey, ts. */
+  def backlogStream(df: DataFrame, endDay: Long,
+      slack: String = "2 hours"): Dataset[OrderLife] = {
+    import org.apache.spark.sql.Encoders
+    implicit val stEnc: Encoder[OrderLifeState] =
+      Encoders.product[OrderLifeState]
+    implicit val outEnc: Encoder[OrderLife] = Encoders.product[OrderLife]
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    implicit val rowEnc: Encoder[(String, Long, java.sql.Timestamp)] =
+      Encoders.tuple(Encoders.STRING, Encoders.scalaLong,
+        Encoders.TIMESTAMP)
+    val DayUs = 86400000000L
+    val ds = df.withWatermark("ts", slack)
+      .select("kind", "o_orderkey", "ts")
+      .as[(String, Long, java.sql.Timestamp)]
+    ds.groupByKey(_._2)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (okey: Long, rows: Iterator[(String, Long, java.sql.Timestamp)],
+            state: GroupState[OrderLifeState]) =>
+          val st0 = state.getOption.getOrElse(
+            OrderLifeState(Long.MinValue, Long.MinValue, false))
+          var openUs = st0.openUs; var maxShipUs = st0.maxShipUs
+          rows.foreach { r =>
+            val us = microsOf(r._3)
+            if (r._1 == "open") openUs = us
+            else if (r._1 == "ship" && us > maxShipUs) maxShipUs = us
+          }
+          val wm = state.getCurrentWatermarkMs()
+          if (!st0.done && wm > endDay * 86400000L + 1L) {
+            state.update(OrderLifeState(openUs, maxShipUs, true))
+            Iterator.single(OrderLife(okey, openUs / DayUs,
+              if (maxShipUs == Long.MinValue) None
+              else Some(maxShipUs / DayUs + 1L)))
+          } else {
+            state.update(OrderLifeState(openUs, maxShipUs, st0.done))
+            if (!st0.done) state.setTimeoutTimestamp(wm + 1L)
+            Iterator.empty
+          }
+      }
+  }
+
   /** One closed (user, day) basket as an event-type bitmask (q116's
     * distinct basket membership, packed). */
   final case class BasketRow(user_id: Long, day: Long, mask: Long)

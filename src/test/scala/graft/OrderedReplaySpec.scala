@@ -670,6 +670,61 @@ class OrderedReplaySpec extends SparkSpec {
     }
   }
 
+  test("streaming backlog: order-lifecycle snapshots == batch q122") {
+    val s = spark
+    import s.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+
+    val opens = Tables.orders(s, sf)
+      .select(lit("open").as("kind"), col("o_orderkey"),
+        col("o_orderdate").cast("timestamp").as("ts"))
+    val ships = Tables.lineitem(s, sf)
+      .select(lit("ship").as("kind"), col("l_orderkey").as("o_orderkey"),
+        col("l_shipdate").cast("timestamp").as("ts"))
+    val rows = opens.unionByName(ships)
+      .as[(String, Long, java.sql.Timestamp)].collect()
+      .sortBy { r =>
+        val jitter = Math.floorMod(r._2 * 2654435761L + r._1.length,
+          1800000L)
+        (r._3.getTime + jitter, r._2)
+      }
+    val dmax = rows.map(_._3.getTime).max / 86400000L
+
+    val input = MemoryStream[(String, Long, java.sql.Timestamp)]
+    val q = Stateful.backlogStream(
+        input.toDS().toDF("kind", "o_orderkey", "ts"), dmax)
+      .writeStream.format("memory").queryName("ooo_backlog")
+      .trigger(Trigger.ProcessingTime(50)).start()
+    val third = rows.length / 3
+    Seq(rows.slice(0, third), rows.slice(third, 2 * third),
+      rows.drop(2 * third)).foreach { chunk =>
+      input.addData(chunk.toSeq); q.processAllAvailable()
+    }
+    val sentTs = new java.sql.Timestamp((dmax + 30L) * 86400000L)
+    for (i <- 1 to 2) {
+      input.addData(("zz", -1L,
+        new java.sql.Timestamp(sentTs.getTime + i)))
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    val snap = s.table("ooo_backlog").filter("o_orderkey >= 0")
+    assert(snap.count() > 0)
+    val streamed = operators.Relational3.q122Rollup(
+        snap.select("open_day", "close_day")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    val batch = SparkEntry.queries("q122_order_backlog")(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    // commutative two-Long state through the shared rollup ⇒ bit-for-bit
+    assert(streamed == batch,
+      s"stream-only: ${streamed.toSet.diff(batch.toSet).take(3)}; " +
+        s"batch-only: ${batch.toSet.diff(streamed.toSet).take(3)}")
+  }
+
   test("streaming bridge: per-brand year totals == batch q118 effects") {
     val s = spark
     import s.implicits._
