@@ -1177,9 +1177,110 @@ object Behavioral {
            |    AS stickiness
            |FROM dau JOIN mau USING (day) ORDER BY day""".stripMargin))
 
+  // --------------------------------------------------------------- q124
+  /** Exponential retention-decay fit: collapse q58's cohort matrix to
+    * the global curve R(k) = active(k)/cohort(0), least-squares-fit
+    * ln R(k) ~ a + b·k over offsets ≥ 1 (the t25 integer-micro trick —
+    * ln values as exact micro-unit BIGINTs, offsets already integers,
+    * so every regression sum is order-proof), and report each offset's
+    * fitted value, the residual, plus the decay slope and half-life —
+    * the one-line "how fast do users churn" answer the full q58 matrix
+    * buries.
+    *
+    * Scale shape: two hash-aggs to the offset-bounded curve (calendar
+    * domain), regression sums over that bounded table, results joined
+    * back as a broadcast scalar. */
+  val q124RetentionDecay = QueryDef(
+    "q124_retention_decay",
+    (s, d) => {
+      val day = floor(col("ts").cast("long") / 86400)
+      val ev = Tables.events(s, d).select(col("user_id"), day.as("day"))
+      val cohort = ev.groupBy("user_id").agg(min("day").as("cohort_day"))
+      val curve = ev.distinct().join(cohort, "user_id")
+        .groupBy((col("day") - col("cohort_day")).as("day_offset"))
+        .agg(count(lit(1)).as("n_users"))
+      val base = curve.filter(col("day_offset") === 0L)
+        .select(col("n_users").as("n0"))
+      val pts = curve.crossJoin(broadcast(base))
+        .withColumn("retention",
+          r6(col("n_users").cast("double") / col("n0")))
+        .withColumn("y", expr(
+          "cast(round(ln(cast(n_users as double) / n0) * 1000000) as bigint)"))
+      val reg = pts.filter(col("day_offset") >= 1L)
+        .agg(count(lit(1)).as("k"), sum("day_offset").as("sx"),
+          sum("y").as("sy"),
+          sum(col("day_offset") * col("y")).as("sxy"),
+          sum(col("day_offset") * col("day_offset")).as("sxx"))
+        .withColumn("slope_raw",
+          (col("k") * col("sxy") - col("sx") * col("sy")).cast("double")
+            / (col("k") * col("sxx") - col("sx") * col("sx"))
+              .cast("double") / 1000000.0)
+        .withColumn("icept_raw",
+          (col("sy").cast("double") / 1000000.0
+            - col("slope_raw") * col("sx")) / col("k"))
+        .select("slope_raw", "icept_raw")
+      pts.crossJoin(broadcast(reg))
+        .select(col("day_offset"), col("n_users"), col("retention"),
+          r6(exp(col("icept_raw") + col("slope_raw") * col("day_offset")))
+            .as("fitted"),
+          r6(col("retention")
+            - r6(exp(col("icept_raw") + col("slope_raw")
+              * col("day_offset")))).as("residual"),
+          r6(col("slope_raw")).as("decay_slope"),
+          r4(lit(-math.log(2.0)) / col("slope_raw")).as("half_life_days"))
+        .orderBy("day_offset")
+    },
+    Some("""WITH ev AS (
+           |  SELECT user_id, CAST(floor(epoch(ts)/86400.0) AS BIGINT)
+           |    AS day
+           |  FROM events),
+           |cohort AS (
+           |  SELECT user_id, min(day) AS cohort_day FROM ev GROUP BY 1),
+           |curve AS (
+           |  SELECT day - cohort_day AS day_offset,
+           |    CAST(count(*) AS BIGINT) AS n_users
+           |  FROM (SELECT DISTINCT user_id, day FROM ev) a
+           |  JOIN cohort USING (user_id) GROUP BY 1),
+           |base AS (
+           |  SELECT n_users AS n0 FROM curve WHERE day_offset = 0),
+           |pts AS (
+           |  SELECT day_offset, n_users,
+           |    round(CAST(n_users AS DOUBLE) / n0 * 1000000) / 1000000
+           |      AS retention,
+           |    CAST(round(ln(CAST(n_users AS DOUBLE) / n0) * 1000000)
+           |      AS BIGINT) AS y
+           |  FROM curve CROSS JOIN base),
+           |agg AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS k,
+           |    CAST(sum(day_offset) AS BIGINT) AS sx,
+           |    CAST(sum(y) AS BIGINT) AS sy,
+           |    CAST(sum(day_offset * y) AS BIGINT) AS sxy,
+           |    CAST(sum(day_offset * day_offset) AS BIGINT) AS sxx
+           |  FROM pts WHERE day_offset >= 1),
+           |reg AS (
+           |  SELECT CAST(k * sxy - sx * sy AS DOUBLE)
+           |      / CAST(k * sxx - sx * sx AS DOUBLE) / 1000000.0
+           |      AS slope_raw, k, sx, sy
+           |  FROM agg),
+           |reg2 AS (
+           |  SELECT slope_raw,
+           |    (CAST(sy AS DOUBLE) / 1000000.0 - slope_raw * sx) / k
+           |      AS icept_raw
+           |  FROM reg)
+           |SELECT day_offset, n_users, retention,
+           |  round(exp(icept_raw + slope_raw * day_offset) * 1000000)
+           |    / 1000000 AS fitted,
+           |  round((retention - round(exp(icept_raw + slope_raw
+           |    * day_offset) * 1000000) / 1000000) * 1000000) / 1000000
+           |    AS residual,
+           |  round(slope_raw * 1000000) / 1000000 AS decay_slope,
+           |  round(-ln(2.0) / slope_raw * 10000) / 10000
+           |    AS half_life_days
+           |FROM pts CROSS JOIN reg2 ORDER BY day_offset""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q57Funnel, q58Retention, q61Markov,
     q62SessionPaths, q68Attribution, q80SlidingDistinct, q83PeakConcurrency,
     q85DecileMobility, q102RfmSegments, q103CohortLtv, q106AbLift,
     q107ConversionLag, q108FunnelTrend, q116BasketLift, q121MultiTouch,
-    q123DauMau)
+    q123DauMau, q124RetentionDecay)
 }
