@@ -1,0 +1,149 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Cross-column invariant gates for the association/bridge/allocation
+  * family — relationships the DuckDB hash-match can't see because both
+  * engines would violate them identically if the FORMULA were wrong
+  * (the oracle proves the two engines agree, these prove the math
+  * means what the scaladoc claims). */
+class CompositeInvariantSpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("q116: pair counts bounded by marginals; support below confidence") {
+    val rows = SparkEntry.queries("q116_basket_lift")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6), r.getDouble(7)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (a, b, nab, na, nb, nbk, supp, conf) =>
+      assert(a < b, "pairs must be canonical a < b")
+      assert(nab <= math.min(na, nb), s"($a,$b) co-count exceeds a marginal")
+      assert(na <= nbk && nb <= nbk, "marginal exceeds basket count")
+      assert(supp <= conf + 1e-9, "support cannot exceed confidence")
+    }
+  }
+
+  test("q117: outlier counts within n; shares consistent") {
+    val rows = SparkEntry.queries("q117_mad_outliers")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (et, n, out, share) =>
+      assert(out >= 0L && out <= n, s"$et outliers outside [0, n]")
+      assert(math.abs(share - out.toDouble / n) < 1e-5,
+        s"$et share inconsistent with counts")
+    }
+  }
+
+  test("q118: the bridge identity holds — delta == volume + price effect") {
+    val rows = SparkEntry.queries("q118_price_volume_bridge")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(3), r.getDouble(4),
+        r.getDouble(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (brand, delta, vol, price) =>
+      // exact identity up to the three independent cent-roundings
+      assert(math.abs(delta - (vol + price)) <= 0.02,
+        s"$brand bridge does not reconcile: $delta vs ${vol + price}")
+    }
+  }
+
+  test("q121: each model's credit shares close to 1; touch counts agree") {
+    val rows = SparkEntry.queries("q121_multitouch_attribution")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (model, grp) =>
+      val shareSum = grp.map(_._4).sum
+      assert(math.abs(shareSum - 1.0) < 1e-5,
+        s"$model shares sum to $shareSum")
+    }
+    val touchTotals = rows.groupBy(_._1).view
+      .mapValues(_.map(_._3).sum).toMap
+    assert(touchTotals.values.toSet.size == 1,
+      s"models disagree on the touch count: $touchTotals")
+  }
+
+  test("q123: dau never exceeds mau; stickiness in (0, 1]") {
+    val rows = SparkEntry.queries("q123_dau_mau")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (day, dau, mau, st) =>
+      assert(dau <= mau, s"day $day: dau $dau > mau $mau")
+      assert(st > 0.0 && st <= 1.0 + 1e-9, s"day $day stickiness $st")
+    }
+  }
+
+  test("q124: residuals reconcile; half-life matches the slope") {
+    val rows = SparkEntry.queries("q124_retention_decay")(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (k, ret, fitted, resid, slope, hl) =>
+      assert(math.abs(resid - (ret - fitted)) < 1e-5,
+        s"offset $k residual does not reconcile")
+      assert(slope < 0.0, "retention must decay")
+      assert(hl > 0.0, "half-life must be positive")
+    }
+    // half_life = -ln2/slope within rounding of both displays
+    val (s0, h0) = (rows.head._5, rows.head._6)
+    assert(math.abs(h0 - (-math.log(2.0) / s0)) / h0 < 0.02,
+      "half-life inconsistent with slope")
+  }
+
+  test("x19: waterfill exhausts the budget up to per-source floors") {
+    val rows = SparkEntry.queries("x19_token_budget")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    val supply = rows.map(_._2).sum
+    val alloc = rows.map(_._3).sum
+    val budget = supply * 2 / 5
+    assert(alloc <= budget, "allocation exceeds the budget")
+    assert(budget - alloc < rows.length,
+      "waterfill left more than the floor dust on the table")
+    rows.foreach { case (src, sup, al, funded) =>
+      assert(al <= sup, s"$src allocated beyond supply")
+      assert(funded == (al == sup), s"$src funded flag inconsistent")
+    }
+  }
+
+  test("x21: post-dedup volumes shrink; pre shares close to 1") {
+    val rows = SparkEntry.queries("x21_post_dedup_rebalance")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (src, dPre, dPost, cPre, cPost, _) =>
+      assert(dPost <= dPre && cPost <= cPre, s"$src grew under dedup")
+    }
+    val shareSum = rows.map(_._6).sum
+    assert(math.abs(shareSum - 1.0) < 1e-4, s"pre shares sum to $shareSum")
+  }
+
+  test("q120: the 3-core nests inside the 2-core and is denser") {
+    val rows = SparkEntry.queries("q120_kcore")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(2, 3))
+    val Seq(c2, c3) = rows.toSeq
+    assert(c3._2 <= c2._2 && c3._3 <= c2._3,
+      "3-core must be a subgraph of the 2-core")
+    if (c3._2 >= 2) assert(c3._4 >= c2._4 - 1e-9,
+      "peeling must not reduce density")
+  }
+
+  test("d16: kept set equals vectors with no lower-id close neighbor") {
+    val out = SparkEntry.queries("d16_semantic_prune")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getBoolean(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2)))
+    assert(out.nonEmpty)
+    out.foreach { case (v, kept, by) =>
+      assert(kept == (by < 0L), s"vec $v flag inconsistent with witness")
+      if (by >= 0L) assert(by < v, s"vec $v pruned by a HIGHER id $by")
+    }
+    assert(out.exists(_._2), "prune removed everything")
+  }
+}
