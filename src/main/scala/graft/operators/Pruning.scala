@@ -54,5 +54,40 @@ object Pruning {
            |WHERE n_name IN ('NATION_3', 'NATION_7', 'NATION_11')
            |GROUP BY n_name ORDER BY n_name""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(q49BloomPruneJoin)
+  // --------------------------------------------------------------- q125
+  /** Scan through the custom batch DSv2 source
+    * (graft.connectors.ArchiveSource) with all three pushdowns live:
+    * the type-equality and id-range predicates evaluate INSIDE the
+    * reader, the id range prunes whole input splits at planning time,
+    * and column pruning drops user_id before a byte moves. The row
+    * formula is pure integer arithmetic, so the DuckDB oracle replays
+    * the source with generate_series and the custom connector is
+    * proven end-to-end against an independent engine.
+    * ExtensionsSpec pins the pushdown evidence in the plan. */
+  val q125ArchivePushdown = QueryDef(
+    "q125_archive_pushdown",
+    (s, _) => {
+      import org.apache.spark.sql.functions._
+      s.read.format("graft.connectors.ArchiveSource").load()
+        .filter(col("event_type") === "click" &&
+          col("event_id") >= 10000L && col("event_id") < 60000L)
+        .groupBy("day")
+        .agg(count(lit(1)).as("n"),
+          sum(expr("cast(round(value * 1000) as bigint)")).as("vm_sum"))
+        .orderBy("day")
+    },
+    Some("""WITH ids AS (
+           |  SELECT g AS id FROM generate_series(10000, 59999) t(g)),
+           |rows_ AS (
+           |  SELECT id % 365 AS day,
+           |    ['click','view','purchase','signup','error']
+           |      [CAST((id * 40503) % 5 AS INT) + 1] AS event_type,
+           |    (id * 48271) % 1000000 AS vm
+           |  FROM ids)
+           |SELECT day, CAST(count(*) AS BIGINT) AS n,
+           |  CAST(sum(vm) AS BIGINT) AS vm_sum
+           |FROM rows_ WHERE event_type = 'click'
+           |GROUP BY day ORDER BY day""".stripMargin))
+
+  val all: Seq[QueryDef] = Seq(q49BloomPruneJoin, q125ArchivePushdown)
 }

@@ -93,4 +93,29 @@ class ExtensionsSpec extends SparkSpec {
       s.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
     }
   }
+
+  test("archive DSv2: predicates reach the reader and prune whole splits") {
+    val s = spark
+    val full = s.read.format("graft.connectors.ArchiveSource").load()
+    val filtered = full
+      .filter(col("event_type") === "click" &&
+        col("event_id") >= 10000L && col("event_id") < 60000L)
+      .select("day")
+    val p = filtered.queryExecution.executedPlan.toString
+    assert(p.contains("ArchiveScan pushed=["),
+      s"scan description missing pushdown evidence:\n${p.take(600)}")
+    assert(p.contains("event_id"), "id-range predicates must be pushed")
+    // partition pruning: [10000, 60000) over 8×12500-wide splits → 5
+    assert(filtered.rdd.getNumPartitions == 5,
+      s"expected 5 pruned splits, got ${filtered.rdd.getNumPartitions}")
+    assert(full.rdd.getNumPartitions == 8, "unfiltered scan plans all 8")
+    // pushdown changes the plan, never the answer
+    val pushed = filtered.count()
+    val post = full.collect().count(r =>
+      r.getString(2) == "click" && r.getLong(0) >= 10000L &&
+        r.getLong(0) < 60000L)
+    assert(pushed == post, s"pushdown changed the result: $pushed vs $post")
+    // column pruning reaches the reader's projection
+    assert(filtered.columns.sameElements(Array("day")))
+  }
 }
