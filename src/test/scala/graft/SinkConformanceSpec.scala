@@ -253,4 +253,36 @@ class SinkConformanceSpec extends SparkSpec {
       assert(mine.forall(_.fullMs >= 0) && mine.exists(_.handlerHandleMs >= 0))
     } finally s.streams.removeListener(m)
   }
+
+  test("batch DSv2 write: two-phase commit publishes all rows atomically") {
+    import graft.connectors.CollectingSink
+    val s = spark
+    import s.implicits._
+    CollectingSink.clear("tpc_ok")
+    (1L to 1000L).toDF("v").repartition(4)
+      .write.format("graft.connectors.CollectingSink")
+      .option("table", "tpc_ok").mode("append").save()
+    val got = CollectingSink.rows("tpc_ok").map(_.head.asInstanceOf[Long])
+    assert(got.size == 1000, s"committed ${got.size} rows")
+    assert(got.toSet == (1L to 1000L).toSet, "all rows published intact")
+  }
+
+  test("batch DSv2 write: a failing task publishes NOTHING") {
+    import graft.connectors.CollectingSink
+    val s = spark
+    import s.implicits._
+    CollectingSink.clear("tpc_fail")
+    val df = (1L to 100L).toDF("v").repartition(4)
+      .map { r => if (r.getLong(0) == 77L) sys.error("poison row"); r.getLong(0) }
+      .toDF("v")
+    intercept[Exception] {
+      df.write.format("graft.connectors.CollectingSink")
+        .option("table", "tpc_fail").mode("append").save()
+    }
+    // atomic visibility: tasks that succeeded before the failure had
+    // staged rows, but the job-level abort discards every staging —
+    // a reader never sees a partial write
+    assert(CollectingSink.rows("tpc_fail").isEmpty,
+      "aborted write leaked rows to readers")
+  }
 }
