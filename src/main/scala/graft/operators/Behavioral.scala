@@ -1278,9 +1278,80 @@ object Behavioral {
            |    AS half_life_days
            |FROM pts CROSS JOIN reg2 ORDER BY day_offset""".stripMargin))
 
+  // --------------------------------------------------------------- q126
+  /** Time-boxed funnel: q57's view → click → purchase sequencing with a
+    * 24 h window on EACH step — step k counts only when it lands
+    * strictly after step k−1 and within 24 h of it, the semantics
+    * product-analytics funnels default to (an intent expires; a
+    * purchase a month after the click is a different journey). Read
+    * against q57's untimed counts, the delta is how much intent the
+    * window expires.
+    *
+    * Scale shape: identical to q57 — per-step filter → per-user min-agg
+    * → equi-join on user_id with the previous (strictly smaller) step
+    * table; the window bound rides the join filter; the final table is
+    * 3 rows. */
+  val q126TimedFunnel = QueryDef(
+    "q126_timed_funnel",
+    (s, d) => {
+      val WinUs = 86400000000L
+      val ev = Tables.events(s, d).select("user_id", "event_type", "ts")
+      val s1 = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts").as("t1"))
+      val s2 = ev.filter(col("event_type") === "click")
+        .join(s1, "user_id")
+        .filter(col("ts") > col("t1") &&
+          unix_micros(col("ts")) - unix_micros(col("t1")) <= WinUs)
+        .groupBy("user_id").agg(min("ts").as("t2"))
+      val s3 = ev.filter(col("event_type") === "purchase")
+        .join(s2, "user_id")
+        .filter(col("ts") > col("t2") &&
+          unix_micros(col("ts")) - unix_micros(col("t2")) <= WinUs)
+        .groupBy("user_id").agg(min("ts").as("t3"))
+      val steps = s1.agg(count(lit(1)).as("users"))
+        .select(lit(1).as("step"), lit("view").as("step_name"),
+          col("users"))
+        .unionByName(s2.agg(count(lit(1)).as("users"))
+          .select(lit(2).as("step"), lit("click").as("step_name"),
+            col("users")))
+        .unionByName(s3.agg(count(lit(1)).as("users"))
+          .select(lit(3).as("step"), lit("purchase").as("step_name"),
+            col("users")))
+      val w = Window.orderBy("step")
+      steps
+        .withColumn("conversion",
+          r4(coalesce(col("users") / lag("users", 1).over(w), lit(1.0))))
+        .orderBy("step")
+    },
+    Some("""WITH s1 AS (
+           |  SELECT user_id, min(ts) AS t1 FROM events
+           |  WHERE event_type = 'view' GROUP BY 1),
+           |s2 AS (
+           |  SELECT e.user_id, min(ts) AS t2
+           |  FROM events e JOIN s1 USING (user_id)
+           |  WHERE event_type = 'click' AND ts > t1
+           |    AND epoch_us(ts) - epoch_us(t1) <= 86400000000
+           |  GROUP BY 1),
+           |s3 AS (
+           |  SELECT e.user_id, min(ts) AS t3
+           |  FROM events e JOIN s2 USING (user_id)
+           |  WHERE event_type = 'purchase' AND ts > t2
+           |    AND epoch_us(ts) - epoch_us(t2) <= 86400000000
+           |  GROUP BY 1),
+           |steps AS (
+           |  SELECT 1 AS step, 'view' AS step_name,
+           |         CAST(count(*) AS BIGINT) AS users FROM s1
+           |  UNION ALL SELECT 2, 'click', CAST(count(*) AS BIGINT) FROM s2
+           |  UNION ALL SELECT 3, 'purchase', CAST(count(*) AS BIGINT)
+           |    FROM s3)
+           |SELECT step, step_name, users,
+           |  round(COALESCE(users / CAST(lag(users) OVER (ORDER BY step)
+           |    AS DOUBLE), 1.0) * 10000) / 10000 AS conversion
+           |FROM steps ORDER BY step""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q57Funnel, q58Retention, q61Markov,
     q62SessionPaths, q68Attribution, q80SlidingDistinct, q83PeakConcurrency,
     q85DecileMobility, q102RfmSegments, q103CohortLtv, q106AbLift,
     q107ConversionLag, q108FunnelTrend, q116BasketLift, q121MultiTouch,
-    q123DauMau, q124RetentionDecay)
+    q123DauMau, q124RetentionDecay, q126TimedFunnel)
 }
