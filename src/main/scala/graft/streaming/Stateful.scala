@@ -290,6 +290,41 @@ object Stateful {
     }
   }
 
+  /** Streaming twin of q126's TIME-BOXED funnel: q57's ordered-replay
+    * state machine with the 24 h window enforced at each transition —
+    * a step event qualifies only strictly after the previous step and
+    * within `windowUs` of it. Because replay is event-time ordered,
+    * the first qualifying event IS the batch min, and an event beyond
+    * the window can never be rescued by a later (even later) one, so
+    * the O(1) three-timestamp state is exact. */
+  def timedFunnelStream(df: DataFrame, windowUs: Long = 86400000000L,
+      slack: String = "2 hours"): Dataset[StepReached] = {
+    import org.apache.spark.sql.Encoders
+    implicit val stEnc: Encoder[(FunnelState, Seq[Ev])] =
+      Encoders.product[(FunnelState, Seq[Ev])]
+    implicit val outEnc: Encoder[StepReached] =
+      Encoders.product[StepReached]
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    implicit val evEnc: Encoder[Ev] = Encoders.product[Ev]
+    orderedPerKey[FunnelState, StepReached](df, slack,
+      FunnelState(None, None, None)) { (user, e, st) =>
+      val (_, ts, _, et, _) = e
+      et match {
+        case "view" if st.t1.isEmpty =>
+          (st.copy(t1 = Some(ts)), Seq(StepReached(user, 1, ts)))
+        case "click" if st.t2.isEmpty &&
+            st.t1.exists(t1 => ts.compareTo(t1) > 0 &&
+              microsOf(ts) - microsOf(t1) <= windowUs) =>
+          (st.copy(t2 = Some(ts)), Seq(StepReached(user, 2, ts)))
+        case "purchase" if st.t3.isEmpty &&
+            st.t2.exists(t2 => ts.compareTo(t2) > 0 &&
+              microsOf(ts) - microsOf(t2) <= windowUs) =>
+          (st.copy(t3 = Some(ts)), Seq(StepReached(user, 3, ts)))
+        case _ => (st, Nil)
+      }
+    }
+  }
+
   /** One observed first-order transition (q61's pair row). */
   final case class Transition(user_id: Long, prev_type: String,
       next_type: String)

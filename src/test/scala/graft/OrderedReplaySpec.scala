@@ -97,6 +97,24 @@ class OrderedReplaySpec extends SparkSpec {
     assert(streamed == batch, s"streamed=$streamed batch=$batch")
   }
 
+  test("streaming timed funnel: step counts == batch q126 users per step") {
+    val s = spark
+    val out = runStream("ooo_timed_funnel")(df =>
+      Stateful.timedFunnelStream(df))
+    val streamed = out.filter("user_id >= 0")
+      .groupBy("step").agg(count(lit(1)).as("users"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val batch = SparkEntry.queries("q126_timed_funnel")(s, sf).collect()
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert(streamed.nonEmpty)
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    // the window must actually bite relative to the untimed funnel
+    val untimed = SparkEntry.queries("q57_funnel")(s, sf).collect()
+      .map(r => r.getInt(0) -> r.getLong(2)).toMap
+    assert((2 to 3).forall(k => batch(k) <= untimed(k)),
+      "timed counts cannot exceed untimed")
+  }
+
   test("streaming anomaly: scored buckets == batch q60 within fp tolerance") {
     val s = spark
     // the generic sentinel only needs to advance the WATERMARK past the
