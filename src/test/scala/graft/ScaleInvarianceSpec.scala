@@ -62,6 +62,30 @@ class ScaleInvarianceSpec extends SparkSpec {
     invariant("q103_cohort_ltv", sf001)
   }
 
+  test("q116 basket rules invariant to partition count (integer counts)") {
+    invariant("q116_basket_lift", sf001)
+  }
+
+  test("q118 bridge invariant to partition count (exact cents/quantities)") {
+    invariant("q118_price_volume_bridge", sf001)
+  }
+
+  test("q120 k-core summary invariant to partition count") {
+    invariant("q120_kcore", sf001)
+  }
+
+  test("q121 attribution credits invariant to partition count (micro-units)") {
+    invariant("q121_multitouch_attribution", sf001)
+  }
+
+  test("q124 decay fit invariant to partition count (integer-micro sums)") {
+    invariant("q124_retention_decay", sf001)
+  }
+
+  test("x19 waterfill invariant to partition count (integer budget)") {
+    invariant("x19_token_budget", sf001)
+  }
+
   test("q104 CUSUM invariant to partition count (integer pipeline)") {
     invariant("q104_cusum_changepoint", sf001)
   }
