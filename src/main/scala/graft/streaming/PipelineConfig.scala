@@ -38,11 +38,24 @@ object PipelineConfig {
     // newline-delimited record streams; on Spark both land on the same
     // delimited-text file stream the scanner uses (the socket/journal
     // tail is the ingestion agent's job), tagged with their own topic.
-    // The reference's `addr`/`contentType` options are accepted as
-    // inert metadata — there's no listener to bind in a library.
+    // The reference's `addr` option is accepted as inert metadata
+    // (there's no listener to bind in a library); `contentType`
+    // rfc3164/rfc5424 structures each record with the codegen'd
+    // syslog parsers — malformed lines become valid=false structs,
+    // never row failures.
     case "scanner" | "syslog" | "journald" =>
-      Sources.scannerStream(spark, c.options("path"),
-        c.options.getOrElse("delim", "\n"), c.options.getOrElse("topic", c.kind))
+      val base = Sources.scannerStream(spark, c.options("path"),
+        c.options.getOrElse("delim", "\n"),
+        c.options.getOrElse("topic", c.kind))
+      c.options.get("contentType") match {
+        case Some("rfc3164") => base.withColumn("syslog",
+          graft.functions.SyslogFunctions.parseRfc3164(
+            org.apache.spark.sql.functions.col("value").cast("string")))
+        case Some("rfc5424") => base.withColumn("syslog",
+          graft.functions.SyslogFunctions.parseRfc5424(
+            org.apache.spark.sql.functions.col("value").cast("string")))
+        case _ => base
+      }
     case "rate" =>
       Sources.poller(spark, c.options.getOrElse("rowsPerSecond", "100").toInt)
     // Columnar file-stream kinds: schema inferred once from existing

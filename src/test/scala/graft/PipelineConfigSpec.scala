@@ -1,6 +1,7 @@
 package graft
 
 import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions.col
 import graft.streaming.PipelineConfig
 import graft.streaming.PipelineConfig.{PipelineConf, SinkConf, SourceConf}
 
@@ -113,6 +114,64 @@ class PipelineConfigSpec extends SparkSpec {
     // journald builds on the same path
     val j = PipelineConfig.source(spark, SourceConf("journald", Map("path" -> dir)))
     assert(j.isStreaming && j.schema.fieldNames.contains("value"))
+  }
+
+  test("syslog contentType rfc3164/rfc5424 structures records; bad lines flagged") {
+    import graft.functions.SyslogFunctions
+    val s = spark
+    import s.implicits._
+    // RFC 3164: auth-facility warning from sshd with a pid
+    val l3164 = "<34>Oct 11 22:14:15 mymachine sshd[245]: Failed password for root"
+    // RFC 5424: local4 notice with structured data and a message
+    val l5424 = "<165>1 2003-10-11T22:14:15.003Z mymachine.example.com evntslog 1024 ID47 [exampleSDID@32473 iut=\"3\"] An application event"
+    // 5424 nil-valued fields and no message
+    val l5424nil = "<165>1 2003-10-11T22:14:16Z host app - - -"
+    val bad = "not a syslog line at all"
+
+    val p3 = Seq(l3164, bad).toDF("value")
+      .select(SyslogFunctions.parseRfc3164(col("value")).as("s"))
+      .select("s.*").collect()
+    val ok3 = p3.find(_.getAs[Boolean]("valid")).get
+    assert(ok3.getAs[Int]("pri") == 34)
+    assert(ok3.getAs[Int]("facility") == 4 && ok3.getAs[Int]("severity") == 2)
+    assert(ok3.getAs[String]("host") == "mymachine")
+    assert(ok3.getAs[String]("tag") == "sshd" && ok3.getAs[Int]("pid") == 245)
+    assert(ok3.getAs[String]("msg") == "Failed password for root")
+    val bad3 = p3.find(!_.getAs[Boolean]("valid")).get
+    assert(bad3.isNullAt(bad3.fieldIndex("host")), "bad line yields nulls")
+
+    val p5 = Seq(l5424, l5424nil, bad).toDF("value")
+      .select(SyslogFunctions.parseRfc5424(col("value")).as("s"))
+      .select("s.*").collect()
+    val full = p5.find(r => r.getAs[Boolean]("valid") &&
+      !r.isNullAt(r.fieldIndex("msgid"))).get
+    assert(full.getAs[Int]("pri") == 165 && full.getAs[Int]("facility") == 20)
+    assert(full.getAs[String]("app") == "evntslog")
+    assert(full.getAs[String]("sd").startsWith("[exampleSDID@32473"))
+    assert(full.getAs[String]("msg") == "An application event")
+    assert(!full.isNullAt(full.fieldIndex("ts")), "ISO timestamp parses")
+    val nil = p5.find(r => r.getAs[Boolean]("valid") &&
+      r.isNullAt(r.fieldIndex("msgid"))).get
+    assert(nil.isNullAt(nil.fieldIndex("procid")) &&
+      nil.isNullAt(nil.fieldIndex("sd")) && nil.isNullAt(nil.fieldIndex("msg")),
+      "nil-valued 5424 fields become nulls")
+    assert(p5.count(!_.getAs[Boolean]("valid")) == 1)
+
+    // through the config layer: contentType structures the stream
+    val dir = tmpDir("cfg_syslog_ct")
+    Files.write(Paths.get(dir, "s.log"), s"$l3164\n$bad".getBytes("UTF-8"))
+    val conf = PipelineConf(
+      SourceConf("syslog", Map("path" -> dir, "contentType" -> "rfc3164")),
+      SinkConf("memory", Map("name" -> "syslog_parsed")),
+      checkpoint = tmpDir("syslog_ct_ck"), availableNow = true)
+    PipelineConfig.run(spark, conf,
+      transformSql = Some(
+        "SELECT syslog.host AS host, syslog.valid AS valid FROM src"))
+      .awaitTermination(60000)
+    val got = spark.sql("SELECT host, valid FROM syslog_parsed").collect()
+    assert(got.length == 2)
+    assert(got.count(_.getBoolean(1)) == 1)
+    assert(got.find(_.getBoolean(1)).get.getString(0) == "mymachine")
   }
 
   test("kafka kind is recognized and fails only on the missing connector jar") {
