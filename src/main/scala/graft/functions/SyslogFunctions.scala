@@ -47,6 +47,30 @@ object SyslogFunctions {
         f(6).as("msg"), valid.as("valid"))): _*)
   }
 
+  /** CEF (ArcSight Common Event Format):
+    * `CEF:0|Vendor|Product|Version|SignatureID|Name|Severity|ext...`
+    * with the extension tail parsed into a `k=v` map via str_to_map.
+    * Returns struct(version, vendor, product, device_version, sig_id,
+    * name, severity, ext, valid). The header fields are plain
+    * pipe-splits (CEF escapes pipes as `\|` — rows using that escape
+    * land valid=false rather than mis-split, the honest cheap
+    * parser; a full unescaper is a custom Expression if ever needed). */
+  def parseCef(line: Column): Column = {
+    val R = "^CEF:(\\d+)\\|([^|\\\\]*)\\|([^|\\\\]*)\\|([^|\\\\]*)" +
+      "\\|([^|\\\\]*)\\|([^|\\\\]*)\\|([^|\\\\]*)\\|(.*)$"
+    val ver = regexp_extract(line, R, 1)
+    val valid = ver =!= ""
+    def f(i: Int): Column = when(valid, regexp_extract(line, R, i))
+    struct(
+      when(valid, ver.cast("int")).as("version"),
+      f(2).as("vendor"), f(3).as("product"), f(4).as("device_version"),
+      f(5).as("sig_id"), f(6).as("name"),
+      when(valid, regexp_extract(line, R, 7).cast("int")).as("severity"),
+      when(valid, str_to_map(regexp_extract(line, R, 8), lit(" "),
+        lit("="))).as("ext"),
+      valid.as("valid"))
+  }
+
   /** RFC 5424: `<PRI>1 TIMESTAMP HOST APP PROCID MSGID SD [MSG]`.
     * Returns struct(pri, facility, severity, ts, host, app, procid,
     * msgid, sd, msg, valid); the ISO timestamp parses to a real

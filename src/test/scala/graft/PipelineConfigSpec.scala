@@ -157,6 +157,20 @@ class PipelineConfigSpec extends SparkSpec {
       "nil-valued 5424 fields become nulls")
     assert(p5.count(!_.getAs[Boolean]("valid")) == 1)
 
+    // CEF: header splits + extension k=v map
+    val cef = "CEF:0|Security|threatmanager|1.0|100|worm stopped|10|src=10.0.0.1 dst=2.1.2.2 spt=1232"
+    val pc = Seq(cef, bad).toDF("value")
+      .select(SyslogFunctions.parseCef(col("value")).as("s"))
+      .select("s.*").collect()
+    val okC = pc.find(_.getAs[Boolean]("valid")).get
+    assert(okC.getAs[Int]("version") == 0 &&
+      okC.getAs[String]("vendor") == "Security")
+    assert(okC.getAs[String]("name") == "worm stopped" &&
+      okC.getAs[Int]("severity") == 10)
+    val ext = okC.getAs[Map[String, String]]("ext")
+    assert(ext("src") == "10.0.0.1" && ext("spt") == "1232")
+    assert(pc.count(!_.getAs[Boolean]("valid")) == 1)
+
     // through the config layer: contentType structures the stream
     val dir = tmpDir("cfg_syslog_ct")
     Files.write(Paths.get(dir, "s.log"), s"$l3164\n$bad".getBytes("UTF-8"))
