@@ -807,9 +807,68 @@ object Relational3 {
            |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS backlog
            |FROM days ORDER BY day""".stripMargin))
 
+  // --------------------------------------------------------------- q127
+  /** Amount reconciliation: q94's sibling for MONEY — does each order's
+    * header total equal the TPC-H line formula
+    * Σ extendedprice·(1−discount)·(1+tax)? Reports the match rate at a
+    * 1-cent tolerance and the error envelope. On honest TPC-H data
+    * this reconciles; on this synthetic corpus it does not, and the
+    * mismatch RATE is the finding (the q99/Benford convention: an
+    * ingest gate that correctly reports what the data is).
+    *
+    * Scale shape: one per-line projection to exact cents (the float
+    * product rounds ONCE, identically in both engines), one hash-agg
+    * per order, an equi-join to headers, and a single-row rollup. */
+  val q127AmountReconciliation = QueryDef(
+    "q127_amount_reconciliation",
+    (s, d) => {
+      val lineCents = Tables.lineitem(s, d)
+        .select(col("l_orderkey"),
+          expr("cast(round(l_extendedprice * (1 - l_discount) " +
+            "* (1 + l_tax) * 100) as bigint)").as("lc"))
+        .groupBy("l_orderkey").agg(sum("lc").as("line_cents"))
+      Tables.orders(s, d)
+        .select(col("o_orderkey"),
+          expr("cast(round(o_totalprice * 100) as bigint)").as("hdr_cents"))
+        .join(lineCents, col("o_orderkey") === col("l_orderkey"))
+        .select(abs(col("hdr_cents") - col("line_cents")).as("diff"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(when(col("diff") <= 1L, 1L).otherwise(0L)).as("n_match"),
+          sum(when(col("diff") > 1L, 1L).otherwise(0L)).as("n_mismatch"),
+          max("diff").as("max_diff_cents"),
+          sum("diff").as("sum_diff_cents"))
+        .select(col("n_orders"), col("n_match"), col("n_mismatch"),
+          col("max_diff_cents"),
+          r6(col("n_match").cast("double") / col("n_orders"))
+            .as("match_rate"),
+          r2(col("sum_diff_cents").cast("double") / col("n_orders")
+            / 100.0).as("mean_abs_diff"))
+    },
+    Some("""WITH lc AS (
+           |  SELECT l_orderkey,
+           |    CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+           |      * (1 + l_tax) * 100) AS BIGINT)) AS BIGINT) AS line_cents
+           |  FROM lineitem GROUP BY 1),
+           |j AS (
+           |  SELECT abs(CAST(round(o_totalprice * 100) AS BIGINT)
+           |    - line_cents) AS diff
+           |  FROM orders JOIN lc ON o_orderkey = l_orderkey)
+           |SELECT CAST(count(*) AS BIGINT) AS n_orders,
+           |  CAST(sum(CASE WHEN diff <= 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_match,
+           |  CAST(sum(CASE WHEN diff > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_mismatch,
+           |  CAST(max(diff) AS BIGINT) AS max_diff_cents,
+           |  round(CAST(sum(CASE WHEN diff <= 1 THEN 1 ELSE 0 END)
+           |    AS DOUBLE) / count(*) * 1000000) / 1000000 AS match_rate,
+           |  round(CAST(sum(diff) AS DOUBLE) / count(*) / 100.0 * 100)
+           |    / 100 AS mean_abs_diff
+           |FROM j""".stripMargin))
+
   val all: Seq[QueryDef] =
     Seq(q69StarJoin, q70EventDedup, q71ArgExtremes, q72Regression,
       q74VariantExtract, q75HofBattery, q76ZorderLayout, q79ExistsChain,
       q87DeletionPlan, q88IncrementalView, q91OrderStats, q94FkAudit,
-      q99BenfordAudit, q118PriceVolumeBridge, q122OrderBacklog)
+      q99BenfordAudit, q118PriceVolumeBridge, q122OrderBacklog,
+      q127AmountReconciliation)
 }
