@@ -50,11 +50,11 @@ object CollectingSink {
     new ConcurrentHashMap[(String, Long, Int), ArrayBuffer[Seq[Any]]]()
   private val published = new ConcurrentHashMap[String, Seq[Seq[Any]]]()
 
-  private[connectors] def stage(table: String, task: Long, attempt: Int,
+  private[graft] def stage(table: String, task: Long, attempt: Int,
       rows: ArrayBuffer[Seq[Any]]): Unit =
     staged.put((table, task, attempt), rows)
 
-  private[connectors] def publish(table: String,
+  private[graft] def publish(table: String,
       messages: Seq[CollectingCommitMessage]): Unit = {
     val out = ArrayBuffer.empty[Seq[Any]]
     messages.sortBy(m => (m.taskId, m.attempt)).foreach { m =>
@@ -65,7 +65,7 @@ object CollectingSink {
     dropStaging(table)
   }
 
-  private[connectors] def dropStaging(table: String): Unit = {
+  private[graft] def dropStaging(table: String): Unit = {
     val it = staged.keySet.iterator()
     while (it.hasNext) if (it.next()._1 == table) it.remove()
   }

@@ -285,4 +285,25 @@ class SinkConformanceSpec extends SparkSpec {
     assert(CollectingSink.rows("tpc_fail").isEmpty,
       "aborted write leaked rows to readers")
   }
+
+  test("batch DSv2 write: a speculative duplicate attempt cannot double-write") {
+    import graft.connectors.{CollectingCommitMessage, CollectingSink}
+    import scala.collection.mutable.ArrayBuffer
+    CollectingSink.clear("tpc_spec")
+    // two attempts of the same task race: both stage, the driver
+    // receives ONE commit message (Spark commits exactly one winner)
+    CollectingSink.stage("tpc_spec", task = 7L, attempt = 0,
+      ArrayBuffer(Seq(1L), Seq(2L)))
+    CollectingSink.stage("tpc_spec", task = 7L, attempt = 1,
+      ArrayBuffer(Seq(1L), Seq(2L)))
+    CollectingSink.publish("tpc_spec",
+      Seq(CollectingCommitMessage(taskId = 7L, attempt = 1, nRows = 2L)))
+    val got = CollectingSink.rows("tpc_spec")
+    assert(got.size == 2, s"loser attempt leaked: ${got.size} rows")
+    // and the loser's staging is gone — publish dropped it
+    CollectingSink.publish("tpc_spec",
+      Seq(CollectingCommitMessage(taskId = 7L, attempt = 0, nRows = 2L)))
+    assert(CollectingSink.rows("tpc_spec").isEmpty,
+      "stale staging survived the publish cleanup")
+  }
 }
