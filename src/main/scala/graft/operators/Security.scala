@@ -219,6 +219,65 @@ object Security {
            |FROM daily JOIN tot USING (event_type)
            |ORDER BY 1, 2""".stripMargin))
 
+  // --------------------------------------------------------------- q128
+  /** SLO burn-rate alerting (the Google-SRE multi-window rule): per
+    * hour, the error fraction of all events, expressed as a burn rate
+    * against a 5% error budget, paired with the enclosing 6-hour
+    * window's burn — and the alert fires only when BOTH exceed their
+    * thresholds (fast window 14.4×, slow window 6×), which is what
+    * keeps single-hour blips from paging. The error stream here is the
+    * corpus's own `event_type = 'error'`.
+    *
+    * Scale shape: ONE hash-agg to the hour grid carrying (errors,
+    * total) exact integers; the 6-hour burn is a second hash-agg onto
+    * the 6h grid joined back hour→window (calendar-bounded, broadcast);
+    * every rate divides exact integers once. */
+  val q128BurnRate = QueryDef(
+    "q128_burn_rate",
+    (s, d) => {
+      val HourUs = 3600000000L
+      val Budget = 0.05
+      val hours = Tables.events(s, d)
+        .select(expr(s"unix_micros(ts) div $HourUs").as("hour"),
+          when(col("event_type") === "error", 1L).otherwise(0L)
+            .as("is_err"))
+        .groupBy("hour")
+        .agg(sum("is_err").as("errs"), count(lit(1)).as("total"))
+      val win6 = hours
+        .groupBy((col("hour") / 6L).cast("long").as("w6"))
+        .agg(sum("errs").as("errs6"), sum("total").as("total6"))
+      hours.withColumn("w6j", (col("hour") / 6L).cast("long"))
+        .join(broadcast(win6), col("w6j") === col("w6"))
+        .select(col("hour"), col("errs"), col("total"),
+          r4(col("errs").cast("double") / col("total") / Budget)
+            .as("burn_1h"),
+          r4(col("errs6").cast("double") / col("total6") / Budget)
+            .as("burn_6h"),
+          (col("errs").cast("double") / col("total") / Budget > 14.4 &&
+            col("errs6").cast("double") / col("total6") / Budget > 6.0)
+            .as("page"))
+        .orderBy("hour")
+    },
+    Some("""WITH hours AS (
+           |  SELECT epoch_us(ts) // 3600000000 AS hour,
+           |    CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS errs,
+           |    CAST(count(*) AS BIGINT) AS total
+           |  FROM events GROUP BY 1),
+           |w6 AS (
+           |  SELECT hour // 6 AS w6, CAST(sum(errs) AS BIGINT) AS errs6,
+           |    CAST(sum(total) AS BIGINT) AS total6
+           |  FROM hours GROUP BY 1)
+           |SELECT hour, errs, total,
+           |  round(CAST(errs AS DOUBLE) / total / 0.05 * 10000) / 10000
+           |    AS burn_1h,
+           |  round(CAST(errs6 AS DOUBLE) / total6 / 0.05 * 10000) / 10000
+           |    AS burn_6h,
+           |  (CAST(errs AS DOUBLE) / total / 0.05 > 14.4
+           |    AND CAST(errs6 AS DOUBLE) / total6 / 0.05 > 6.0) AS page
+           |FROM hours JOIN w6 ON hour // 6 = w6
+           |ORDER BY hour""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q110RarityScore, q111Beaconing,
-    q112FirstSeen)
+    q112FirstSeen, q128BurnRate)
 }
