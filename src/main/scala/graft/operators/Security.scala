@@ -232,31 +232,38 @@ object Security {
     * total) exact integers; the 6-hour burn is a second hash-agg onto
     * the 6h grid joined back hour→window (calendar-bounded, broadcast);
     * every rate divides exact integers once. */
+  /** Burn computation from the per-hour (errs, total) exact-integer
+    * grid — identical code for the batch hash-agg and the streaming
+    * monitor's closed hours. */
+  def q128Finish(hours: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val Budget = 0.05
+    val win6 = hours
+      .groupBy((col("hour") / 6L).cast("long").as("w6"))
+      .agg(sum("errs").as("errs6"), sum("total").as("total6"))
+    hours.withColumn("w6j", (col("hour") / 6L).cast("long"))
+      .join(broadcast(win6), col("w6j") === col("w6"))
+      .select(col("hour"), col("errs"), col("total"),
+        r4(col("errs").cast("double") / col("total") / Budget)
+          .as("burn_1h"),
+        r4(col("errs6").cast("double") / col("total6") / Budget)
+          .as("burn_6h"),
+        (col("errs").cast("double") / col("total") / Budget > 14.4 &&
+          col("errs6").cast("double") / col("total6") / Budget > 6.0)
+          .as("page"))
+      .orderBy("hour")
+  }
+
   val q128BurnRate = QueryDef(
     "q128_burn_rate",
     (s, d) => {
       val HourUs = 3600000000L
-      val Budget = 0.05
-      val hours = Tables.events(s, d)
+      q128Finish(Tables.events(s, d)
         .select(expr(s"unix_micros(ts) div $HourUs").as("hour"),
           when(col("event_type") === "error", 1L).otherwise(0L)
             .as("is_err"))
         .groupBy("hour")
-        .agg(sum("is_err").as("errs"), count(lit(1)).as("total"))
-      val win6 = hours
-        .groupBy((col("hour") / 6L).cast("long").as("w6"))
-        .agg(sum("errs").as("errs6"), sum("total").as("total6"))
-      hours.withColumn("w6j", (col("hour") / 6L).cast("long"))
-        .join(broadcast(win6), col("w6j") === col("w6"))
-        .select(col("hour"), col("errs"), col("total"),
-          r4(col("errs").cast("double") / col("total") / Budget)
-            .as("burn_1h"),
-          r4(col("errs6").cast("double") / col("total6") / Budget)
-            .as("burn_6h"),
-          (col("errs").cast("double") / col("total") / Budget > 14.4 &&
-            col("errs6").cast("double") / col("total6") / Budget > 6.0)
-            .as("page"))
-        .orderBy("hour")
+        .agg(sum("is_err").as("errs"), count(lit(1)).as("total")))
     },
     Some("""WITH hours AS (
            |  SELECT epoch_us(ts) // 3600000000 AS hour,

@@ -1591,6 +1591,53 @@ object Stateful {
       }
   }
 
+  /** One closed hour of the live SLO monitor (q128's grid cell). */
+  final case class HourCounts(hour: Long, errs: Long, total: Long)
+  final case class HourState(errs: Long, total: Long, done: Boolean)
+
+  /** Streaming twin of q128's hourly grid: the live burn-rate monitor.
+    * State per hour is TWO commutative BIGINT counters; each hour
+    * emits once when the watermark passes its EXCLUSIVE end
+    * (progressive close, the basketStream shape at hour grain — a
+    * production deployment keys by (service, hour); the corpus has one
+    * logical service). The multi-window burn/page computation runs
+    * over the closed hours via Security.q128Finish — identical code to
+    * batch. */
+  def burnRateStream(df: DataFrame, slack: String = "2 hours")
+      : Dataset[HourCounts] = {
+    import org.apache.spark.sql.Encoders
+    implicit val stEnc: Encoder[HourState] = Encoders.product[HourState]
+    implicit val outEnc: Encoder[HourCounts] =
+      Encoders.product[HourCounts]
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    implicit val evEnc: Encoder[Ev] = Encoders.product[Ev]
+    val HourUs = 3600000000L
+    val ds = df.withWatermark("ts", slack)
+      .select("user_id", "ts", "event_id", "event_type", "value").as[Ev]
+    ds.groupByKey(e => microsOf(e._2) / HourUs)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (hour: Long, rows: Iterator[Ev], state: GroupState[HourState]) =>
+          val st0 = state.getOption.getOrElse(HourState(0L, 0L, false))
+          var errs = st0.errs; var total = st0.total
+          rows.foreach { e =>
+            total += 1L
+            if (e._4 == "error") errs += 1L
+          }
+          val hourEndMs = (hour + 1L) * 3600000L
+          val wm = state.getCurrentWatermarkMs()
+          if (!st0.done && wm > hourEndMs) {
+            state.update(HourState(errs, total, true))
+            Iterator.single(HourCounts(hour, errs, total))
+          } else {
+            state.update(HourState(errs, total, st0.done))
+            if (!st0.done)
+              state.setTimeoutTimestamp(math.max(wm + 1L, hourEndMs + 1L))
+            Iterator.empty
+          }
+      }
+  }
+
   /** One brand's period totals for the live revenue bridge (q118's
     * pivot row): exact BIGINT quantity/cents per compared year. */
   final case class BridgeRow(p_brand: String, q1: Long, c1: Long,

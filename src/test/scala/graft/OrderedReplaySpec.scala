@@ -688,6 +688,29 @@ class OrderedReplaySpec extends SparkSpec {
     }
   }
 
+  test("streaming burn-rate: closed hours == batch q128 grid") {
+    val s = spark
+    val out = runStream("ooo_burn")(df => Stateful.burnRateStream(df))
+    // sentinel lands in its own far-future hour; keep timeline hours
+    val maxHour = Tables.events(s, sf)
+      .select(expr("unix_micros(ts) div 3600000000").as("h"))
+      .agg(max("h")).head.getLong(0)
+    val snap = out.filter(col("hour") <= maxHour)
+    assert(snap.count() > 0)
+    val streamed = operators.Security.q128Finish(
+        snap.select("hour", "errs", "total")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getBoolean(5))).toSeq
+    val batch = SparkEntry.queries("q128_burn_rate")(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getBoolean(5))).toSeq
+    // commutative integer counters through the shared finisher ⇒
+    // bit-for-bit
+    assert(streamed == batch,
+      s"stream-only: ${streamed.toSet.diff(batch.toSet).take(3)}; " +
+        s"batch-only: ${batch.toSet.diff(streamed.toSet).take(3)}")
+  }
+
   test("streaming backlog: order-lifecycle snapshots == batch q122") {
     val s = spark
     import s.implicits._
