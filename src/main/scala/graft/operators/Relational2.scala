@@ -582,9 +582,64 @@ object Relational2 {
            |  round(max(o_totalprice), 2) AS hi
            |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
+  // --------------------------------------------------------------- q129
+  /** Session-gap sensitivity sweep: q37's sessionization re-cut at gap
+    * thresholds 5/10/30/60 min from ONE lag pass — the d14/s15/t26
+    * calibration posture applied to the parameter every session-based
+    * metric silently depends on. Per gap: session count and events per
+    * session — the curve's knee is where the gap stops splitting real
+    * visits and starts splitting pauses.
+    *
+    * Scale shape: one user-partitioned lag window over the log, then a
+    * constant 4-way explode of the per-event gap diffs and one hash-agg
+    * onto the 4-row gap grid — the log is NOT re-windowed per
+    * threshold. All-integer counts. */
+  val q129SessionGapSweep = QueryDef(
+    "q129_session_gap_sweep",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val diffs = Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+        .withColumn("diff_us", unix_micros(col("ts")) - col("prev_us"))
+      val gapsSec = Seq(300, 600, 1800, 3600)
+      diffs
+        .select(col("diff_us"),
+          explode(array(gapsSec.map(lit): _*)).as("gap_seconds"))
+        .withColumn("is_new",
+          (col("diff_us").isNull ||
+            col("diff_us") > col("gap_seconds").cast("long") * 1000000L)
+            .cast("long"))
+        .groupBy("gap_seconds")
+        .agg(sum("is_new").as("n_sessions"),
+          count(lit(1)).as("n_events"))
+        .select(col("gap_seconds"), col("n_sessions"), col("n_events"),
+          r4(col("n_events").cast("double") / col("n_sessions"))
+            .as("events_per_session"))
+        .orderBy("gap_seconds")
+    },
+    Some("""WITH diffs AS (
+           |  SELECT epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           |      PARTITION BY user_id ORDER BY ts, event_id) AS diff_us
+           |  FROM events),
+           |sweep AS (
+           |  SELECT diff_us, unnest([300, 600, 1800, 3600]) AS gap_seconds
+           |  FROM diffs),
+           |agg AS (
+           |  SELECT gap_seconds,
+           |    CAST(sum(CASE WHEN diff_us IS NULL
+           |      OR diff_us > CAST(gap_seconds AS BIGINT) * 1000000
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions,
+           |    CAST(count(*) AS BIGINT) AS n_events
+           |  FROM sweep GROUP BY 1)
+           |SELECT gap_seconds, n_sessions, n_events,
+           |  round(CAST(n_events AS DOUBLE) / n_sessions * 10000) / 10000
+           |    AS events_per_session
+           |FROM agg ORDER BY gap_seconds""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q29OuterJoin, q30FullOuter, q31Udaf, q32Explode,
     q33RangeFrame, q34Percentiles, q35Stats, q37Sessionize, q38Pivot, q39Unpivot,
     q40WindowNav, q41CollectAgg, q42CorrelatedSubquery, q43StringFuncs2,
     q44MathFuncs2, q45DateFuncs2, q47RecursiveCte, q51NotInNulls, q52LateralTopN,
-    q54DistWindows, q59ValueDeciles)
+    q54DistWindows, q59ValueDeciles, q129SessionGapSweep)
 }
