@@ -557,8 +557,83 @@ object Skew {
            |FROM dev JOIN mad USING (event_type)
            |GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  // --------------------------------------------------------------- q130
+  /** Leaderboard churn: the week-over-week stability of the top-20
+    * parts by revenue — common members, Jaccard of consecutive weekly
+    * top sets, and the entrant count. A stable leaderboard means the
+    * heavy hitters q66/q77 cache is durable; high churn means
+    * rank-based caching/buying decisions go stale in a week.
+    *
+    * Scale shape: one hash-agg to (week, part) exact cents, the top-20
+    * cut as a rank window over that aggregate (WindowGroupLimit keeps
+    * it a bounded heap), then a self equi-join of the 20-row-per-week
+    * sets on (part, adjacent week) — set-bounded, never lineitem². */
+  val q130LeaderboardChurn = QueryDef(
+    "q130_leaderboard_churn",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val WeekUs = 604800000000L
+      val weekly = Tables.lineitem(s, d)
+        .select(
+          expr(s"unix_micros(cast(l_shipdate as timestamp)) div $WeekUs")
+            .as("week"),
+          col("l_partkey"),
+          expr("cast(round(l_extendedprice * 100) as bigint)").as("cc"))
+        .groupBy("week", "l_partkey").agg(sum("cc").as("rev"))
+      val w = Window.partitionBy("week")
+        .orderBy(col("rev").desc, col("l_partkey"))
+      val top = weekly.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 20)
+        .select(col("week"), col("l_partkey"))
+      // fully-renamed right side: both branches derive from `top`, and
+      // unrenamed self-join keys throw conflicting-references
+      val nxt = top.select((col("week") - 1L).as("prev_week"),
+        col("l_partkey").as("nxt_part"))
+      val maxw = top.agg(max("week").as("maxw"))
+      top.join(nxt,
+          col("week") === col("prev_week") &&
+            col("l_partkey") === col("nxt_part"), "left")
+        .groupBy("week")
+        .agg(sum(when(col("nxt_part").isNotNull, 1L).otherwise(0L))
+          .as("n_common"))
+        .crossJoin(broadcast(maxw))
+        // only weeks that HAVE a next week: the last week's zero overlap
+        // is an edge artifact, not churn
+        .filter(col("week") < col("maxw"))
+        .select(col("week"), col("n_common"),
+          r4(col("n_common").cast("double")
+            / (lit(40L) - col("n_common"))).as("jaccard"),
+          (lit(20L) - col("n_common")).as("n_entrants"))
+        .orderBy("week")
+    },
+    Some("""WITH weekly AS (
+           |  SELECT epoch_us(l_shipdate) // 604800000000 AS week,
+           |    l_partkey,
+           |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+           |      AS BIGINT) AS rev
+           |  FROM lineitem GROUP BY 1, 2),
+           |top AS (
+           |  SELECT week, l_partkey FROM (
+           |    SELECT week, l_partkey, row_number() OVER (
+           |      PARTITION BY week ORDER BY rev DESC, l_partkey) AS rk
+           |    FROM weekly)
+           |  WHERE rk <= 20),
+           |j AS (
+           |  SELECT t.week, CAST(count(*) AS BIGINT) AS n_top,
+           |    CAST(sum(CASE WHEN n.l_partkey IS NOT NULL THEN 1 ELSE 0
+           |      END) AS BIGINT) AS n_common
+           |  FROM top t LEFT JOIN top n
+           |    ON n.week = t.week + 1 AND n.l_partkey = t.l_partkey
+           |  GROUP BY 1)
+           |SELECT week, n_common,
+           |  round(CAST(n_common AS DOUBLE) / (40 - n_common) * 10000)
+           |    / 10000 AS jaccard,
+           |  20 - n_common AS n_entrants
+           |FROM j WHERE week < (SELECT max(week) FROM top)
+           |ORDER BY week""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q36SaltedAgg, q46HashSample, q50Histogram,
     q53Profile, q66HeavyHitters, q67SketchRollup, q77GroupHeavyHitters,
     q86QuantileSketch, q92SkewAudit, q93SketchOverlap, q113Pareto,
-    q114SourceGini, q117MadOutliers)
+    q114SourceGini, q117MadOutliers, q130LeaderboardChurn)
 }
