@@ -865,10 +865,121 @@ object Relational3 {
            |    / 100 AS mean_abs_diff
            |FROM j""".stripMargin))
 
+  // --------------------------------------------------------------- q131
+  /** Fulfillment-SLA attainment by order priority: per o_orderpriority,
+    * the share of orders FULLY shipped (last line out the door) within
+    * 30/60/90 days of placement — whether the priority field actually
+    * buys priority. Day gaps are exact integer-µs arithmetic; the three
+    * SLA cuts are conditional sums over one per-order row.
+    *
+    * Scale shape: one per-order max-agg over lineitem, one equi-join to
+    * headers, ONE hash-agg onto the 5-priority grid. */
+  val q131SlaAttainment = QueryDef(
+    "q131_sla_attainment",
+    (s, d) => {
+      val DayUs = 86400000000L
+      val shipped = Tables.lineitem(s, d)
+        .groupBy("l_orderkey")
+        .agg(max(unix_micros(col("l_shipdate").cast("timestamp")))
+          .as("last_us"))
+      Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          unix_micros(col("o_orderdate").cast("timestamp")).as("open_us"))
+        .join(shipped, col("o_orderkey") === col("l_orderkey"))
+        .withColumn("gap_days",
+          ((col("last_us") - col("open_us")) / DayUs).cast("long"))
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("n_orders"),
+          sum(when(col("gap_days") <= 30L, 1L).otherwise(0L)).as("in30"),
+          sum(when(col("gap_days") <= 60L, 1L).otherwise(0L)).as("in60"),
+          sum(when(col("gap_days") <= 90L, 1L).otherwise(0L)).as("in90"))
+        .select(col("o_orderpriority"), col("n_orders"),
+          r6(col("in30").cast("double") / col("n_orders")).as("sla30"),
+          r6(col("in60").cast("double") / col("n_orders")).as("sla60"),
+          r6(col("in90").cast("double") / col("n_orders")).as("sla90"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""WITH shipped AS (
+           |  SELECT l_orderkey,
+           |    CAST(max(epoch_us(l_shipdate)) AS BIGINT) AS last_us
+           |  FROM lineitem GROUP BY 1),
+           |j AS (
+           |  SELECT o_orderpriority,
+           |    CAST((last_us - epoch_us(o_orderdate)) // 86400000000
+           |      AS BIGINT) AS gap_days
+           |  FROM orders JOIN shipped ON o_orderkey = l_orderkey)
+           |SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n_orders,
+           |  round(CAST(sum(CASE WHEN gap_days <= 30 THEN 1 ELSE 0 END)
+           |    AS DOUBLE) / count(*) * 1000000) / 1000000 AS sla30,
+           |  round(CAST(sum(CASE WHEN gap_days <= 60 THEN 1 ELSE 0 END)
+           |    AS DOUBLE) / count(*) * 1000000) / 1000000 AS sla60,
+           |  round(CAST(sum(CASE WHEN gap_days <= 90 THEN 1 ELSE 0 END)
+           |    AS DOUBLE) / count(*) * 1000000) / 1000000 AS sla90
+           |FROM j GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  // --------------------------------------------------------------- q132
+  /** Supplier-concentration HHI per nation: the Herfindahl–Hirschman
+    * index Σ shareᵢ² of each nation's supplier revenue — the
+    * procurement-risk number beside q114's Gini (HHI weights the top,
+    * Gini the whole curve; >0.25 is the antitrust "highly
+    * concentrated" line). Shares divide exact-cents BIGINTs; the
+    * square-sum runs over the supplier-bounded grid.
+    *
+    * Scale shape: one (nation, supplier) exact-cents hash-agg, nation
+    * totals broadcast back, one per-nation rollup. */
+  val q132SupplierHhi = QueryDef(
+    "q132_supplier_hhi",
+    (s, d) => {
+      val perSupp = Tables.lineitem(s, d)
+        .join(Tables.supplier(s, d),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), col("s_suppkey"),
+          expr("cast(round(l_extendedprice * 100) as bigint)").as("cc"))
+        .groupBy("n_name", "s_suppkey").agg(sum("cc").as("rev"))
+      // HHI = Σ rev² / tot² with the square-sum in DECIMAL(38,0)
+      // (q100's HUGEINT posture) — a float Σ share² would be partial-
+      // sum-order-dependent across partitions AND engines
+      perSupp
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_suppliers"),
+          sum(col("rev").cast("decimal(38,0)")
+            * col("rev").cast("decimal(38,0)")).as("sum_sq"),
+          sum("rev").as("tot"))
+        .select(col("n_name"), col("n_suppliers"),
+          r6(col("sum_sq").cast("double")
+            / (col("tot").cast("double") * col("tot").cast("double")))
+            .as("hhi"))
+        .withColumn("concentrated", col("hhi") > 0.25)
+        .orderBy("n_name")
+    },
+    Some("""WITH per_supp AS (
+           |  SELECT n_name, s_suppkey,
+           |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+           |      AS BIGINT) AS rev
+           |  FROM lineitem
+           |  JOIN supplier ON l_suppkey = s_suppkey
+           |  JOIN nation ON s_nationkey = n_nationkey
+           |  GROUP BY 1, 2),
+           |agg AS (
+           |  SELECT n_name, CAST(count(*) AS BIGINT) AS n_suppliers,
+           |    sum(CAST(rev AS HUGEINT) * rev) AS sum_sq,
+           |    CAST(sum(rev) AS BIGINT) AS tot
+           |  FROM per_supp GROUP BY 1)
+           |SELECT n_name, n_suppliers,
+           |  round(CAST(sum_sq AS DOUBLE)
+           |    / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)) * 1000000)
+           |    / 1000000 AS hhi,
+           |  round(CAST(sum_sq AS DOUBLE)
+           |    / (CAST(tot AS DOUBLE) * CAST(tot AS DOUBLE)) * 1000000)
+           |    / 1000000 > 0.25 AS concentrated
+           |FROM agg ORDER BY 1""".stripMargin))
+
   val all: Seq[QueryDef] =
     Seq(q69StarJoin, q70EventDedup, q71ArgExtremes, q72Regression,
       q74VariantExtract, q75HofBattery, q76ZorderLayout, q79ExistsChain,
       q87DeletionPlan, q88IncrementalView, q91OrderStats, q94FkAudit,
       q99BenfordAudit, q118PriceVolumeBridge, q122OrderBacklog,
-      q127AmountReconciliation)
+      q127AmountReconciliation, q131SlaAttainment, q132SupplierHhi)
 }
