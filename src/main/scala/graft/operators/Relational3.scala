@@ -976,10 +976,76 @@ object Relational3 {
            |    / 1000000 > 0.25 AS concentrated
            |FROM agg ORDER BY 1""".stripMargin))
 
+  // --------------------------------------------------------------- q133
+  /** Cross-nation trade matrix (the TPC-H Q7 shape): revenue flows from
+    * customer nation to supplier nation, with each cell's share of
+    * world trade and a domestic flag — the two-dimensional rollup a
+    * trade dashboard draws as a chord diagram. Exact cents throughout;
+    * the share divides by a broadcast world total.
+    *
+    * Scale shape: lineitem joins orders on the order key (the one big
+    * shuffle), both nation lookups ride broadcast dims
+    * (customer/supplier are key→nation maps — at 100 TB these are the
+    * classic broadcast-dim candidates), ONE hash-agg onto the
+    * nations² grid. */
+  val q133TradeMatrix = QueryDef(
+    "q133_trade_matrix",
+    (s, d) => {
+      val custNation = Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation"))
+      val suppNation = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+      val cells = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(custNation), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(suppNation), col("l_suppkey") === col("s_suppkey"))
+        .select(col("cust_nation"), col("supp_nation"),
+          expr("cast(round(l_extendedprice * 100) as bigint)").as("cc"))
+        .groupBy("cust_nation", "supp_nation")
+        .agg(count(lit(1)).as("n_lines"), sum("cc").as("cents"))
+      val world = cells.agg(sum("cents").as("world"))
+      cells.crossJoin(broadcast(world))
+        .select(col("cust_nation"), col("supp_nation"), col("n_lines"),
+          r2(col("cents").cast("double") / 100.0).as("revenue"),
+          r6(col("cents").cast("double") / col("world")).as("share"),
+          (col("cust_nation") === col("supp_nation")).as("domestic"))
+        .orderBy("cust_nation", "supp_nation")
+    },
+    Some("""WITH cn AS (
+           |  SELECT c_custkey, n_name AS cust_nation
+           |  FROM customer JOIN nation ON c_nationkey = n_nationkey),
+           |sn AS (
+           |  SELECT s_suppkey, n_name AS supp_nation
+           |  FROM supplier JOIN nation ON s_nationkey = n_nationkey),
+           |cells AS (
+           |  SELECT cust_nation, supp_nation,
+           |    CAST(count(*) AS BIGINT) AS n_lines,
+           |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+           |      AS BIGINT) AS cents
+           |  FROM lineitem
+           |  JOIN orders ON l_orderkey = o_orderkey
+           |  JOIN cn ON o_custkey = c_custkey
+           |  JOIN sn ON l_suppkey = s_suppkey
+           |  GROUP BY 1, 2),
+           |world AS (SELECT CAST(sum(cents) AS BIGINT) AS world FROM cells)
+           |SELECT cust_nation, supp_nation, n_lines,
+           |  round(CAST(cents AS DOUBLE) / 100.0 * 100) / 100 AS revenue,
+           |  round(CAST(cents AS DOUBLE) / world * 1000000) / 1000000
+           |    AS share,
+           |  cust_nation = supp_nation AS domestic
+           |FROM cells CROSS JOIN world
+           |ORDER BY cust_nation, supp_nation""".stripMargin))
+
   val all: Seq[QueryDef] =
     Seq(q69StarJoin, q70EventDedup, q71ArgExtremes, q72Regression,
       q74VariantExtract, q75HofBattery, q76ZorderLayout, q79ExistsChain,
       q87DeletionPlan, q88IncrementalView, q91OrderStats, q94FkAudit,
       q99BenfordAudit, q118PriceVolumeBridge, q122OrderBacklog,
-      q127AmountReconciliation, q131SlaAttainment, q132SupplierHhi)
+      q127AmountReconciliation, q131SlaAttainment, q132SupplierHhi,
+      q133TradeMatrix)
 }
