@@ -1041,11 +1041,65 @@ object Relational3 {
            |FROM cells CROSS JOIN world
            |ORDER BY cust_nation, supp_nation""".stripMargin))
 
+
+  // --------------------------------------------------------------- q134
+  /** Dormant high-value accounts (the TPC-H Q22 shape): customers whose
+    * balance beats the positive-balance average but who placed NO order
+    * after the cutoff — the "sales should call these" list, rolled up
+    * per nation. Composes the scalar-subquery average with the
+    * anti-join, the two pieces Q22 is the canonical test of.
+    *
+    * Scale shape: the average is one broadcast scalar over the customer
+    * dim; the anti-join keys on custkey against the date-filtered
+    * orders (filter pushed to the orders scan); one hash-agg onto the
+    * nation grid. Balances move as exact cents. */
+  val q134SalesOpportunity = QueryDef(
+    "q134_sales_opportunity",
+    (s, d) => {
+      val cust = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_nationkey"),
+          expr("cast(round(c_acctbal * 100) as bigint)").as("bal"))
+      val avgBal = cust.filter(col("bal") > 0L)
+        .agg((sum("bal").cast("double") / count(lit(1))).as("avg_bal"))
+      val recent = Tables.orders(s, d)
+        .filter(col("o_orderdate").cast("timestamp") >= "1999-01-01")
+        .select(col("o_custkey")).distinct()
+      cust.crossJoin(broadcast(avgBal))
+        .filter(col("bal").cast("double") > col("avg_bal"))
+        .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_dormant"),
+          r2(sum("bal").cast("double") / 100.0).as("dormant_balance"))
+        .orderBy("n_name")
+    },
+    Some("""WITH cust AS (
+           |  SELECT c_custkey, c_nationkey,
+           |    CAST(round(c_acctbal * 100) AS BIGINT) AS bal
+           |  FROM customer),
+           |ab AS (
+           |  SELECT CAST(sum(bal) AS DOUBLE) / count(*) AS avg_bal
+           |  FROM cust WHERE bal > 0),
+           |recent AS (
+           |  SELECT DISTINCT o_custkey FROM orders
+           |  WHERE o_orderdate >= TIMESTAMP '1999-01-01'),
+           |dormant AS (
+           |  SELECT c_custkey, c_nationkey, bal
+           |  FROM cust CROSS JOIN ab
+           |  WHERE CAST(bal AS DOUBLE) > avg_bal
+           |    AND c_custkey NOT IN (SELECT o_custkey FROM recent))
+           |SELECT n_name, CAST(count(*) AS BIGINT) AS n_dormant,
+           |  round(CAST(sum(bal) AS DOUBLE) / 100.0 * 100) / 100
+           |    AS dormant_balance
+           |FROM dormant JOIN nation ON c_nationkey = n_nationkey
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[QueryDef] =
     Seq(q69StarJoin, q70EventDedup, q71ArgExtremes, q72Regression,
       q74VariantExtract, q75HofBattery, q76ZorderLayout, q79ExistsChain,
       q87DeletionPlan, q88IncrementalView, q91OrderStats, q94FkAudit,
       q99BenfordAudit, q118PriceVolumeBridge, q122OrderBacklog,
       q127AmountReconciliation, q131SlaAttainment, q132SupplierHhi,
-      q133TradeMatrix)
+      q133TradeMatrix, q134SalesOpportunity)
 }
