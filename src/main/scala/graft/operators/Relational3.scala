@@ -1095,11 +1095,78 @@ object Relational3 {
            |FROM dormant JOIN nation ON c_nationkey = n_nationkey
            |GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  // --------------------------------------------------------------- q135
+  /** Market-share trend (the TPC-H Q8 shape): one supplier nation's
+    * share of its REGION's total revenue, per order year — the
+    * "are we gaining or losing the region" line a country manager
+    * tracks. Nation and region ride broadcast joins; shares divide
+    * exact per-(year) cents.
+    *
+    * Scale shape: lineitem⋈orders shuffles once on the order key (year
+    * from the order header), supplier/nation/region are broadcast
+    * lookups, ONE hash-agg onto the (year, nation) grid with the
+    * year-region totals derived from the same aggregate. */
+  val q135MarketShare = QueryDef(
+    "q135_market_share",
+    (s, d) => {
+      val suppGeo = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA")
+        .select(col("s_suppkey"), col("n_name"))
+      val cells = Tables.lineitem(s, d)
+        .join(Tables.orders(s, d)
+          .select(col("o_orderkey"),
+            year(col("o_orderdate").cast("timestamp")).as("yr")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(suppGeo), col("l_suppkey") === col("s_suppkey"))
+        .select(col("yr"), col("n_name"),
+          expr("cast(round(l_extendedprice * 100) as bigint)").as("cc"))
+        .groupBy("yr", "n_name").agg(sum("cc").as("cents"))
+      val yearTotals = cells.groupBy("yr").agg(sum("cents").as("tot"))
+        .withColumnRenamed("yr", "yr_t")
+      cells.join(broadcast(yearTotals), col("yr") === col("yr_t"))
+        .filter(col("n_name") === "NATION_2")
+        .select(col("yr"),
+          r2(col("cents").cast("double") / 100.0).as("nation_revenue"),
+          r2(col("tot").cast("double") / 100.0).as("region_revenue"),
+          r6(col("cents").cast("double") / col("tot")).as("mkt_share"))
+        .orderBy("yr")
+    },
+    Some("""WITH sg AS (
+           |  SELECT s_suppkey, n_name
+           |  FROM supplier
+           |  JOIN nation ON s_nationkey = n_nationkey
+           |  JOIN region ON n_regionkey = r_regionkey
+           |  WHERE r_name = 'ASIA'),
+           |cells AS (
+           |  SELECT year(o_orderdate) AS yr, n_name,
+           |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+           |      AS BIGINT) AS cents
+           |  FROM lineitem
+           |  JOIN orders ON l_orderkey = o_orderkey
+           |  JOIN sg ON l_suppkey = s_suppkey
+           |  GROUP BY 1, 2),
+           |yt AS (
+           |  SELECT yr, CAST(sum(cents) AS BIGINT) AS tot
+           |  FROM cells GROUP BY 1)
+           |SELECT yr,
+           |  round(CAST(cents AS DOUBLE) / 100.0 * 100) / 100
+           |    AS nation_revenue,
+           |  round(CAST(tot AS DOUBLE) / 100.0 * 100) / 100
+           |    AS region_revenue,
+           |  round(CAST(cents AS DOUBLE) / tot * 1000000) / 1000000
+           |    AS mkt_share
+           |FROM cells JOIN yt USING (yr)
+           |WHERE n_name = 'NATION_2' ORDER BY yr""".stripMargin))
+
   val all: Seq[QueryDef] =
     Seq(q69StarJoin, q70EventDedup, q71ArgExtremes, q72Regression,
       q74VariantExtract, q75HofBattery, q76ZorderLayout, q79ExistsChain,
       q87DeletionPlan, q88IncrementalView, q91OrderStats, q94FkAudit,
       q99BenfordAudit, q118PriceVolumeBridge, q122OrderBacklog,
       q127AmountReconciliation, q131SlaAttainment, q132SupplierHhi,
-      q133TradeMatrix, q134SalesOpportunity)
+      q133TradeMatrix, q134SalesOpportunity, q135MarketShare)
 }
