@@ -133,6 +133,66 @@ class ParitySpec extends SparkSpec {
         s"${(batch.toSet diff streamed.toSet).take(3)}")
   }
 
+  test("streaming DAU/MAU: two chained windowed distincts == batch q123") {
+    val s = spark
+    import s.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+
+    val sf = "/root/testdata/sf0.001"
+    val DayUs = 86400000000L
+    val rows = Tables.events(s, sf)
+      .select(col("user_id"), col("ts"))
+      .orderBy("ts").as[(Long, Timestamp)].collect()
+    val sentinel = (-1L,
+      new Timestamp(rows.map(_._2.getTime).max + 40L * 24 * 3600 * 1000))
+
+    // the same feed through BOTH calendar grains: q123's daily actives
+    // (1-day tumbling distinct) and trailing-28-day actives (28-day
+    // window sliding daily) — no new operator, the q80 machinery
+    // parameterized to the DAU/MAU grains
+    val in1 = MemoryStream[(Long, Timestamp)]
+    val in2 = MemoryStream[(Long, Timestamp)]
+    val qd = streaming.Stateful.slidingDistinctStream(
+        in1.toDF().toDF("user_id", "ts"),
+        windowDur = "1 day", slide = "1 day")
+      .writeStream.format("memory").queryName("dau_out")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.ProcessingTime(50)).start()
+    val qm = streaming.Stateful.slidingDistinctStream(
+        in2.toDF().toDF("user_id", "ts"),
+        windowDur = "28 days", slide = "1 day")
+      .writeStream.format("memory").queryName("mau_out")
+      .outputMode(OutputMode.Append())
+      .trigger(Trigger.ProcessingTime(50)).start()
+    rows.grouped(rows.length / 3 + 1).foreach { chunk =>
+      in1.addData(chunk.toIndexedSeq: _*)
+      in2.addData(chunk.toIndexedSeq: _*)
+      qd.processAllAvailable(); qm.processAllAvailable()
+    }
+    in1.addData(sentinel); in2.addData(sentinel)
+    qd.processAllAvailable(); qm.processAllAvailable()
+    qd.stop(); qm.stop()
+
+    // window end e covers [e−dur, e) ⇒ q123's day is e/day − 1
+    def series(tbl: String): Map[Long, Long] =
+      s.sql(s"SELECT * FROM $tbl").collect()
+        .map(r => (r.getTimestamp(0).getTime * 1000L) / DayUs - 1 ->
+          r.getLong(1)).toMap
+    val dau = series("dau_out")
+    val mau = series("mau_out")
+    val batch = SparkEntry.queries("q123_dau_mau")(s, sf).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(batch.nonEmpty)
+    // exact distinct counts at both grains, day for day (stickiness is
+    // the identical r6 division of these two integers in shared code)
+    batch.foreach { case (day, (bd, bm)) =>
+      assert(dau.get(day).contains(bd),
+        s"day $day dau: stream=${dau.get(day)} batch=$bd")
+      assert(mau.get(day).contains(bm),
+        s"day $day mau: stream=${mau.get(day)} batch=$bm")
+    }
+  }
+
   test("heavy hitters: merged streaming MG summaries cover the exact batch set") {
     val s = spark
     import s.implicits._
