@@ -1162,11 +1162,75 @@ object Relational3 {
            |FROM cells JOIN yt USING (yr)
            |WHERE n_name = 'NATION_2' ORDER BY yr""".stripMargin))
 
+
+  // --------------------------------------------------------------- q136
+  /** Return-rate quality control by brand: each brand's returned share
+    * of lines and of revenue, with the deviation from the corpus-wide
+    * return rate — the SPC read that flags a brand whose products come
+    * back more than the baseline says they should. Exact integer
+    * counts/cents; the global baseline broadcasts back.
+    *
+    * Scale shape: lineitem⋈part on the part key, ONE conditional
+    * hash-agg onto the brand grid, baseline from a second grid-sized
+    * agg. */
+  val q136ReturnRates = QueryDef(
+    "q136_return_rates",
+    (s, d) => {
+      val lines = Tables.lineitem(s, d)
+        .join(Tables.part(s, d).select("p_partkey", "p_brand"),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("p_brand"),
+          when(col("l_returnflag") === "R", 1L).otherwise(0L).as("ret"),
+          expr("cast(round(l_extendedprice * 100) as bigint)").as("cc"))
+      val brands = lines.groupBy("p_brand")
+        .agg(count(lit(1)).as("n_lines"), sum("ret").as("n_returned"),
+          sum("cc").as("cents"),
+          sum(when(col("ret") === 1L, col("cc")).otherwise(0L))
+            .as("ret_cents"))
+      val base = brands.agg(
+        (sum("n_returned").cast("double") / sum("n_lines"))
+          .as("base_rate"))
+      brands.crossJoin(broadcast(base))
+        .select(col("p_brand"), col("n_lines"), col("n_returned"),
+          r6(col("n_returned").cast("double") / col("n_lines"))
+            .as("return_rate"),
+          r6(col("ret_cents").cast("double") / col("cents"))
+            .as("revenue_at_risk"),
+          r6(col("n_returned").cast("double") / col("n_lines")
+            - col("base_rate")).as("vs_baseline"))
+        .orderBy("p_brand")
+    },
+    Some("""WITH lines AS (
+           |  SELECT p_brand,
+           |    CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS ret,
+           |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cc
+           |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+           |brands AS (
+           |  SELECT p_brand, CAST(count(*) AS BIGINT) AS n_lines,
+           |    CAST(sum(ret) AS BIGINT) AS n_returned,
+           |    CAST(sum(cc) AS BIGINT) AS cents,
+           |    CAST(sum(CASE WHEN ret = 1 THEN cc ELSE 0 END) AS BIGINT)
+           |      AS ret_cents
+           |  FROM lines GROUP BY 1),
+           |base AS (
+           |  SELECT CAST(sum(n_returned) AS DOUBLE) / sum(n_lines)
+           |    AS base_rate
+           |  FROM brands)
+           |SELECT p_brand, n_lines, n_returned,
+           |  round(CAST(n_returned AS DOUBLE) / n_lines * 1000000)
+           |    / 1000000 AS return_rate,
+           |  round(CAST(ret_cents AS DOUBLE) / cents * 1000000) / 1000000
+           |    AS revenue_at_risk,
+           |  round((CAST(n_returned AS DOUBLE) / n_lines - base_rate)
+           |    * 1000000) / 1000000 AS vs_baseline
+           |FROM brands CROSS JOIN base ORDER BY p_brand""".stripMargin))
+
   val all: Seq[QueryDef] =
     Seq(q69StarJoin, q70EventDedup, q71ArgExtremes, q72Regression,
       q74VariantExtract, q75HofBattery, q76ZorderLayout, q79ExistsChain,
       q87DeletionPlan, q88IncrementalView, q91OrderStats, q94FkAudit,
       q99BenfordAudit, q118PriceVolumeBridge, q122OrderBacklog,
       q127AmountReconciliation, q131SlaAttainment, q132SupplierHhi,
-      q133TradeMatrix, q134SalesOpportunity, q135MarketShare)
+      q133TradeMatrix, q134SalesOpportunity, q135MarketShare,
+      q136ReturnRates)
 }
