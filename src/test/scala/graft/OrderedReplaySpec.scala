@@ -882,6 +882,76 @@ class OrderedReplaySpec extends SparkSpec {
         s"batch-only: ${batch.toSet.diff(streamed.toSet).take(3)}")
   }
 
+  test("streaming baskets survive a checkpoint restart mid-stream") {
+    val s = spark
+    import s.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+
+    val types = Tables.events(s, sf)
+      .select("event_type").distinct().collect()
+      .map(_.getString(0)).sorted
+    val typeIndex = types.zipWithIndex.toMap
+    val (shuffled, sentinelTs) = shuffledEvents()
+    val ck = tmpDir("basket_restart_ck")
+
+    // foreachBatch sink: the memory sink refuses checkpoint recovery,
+    // and an epoch replayed after restart just overwrites its key
+    // (same mask by determinism) — exactly-once at the collector
+    val got =
+      new java.util.concurrent.ConcurrentHashMap[(Long, Long), Long]()
+    val input = MemoryStream[Stateful.Ev]
+    def start() =
+      Stateful.basketStream(
+          input.toDS().toDF("user_id", "ts", "event_id", "event_type",
+            "value"), typeIndex)
+        .writeStream
+        .foreachBatch {
+          (ds: org.apache.spark.sql.Dataset[Stateful.BasketRow],
+              _: Long) =>
+            ds.collect().foreach(b =>
+              got.put((b.user_id, b.day), b.mask))
+        }
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.ProcessingTime(50)).start()
+
+    // phase 1: feed the first half, then STOP — open-day bitmask state
+    // lives only in the state store now
+    val q1 = start()
+    val half = shuffled.length / 2
+    input.addData(shuffled.slice(0, half).toSeq)
+    q1.processAllAvailable()
+    q1.stop()
+
+    // phase 2: a NEW query resumes from the same checkpoint — the
+    // state store must restore every open basket's mask exactly
+    val q2 = start()
+    input.addData(shuffled.drop(half).toSeq)
+    q2.processAllAvailable()
+    input.addData((-1L, sentinelTs, -1L, "zz_sentinel", 0.0))
+    q2.processAllAvailable()
+    q2.stop()
+
+    import scala.jdk.CollectionConverters._
+    val rows = got.asScala.toSeq
+      .filter { case ((u, _), mask) => u >= 0L && mask != 0L }
+    assert(rows.nonEmpty)
+    val baskets = rows
+      .flatMap { case ((u, day), mask) =>
+        types.indices.filter(i => (mask & (1L << i)) != 0L)
+          .map(i => (u, day, types(i)))
+      }.toDF("user_id", "day", "event_type")
+    val streamed = operators.Behavioral.q116Rollup(baskets).collect()
+      .map(_.toString).toSeq
+    val batch = SparkEntry.queries("q116_basket_lift")(s, sf).collect()
+      .map(_.toString).toSeq
+    assert(streamed == batch,
+      s"restart broke parity: stream-only " +
+        s"${streamed.toSet.diff(batch.toSet).take(3)}; batch-only " +
+        s"${batch.toSet.diff(streamed.toSet).take(3)}")
+  }
+
   test("streaming retention: emitted activity == batch q58 cohort matrix") {
     val s = spark
     val out = runStream("ooo_retention")(df =>
