@@ -952,6 +952,67 @@ class OrderedReplaySpec extends SparkSpec {
         s"${batch.toSet.diff(streamed.toSet).take(3)}")
   }
 
+  test("ordered-replay Holt survives a checkpoint restart mid-stream") {
+    // the riskier recovery shape: orderedPerKeyBy state carries the
+    // reorder BUFFER (pending rows) beside the fold state — both must
+    // round-trip the state store across a restart
+    val s = spark
+    import s.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+
+    val (shuffled, sentinelTs) = shuffledEvents()
+    val ck = tmpDir("holt_restart_ck")
+    val got = new java.util.concurrent.ConcurrentHashMap[
+      (String, Long), (Long, Option[Double])]()
+    val input = MemoryStream[Stateful.Ev]
+    def start() =
+      Stateful.holtStream(
+          input.toDS().toDF("user_id", "ts", "event_id", "event_type",
+            "value"))
+        .writeStream
+        .foreachBatch {
+          (ds: org.apache.spark.sql.Dataset[Stateful.HoltDay], _: Long) =>
+            ds.collect().foreach(h =>
+              got.put((h.event_type, h.day), (h.mi, h.f)))
+        }
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.ProcessingTime(50)).start()
+
+    val q1 = start()
+    val half = shuffled.length / 2
+    input.addData(shuffled.slice(0, half).toSeq)
+    q1.processAllAvailable()
+    q1.stop()
+
+    val q2 = start()
+    input.addData(shuffled.drop(half).toSeq)
+    q2.processAllAvailable()
+    for (i <- 1 to 2) {
+      input.addData((-1L,
+        new java.sql.Timestamp(sentinelTs.getTime + i), -1L,
+        "zz_sentinel", 0.0))
+      q2.processAllAvailable()
+    }
+    q2.stop()
+
+    import scala.jdk.CollectionConverters._
+    val rows = got.asScala.toSeq
+      .filter(_._1._1 != "zz_sentinel")
+      .map { case ((et, day), (mi, f)) => (et, day, mi, f) }
+    assert(rows.nonEmpty)
+    val streamed = operators.Temporal.q119Finish(
+        rows.toDF("event_type", "day", "mi", "f")).collect()
+      .map(_.toString).toSeq
+    val batch = SparkEntry.queries("q119_holt_forecast")(s, sf).collect()
+      .map(_.toString).toSeq
+    assert(streamed == batch,
+      s"restart broke the ordered fold: stream-only " +
+        s"${streamed.toSet.diff(batch.toSet).take(3)}; batch-only " +
+        s"${batch.toSet.diff(streamed.toSet).take(3)}")
+  }
+
   test("streaming retention: emitted activity == batch q58 cohort matrix") {
     val s = spark
     val out = runStream("ooo_retention")(df =>
