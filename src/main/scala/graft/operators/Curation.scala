@@ -1289,6 +1289,68 @@ object Curation {
         |    END AS rebalance_weight
         |FROM j CROSS JOIN tot ORDER BY source""".stripMargin))
 
+  // ---------------------------------------------------------------- x22
+  /** Context-length planning sweep: the table a training run reads
+    * before fixing its sequence length. For each candidate context
+    * C ∈ {512, 2048, 8192}: documents exceeding C (must truncate),
+    * tokens lost to truncation, the sequence count under
+    * boundary-packed streaming (⌈Σ min(t, C) / C⌉ — x06's continuous
+    * fill), and mean docs per sequence. Long contexts waste nothing to
+    * truncation but dilute short docs; the sweep shows both curves
+    * from ONE scan.
+    *
+    * Scale shape: one projection to per-doc token counts, a constant
+    * 3-way explode, ONE hash-agg onto the 3-row C grid — all-integer
+    * (ceil as (a + C − 1) div C). */
+  val x22ContextSweep = QueryDef(
+    "x22_context_sweep",
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select(expr("n_chars div 4").as("toks"))
+      docs
+        .select(col("toks"),
+          explode(array(lit(512), lit(2048), lit(8192))).as("context"))
+        .withColumn("kept", least(col("toks"), col("context").cast("long")))
+        .groupBy("context")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("toks") > col("context").cast("long"), 1L)
+            .otherwise(0L)).as("n_truncated"),
+          sum(col("toks") - col("kept")).as("tokens_lost"),
+          sum("kept").as("tokens_kept"))
+        .withColumn("n_seqs",
+          expr("(tokens_kept + context - 1) div context"))
+        .select(col("context"), col("n_docs"), col("n_truncated"),
+          col("tokens_lost"), col("tokens_kept"), col("n_seqs"),
+          r4(col("n_docs").cast("double") / col("n_seqs"))
+            .as("docs_per_seq"),
+          r6(col("tokens_lost").cast("double")
+            / (col("tokens_kept") + col("tokens_lost")))
+            .as("truncation_loss"))
+        .orderBy("context")
+    },
+    Some("""WITH docs AS (
+           |  SELECT n_chars // 4 AS toks FROM documents),
+           |sweep AS (
+           |  SELECT toks, unnest([512, 2048, 8192]) AS context
+           |  FROM docs),
+           |agg AS (
+           |  SELECT context, CAST(count(*) AS BIGINT) AS n_docs,
+           |    CAST(sum(CASE WHEN toks > context THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n_truncated,
+           |    CAST(sum(toks - least(toks, context)) AS BIGINT)
+           |      AS tokens_lost,
+           |    CAST(sum(least(toks, context)) AS BIGINT) AS tokens_kept
+           |  FROM sweep GROUP BY 1)
+           |SELECT context, n_docs, n_truncated, tokens_lost, tokens_kept,
+           |  (tokens_kept + context - 1) // context AS n_seqs,
+           |  round(CAST(n_docs AS DOUBLE)
+           |    / ((tokens_kept + context - 1) // context) * 10000) / 10000
+           |    AS docs_per_seq,
+           |  round(CAST(tokens_lost AS DOUBLE)
+           |    / (tokens_kept + tokens_lost) * 1000000) / 1000000
+           |    AS truncation_loss
+           |FROM agg ORDER BY context""".stripMargin))
+
   val all: Seq[QueryDef] =
     Seq(x01Decontaminate, x02StratifiedSample, x03DomainMix,
       t06PiiRedact, t07Repetition, x04ContainmentScore, x05WeightedSample,
@@ -1296,5 +1358,5 @@ object Curation {
       x10CurationPipeline, x11BloomDecontaminate, x12CompactionPlan,
       x13EpochPlan, x14KAnonymity, x15DsirWeights, x16ShardPlan,
       x17ModalityAgreement, x18CurriculumPlan, x19TokenBudget,
-      x20DedupAwareSample, x21PostDedupRebalance)
+      x20DedupAwareSample, x21PostDedupRebalance, x22ContextSweep)
 }
