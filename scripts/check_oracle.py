@@ -42,13 +42,47 @@ for name in sorted(oracle):
     if len(spark_df) != len(duck_df):
         print(f"FAIL {name}: rows spark={len(spark_df)} duck={len(duck_df)}")
         fails += 1; continue
-    # value compare (exact, like a hash compare would be)
+    # value compare (exact, like a hash compare would be).
+    # The driver hashes TYPED values, so an int64 column on one side vs
+    # a float/HUGEINT-widened column on the other must FAIL here too —
+    # a float-coercing compare hid exactly that divergence in round 6.
+    def dclass(s):
+        k = s.dtype.kind
+        if k in "iu": return "int"
+        if k == "f": return "float"
+        if k == "b": return "bool"
+        if k == "M": return "ts"
+        if k == "O":
+            import datetime
+            v = next((x for x in s if x is not None
+                      and not (isinstance(x, float) and pd.isna(x))), None)
+            if isinstance(v, bool): return "bool"
+            if isinstance(v, int): return "int"
+            if isinstance(v, float): return "float"
+            # Spark parquet DATE -> object of datetime.date; DuckDB dumps
+            # datetime64 — same logical type, canonicalized at compare time
+            if isinstance(v, (datetime.date, datetime.datetime)): return "ts"
+            return "obj"
+        return k
     bad = []
     for c in spark_df.columns:
         a, b = spark_df[c], duck_df[c]
+        ca, cb = dclass(a), dclass(b)
+        if ca != cb:
+            bad.append((c, f"dtype {a.dtype}/{ca} vs {b.dtype}/{cb}"))
+            continue
         try:
-            if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
-                eq = (a.astype(float).fillna(-1e308) == b.astype(float).fillna(-1e308)).all()
+            if ca == "ts":
+                ta, tb = pd.to_datetime(a), pd.to_datetime(b)
+                eq = (ta.isna() == tb.isna()).all() and \
+                    (ta.dropna().values == tb.dropna().values).all()
+            elif ca == "float":
+                # NULL-mask must match AND non-null values must be
+                # bit-equal (no fillna conflation of NaN with a value)
+                na_a, na_b = a.isna(), b.isna()
+                eq = (na_a == na_b).all() and \
+                    (a[~na_a].astype(float).values ==
+                     b[~na_b].astype(float).values).all()
             else:
                 eq = (a.astype(str) == b.astype(str)).all()
         except Exception:

@@ -489,7 +489,7 @@ object Behavioral {
       val DayUs = 86400000000L
       val ev = Tables.events(s, d)
         .select(col("user_id"),
-          (unix_micros(col("ts")) / DayUs).cast("long").as("day"))
+          expr(s"unix_micros(ts) div ${DayUs}L").as("day"))
       val span = ev.agg(min("day").as("d0"), max("day").as("d1"))
       val wide = ev.crossJoin(broadcast(span))
         .groupBy("user_id")
@@ -907,7 +907,7 @@ object Behavioral {
       exposed.join(conv, Seq("user_id"), "left_outer")
         .na.fill(0L, Seq("conv"))
         .withColumn("week",
-          (unix_micros(col("t1")) / WeekUs).cast("long"))
+          expr(s"unix_micros(t1) div ${WeekUs}L"))
         .groupBy("week")
         .agg(count(lit(1)).as("n_exposed"),
           sum("conv").as("n_converted"),

@@ -408,7 +408,7 @@ object Relational3 {
       val forget = (conv(substring(md5(col("user_id").cast("string")), 1, 8),
         16, 10).cast("long") % 100L) === 0L
       Tables.events(s, d)
-        .select((unix_micros(col("ts")) / DayUs).cast("long").as("day"),
+        .select(expr(s"unix_micros(ts) div ${DayUs}L").as("day"),
           col("user_id"), forget.cast("long").as("del"))
         .groupBy("day")
         .agg(count(lit(1)).as("n_rows"),
@@ -787,7 +787,7 @@ object Relational3 {
             .as("last_us")),
           col("o_orderkey") === col("l_orderkey"), "left")
         .select(col("open_day"),
-          ((col("last_us") / DayUs).cast("long") + 1L).as("close_day"))
+          (expr(s"last_us div ${DayUs}L") + 1L).as("close_day"))
       q122Rollup(perOrder)
     },
     Some("""WITH deltas AS (
@@ -887,7 +887,7 @@ object Relational3 {
           unix_micros(col("o_orderdate").cast("timestamp")).as("open_us"))
         .join(shipped, col("o_orderkey") === col("l_orderkey"))
         .withColumn("gap_days",
-          ((col("last_us") - col("open_us")) / DayUs).cast("long"))
+          expr(s"(last_us - open_us) div ${DayUs}L"))
         .groupBy("o_orderpriority")
         .agg(count(lit(1)).as("n_orders"),
           sum(when(col("gap_days") <= 30L, 1L).otherwise(0L)).as("in30"),

@@ -194,7 +194,7 @@ object Security {
       val DayUs = 86400000000L
       val firsts = Tables.events(s, d)
         .select(col("user_id"), col("event_type"),
-          (unix_micros(col("ts")) / DayUs).cast("long").as("day"))
+          expr(s"unix_micros(ts) div ${DayUs}L").as("day"))
         .groupBy("user_id", "event_type")
         .agg(min("day").as("first_day"))
       q112Rollup(firsts)
@@ -239,9 +239,9 @@ object Security {
       : org.apache.spark.sql.DataFrame = {
     val Budget = 0.05
     val win6 = hours
-      .groupBy((col("hour") / 6L).cast("long").as("w6"))
+      .groupBy(expr("hour div 6").as("w6"))
       .agg(sum("errs").as("errs6"), sum("total").as("total6"))
-    hours.withColumn("w6j", (col("hour") / 6L).cast("long"))
+    hours.withColumn("w6j", expr("hour div 6"))
       .join(broadcast(win6), col("w6j") === col("w6"))
       .select(col("hour"), col("errs"), col("total"),
         r4(col("errs").cast("double") / col("total") / Budget)

@@ -364,7 +364,7 @@ object Skew {
       val DayUs = 86400000000L
       Tables.events(s, d)
         .filter(col("event_type").isin("click", "purchase"))
-        .select((unix_micros(col("ts")) / DayUs).cast("long").as("day"),
+        .select(expr(s"unix_micros(ts) div ${DayUs}L").as("day"),
           col("event_type"), col("user_id"))
         .groupBy("day")
         .agg(
@@ -404,7 +404,7 @@ object Skew {
           round(col("l_extendedprice") * 100).cast("long").as("cents"))
         .groupBy("l_partkey").agg(sum("cents").as("rev"))
       val bands = parts
-        .select((col("rev") / BandCents).cast("long").as("band"),
+        .select(expr(s"rev div ${BandCents}L").as("band"),
           col("rev"))
         .groupBy("band")
         .agg(count(lit(1)).as("n_parts"), sum("rev").as("band_cents"))
@@ -428,9 +428,9 @@ object Skew {
            |    sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS rev
            |  FROM lineitem GROUP BY 1),
            |bands AS (
-           |  SELECT rev // 25000000 AS band,
+           |  SELECT CAST(rev // 25000000 AS BIGINT) AS band,
            |    CAST(count(*) AS BIGINT) AS n_parts,
-           |    sum(rev) AS band_cents
+           |    CAST(sum(rev) AS BIGINT) AS band_cents
            |  FROM parts GROUP BY 1),
            |tot AS (SELECT sum(n_parts) AS tp, sum(band_cents) AS tc
            |  FROM bands),

@@ -552,13 +552,13 @@ object Temporal {
       : org.apache.spark.sql.DataFrame = {
     val mc = Tables.events(s, d)
       .select(col("event_type"),
-        (unix_micros(col("ts")) / BktUs).cast("long").as("m"))
+        expr(s"unix_micros(ts) div ${BktUs}L").as("m"))
       .groupBy("event_type", "m").agg(count(lit(1)).as("n"))
     val av = mc.groupBy("event_type")
       .agg(avg(col("n").cast("double")).as("avgn"))
     val surge = mc.join(broadcast(av), Seq("event_type"))
       .filter(col("n") >= 2L && col("n").cast("double") >= lit(1.5) * col("avgn"))
-      .withColumn("day", (col("m") / 288L).cast("long"))
+      .withColumn("day", expr("m div 288"))
     val wDay = Window.partitionBy("event_type", "day").orderBy("m")
     val wRun = wDay.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     surge
@@ -754,8 +754,9 @@ object Temporal {
       val HourUs = 3600000000L
       val b = Tables.events(s, d)
         .select(col("event_type"),
-          (unix_micros(col("ts")) / DayUs).cast("long").as("day"),
-          ((unix_micros(col("ts")) / HourUs) % 24).cast("int").as("hod"),
+          expr(s"unix_micros(ts) div ${DayUs}L").as("day"),
+          expr(s"(unix_micros(ts) div ${HourUs}L) % 24").cast("int")
+            .as("hod"),
           col("value"))
         .groupBy("event_type", "day", "hod")
         .agg(sum("value").as("sv"), count(lit(1)).as("n"))
@@ -763,7 +764,7 @@ object Temporal {
       // ingest, per the q83/q85 convention) — NOT derived from `b`,
       // which would re-plan and re-run the full bucket aggregate
       val span = Tables.events(s, d)
-        .select((unix_micros(col("ts")) / DayUs).cast("long").as("day"))
+        .select(expr(s"unix_micros(ts) div ${DayUs}L").as("day"))
         .agg(min("day").as("d0"), max("day").as("d1"))
       val bs = b.crossJoin(broadcast(span))
         .withColumn("is_train", col("day") < expr("(d0 + d1 + 1) div 2"))
@@ -826,7 +827,7 @@ object Temporal {
         .rowsBetween(-11, Window.currentRow)
       val series = Tables.events(s, d)
         .select(col("event_type"),
-          (unix_micros(col("ts")) / BucketUs).cast("long").as("bucket"),
+          expr(s"unix_micros(ts) div ${BucketUs}L").as("bucket"),
           col("value"))
         .groupBy("event_type", "bucket")
         .agg((sum("value") / count(lit(1))).as("v"))
@@ -1044,7 +1045,7 @@ object Temporal {
     val DayUs = 86400000000L
     Tables.events(s, d)
       .select(col("event_type"),
-        (unix_micros(col("ts")) / DayUs).cast("long").as("day"),
+        expr(s"unix_micros(ts) div ${DayUs}L").as("day"),
         round(col("value") * 1000).cast("long").as("vm"))
       .groupBy("event_type", "day")
       .agg(round(sum("vm") / count(lit(1))).cast("long").as("mi"))
