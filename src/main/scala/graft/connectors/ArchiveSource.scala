@@ -58,10 +58,16 @@ object ArchiveSource {
   val types: Array[String] =
     Array("click", "view", "purchase", "signup", "error")
 
-  /** The row formula — integer arithmetic only, replayable as SQL. */
-  def userOf(id: Long): Long = (id * 2654435761L) % 997L
-  def typeIdxOf(id: Long): Int = ((id * 40503L) % 5L).toInt
-  def valueMilliOf(id: Long): Long = (id * 48271L) % 1000000L
+  /** The row formula — integer arithmetic only, replayable as SQL.
+    * Each product is reduced mod the divisor FIRST so the Long math is
+    * overflow-free at any id; (a·b) mod m == ((a mod m)·(b mod m)) mod
+    * m, so this equals the plain formula everywhere the plain formula
+    * doesn't wrap, and matches a DuckDB generate_series replay (which
+    * widens to HUGEINT instead of wrapping) at every id. */
+  def userOf(id: Long): Long = ((id % 997L) * (2654435761L % 997L)) % 997L
+  def typeIdxOf(id: Long): Int = (((id % 5L) * (40503L % 5L)) % 5L).toInt
+  def valueMilliOf(id: Long): Long =
+    ((id % 1000000L) * (48271L % 1000000L)) % 1000000L
   def dayOf(id: Long): Long = id % 365L
 }
 

@@ -59,7 +59,16 @@ object CollectingSink {
     val out = ArrayBuffer.empty[Seq[Any]]
     messages.sortBy(m => (m.taskId, m.attempt)).foreach { m =>
       val rows = staged.remove((table, m.taskId, m.attempt))
-      if (rows != null) out ++= rows
+      // a commit message whose staged buffer is gone means the staging
+      // map is not shared with the executor (this sink is a same-JVM
+      // local-mode harness) or staging was lost — publishing a partial
+      // table silently would break the atomic-visibility contract
+      if (rows == null)
+        throw new IllegalStateException(
+          s"commit for $table references missing staged buffer " +
+            s"(task=${m.taskId}, attempt=${m.attempt}); CollectingSink " +
+            "requires driver and executors to share one JVM (local mode)")
+      out ++= rows
     }
     published.put(table, out.toSeq)
     dropStaging(table)

@@ -1169,8 +1169,8 @@ object Curation {
     * not a held persist); per-cluster rank is a window on the
     * high-cardinality cluster key. The global admission cut is exact
     * here (the oracle twin); at corpus scale the (rank, priority)
-    * cutoff comes from a quantile sketch over the rank histogram — the
-    * q54↔q59 split. */
+    * cutoff comes from a quantile sketch — x23 is that registered
+    * scale twin, the q54↔q59 split. */
   val x20DedupAwareSample = QueryDef(
     "x20_dedup_aware_sample",
     (s, d) => {
@@ -1351,6 +1351,44 @@ object Curation {
            |    AS truncation_loss
            |FROM agg ORDER BY context""".stripMargin))
 
+  // ---------------------------------------------------------------- x23
+  /** x20's SCALE twin: the same dedup-aware round-robin admission, but
+    * the global cut comes from a quantile sketch instead of a corpus-
+    * wide `row_number` — the q54↔q59 split applied to sampling. Each
+    * doc gets one composite admission key `(cluster_rank << 32) | pri`
+    * (rank dominates, md5 priority breaks ties inside a tier — the
+    * exact twin's (r, pri, doc_id) order minus the final doc_id
+    * tiebreak, which only matters on 2^-32-probability pri collisions);
+    * `approx_percentile(key, 0.4)` yields the admission threshold in
+    * ONE map-side-combined aggregate, and membership is a broadcast
+    * threshold filter. No single-partition window anywhere — the only
+    * window is the per-cluster rank on the high-cardinality cluster
+    * key, so the shape holds at 100 TB. Sketch cutoff is engine-
+    * specific ⇒ rows-only; CurationSpec gates the sampled set against
+    * exact x20 (symmetric difference + budget tolerance) and PlanSpec
+    * pins the no-global-window shape. */
+  val x23DedupSampleSketch = QueryDef(
+    "x23_dedup_sample_sketch",
+    (s, d) => {
+      val lbl = Dedup.minhashClustersCached(s, d)
+      val wc = Window.partitionBy("cluster_id")
+        .orderBy(col("pri"), col("doc_id"))
+      val keyed = lbl
+        .withColumn("pri",
+          conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+            .cast("long"))
+        .withColumn("r", row_number().over(wc))
+        .withColumn("key", expr("shiftleft(cast(r as bigint), 32) + pri"))
+      val cut = keyed.agg(
+        expr("approx_percentile(key, 0.4, 10000)").as("cut"))
+      keyed.crossJoin(broadcast(cut))
+        .select(col("doc_id"), col("cluster_id"),
+          col("r").cast("int").as("cluster_rank"),
+          (col("key") <= col("cut")).as("sampled"))
+        .orderBy("doc_id")
+    },
+    None)
+
   val all: Seq[QueryDef] =
     Seq(x01Decontaminate, x02StratifiedSample, x03DomainMix,
       t06PiiRedact, t07Repetition, x04ContainmentScore, x05WeightedSample,
@@ -1358,5 +1396,6 @@ object Curation {
       x10CurationPipeline, x11BloomDecontaminate, x12CompactionPlan,
       x13EpochPlan, x14KAnonymity, x15DsirWeights, x16ShardPlan,
       x17ModalityAgreement, x18CurriculumPlan, x19TokenBudget,
-      x20DedupAwareSample, x21PostDedupRebalance, x22ContextSweep)
+      x20DedupAwareSample, x21PostDedupRebalance, x22ContextSweep,
+      x23DedupSampleSketch)
 }

@@ -1372,9 +1372,11 @@ object Stateful {
     * counter. State per user: the running min first-view time plus the
     * purchases still inside the live 24 h qualification window (a
     * purchase with p − t1 > 24 h can NEVER qualify later — t1 only
-    * decreases, widening the gap — so it prunes immediately; state is
-    * bounded by the per-user purchase rate × window, the asofFwdStream
-    * pending-seq posture). Conversion is deliberately NOT decided
+    * decreases, widening the gap — so it prunes immediately; while no
+    * view has arrived, pending purchases older than the watermark prune
+    * too, since any future view's event time is >= the watermark; state
+    * is bounded by the per-user purchase rate × max(window, watermark
+    * delay), the asofFwdStream pending-seq posture). Conversion is deliberately NOT decided
     * during replay: a late-arriving EARLIER view lowers t1 and can push
     * a previously-in-window purchase past 24 h, so the p > t1 ∧
     * p − t1 ≤ 24 h test runs once at close against the final t1.
@@ -1421,7 +1423,15 @@ object Stateful {
               Iterator.single(AbUser(user, if (conv) 1L else 0L))
             }
           } else {
-            state.update(AbState(minView, purch, st0.done))
+            // a user with purchases but no view yet: any FUTURE view
+            // arrives with event time >= the watermark (older rows are
+            // dropped), so a pending purchase at p < wm can never
+            // satisfy p >= t1 — prune it; pending state stays bounded
+            // by purchase-rate × watermark delay, not stream lifetime
+            val kept =
+              if (minView == Long.MaxValue) purch.filter(_ >= wm * 1000L)
+              else purch
+            state.update(AbState(minView, kept, st0.done))
             if (!st0.done) state.setTimeoutTimestamp(wm + 1L)
             Iterator.empty
           }

@@ -221,4 +221,35 @@ class CurationSpec extends SparkSpec {
     assert(fp.size <= math.max(2, bloomed.size / 20),
       s"bloom over-flagged ${fp.size} of ${bloomed.size} docs")
   }
+
+  test("x23 sketch admission tracks x20's exact sample within tolerance") {
+    val exact = SparkEntry.queries("x20_dedup_aware_sample")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(3)).toMap
+    val sketch = SparkEntry.queries("x23_dedup_sample_sketch")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getBoolean(3)))
+    // same doc universe
+    assert(sketch.map(_._1).toSet == exact.keySet)
+    val total = sketch.length
+    val sampled = sketch.filter(_._3).map(_._1).toSet
+    // budget: approx_percentile(0.4, acc=10000) must land within 2% of
+    // the exact 40% cut at this corpus size
+    val budget = total * 2 / 5
+    assert(math.abs(sampled.size - budget) <= math.max(3, total / 50),
+      s"sketch admitted ${sampled.size} vs budget $budget of $total")
+    // set agreement: symmetric difference with the exact sample bounded
+    // by the sketch rank-error (docs whose admission key straddles the
+    // estimated threshold)
+    val exactSampled = exact.filter(_._2).keySet
+    val symDiff = (sampled -- exactSampled) ++ (exactSampled -- sampled)
+    assert(symDiff.size <= math.max(3, total / 50),
+      s"sketch/exact sample sets diverge on ${symDiff.size} of $total docs")
+    // threshold semantics: admission is downward-closed in the
+    // (cluster_rank, pri) key order, so every sampled doc's rank tier
+    // is <= every unsampled doc's tier (the cut tier may be split)
+    val maxSampledRank = sketch.filter(_._3).map(_._2).max
+    val minUnsampledRank = sketch.filterNot(_._3).map(_._2).min
+    assert(minUnsampledRank >= maxSampledRank,
+      s"admission not round-robin: sampled up to rank $maxSampledRank " +
+        s"while rank $minUnsampledRank unsampled")
+  }
 }

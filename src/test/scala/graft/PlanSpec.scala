@@ -399,4 +399,21 @@ class PlanSpec extends SparkSpec {
       "hops must be equi-joins on the edge key (seed crossJoin broadcasts)")
     assert(p.contains("cosine_similarity"), "scoring must stay native")
   }
+
+  test("x23: sketch admission has no global single-partition window") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val root = SparkEntry.queries("x23_dedup_sample_sketch")(spark, sf)
+      .queryExecution.executedPlan
+    val exec = root match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val global = exec.collect {
+      case w: WindowExec if w.partitionSpec.isEmpty => w
+    }
+    assert(global.isEmpty,
+      "admission cut must come from the quantile sketch, not a " +
+        "corpus-wide row_number window")
+  }
 }

@@ -89,4 +89,47 @@ class ScaleInvarianceSpec extends SparkSpec {
   test("q104 CUSUM invariant to partition count (integer pipeline)") {
     invariant("q104_cusum_changepoint", sf001)
   }
+
+  // round-6 security family: integer day/gap/count pipelines
+  test("q110 rarity scores invariant to partition count") {
+    invariant("q110_rarity_score", sf001)
+  }
+
+  test("q111 beaconing stats invariant to partition count (micros gaps)") {
+    invariant("q111_beaconing", sf001)
+  }
+
+  test("q112 first-seen rollup invariant to partition count") {
+    invariant("q112_first_seen", sf001)
+  }
+
+  // round-6 TPC-H-classic battery: exact-integer cents/counts cores
+  test("q130 leaderboard churn invariant to partition count") {
+    invariant("q130_leaderboard_churn", sf001)
+  }
+
+  test("q131 SLA attainment invariant to partition count") {
+    invariant("q131_sla_attainment", sf001)
+  }
+
+  test("q132 supplier HHI invariant to partition count (decimal mass)") {
+    invariant("q132_supplier_hhi", sf001)
+  }
+
+  test("q133 trade matrix invariant to partition count") {
+    invariant("q133_trade_matrix", sf001)
+  }
+
+  test("q134 sales opportunity invariant to partition count") {
+    invariant("q134_sales_opportunity", sf001)
+  }
+
+  test("q135 market share invariant to partition count") {
+    // sf0.001 has no NATION_2/ASIA lineitem rows; the pin needs output
+    invariant("q135_market_share", sf01)
+  }
+
+  test("q136 return rates invariant to partition count") {
+    invariant("q136_return_rates", sf001)
+  }
 }

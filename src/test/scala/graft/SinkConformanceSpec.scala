@@ -300,10 +300,15 @@ class SinkConformanceSpec extends SparkSpec {
       Seq(CollectingCommitMessage(taskId = 7L, attempt = 1, nRows = 2L)))
     val got = CollectingSink.rows("tpc_spec")
     assert(got.size == 2, s"loser attempt leaked: ${got.size} rows")
-    // and the loser's staging is gone — publish dropped it
-    CollectingSink.publish("tpc_spec",
-      Seq(CollectingCommitMessage(taskId = 7L, attempt = 0, nRows = 2L)))
-    assert(CollectingSink.rows("tpc_spec").isEmpty,
-      "stale staging survived the publish cleanup")
+    // the loser's staging is gone — a replayed commit that references
+    // the dropped buffer must FAIL LOUDLY (silent partial publish would
+    // break atomic visibility), and the committed table stays intact
+    val ex = intercept[IllegalStateException] {
+      CollectingSink.publish("tpc_spec",
+        Seq(CollectingCommitMessage(taskId = 7L, attempt = 0, nRows = 2L)))
+    }
+    assert(ex.getMessage.contains("missing staged buffer"))
+    assert(CollectingSink.rows("tpc_spec").size == 2,
+      "failed publish must not clobber the committed table")
   }
 }

@@ -145,4 +145,20 @@ class SketchSpec extends SparkSpec {
       assert(r.getDouble(4) <= r.getDouble(5) && r.getDouble(5) <= r.getDouble(6))
     }
   }
+
+  // ------------------------------------------------- HLL approx distinct
+  test("q27 approx distinct within 2% of exact distinct parts per flag") {
+    val est = SparkEntry.queries("q27_approx_distinct")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val exact = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag")
+      .agg(count_distinct(col("l_partkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet)
+    exact.foreach { case (f, n) =>
+      val e = est(f)
+      assert(math.abs(e - n).toDouble / n < 0.02,
+        s"$f: estimate $e vs exact $n (${math.abs(e - n).toDouble / n})")
+    }
+  }
 }
