@@ -874,6 +874,23 @@ object Relational3 {
     *
     * Scale shape: one per-order max-agg over lineitem, one equi-join to
     * headers, ONE hash-agg onto the 5-priority grid. */
+  /** q131's final rollup over (o_orderpriority, gap_days) observations —
+    * shared by the batch query and the slaStream twin (identical code ⇒
+    * bit-for-bit parity over identical integer gap state). */
+  def q131Finish(gaps: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    gaps
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(when(col("gap_days") <= 30L, 1L).otherwise(0L)).as("in30"),
+        sum(when(col("gap_days") <= 60L, 1L).otherwise(0L)).as("in60"),
+        sum(when(col("gap_days") <= 90L, 1L).otherwise(0L)).as("in90"))
+      .select(col("o_orderpriority"), col("n_orders"),
+        r6(col("in30").cast("double") / col("n_orders")).as("sla30"),
+        r6(col("in60").cast("double") / col("n_orders")).as("sla60"),
+        r6(col("in90").cast("double") / col("n_orders")).as("sla90"))
+      .orderBy("o_orderpriority")
+
   val q131SlaAttainment = QueryDef(
     "q131_sla_attainment",
     (s, d) => {
@@ -882,22 +899,13 @@ object Relational3 {
         .groupBy("l_orderkey")
         .agg(max(unix_micros(col("l_shipdate").cast("timestamp")))
           .as("last_us"))
-      Tables.orders(s, d)
+      val gaps = Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_orderpriority"),
           unix_micros(col("o_orderdate").cast("timestamp")).as("open_us"))
         .join(shipped, col("o_orderkey") === col("l_orderkey"))
         .withColumn("gap_days",
           expr(s"(last_us - open_us) div ${DayUs}L"))
-        .groupBy("o_orderpriority")
-        .agg(count(lit(1)).as("n_orders"),
-          sum(when(col("gap_days") <= 30L, 1L).otherwise(0L)).as("in30"),
-          sum(when(col("gap_days") <= 60L, 1L).otherwise(0L)).as("in60"),
-          sum(when(col("gap_days") <= 90L, 1L).otherwise(0L)).as("in90"))
-        .select(col("o_orderpriority"), col("n_orders"),
-          r6(col("in30").cast("double") / col("n_orders")).as("sla30"),
-          r6(col("in60").cast("double") / col("n_orders")).as("sla60"),
-          r6(col("in90").cast("double") / col("n_orders")).as("sla90"))
-        .orderBy("o_orderpriority")
+      q131Finish(gaps)
     },
     Some("""WITH shipped AS (
            |  SELECT l_orderkey,
@@ -1173,6 +1181,26 @@ object Relational3 {
     * Scale shape: lineitem⋈part on the part key, ONE conditional
     * hash-agg onto the brand grid, baseline from a second grid-sized
     * agg. */
+  /** q136's final projection over the per-brand counter grid
+    * (p_brand, n_lines, n_returned, cents, ret_cents) — shared by the
+    * batch query and the returnRateStream twin (identical code over
+    * identical integer counters ⇒ bit-for-bit parity). */
+  def q136Finish(brands: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val base = brands.agg(
+      (sum("n_returned").cast("double") / sum("n_lines"))
+        .as("base_rate"))
+    brands.crossJoin(broadcast(base))
+      .select(col("p_brand"), col("n_lines"), col("n_returned"),
+        r6(col("n_returned").cast("double") / col("n_lines"))
+          .as("return_rate"),
+        r6(col("ret_cents").cast("double") / col("cents"))
+          .as("revenue_at_risk"),
+        r6(col("n_returned").cast("double") / col("n_lines")
+          - col("base_rate")).as("vs_baseline"))
+      .orderBy("p_brand")
+  }
+
   val q136ReturnRates = QueryDef(
     "q136_return_rates",
     (s, d) => {
@@ -1187,18 +1215,7 @@ object Relational3 {
           sum("cc").as("cents"),
           sum(when(col("ret") === 1L, col("cc")).otherwise(0L))
             .as("ret_cents"))
-      val base = brands.agg(
-        (sum("n_returned").cast("double") / sum("n_lines"))
-          .as("base_rate"))
-      brands.crossJoin(broadcast(base))
-        .select(col("p_brand"), col("n_lines"), col("n_returned"),
-          r6(col("n_returned").cast("double") / col("n_lines"))
-            .as("return_rate"),
-          r6(col("ret_cents").cast("double") / col("cents"))
-            .as("revenue_at_risk"),
-          r6(col("n_returned").cast("double") / col("n_lines")
-            - col("base_rate")).as("vs_baseline"))
-        .orderBy("p_brand")
+      q136Finish(brands)
     },
     Some("""WITH lines AS (
            |  SELECT p_brand,

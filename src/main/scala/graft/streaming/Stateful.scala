@@ -1438,6 +1438,123 @@ object Stateful {
       }
   }
 
+  /** One closed order's SLA observation (q131's `j` table). */
+  final case class SlaGap(o_orderpriority: String, gap_days: Long)
+  final case class SlaState(openUs: Long, priority: String,
+      lastShipUs: Long, done: Boolean)
+
+  /** Streaming twin of q131's per-order pass — live SLA attainment.
+    * Order-open events (kind 0, carrying the priority) and line-ship
+    * events (kind 1) fan into ONE keyed stream on the order key; state
+    * per order is O(1) and fully commutative: a set-once open
+    * timestamp + priority, and a running max over ship timestamps, so
+    * no reorder buffer is needed and arrival order (opens after ships,
+    * interleaved lines) is irrelevant. Each order emits its
+    * (priority, gap_days) observation once, when the watermark passes
+    * `endDay` (the corpus max ship day — the catalog-at-ingest stat);
+    * orders that never saw both an open and a ship stay silent (the
+    * batch inner-join semantics). The bucketed attainment rollup then
+    * runs over the emitted orders-sized table via
+    * operators.Relational3.q131Finish — identical code to batch.
+    *
+    * Input columns: o_orderkey, ts, kind (0 open / 1 ship), priority. */
+  def slaStream(df: DataFrame, endDay: Long, slack: String = "2 hours")
+      : Dataset[SlaGap] = {
+    import org.apache.spark.sql.Encoders
+    implicit val stEnc: Encoder[SlaState] = Encoders.product[SlaState]
+    implicit val outEnc: Encoder[SlaGap] = Encoders.product[SlaGap]
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    implicit val rowEnc: Encoder[(Long, java.sql.Timestamp, Int, String)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.TIMESTAMP,
+        Encoders.scalaInt, Encoders.STRING)
+    val DayUs = 86400000000L
+    val ds = df.withWatermark("ts", slack)
+      .select("o_orderkey", "ts", "kind", "priority")
+      .as[(Long, java.sql.Timestamp, Int, String)]
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (_: Long, rows: Iterator[(Long, java.sql.Timestamp, Int, String)],
+            state: GroupState[SlaState]) =>
+          val st0 = state.getOption.getOrElse(
+            SlaState(Long.MinValue, "", Long.MinValue, false))
+          var open = st0.openUs; var pri = st0.priority
+          var last = st0.lastShipUs
+          rows.foreach { r =>
+            val t = microsOf(r._2)
+            if (r._3 == 0) { open = t; pri = r._4 }
+            else if (t > last) last = t
+          }
+          val wm = state.getCurrentWatermarkMs()
+          if (!st0.done && wm > endDay * 86400000L + 1L) {
+            state.update(SlaState(open, pri, last, true))
+            if (open != Long.MinValue && last != Long.MinValue)
+              Iterator.single(SlaGap(pri, (last - open) / DayUs))
+            else Iterator.empty
+          } else {
+            state.update(SlaState(open, pri, last, st0.done))
+            if (!st0.done) state.setTimeoutTimestamp(wm + 1L)
+            Iterator.empty
+          }
+      }
+  }
+
+  /** One brand's running return counters (q136's `brands` grid). */
+  final case class BrandCounts(p_brand: String, n_lines: Long,
+      n_returned: Long, cents: Long, ret_cents: Long)
+  final case class BrandState(n: Long, ret: Long, cents: Long,
+      retCents: Long, done: Boolean)
+
+  /** Streaming twin of q136's per-brand pass — live return-rate QC.
+    * State per brand is four exact BIGINT counters (line count,
+    * returned count, cents, returned cents), all commutative sums, so
+    * arrival order is irrelevant and state is bounded by the BRAND
+    * GRID (a catalog-sized dimension), not line volume — the tightest
+    * state shape in the twin roster. Snapshots emit when the watermark
+    * passes `endDay` (max ship day, the catalog-at-ingest stat), and
+    * the baseline-deviation projection then runs over the emitted
+    * brand-grid table via operators.Relational3.q136Finish — identical
+    * code to batch.
+    *
+    * Input columns: p_brand, ts, ret (0/1), cc (exact cents). */
+  def returnRateStream(df: DataFrame, endDay: Long,
+      slack: String = "2 hours"): Dataset[BrandCounts] = {
+    import org.apache.spark.sql.Encoders
+    implicit val stEnc: Encoder[BrandState] = Encoders.product[BrandState]
+    implicit val outEnc: Encoder[BrandCounts] = Encoders.product[BrandCounts]
+    implicit val keyEnc: Encoder[String] = Encoders.STRING
+    implicit val rowEnc: Encoder[(String, java.sql.Timestamp, Long, Long)] =
+      Encoders.tuple(Encoders.STRING, Encoders.TIMESTAMP,
+        Encoders.scalaLong, Encoders.scalaLong)
+    val ds = df.withWatermark("ts", slack)
+      .select("p_brand", "ts", "ret", "cc")
+      .as[(String, java.sql.Timestamp, Long, Long)]
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (brand: String,
+            rows: Iterator[(String, java.sql.Timestamp, Long, Long)],
+            state: GroupState[BrandState]) =>
+          val st0 = state.getOption.getOrElse(
+            BrandState(0L, 0L, 0L, 0L, false))
+          var n = st0.n; var ret = st0.ret
+          var cents = st0.cents; var retCents = st0.retCents
+          rows.foreach { r =>
+            n += 1L; cents += r._4
+            if (r._3 == 1L) { ret += 1L; retCents += r._4 }
+          }
+          val wm = state.getCurrentWatermarkMs()
+          if (!st0.done && wm > endDay * 86400000L + 1L) {
+            state.update(BrandState(n, ret, cents, retCents, true))
+            Iterator.single(BrandCounts(brand, n, ret, cents, retCents))
+          } else {
+            state.update(BrandState(n, ret, cents, retCents, st0.done))
+            if (!st0.done) state.setTimeoutTimestamp(wm + 1L)
+            Iterator.empty
+          }
+      }
+  }
+
   /** Per-customer running RFM state (q102's `per` table). */
   final case class RfmRow(o_custkey: Long, rec_days: Long, freq: Long,
       mon_cents: Long)

@@ -1028,4 +1028,122 @@ class OrderedReplaySpec extends SparkSpec {
       s"stream-only: ${streamed.toSet.diff(batch.toSet).take(3)}; " +
         s"batch-only: ${batch.toSet.diff(streamed.toSet).take(3)}")
   }
+
+  test("streaming SLA attainment: per-order gap state == batch q131") {
+    val s = spark
+    import s.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+
+    // corpus max ship day — the catalog-at-ingest stat; ship >= open so
+    // it bounds the whole feed's event time
+    val dmax = Tables.lineitem(s, sf)
+      .select((unix_micros(col("l_shipdate").cast("timestamp"))
+        / 86400000000L).cast("long").as("day"))
+      .agg(max("day")).head.getLong(0)
+    // one interleaved feed: order-open events (kind 0, with priority)
+    // and line-ship events (kind 1), shuffled within the slack horizon
+    val opens = Tables.orders(s, sf)
+      .select(col("o_orderkey"),
+        col("o_orderdate").cast("timestamp").as("ts"),
+        lit(0).as("kind"), col("o_orderpriority").as("priority"))
+      .as[(Long, java.sql.Timestamp, Int, String)].collect()
+    val ships = Tables.lineitem(s, sf)
+      .select(col("l_orderkey"),
+        col("l_shipdate").cast("timestamp").as("ts"),
+        lit(1).as("kind"), lit("").as("priority"))
+      .as[(Long, java.sql.Timestamp, Int, String)].collect()
+    val feed = (opens ++ ships).sortBy { r =>
+      val jitter = Math.floorMod(r._1 * 2654435761L + r._3, 1800000L)
+      (r._2.getTime + jitter, r._1, r._3)
+    }
+
+    val input = MemoryStream[(Long, java.sql.Timestamp, Int, String)]
+    val q = Stateful.slaStream(
+        input.toDS().toDF("o_orderkey", "ts", "kind", "priority"),
+        dmax, "2 hours")
+      .writeStream.format("memory").queryName("ooo_sla")
+      .trigger(Trigger.ProcessingTime(50)).start()
+    val third = feed.length / 3
+    Seq(feed.slice(0, third), feed.slice(third, 2 * third),
+      feed.drop(2 * third)).foreach { chunk =>
+      input.addData(chunk.toSeq); q.processAllAvailable()
+    }
+    val sentTs = new java.sql.Timestamp((dmax + 30L) * 86400000L)
+    for (i <- 1 to 2) {
+      input.addData((-1L, new java.sql.Timestamp(sentTs.getTime + i), 0,
+        "zz_sentinel"))
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    val gaps = s.table("ooo_sla").filter("o_orderpriority != 'zz_sentinel'")
+    assert(gaps.count() > 0)
+    val streamed = operators.Relational3.q131Finish(gaps).collect()
+      .map(_.toString).toSeq
+    val batch = SparkEntry.queries("q131_sla_attainment")(s, sf).collect()
+      .map(_.toString).toSeq
+    // identical rollup code over identical integer gaps ⇒ bit-for-bit
+    assert(streamed == batch,
+      s"stream-only: ${streamed.toSet.diff(batch.toSet).take(3)}; " +
+        s"batch-only: ${batch.toSet.diff(streamed.toSet).take(3)}")
+  }
+
+  test("streaming return-rate QC: per-brand counters == batch q136") {
+    val s = spark
+    import s.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+
+    val dmax = Tables.lineitem(s, sf)
+      .select((unix_micros(col("l_shipdate").cast("timestamp"))
+        / 86400000000L).cast("long").as("day"))
+      .agg(max("day")).head.getLong(0)
+    // brand-enriched line feed (the part dim join happens at ingest),
+    // shuffled within the slack horizon
+    val lines = Tables.lineitem(s, sf)
+      .join(Tables.part(s, sf).select("p_partkey", "p_brand"),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("p_brand"),
+        col("l_shipdate").cast("timestamp").as("ts"),
+        when(col("l_returnflag") === "R", 1L).otherwise(0L).as("ret"),
+        expr("cast(round(l_extendedprice * 100) as bigint)").as("cc"),
+        col("l_orderkey"), col("l_linenumber"))
+      .as[(String, java.sql.Timestamp, Long, Long, Long, Long)].collect()
+    val feed = lines.sortBy { r =>
+      val jitter = Math.floorMod(r._5 * 2654435761L + r._6, 1800000L)
+      (r._2.getTime + jitter, r._5, r._6)
+    }.map(r => (r._1, r._2, r._3, r._4))
+
+    val input = MemoryStream[(String, java.sql.Timestamp, Long, Long)]
+    val q = Stateful.returnRateStream(
+        input.toDS().toDF("p_brand", "ts", "ret", "cc"), dmax, "2 hours")
+      .writeStream.format("memory").queryName("ooo_retrate")
+      .trigger(Trigger.ProcessingTime(50)).start()
+    val third = feed.length / 3
+    Seq(feed.slice(0, third), feed.slice(third, 2 * third),
+      feed.drop(2 * third)).foreach { chunk =>
+      input.addData(chunk.toSeq); q.processAllAvailable()
+    }
+    val sentTs = new java.sql.Timestamp((dmax + 30L) * 86400000L)
+    for (i <- 1 to 2) {
+      input.addData(("zz_sentinel",
+        new java.sql.Timestamp(sentTs.getTime + i), 0L, 0L))
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    val brands = s.table("ooo_retrate").filter("p_brand != 'zz_sentinel'")
+    assert(brands.count() > 0)
+    val streamed = operators.Relational3.q136Finish(brands).collect()
+      .map(_.toString).toSeq
+    val batch = SparkEntry.queries("q136_return_rates")(s, sf).collect()
+      .map(_.toString).toSeq
+    // identical projection over identical integer counters ⇒ bit-for-bit
+    assert(streamed == batch,
+      s"stream-only: ${streamed.toSet.diff(batch.toSet).take(3)}; " +
+        s"batch-only: ${batch.toSet.diff(streamed.toSet).take(3)}")
+  }
 }
