@@ -1,0 +1,457 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.{QueryDef, Tables}
+import graft.functions.Rounding.{r4, r6}
+
+/** Statistical monitoring / inference operators over the event stream:
+  * distribution-drift scoring (PSI), one-pass bootstrap resampling, and
+  * piecewise-linear interpolation lookup. The family's 100 TB posture:
+  * fixed-bin histograms and replica grids that collapse the corpus in
+  * ONE map-side-combined hash-agg; exact BIGINT fixed-point cores with
+  * float division only at the final projection; per-key windows only on
+  * high-cardinality keys (user_id).
+  *
+  * Reference scope note: runreveal/cheetah (types.go, processor.go) has
+  * no statistics surface at all — this battery is part of the
+  * large-scale-pipeline extension the brief mandates. */
+object Statistics {
+
+  private val DayUs = 86400000000L
+
+  // --------------------------------------------------------------- q137
+  /** Population Stability Index per event type: the train/serve drift
+    * score an ML monitoring stack computes before every retrain. The
+    * timeline splits at its midpoint (q90's convention — first half
+    * "train", second "serve"); `value` lands in 10 fixed-width
+    * milli-unit bins (integer div — no data-dependent edges, so the
+    * binning is reproducible across engines and snapshots); PSI is
+    * Σ (pᵢ − qᵢ)·ln(pᵢ/qᵢ) over Laplace-smoothed bin shares. Each
+    * bin's contribution rounds to a micro-unit BIGINT BEFORE the
+    * per-type total, so the total is an exact integer sum —
+    * order-proof across engines and partitionings (the fixed-point
+    * posture).
+    *
+    * Scale shape: ONE map-side-combined hash-agg to the
+    * (type × 10 bins) grid with conditional train/serve counters; the
+    * timeline span is a single-column scan (catalog stat at ingest);
+    * totals and PSI roll up on the grid and broadcast back. 100 TB of
+    * events never reaches a window or join. */
+  /** q137's grid → report projection, shared with the psiStream twin
+    * (identical code over identical integer counters ⇒ bit-for-bit).
+    * `grid` columns: event_type, bin, train_n, serve_n. */
+  def q137Finish(grid: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val tots = grid.groupBy("event_type")
+      .agg(sum("train_n").as("tt"), sum("serve_n").as("st"))
+    val contrib = grid.join(broadcast(tots), "event_type")
+      .withColumn("p",
+        (col("train_n") + 1L).cast("double") / (col("tt") + 10L))
+      .withColumn("q",
+        (col("serve_n") + 1L).cast("double") / (col("st") + 10L))
+      .withColumn("contrib_micro",
+        round((col("p") - col("q")) * log(col("p") / col("q")) * 1e6)
+          .cast("long"))
+    val psi = contrib.groupBy(col("event_type").as("et"))
+      .agg(sum("contrib_micro").as("psi_micro"))
+    contrib.join(broadcast(psi), col("event_type") === col("et"))
+      .select(col("event_type"), col("bin"), col("train_n"),
+        col("serve_n"), col("contrib_micro"), col("psi_micro"))
+      .orderBy("event_type", "bin")
+  }
+
+  val q137PsiDrift = QueryDef(
+    "q137_psi_drift",
+    (s, d) => {
+      val span = Tables.events(s, d)
+        .select(expr(s"unix_micros(ts) div ${DayUs}L").as("day"))
+        .agg(min("day").as("d0"), max("day").as("d1"))
+      val grid = Tables.events(s, d)
+        .select(col("event_type"),
+          expr(s"unix_micros(ts) div ${DayUs}L").as("day"),
+          least(expr("cast(round(value * 1000) as bigint) div 50000"),
+            lit(9L)).as("bin"))
+        .crossJoin(broadcast(span))
+        .withColumn("is_train", col("day") < expr("(d0 + d1 + 1) div 2"))
+        .groupBy("event_type", "bin")
+        .agg(sum(when(col("is_train"), 1L).otherwise(0L)).as("train_n"),
+          sum(when(col("is_train"), 0L).otherwise(1L)).as("serve_n"))
+      q137Finish(grid)
+    },
+    Some(s"""WITH span AS (
+           |  SELECT min(epoch_us(ts) // ${DayUs}) AS d0,
+           |    max(epoch_us(ts) // ${DayUs}) AS d1
+           |  FROM events),
+           |grid AS (
+           |  SELECT event_type,
+           |    least(CAST(round(value * 1000) AS BIGINT) // 50000, 9)
+           |      AS bin,
+           |    CAST(sum(CASE WHEN epoch_us(ts) // ${DayUs}
+           |        < (d0 + d1 + 1) // 2 THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS train_n,
+           |    CAST(sum(CASE WHEN epoch_us(ts) // ${DayUs}
+           |        < (d0 + d1 + 1) // 2 THEN 0 ELSE 1 END) AS BIGINT)
+           |      AS serve_n
+           |  FROM events CROSS JOIN span GROUP BY 1, 2),
+           |tots AS (
+           |  SELECT event_type, CAST(sum(train_n) AS BIGINT) AS tt,
+           |    CAST(sum(serve_n) AS BIGINT) AS st
+           |  FROM grid GROUP BY 1),
+           |contrib AS (
+           |  SELECT grid.event_type, bin, train_n, serve_n,
+           |    CAST(round(
+           |      (CAST(train_n + 1 AS DOUBLE) / (tt + 10)
+           |        - CAST(serve_n + 1 AS DOUBLE) / (st + 10))
+           |      * ln((CAST(train_n + 1 AS DOUBLE) / (tt + 10))
+           |          / (CAST(serve_n + 1 AS DOUBLE) / (st + 10)))
+           |      * 1e6) AS BIGINT) AS contrib_micro
+           |  FROM grid JOIN tots USING (event_type)),
+           |psi AS (
+           |  SELECT event_type, CAST(sum(contrib_micro) AS BIGINT)
+           |    AS psi_micro
+           |  FROM contrib GROUP BY 1)
+           |SELECT event_type, bin, train_n, serve_n, contrib_micro,
+           |  psi_micro
+           |FROM contrib JOIN psi USING (event_type)
+           |ORDER BY event_type, bin""".stripMargin))
+
+  // --------------------------------------------------------------- q138
+  /** One-pass bootstrap confidence interval for the per-type mean value
+    * — resampling WITHOUT resampling passes. Each row's multiplicity in
+    * replica b is a deterministic hash-Poisson(1) draw (inverse CDF on
+    * u = md5(event_id, b)/2³², the Poisson bootstrap: at corpus scale a
+    * with-replacement sample of n rows is Binomial(n, 1/n) ≈ Poisson(1)
+    * per row, independent per row — so the resample needs NO global
+    * coordination, just a per-row hash). All 32 replica sums accumulate
+    * in one map-side-combined aggregate; replica means round to exact
+    * milli-unit BIGINTs so the variance core (Σm, Σm²) is exact integer
+    * arithmetic — order-proof — and the percentile CI interpolates over
+    * 32 integers (the proven percentile_cont ↔ quantile_cont bridge).
+    *
+    * Scale shape: the 32× explode happens map-side and collapses to the
+    * (type × 32) grid before the only shuffle; the replica grid and the
+    * final stats are catalog-sized. No second scan, no driver loop. */
+  val q138BootstrapCi = QueryDef(
+    "q138_bootstrap_ci",
+    (s, d) => {
+      // Poisson(1) CDF: P(X <= k) for k = 0..6; ties impossible since
+      // u has 2^-32 granularity and thresholds are irrational
+      val ev = Tables.events(s, d)
+        .select(col("event_type"), col("event_id"),
+          expr("cast(round(value * 1000) as bigint)").as("vm"))
+      val point = ev.groupBy(col("event_type").as("et"))
+        .agg(count(lit(1)).as("n"),
+          round(sum("vm").cast("double") / count(lit(1))).cast("long")
+            .as("mean_milli"))
+      // one md5 yields four independent 32-bit words: 8 digests cover
+      // all 32 replicas (4x fewer hashes than one digest per replica);
+      // the 32x fan-out collapses map-side to the (type x 32) grid
+      // before the only shuffle. (A 64-buffer wide aggregate was tried
+      // and measured SLOWER: codegen does not share the digest across
+      // aggregate buffers, so it pays 64 md5 evaluations per row.)
+      val reps = ev
+        .select(col("event_type"), col("vm"),
+          explode(expr("sequence(0L, 7L)")).as("g"),
+          col("event_id"))
+        .withColumn("h", md5(concat_ws("_", col("event_id"), col("g"))))
+        .select(col("event_type"), col("vm"), col("g"), col("h"),
+          explode(expr("sequence(0L, 3L)")).as("j"))
+        .withColumn("b", col("g") * 4L + col("j"))
+        .withColumn("u",
+          conv(expr("substring(h, cast(j * 8 + 1 as int), 8)"), 16, 10)
+            .cast("long").cast("double") / 4294967296.0)
+        .withColumn("w",
+          when(col("u") < 0.36787944117144233, 0L)
+            .when(col("u") < 0.7357588823428847, 1L)
+            .when(col("u") < 0.9196986029286058, 2L)
+            .when(col("u") < 0.9810118431238462, 3L)
+            .when(col("u") < 0.9963401531726563, 4L)
+            .when(col("u") < 0.9994058151824183, 5L)
+            .when(col("u") < 0.9999167588507119, 6L)
+            .otherwise(7L))
+        .groupBy("event_type", "b")
+        .agg(sum("w").as("nb"), sum(col("w") * col("vm")).as("sb"))
+        .select(col("event_type"), col("b"),
+          round(col("sb").cast("double") / col("nb")).cast("long")
+            .as("m"))
+      reps.groupBy("event_type")
+        .agg(sum("m").as("sm"), sum(col("m") * col("m")).as("sm2"),
+          expr("percentile_cont(0.025) WITHIN GROUP (ORDER BY m)")
+            .as("lo_milli"),
+          expr("percentile_cont(0.975) WITHIN GROUP (ORDER BY m)")
+            .as("hi_milli"))
+        .join(broadcast(point), col("event_type") === col("et"))
+        .select(col("event_type"), col("n"),
+          r4(col("mean_milli") / 1000.0).as("mean_value"),
+          r4(sqrt((col("sm2") - col("sm") * col("sm") / 32.0) / 31.0)
+            / 1000.0).as("se_value"),
+          r4(col("lo_milli") / 1000.0).as("ci_lo"),
+          r4(col("hi_milli") / 1000.0).as("ci_hi"))
+        .orderBy("event_type")
+    },
+    Some("""WITH ev AS (
+           |  SELECT event_type, event_id,
+           |    CAST(round(value * 1000) AS BIGINT) AS vm
+           |  FROM events),
+           |point AS (
+           |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(round(CAST(sum(vm) AS DOUBLE) / count(*)) AS BIGINT)
+           |      AS mean_milli
+           |  FROM ev GROUP BY 1),
+           |reps AS (
+           |  SELECT event_type, b,
+           |    CAST(round(CAST(sum(w * vm) AS DOUBLE) / sum(w))
+           |      AS BIGINT) AS m
+           |  FROM (
+           |    SELECT event_type, vm, b,
+           |      CASE
+           |        WHEN u < 0.36787944117144233 THEN 0
+           |        WHEN u < 0.7357588823428847 THEN 1
+           |        WHEN u < 0.9196986029286058 THEN 2
+           |        WHEN u < 0.9810118431238462 THEN 3
+           |        WHEN u < 0.9963401531726563 THEN 4
+           |        WHEN u < 0.9994058151824183 THEN 5
+           |        WHEN u < 0.9999167588507119 THEN 6
+           |        ELSE 7 END AS w
+           |    FROM (
+           |      SELECT event_type, vm, g * 4 + j AS b,
+           |        ('0x' || substr(h, CAST(j * 8 + 1 AS INT), 8))::BIGINT
+           |          / 4294967296.0 AS u
+           |      FROM (
+           |        SELECT event_type, vm,
+           |          md5(CAST(event_id AS VARCHAR) || '_'
+           |            || CAST(g AS VARCHAR)) AS h, g
+           |        FROM ev CROSS JOIN (
+           |          SELECT unnest(range(0, 8)) AS g))
+           |      CROSS JOIN (SELECT unnest(range(0, 4)) AS j)))
+           |  GROUP BY 1, 2),
+           |stats AS (
+           |  SELECT event_type,
+           |    CAST(sum(m) AS BIGINT) AS sm,
+           |    CAST(sum(m * m) AS BIGINT) AS sm2,
+           |    quantile_cont(m, 0.025) AS lo_milli,
+           |    quantile_cont(m, 0.975) AS hi_milli
+           |  FROM reps GROUP BY 1)
+           |SELECT event_type, n,
+           |  round(mean_milli / 1000.0 * 10000) / 10000 AS mean_value,
+           |  round(sqrt((sm2 - sm * sm / 32.0) / 31.0) / 1000.0 * 10000)
+           |    / 10000 AS se_value,
+           |  round(lo_milli / 1000.0 * 10000) / 10000 AS ci_lo,
+           |  round(hi_milli / 1000.0 * 10000) / 10000 AS ci_hi
+           |FROM stats JOIN point USING (event_type)
+           |ORDER BY event_type""".stripMargin))
+
+  // --------------------------------------------------------------- q139
+  /** Piecewise-linear interpolation join: estimate each user's signal
+    * level at purchase time from their bracketing view samples — the
+    * sensor-alignment primitive (calibration lookup, price marking,
+    * telemetry resampling) that as-of joins only half-solve: backward
+    * as-of gives the stale last sample, interpolation splits the gap
+    * proportionally. q89's dual-window composition (backward-inclusive
+    * + forward-exclusive ignore-nulls windows over the unioned,
+    * tagged stream) yields both brackets in ONE shuffle on user_id —
+    * no join at all, the q97 merge-apply posture. Exact integer micros
+    * and milli-values feed one final float interpolation.
+    *
+    * A sample exactly at query time collapses both brackets to itself
+    * (the zero-gap guard); purchases missing either bracket stay out
+    * (inner semantics, matching the batch oracle). */
+  val q139InterpJoin = QueryDef(
+    "q139_interp_join",
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .filter(col("event_type").isin("view", "purchase"))
+        .select(col("user_id"), col("ts"), col("event_id"),
+          when(col("event_type") === "view", 1).otherwise(0).as("is_s"),
+          expr("cast(round(value * 1000) as bigint)").as("vm"))
+      val wb = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("is_s").desc, col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wf = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("is_s"), col("event_id"))
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+      val sUs = when(col("is_s") === 1, unix_micros(col("ts")))
+      val sVm = when(col("is_s") === 1, col("vm"))
+      ev
+        .withColumn("t0", last(sUs, ignoreNulls = true).over(wb))
+        .withColumn("v0", last(sVm, ignoreNulls = true).over(wb))
+        .withColumn("t1", first(sUs, ignoreNulls = true).over(wf))
+        .withColumn("v1", first(sVm, ignoreNulls = true).over(wf))
+        .filter(col("is_s") === 0 && col("t0").isNotNull &&
+          col("t1").isNotNull)
+        .withColumn("t", unix_micros(col("ts")))
+        .select(col("event_id"), col("user_id"),
+          (col("t") - col("t0")).as("back_us"),
+          (col("t1") - col("t")).as("fwd_us"),
+          r4(when(col("t1") === col("t0"), col("v0").cast("double"))
+            .otherwise(col("v0") +
+              (col("v1") - col("v0")).cast("double")
+                * (col("t") - col("t0")) / (col("t1") - col("t0")))
+            / 1000.0).as("interp_value"))
+        .orderBy("event_id")
+    },
+    Some("""WITH u AS (
+           |  SELECT user_id, ts, event_id,
+           |    CASE WHEN event_type = 'view' THEN 1 ELSE 0 END AS is_s,
+           |    CAST(round(value * 1000) AS BIGINT) AS vm
+           |  FROM events WHERE event_type IN ('view', 'purchase')),
+           |br AS (
+           |  SELECT *,
+           |    last_value(CASE WHEN is_s = 1 THEN epoch_us(ts) END
+           |      IGNORE NULLS) OVER wb AS t0,
+           |    last_value(CASE WHEN is_s = 1 THEN vm END IGNORE NULLS)
+           |      OVER wb AS v0,
+           |    first_value(CASE WHEN is_s = 1 THEN epoch_us(ts) END
+           |      IGNORE NULLS) OVER wf AS t1,
+           |    first_value(CASE WHEN is_s = 1 THEN vm END IGNORE NULLS)
+           |      OVER wf AS v1
+           |  FROM u
+           |  WINDOW wb AS (PARTITION BY user_id
+           |    ORDER BY ts, is_s DESC, event_id
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+           |  wf AS (PARTITION BY user_id ORDER BY ts, is_s, event_id
+           |    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+           |SELECT event_id, user_id,
+           |  CAST(epoch_us(ts) - t0 AS BIGINT) AS back_us,
+           |  CAST(t1 - epoch_us(ts) AS BIGINT) AS fwd_us,
+           |  round((CASE WHEN t1 = t0 THEN CAST(v0 AS DOUBLE)
+           |    ELSE v0 + CAST(v1 - v0 AS DOUBLE)
+           |      * (epoch_us(ts) - t0) / (t1 - t0) END) / 1000.0
+           |    * 10000) / 10000 AS interp_value
+           |FROM br
+           |WHERE is_s = 0 AND t0 IS NOT NULL AND t1 IS NOT NULL
+           |ORDER BY event_id""".stripMargin))
+
+  // --------------------------------------------------------------- q140
+  /** CUPED variance reduction for the A/B readout (q106's family): use
+    * each user's PRE-period activity as a control covariate so the
+    * experiment needs fewer users for the same power. Users split into
+    * md5 arms (q106's convention); x = the user's exact milli-value sum
+    * in the first timeline half, y = in the second; θ = cov(x,y)/var(x)
+    * comes from POOLED sufficient statistics, and the adjusted metric
+    * ŷ = y − θ·(x − x̄) shrinks every arm's variance by the squared
+    * correlation. Per-user products fit in BIGINT; their corpus sums
+    * move as decimal(38,0) ↔ HUGEINT (the q132 convention), so every
+    * input to the final float algebra is exact.
+    *
+    * Scale shape: one hash-agg to the user grid (conditional pre/post
+    * sums), one agg to the 2-row arm grid carrying six sufficient
+    * statistics, pooled scalars broadcast back. No window, no second
+    * scan of raw events. */
+  val q140CupedLift = QueryDef(
+    "q140_cuped_lift",
+    (s, d) => {
+      val span = Tables.events(s, d)
+        .select(expr(s"unix_micros(ts) div ${DayUs}L").as("day"))
+        .agg(min("day").as("d0"), max("day").as("d1"))
+      val per = Tables.events(s, d)
+        .select(col("user_id"),
+          expr(s"unix_micros(ts) div ${DayUs}L").as("day"),
+          expr("cast(round(value * 1000) as bigint)").as("vm"))
+        .crossJoin(broadcast(span))
+        .withColumn("pre", col("day") < expr("(d0 + d1 + 1) div 2"))
+        .groupBy("user_id")
+        .agg(sum(when(col("pre"), col("vm")).otherwise(0L)).as("x"),
+          sum(when(col("pre"), 0L).otherwise(col("vm"))).as("y"))
+        .withColumn("arm",
+          (conv(substring(md5(col("user_id").cast("string")), 1, 8),
+            16, 10).cast("long") % 2L).cast("int"))
+      val armStats = per.groupBy("arm")
+        .agg(count(lit(1)).as("n"),
+          sum(col("x").cast("decimal(38,0)")).as("sx"),
+          sum(col("y").cast("decimal(38,0)")).as("sy"),
+          sum((col("x") * col("y")).cast("decimal(38,0)")).as("sxy"),
+          sum((col("x") * col("x")).cast("decimal(38,0)")).as("sxx"),
+          sum((col("y") * col("y")).cast("decimal(38,0)")).as("syy"))
+      val pooled = armStats.agg(
+        sum("n").as("np"), sum("sx").as("sxp"), sum("sy").as("syp"),
+        sum("sxy").as("sxyp"), sum("sxx").as("sxxp"),
+        sum("syy").as("syyp"))
+        .select(col("np"),
+          (col("sxp").cast("double") / col("np")).as("xbar"),
+          ((col("sxyp").cast("double")
+            - col("sxp").cast("double") * col("syp").cast("double")
+              / col("np"))
+            / (col("sxxp").cast("double")
+              - col("sxp").cast("double") * col("sxp").cast("double")
+                / col("np"))).as("theta"),
+          ((col("sxxp").cast("double")
+            - col("sxp").cast("double") * col("sxp").cast("double")
+              / col("np")) / col("np")).as("var_x"),
+          ((col("syyp").cast("double")
+            - col("syp").cast("double") * col("syp").cast("double")
+              / col("np")) / col("np")).as("var_y"))
+      armStats.crossJoin(broadcast(pooled))
+        .withColumn("mean_x", col("sx").cast("double") / col("n"))
+        .withColumn("mean_y", col("sy").cast("double") / col("n"))
+        .select(col("arm"), col("n"),
+          r4(col("mean_x") / 1000.0).as("mean_pre"),
+          r4(col("mean_y") / 1000.0).as("mean_post"),
+          r4((col("mean_y") - col("theta")
+            * (col("mean_x") - col("xbar"))) / 1000.0).as("mean_adj"),
+          r6(col("theta")).as("theta"),
+          r6(col("theta") * col("theta") * col("var_x") / col("var_y"))
+            .as("var_reduction"))
+        .orderBy("arm")
+    },
+    Some(s"""WITH span AS (
+           |  SELECT min(epoch_us(ts) // ${DayUs}) AS d0,
+           |    max(epoch_us(ts) // ${DayUs}) AS d1
+           |  FROM events),
+           |per AS (
+           |  SELECT user_id,
+           |    CAST(sum(CASE WHEN epoch_us(ts) // ${DayUs}
+           |        < (d0 + d1 + 1) // 2
+           |      THEN CAST(round(value * 1000) AS BIGINT) ELSE 0 END)
+           |      AS BIGINT) AS x,
+           |    CAST(sum(CASE WHEN epoch_us(ts) // ${DayUs}
+           |        < (d0 + d1 + 1) // 2
+           |      THEN 0 ELSE CAST(round(value * 1000) AS BIGINT) END)
+           |      AS BIGINT) AS y
+           |  FROM events CROSS JOIN span GROUP BY 1),
+           |armed AS (
+           |  SELECT *, CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+           |    1, 8))::BIGINT % 2 AS INT) AS arm
+           |  FROM per),
+           |a AS (
+           |  SELECT arm, CAST(count(*) AS BIGINT) AS n,
+           |    sum(CAST(x AS HUGEINT)) AS sx,
+           |    sum(CAST(y AS HUGEINT)) AS sy,
+           |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+           |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+           |    sum(CAST(y AS HUGEINT) * y) AS syy
+           |  FROM armed GROUP BY 1),
+           |p AS (
+           |  SELECT CAST(sum(n) AS BIGINT) AS np,
+           |    CAST(sum(sx) AS DOUBLE) / sum(n) AS xbar,
+           |    (CAST(sum(sxy) AS DOUBLE)
+           |      - CAST(sum(sx) AS DOUBLE) * CAST(sum(sy) AS DOUBLE)
+           |        / sum(n))
+           |    / (CAST(sum(sxx) AS DOUBLE)
+           |      - CAST(sum(sx) AS DOUBLE) * CAST(sum(sx) AS DOUBLE)
+           |        / sum(n)) AS theta,
+           |    (CAST(sum(sxx) AS DOUBLE)
+           |      - CAST(sum(sx) AS DOUBLE) * CAST(sum(sx) AS DOUBLE)
+           |        / sum(n)) / sum(n) AS var_x,
+           |    (CAST(sum(syy) AS DOUBLE)
+           |      - CAST(sum(sy) AS DOUBLE) * CAST(sum(sy) AS DOUBLE)
+           |        / sum(n)) / sum(n) AS var_y
+           |  FROM a)
+           |SELECT arm, n,
+           |  round(CAST(sx AS DOUBLE) / n / 1000.0 * 10000) / 10000
+           |    AS mean_pre,
+           |  round(CAST(sy AS DOUBLE) / n / 1000.0 * 10000) / 10000
+           |    AS mean_post,
+           |  round((CAST(sy AS DOUBLE) / n - theta
+           |    * (CAST(sx AS DOUBLE) / n - xbar)) / 1000.0 * 10000)
+           |    / 10000 AS mean_adj,
+           |  round(theta * 1000000) / 1000000 AS theta,
+           |  round(theta * theta * var_x / var_y * 1000000) / 1000000
+           |    AS var_reduction
+           |FROM a CROSS JOIN p ORDER BY arm""".stripMargin))
+
+  val all: Seq[QueryDef] =
+    Seq(q137PsiDrift, q138BootstrapCi, q139InterpJoin, q140CupedLift)
+}

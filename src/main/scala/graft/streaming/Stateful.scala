@@ -1438,6 +1438,65 @@ object Stateful {
       }
   }
 
+  /** One (event_type, value-bin) drift cell (q137's `grid` table). */
+  final case class PsiCell(event_type: String, bin: Long, train_n: Long,
+      serve_n: Long)
+  final case class PsiState(trainN: Long, serveN: Long, done: Boolean)
+
+  /** Streaming twin of q137's histogram pass — the LIVE drift monitor:
+    * the model-serving stack wants PSI against the training snapshot
+    * continuously, not at retrain time. Keyed by (event_type, bin) —
+    * state is two commutative counters per cell, bounded by the
+    * types × 10-bin GRID (a catalog constant), the smallest state shape
+    * in the twin roster beside returnRateStream's brand grid. The
+    * train/serve boundary (d0, d1 timeline span) arrives as ingest
+    * catalog parameters (the q90/q104 convention — the batch query
+    * reads the same span from its single-column scan). Cells emit once
+    * when the watermark passes the timeline end, and the smoothed
+    * ln-contribution report runs over the emitted grid via
+    * operators.Statistics.q137Finish — identical code to batch.
+    *
+    * Input: the standard event columns (event_type, ts, value). */
+  def psiStream(df: DataFrame, d0: Long, d1: Long,
+      slack: String = "2 hours"): Dataset[PsiCell] = {
+    import org.apache.spark.sql.Encoders
+    implicit val stEnc: Encoder[PsiState] = Encoders.product[PsiState]
+    implicit val outEnc: Encoder[PsiCell] = Encoders.product[PsiCell]
+    implicit val keyEnc: Encoder[(String, Long)] =
+      Encoders.tuple(Encoders.STRING, Encoders.scalaLong)
+    implicit val rowEnc: Encoder[(String, java.sql.Timestamp, Long)] =
+      Encoders.tuple(Encoders.STRING, Encoders.TIMESTAMP,
+        Encoders.scalaLong)
+    val DayUs = 86400000000L
+    val mid = (d0 + d1 + 1) / 2
+    val ds = df.withWatermark("ts", slack)
+      .select(col("event_type"), col("ts"),
+        least(expr("cast(round(value * 1000) as bigint) div 50000"),
+          lit(9L)).as("bin"))
+      .as[(String, java.sql.Timestamp, Long)]
+    ds.groupByKey(r => (r._1, r._3))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (key: (String, Long),
+            rows: Iterator[(String, java.sql.Timestamp, Long)],
+            state: GroupState[PsiState]) =>
+          val st0 = state.getOption.getOrElse(PsiState(0L, 0L, false))
+          var tn = st0.trainN; var sn = st0.serveN
+          rows.foreach { r =>
+            if (microsOf(r._2) / DayUs < mid) tn += 1L else sn += 1L
+          }
+          val wm = state.getCurrentWatermarkMs()
+          if (!st0.done && wm > d1 * 86400000L + 1L) {
+            state.update(PsiState(tn, sn, true))
+            Iterator.single(PsiCell(key._1, key._2, tn, sn))
+          } else {
+            state.update(PsiState(tn, sn, st0.done))
+            if (!st0.done) state.setTimeoutTimestamp(wm + 1L)
+            Iterator.empty
+          }
+      }
+  }
+
   /** One closed order's SLA observation (q131's `j` table). */
   final case class SlaGap(o_orderpriority: String, gap_days: Long)
   final case class SlaState(openUs: Long, priority: String,

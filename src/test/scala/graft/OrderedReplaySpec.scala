@@ -1029,6 +1029,31 @@ class OrderedReplaySpec extends SparkSpec {
         s"batch-only: ${batch.toSet.diff(streamed.toSet).take(3)}")
   }
 
+  test("streaming PSI drift: per-(type,bin) counters == batch q137") {
+    val s = spark
+    val span = Tables.events(s, sf)
+      .select(expr("unix_micros(ts) div 86400000000L").as("day"))
+      .agg(min("day").as("d0"), max("day").as("d1")).head
+    val (d0, d1) = (span.getLong(0), span.getLong(1))
+    val out = runStream("ooo_psi")(df => Stateful.psiStream(df, d0, d1))
+    // re-materialize locally: q137Finish self-joins grid branches, and a
+    // memory-table view would carry conflicting attribute ids
+    import s.implicits._
+    val cells = out.filter("event_type != 'zz_sentinel'").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(cells.nonEmpty)
+    val grid = cells.toSeq
+      .toDF("event_type", "bin", "train_n", "serve_n")
+    val streamed = operators.Statistics.q137Finish(grid).collect()
+      .map(_.toString).toSeq
+    val batch = SparkEntry.queries("q137_psi_drift")(s, sf).collect()
+      .map(_.toString).toSeq
+    // identical report code over identical integer counters ⇒ bit-for-bit
+    assert(streamed == batch,
+      s"stream-only: ${streamed.toSet.diff(batch.toSet).take(3)}; " +
+        s"batch-only: ${batch.toSet.diff(streamed.toSet).take(3)}")
+  }
+
   test("streaming SLA attainment: per-order gap state == batch q131") {
     val s = spark
     import s.implicits._

@@ -132,4 +132,18 @@ class ScaleInvarianceSpec extends SparkSpec {
   test("q136 return rates invariant to partition count") {
     invariant("q136_return_rates", sf001)
   }
+
+  // round-7 statistics battery: fixed-point PSI, deterministic window
+  // interpolation, decimal sufficient-statistics CUPED
+  test("q137 PSI contributions invariant to partition count") {
+    invariant("q137_psi_drift", sf001)
+  }
+
+  test("q139 interpolation join invariant to partition count") {
+    invariant("q139_interp_join", sf001)
+  }
+
+  test("q140 CUPED readout invariant to partition count") {
+    invariant("q140_cuped_lift", sf001)
+  }
 }
