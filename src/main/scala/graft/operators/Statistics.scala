@@ -452,6 +452,64 @@ object Statistics {
            |    AS var_reduction
            |FROM a CROSS JOIN p ORDER BY arm""".stripMargin))
 
+  // --------------------------------------------------------------- q141
+  /** Ranking-family window battery over the per-type daily series —
+    * the distribution functions (percent_rank, cume_dist, ntile,
+    * nth_value, first/last over the full frame) the rest of the query
+    * surface never needed in one place, closing the window-function
+    * category: which days carry each event type's volume, where each
+    * day sits in the type's distribution, and its volume quartile.
+    *
+    * Scale shape: the corpus collapses first to the (type × day)
+    * calendar grid in ONE map-side-combined hash-agg; every window
+    * then runs over a calendar-bounded partition with a total
+    * (n DESC, day) order — deterministic ranks, no raw row ever
+    * reaches a window. Explicit full-frame bounds on the value
+    * functions keep both engines on the same frame. */
+  val q141RankBattery = QueryDef(
+    "q141_rank_battery",
+    (s, d) => {
+      val grid = Tables.events(s, d)
+        .select(col("event_type"),
+          expr(s"unix_micros(ts) div ${DayUs}L").as("day"))
+        .groupBy("event_type", "day").agg(count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("n").desc, col("day"))
+      val wf = w.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      grid
+        .select(col("event_type"), col("day"), col("n"),
+          rank().over(w).as("rnk"),
+          dense_rank().over(w).as("drnk"),
+          r6(percent_rank().over(w)).as("prank"),
+          r6(cume_dist().over(w)).as("cdist"),
+          ntile(4).over(w).as("quartile"),
+          nth_value(col("day"), 2).over(wf).as("second_day"),
+          first(col("n")).over(wf).as("peak_n"),
+          last(col("n")).over(wf).as("low_n"))
+        .orderBy("event_type", "rnk")
+    },
+    Some(s"""WITH grid AS (
+           |  SELECT event_type, epoch_us(ts) // ${DayUs} AS day,
+           |    CAST(count(*) AS BIGINT) AS n
+           |  FROM events GROUP BY 1, 2)
+           |SELECT event_type, day, n,
+           |  CAST(rank() OVER w AS INT) AS rnk,
+           |  CAST(dense_rank() OVER w AS INT) AS drnk,
+           |  round(percent_rank() OVER w * 1000000) / 1000000 AS prank,
+           |  round(cume_dist() OVER w * 1000000) / 1000000 AS cdist,
+           |  CAST(ntile(4) OVER w AS INT) AS quartile,
+           |  nth_value(day, 2) OVER wf AS second_day,
+           |  first_value(n) OVER wf AS peak_n,
+           |  last_value(n) OVER wf AS low_n
+           |FROM grid
+           |WINDOW w AS (PARTITION BY event_type ORDER BY n DESC, day),
+           |  wf AS (PARTITION BY event_type ORDER BY n DESC, day
+           |    ROWS BETWEEN UNBOUNDED PRECEDING
+           |    AND UNBOUNDED FOLLOWING)
+           |ORDER BY event_type, rnk""".stripMargin))
+
   val all: Seq[QueryDef] =
-    Seq(q137PsiDrift, q138BootstrapCi, q139InterpJoin, q140CupedLift)
+    Seq(q137PsiDrift, q138BootstrapCi, q139InterpJoin, q140CupedLift,
+      q141RankBattery)
 }

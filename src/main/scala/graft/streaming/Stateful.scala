@@ -2,7 +2,9 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset, Encoder}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
+  GroupStateTimeout, MapState, OutputMode, StatefulProcessor, TimeMode,
+  TimerValues, TTLConfig}
 
 /** Stateful streaming operators (SURVEY.md §2.2 streaming row): event-time
   * windows, watermarked dedup, session windows, custom state machines.
@@ -1436,6 +1438,83 @@ object Stateful {
             Iterator.empty
           }
       }
+  }
+
+  /** One closed day of the transformWithState daily-mean twin. */
+  final case class TwsDay(event_type: String, day: Long, mi: Long)
+
+  /** q104Daily's (type, day, exact-milli mean) table on Spark 4's
+    * `transformWithState` — the arbitrary-state successor to
+    * flatMapGroupsWithState. The capability on display is MULTIPLE
+    * LIVE EVENT-TIME TIMERS PER KEY: each day bucket registers its own
+    * timer at the day's exclusive end, `MapState[day → (n, Σmilli)]`
+    * absorbs rows commutatively in any arrival order, and
+    * `handleExpiredTimer` emits a day exactly when the watermark
+    * crosses it — no reorder buffer, no replay-crossover bookkeeping.
+    * fMGWS offers ONE timeout per key, which is precisely why the
+    * orderedPerKeyBy harness (cusumStream et al.) had to buffer and
+    * replay to close buckets; for commutative-per-bucket shapes this
+    * API retires that machinery. State is bounded by open days per
+    * type (≤ slack horizon / day) and removed on emission.
+    * transformWithState requires the RocksDB state store provider —
+    * the production backend the repo already pins. */
+  class DailyMeanProcessor
+      extends StatefulProcessor[String, Ev, TwsDay] {
+    import org.apache.spark.sql.Encoders
+    @transient private var cells: MapState[Long, (Long, Long)] = _
+
+    private def milliOf(v: Double): Long =
+      java.math.BigDecimal.valueOf(v * 1000)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+    private def roundDiv(s: Long, n: Long): Long =
+      java.math.BigDecimal.valueOf(s.toDouble / n)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      cells = getHandle.getMapState[Long, (Long, Long)]("cells",
+        Encoders.scalaLong,
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong),
+        TTLConfig.NONE)
+
+    override def handleInputRows(key: String, rows: Iterator[Ev],
+        timerValues: TimerValues): Iterator[TwsDay] = {
+      val DayUs = 86400000000L
+      rows.foreach { e =>
+        val day = Math.floorDiv(microsOf(e._2), DayUs)
+        val cur =
+          if (cells.containsKey(day)) cells.getValue(day) else (0L, 0L)
+        cells.updateValue(day, (cur._1 + 1L, cur._2 + milliOf(e._5)))
+        getHandle.registerTimer((day + 1L) * 86400000L)
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: String, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[TwsDay] = {
+      val day = expiredTimerInfo.getExpiryTimeInMs / 86400000L - 1L
+      if (cells.containsKey(day)) {
+        val (n, sum) = cells.getValue(day)
+        cells.removeKey(day)
+        Iterator.single(TwsDay(key, day, roundDiv(sum, n)))
+      } else Iterator.empty
+    }
+  }
+
+  /** The transformWithState daily-mean twin (see DailyMeanProcessor).
+    * Input: the standard event columns. */
+  def dailyMeansTws(df: DataFrame, slack: String = "2 hours")
+      : Dataset[TwsDay] = {
+    import org.apache.spark.sql.Encoders
+    implicit val outEnc: Encoder[TwsDay] = Encoders.product[TwsDay]
+    implicit val keyEnc: Encoder[String] = Encoders.STRING
+    implicit val evEnc: Encoder[Ev] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.TIMESTAMP,
+        Encoders.scalaLong, Encoders.STRING, Encoders.scalaDouble)
+    val ds = df.withWatermark("ts", slack)
+      .select("user_id", "ts", "event_id", "event_type", "value").as[Ev]
+    ds.groupByKey(_._4)
+      .transformWithState(new DailyMeanProcessor, TimeMode.EventTime(),
+        OutputMode.Append())
   }
 
   /** One (event_type, value-bin) drift cell (q137's `grid` table). */

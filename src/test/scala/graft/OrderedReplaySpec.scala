@@ -1029,6 +1029,32 @@ class OrderedReplaySpec extends SparkSpec {
         s"batch-only: ${batch.toSet.diff(streamed.toSet).take(3)}")
   }
 
+  test("transformWithState daily means: per-day timers == batch q104 daily") {
+    val s = spark
+    // the state-v2 API requires the RocksDB provider (the production
+    // backend the repo pins anyway)
+    val prev = s.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val out = runStream("tws_daily")(df => Stateful.dailyMeansTws(df))
+      val streamed = out.filter("event_type != 'zz_sentinel'").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = operators.Temporal.q104Daily(s, sf).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed.nonEmpty)
+      // commutative MapState + per-day timers == the batch daily grid,
+      // despite the shuffled-within-slack arrival order
+      assert(streamed == batch,
+        s"stream-only: ${streamed.diff(batch).take(3)}; " +
+          s"batch-only: ${batch.diff(streamed).take(3)}")
+    } finally {
+      if (prev.isEmpty)
+        s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      else s.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    }
+  }
+
   test("streaming PSI drift: per-(type,bin) counters == batch q137") {
     val s = spark
     val span = Tables.events(s, sf)
