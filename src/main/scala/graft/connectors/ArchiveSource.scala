@@ -3,7 +3,8 @@ package graft.connectors
 import java.util
 
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThanOrEqual, LessThan}
@@ -64,56 +65,10 @@ object ArchiveSource {
     * m, so this equals the plain formula everywhere the plain formula
     * doesn't wrap, and matches a DuckDB generate_series replay (which
     * widens to HUGEINT instead of wrapping) at every id. */
-  def userOf(id: Long): Long = ((id % 997L) * (2654435761L % 997L)) % 997L
-  def typeIdxOf(id: Long): Int = (((id % 5L) * (40503L % 5L)) % 5L).toInt
-  def valueMilliOf(id: Long): Long =
-    ((id % 1000000L) * (48271L % 1000000L)) % 1000000L
-  def dayOf(id: Long): Long = id % 365L
-}
-
-class ArchiveTable(rows: Long, parts: Int) extends Table
-    with SupportsRead {
-  override def name(): String = s"archive($rows)"
-  override def schema(): StructType = ArchiveSource.schema
-  override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
-  override def newScanBuilder(options: CaseInsensitiveStringMap)
-      : ScanBuilder = new ArchiveScanBuilder(rows, parts)
-}
-
-class ArchiveScanBuilder(rows: Long, parts: Int) extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
-  private var pushed: Array[Filter] = Array.empty
-  private var required: StructType = ArchiveSource.schema
-
-  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    val (accepted, rejected) = filters.partition {
-      case EqualTo("event_type", _: String) => true
-      case GreaterThanOrEqual("event_id", _) => true
-      case LessThan("event_id", _) => true
-      case _ => false
-    }
-    pushed = accepted
-    rejected // Spark re-applies these post-scan
-  }
-  override def pushedFilters(): Array[Filter] = pushed
-  override def pruneColumns(requiredSchema: StructType): Unit =
-    required = requiredSchema
-  override def build(): Scan = new ArchiveScan(rows, parts, pushed, required)
-}
-
-final case class ArchiveRangePartition(start: Long, end: Long)
-  extends InputPartition
-
-class ArchiveScan(rows: Long, parts: Int, pushed: Array[Filter],
-    required: StructType) extends Scan with Batch {
-  override def readSchema(): StructType = required
-  override def toBatch: Batch = this
-  override def description(): String =
-    s"ArchiveScan pushed=[${pushed.mkString(", ")}]"
-
-  override def planInputPartitions(): Array[InputPartition] = {
-    // partition pruning: id-range predicates shrink the split set
+  /** Id-range split planning shared by the row scan and the aggregate
+    * scan: range predicates prune whole splits before any reader runs. */
+  private[connectors] def prunedRanges(rows: Long, parts: Int,
+      pushed: Array[Filter]): Array[ArchiveRangePartition] = {
     var lo = 0L
     var hi = rows
     pushed.foreach {
@@ -134,8 +89,170 @@ class ArchiveScan(rows: Long, parts: Int, pushed: Array[Filter],
     }.toArray
   }
 
+  def userOf(id: Long): Long = ((id % 997L) * (2654435761L % 997L)) % 997L
+  def typeIdxOf(id: Long): Int = (((id % 5L) * (40503L % 5L)) % 5L).toInt
+  def valueMilliOf(id: Long): Long =
+    ((id % 1000000L) * (48271L % 1000000L)) % 1000000L
+  def dayOf(id: Long): Long = id % 365L
+}
+
+class ArchiveTable(rows: Long, parts: Int) extends Table
+    with SupportsRead {
+  override def name(): String = s"archive($rows)"
+  override def schema(): StructType = ArchiveSource.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap)
+      : ScanBuilder = new ArchiveScanBuilder(rows, parts)
+}
+
+class ArchiveScanBuilder(rows: Long, parts: Int) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownAggregates {
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = ArchiveSource.schema
+  private var aggTokens: Seq[String] = Nil
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rejected) = filters.partition {
+      case EqualTo("event_type", _: String) => true
+      case GreaterThanOrEqual("event_id", _) => true
+      case LessThan("event_id", _) => true
+      case _ => false
+    }
+    pushed = accepted
+    rejected // Spark re-applies these post-scan
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  /** Aggregate pushdown (PARTIAL: Spark still merges per-split rows):
+    * global COUNT(*) / MIN(event_id) / MAX(event_id) are answered from
+    * the row formula's modular arithmetic in O(1) per split — the scan
+    * never materializes a row. The archival-store analog of answering
+    * COUNT from parquet footer statistics. */
+  private def fieldOf(e: org.apache.spark.sql.connector.expressions.Expression)
+      : Option[String] = e match {
+    case nr: NamedReference => Some(nr.fieldNames().mkString("."))
+    case _ => None
+  }
+  override def supportCompletePushDown(agg: Aggregation): Boolean = false
+  override def pushAggregation(agg: Aggregation): Boolean = {
+    if (agg.groupByExpressions().nonEmpty) return false
+    val toks = agg.aggregateExpressions().toSeq.map {
+      case _: CountStar => Some("count")
+      case m: Min if fieldOf(m.column()).contains("event_id") =>
+        Some("min_id")
+      case m: Max if fieldOf(m.column()).contains("event_id") =>
+        Some("max_id")
+      case _ => None
+    }
+    if (toks.exists(_.isEmpty)) false
+    else { aggTokens = toks.flatten; true }
+  }
+
+  override def build(): Scan =
+    if (aggTokens.nonEmpty)
+      new ArchiveAggScan(rows, parts, pushed, aggTokens)
+    else new ArchiveScan(rows, parts, pushed, required)
+}
+
+final case class ArchiveRangePartition(start: Long, end: Long)
+  extends InputPartition
+
+class ArchiveScan(rows: Long, parts: Int, pushed: Array[Filter],
+    required: StructType) extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"ArchiveScan pushed=[${pushed.mkString(", ")}]"
+
+  override def planInputPartitions(): Array[InputPartition] =
+    ArchiveSource.prunedRanges(rows, parts, pushed)
+      .map(identity[InputPartition])
+
   override def createReaderFactory(): PartitionReaderFactory =
     new ArchiveReaderFactory(pushed, required)
+}
+
+/** Aggregate-pushdown scan: one pre-aggregated row per surviving split,
+  * computed from the row formula's modular arithmetic — no row is ever
+  * materialized. Spark merges the per-split partials (partial
+  * pushdown), so correctness composes with any split count. */
+class ArchiveAggScan(rows: Long, parts: Int, pushed: Array[Filter],
+    aggTokens: Seq[String]) extends Scan with Batch {
+  override def readSchema(): StructType =
+    StructType(aggTokens.zipWithIndex.map { case (t, i) =>
+      StructField(s"agg_$i" + "_" + t, LongType, nullable = true)
+    })
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"ArchiveAggScan pushedAgg=[${aggTokens.mkString(", ")}] " +
+      s"pushed=[${pushed.mkString(", ")}]"
+  override def planInputPartitions(): Array[InputPartition] =
+    ArchiveSource.prunedRanges(rows, parts, pushed)
+      .map(identity[InputPartition])
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ArchiveAggReaderFactory(pushed, aggTokens)
+}
+
+class ArchiveAggReaderFactory(pushed: Array[Filter],
+    aggTokens: Seq[String]) extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[ArchiveRangePartition]
+    new ArchiveAggPartitionReader(p.start, p.end, pushed, aggTokens)
+  }
+}
+
+/** O(1) per-split aggregate answers. With a type filter, matching ids
+  * form one residue class mod 5 (typeIdxOf is a bijection on residues:
+  * idx = (r*3) mod 5 ⇔ r = (idx*2) mod 5, 2 being 3⁻¹ mod 5), so
+  * count/min/max over [start, end) reduce to arithmetic on the class. */
+class ArchiveAggPartitionReader(start: Long, end: Long,
+    pushed: Array[Filter], aggTokens: Seq[String])
+    extends PartitionReader[InternalRow] {
+  private var done = false
+
+  private val residue: Option[Long] = pushed.collectFirst {
+    case EqualTo("event_type", v: String) => v
+  }.map { t =>
+    val idx = ArchiveSource.types.indexOf(t)
+    if (idx < 0) -1L else (idx.toLong * 2L) % 5L
+  }
+
+  // ids <= n in the residue class r (mod 5); n < r means none
+  private def countLe(n: Long, r: Long): Long =
+    if (n < r) 0L else (n - r) / 5L + 1L
+
+  private def row(): InternalRow = {
+    val (cnt, minId, maxId): (Long, Option[Long], Option[Long]) =
+      residue match {
+        case Some(-1L) => (0L, None, None) // unknown type: no rows
+        case Some(r) =>
+          val c = countLe(end - 1, r) - countLe(start - 1, r)
+          if (c == 0L) (0L, None, None)
+          else {
+            val lo = start + ((r - start) % 5L + 5L) % 5L
+            val hi = (end - 1) - (((end - 1) - r) % 5L + 5L) % 5L
+            (c, Some(lo), Some(hi))
+          }
+        case None =>
+          if (end > start) (end - start, Some(start), Some(end - 1))
+          else (0L, None, None)
+      }
+    InternalRow.fromSeq(aggTokens.map {
+      case "count" => cnt
+      case "min_id" => minId.map(Long.box).orNull
+      case "max_id" => maxId.map(Long.box).orNull
+    })
+  }
+
+  override def next(): Boolean =
+    if (done) false else { done = true; true }
+  override def get(): InternalRow = row()
+  override def close(): Unit = ()
 }
 
 class ArchiveReaderFactory(pushed: Array[Filter], required: StructType)

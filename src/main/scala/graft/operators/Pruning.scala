@@ -89,5 +89,38 @@ object Pruning {
            |FROM rows_ WHERE event_type = 'click'
            |GROUP BY day ORDER BY day""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(q49BloomPruneJoin, q125ArchivePushdown)
+  // --------------------------------------------------------------- q142
+  /** Aggregate pushdown through the custom DSv2 source: global
+    * COUNT(*) / MIN / MAX over a filtered id range are answered by the
+    * scan itself from the row formula's modular arithmetic — O(1) per
+    * split, NO ROW EVER MATERIALIZED (the archival analog of answering
+    * COUNT from parquet footer stats). Partial pushdown: each split
+    * returns one pre-aggregated row and Spark merges, so the result is
+    * split-count-independent. ExtensionsSpec pins ArchiveAggScan in
+    * the plan; the DuckDB oracle replays the formula with
+    * generate_series — the whole pushdown path is oracle-matched. */
+  val q142ArchiveAggPushdown = QueryDef(
+    "q142_archive_agg_pushdown",
+    (s, _) => {
+      import org.apache.spark.sql.functions._
+      s.read.format("graft.connectors.ArchiveSource").load()
+        .filter(col("event_type") === "view" &&
+          col("event_id") >= 5000L && col("event_id") < 95000L)
+        .agg(count(lit(1)).as("n_rows"),
+          min("event_id").as("min_id"),
+          max("event_id").as("max_id"))
+    },
+    Some("""WITH ids AS (
+           |  SELECT g AS id FROM generate_series(5000, 94999) t(g)),
+           |rows_ AS (
+           |  SELECT id,
+           |    ['click','view','purchase','signup','error']
+           |      [CAST((id * 40503) % 5 AS INT) + 1] AS event_type
+           |  FROM ids)
+           |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           |  min(id) AS min_id, max(id) AS max_id
+           |FROM rows_ WHERE event_type = 'view'""".stripMargin))
+
+  val all: Seq[QueryDef] =
+    Seq(q49BloomPruneJoin, q125ArchivePushdown, q142ArchiveAggPushdown)
 }

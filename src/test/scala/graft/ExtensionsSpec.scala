@@ -118,4 +118,30 @@ class ExtensionsSpec extends SparkSpec {
     // column pruning reaches the reader's projection
     assert(filtered.columns.sameElements(Array("day")))
   }
+
+  test("archive DSv2: global count/min/max push into the aggregate scan") {
+    val s = spark
+    val agg = SparkEntry.queries("q142_archive_agg_pushdown")(s, "")
+    val p = agg.queryExecution.executedPlan.toString
+    assert(p.contains("ArchiveAggScan pushedAgg=[count, min_id, max_id]"),
+      s"aggregates not pushed:\n${p.take(800)}")
+    // partial pushdown: Spark must still merge the per-split rows
+    assert(p.contains("sum(") || p.contains("partial_sum"),
+      "merge-side sum over split counts missing")
+    // answered by modular arithmetic, verified against the ROW path
+    // (a plain projection scan cannot trigger aggregate pushdown)
+    val r = agg.head
+    val ids = s.read.format("graft.connectors.ArchiveSource").load()
+      .filter(col("event_type") === "view" &&
+        col("event_id") >= 5000L && col("event_id") < 95000L)
+      .select("event_id").collect().map(_.getLong(0))
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) ==
+      (ids.length.toLong, ids.min, ids.max))
+    // a grouped aggregate must NOT push (source only handles global)
+    val grouped = s.read.format("graft.connectors.ArchiveSource").load()
+      .groupBy("event_type").count()
+    assert(!grouped.queryExecution.executedPlan.toString
+      .contains("ArchiveAggScan"), "grouped agg should fall back")
+    assert(grouped.count() == 5L)
+  }
 }

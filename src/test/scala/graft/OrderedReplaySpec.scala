@@ -952,6 +952,71 @@ class OrderedReplaySpec extends SparkSpec {
         s"${batch.toSet.diff(streamed.toSet).take(3)}")
   }
 
+  test("transformWithState survives a checkpoint restart mid-stream") {
+    // the state-v2 recovery shape: MapState cells AND registered
+    // event-time timers must both round-trip the RocksDB store — a
+    // restart that loses a day's timer would leave that bucket open
+    // (absent) rather than wrong, so parity catches it
+    val s = spark
+    import s.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+
+    val prev = s.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val (shuffled, sentinelTs) = shuffledEvents()
+      val ck = tmpDir("tws_restart_ck")
+      val got = new java.util.concurrent.ConcurrentHashMap[
+        (String, Long), Long]()
+      val input = MemoryStream[Stateful.Ev]
+      def start() =
+        Stateful.dailyMeansTws(
+            input.toDS().toDF("user_id", "ts", "event_id", "event_type",
+              "value"))
+          .writeStream
+          .foreachBatch {
+            (ds: org.apache.spark.sql.Dataset[Stateful.TwsDay],
+                _: Long) =>
+              ds.collect().foreach(r =>
+                got.put((r.event_type, r.day), r.mi))
+          }
+          .option("checkpointLocation", ck)
+          .trigger(Trigger.ProcessingTime(50)).start()
+
+      val q1 = start()
+      val half = shuffled.length / 2
+      input.addData(shuffled.slice(0, half).toSeq)
+      q1.processAllAvailable()
+      q1.stop()
+
+      val q2 = start()
+      input.addData(shuffled.drop(half).toSeq)
+      q2.processAllAvailable()
+      input.addData((-1L, sentinelTs, -1L, "zz_sentinel", 0.0))
+      q2.processAllAvailable()
+      q2.stop()
+
+      import scala.jdk.CollectionConverters._
+      val streamed = got.asScala.toSeq
+        .filter(_._1._1 != "zz_sentinel")
+        .map { case ((et, day), mi) => (et, day, mi) }.toSet
+      val batch = operators.Temporal.q104Daily(s, sf).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed.nonEmpty)
+      assert(streamed == batch,
+        s"restart broke state-v2 recovery: stream-only " +
+          s"${streamed.diff(batch).take(3)}; batch-only " +
+          s"${batch.diff(streamed).take(3)}")
+    } finally {
+      if (prev.isEmpty)
+        s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      else s.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    }
+  }
+
   test("ordered-replay Holt survives a checkpoint restart mid-stream") {
     // the riskier recovery shape: orderedPerKeyBy state carries the
     // reorder BUFFER (pending rows) beside the fold state — both must
