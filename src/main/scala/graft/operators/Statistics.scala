@@ -509,7 +509,105 @@ object Statistics {
            |    AND UNBOUNDED FOLLOWING)
            |ORDER BY event_type, rnk""".stripMargin))
 
+  // --------------------------------------------------------------- q143
+  /** Kaplan–Meier survival curve for signup → purchase conversion with
+    * right-censoring — the time-to-event read product analytics needs
+    * when the naive conversion rate lies (users who signed up recently
+    * haven't HAD 30 days to convert; censoring handles that, a filter
+    * doesn't). Each user contributes a duration: days from first
+    * signup to first subsequent purchase (event), or to the exclusive
+    * timeline end (censored). The risk table collapses durations to
+    * the day grid; S(t) = Π(1 − dᵢ/nᵢ) runs in log space over the
+    * calendar-bounded grid (÷ exact integer counts; full-absorption
+    * guard keeps ln away from zero on both engines).
+    *
+    * Scale shape: two user-grid hash-aggs (first signup, first
+    * qualifying purchase) and one join on user_id; the survival
+    * windows run over the ≤365-row day grid (the q113 domain-bounded
+    * global-window posture) — raw events never reach a window. */
+  val q143SurvivalKm = QueryDef(
+    "q143_survival_km",
+    (s, d) => {
+      val span = Tables.events(s, d)
+        .select(expr(s"unix_micros(ts) div ${DayUs}L").as("day"))
+        .agg(max("day").as("d1"))
+      val signup = Tables.events(s, d)
+        .filter(col("event_type") === "signup")
+        .groupBy("user_id")
+        .agg(min(unix_micros(col("ts"))).as("us"))
+      val firstP = signup
+        .join(Tables.events(s, d).filter(col("event_type") === "purchase")
+          .select(col("user_id"), unix_micros(col("ts")).as("pu")),
+          "user_id")
+        .filter(col("pu") >= col("us"))
+        .groupBy("user_id").agg(min("pu").as("pu"))
+      val durs = signup.join(firstP, Seq("user_id"), "left")
+        .crossJoin(broadcast(span))
+        .select(
+          when(col("pu").isNotNull, expr(s"(pu - us) div ${DayUs}L"))
+            .otherwise(expr(s"((d1 + 1) * ${DayUs}L - us) div ${DayUs}L"))
+            .as("t"),
+          when(col("pu").isNotNull, 1L).otherwise(0L).as("ev"))
+      val grid = durs.groupBy("t")
+        .agg(sum("ev").as("d"), sum(lit(1L) - col("ev")).as("c"))
+      val tot = grid.agg(sum(col("d") + col("c")).as("n0"))
+      val wPrev = Window.orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wCum = Window.orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.crossJoin(broadcast(tot))
+        .withColumn("n_risk",
+          col("n0") - coalesce(sum(col("d") + col("c")).over(wPrev),
+            lit(0L)))
+        .withColumn("term",
+          when(col("n_risk") > col("d"),
+            log(lit(1.0) - col("d").cast("double") / col("n_risk")))
+            .otherwise(lit(-1e308)))
+        .select(col("t"), col("n_risk"), col("d"), col("c"),
+          r6(exp(sum("term").over(wCum))).as("s_hat"))
+        .orderBy("t")
+    },
+    Some(s"""WITH span AS (
+           |  SELECT max(epoch_us(ts) // ${DayUs}) AS d1 FROM events),
+           |signup AS (
+           |  SELECT user_id, CAST(min(epoch_us(ts)) AS BIGINT) AS us
+           |  FROM events WHERE event_type = 'signup' GROUP BY 1),
+           |firstp AS (
+           |  SELECT signup.user_id, CAST(min(epoch_us(ts)) AS BIGINT)
+           |    AS pu
+           |  FROM signup JOIN events USING (user_id)
+           |  WHERE event_type = 'purchase' AND epoch_us(ts) >= us
+           |  GROUP BY 1),
+           |durs AS (
+           |  SELECT CASE WHEN pu IS NOT NULL
+           |      THEN CAST((pu - us) // ${DayUs} AS BIGINT)
+           |      ELSE CAST(((d1 + 1) * ${DayUs} - us) // ${DayUs}
+           |        AS BIGINT) END AS t,
+           |    CASE WHEN pu IS NOT NULL THEN 1 ELSE 0 END AS ev
+           |  FROM signup LEFT JOIN firstp USING (user_id)
+           |  CROSS JOIN span),
+           |grid AS (
+           |  SELECT t, CAST(sum(ev) AS BIGINT) AS d,
+           |    CAST(sum(1 - ev) AS BIGINT) AS c
+           |  FROM durs GROUP BY 1),
+           |tot AS (SELECT CAST(sum(d + c) AS BIGINT) AS n0 FROM grid),
+           |risk AS (
+           |  SELECT *, n0 - COALESCE(CAST(sum(d + c) OVER
+           |      (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+           |       AND 1 PRECEDING) AS BIGINT), 0) AS n_risk
+           |  FROM grid CROSS JOIN tot),
+           |terms AS (
+           |  SELECT *, CASE WHEN n_risk > d
+           |      THEN ln(1.0 - CAST(d AS DOUBLE) / n_risk)
+           |      ELSE -1e308 END AS term
+           |  FROM risk)
+           |SELECT t, n_risk, d, c,
+           |  round(exp(sum(term) OVER (ORDER BY t
+           |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+           |    * 1000000) / 1000000 AS s_hat
+           |FROM terms ORDER BY t""".stripMargin))
+
   val all: Seq[QueryDef] =
     Seq(q137PsiDrift, q138BootstrapCi, q139InterpJoin, q140CupedLift,
-      q141RankBattery)
+      q141RankBattery, q143SurvivalKm)
 }

@@ -146,4 +146,8 @@ class ScaleInvarianceSpec extends SparkSpec {
   test("q140 CUPED readout invariant to partition count") {
     invariant("q140_cuped_lift", sf001)
   }
+
+  test("q143 Kaplan-Meier curve invariant to partition count") {
+    invariant("q143_survival_km", sf001)
+  }
 }
