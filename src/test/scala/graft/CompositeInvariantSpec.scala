@@ -146,4 +146,120 @@ class CompositeInvariantSpec extends SparkSpec {
     }
     assert(out.exists(_._2), "prune removed everything")
   }
+
+  // ------------------------------------------------ round-7 statistics
+
+  test("q137: PSI contributions are nonnegative and sum to the total") {
+    // (p−q) and ln(p/q) always share sign, so every smoothed bin
+    // contribution must be >= 0 (up to micro rounding) — a formula
+    // property both engines would violate identically if miscoded
+    val rows = SparkEntry.queries("q137_psi_drift")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (et, tn, sn, contrib, _) =>
+      assert(tn >= 0L && sn >= 0L)
+      assert(contrib >= -1L, s"$et negative PSI contribution $contrib")
+    }
+    rows.groupBy(_._1).foreach { case (et, cells) =>
+      val total = cells.head._5
+      assert(cells.map(_._4).sum == total,
+        s"$et psi_micro != sum of contributions")
+      assert(total >= -cells.length, s"$et negative total PSI")
+    }
+  }
+
+  test("q138: bootstrap CI brackets the point estimate; se positive") {
+    val rows = SparkEntry.queries("q138_bootstrap_ci")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (et, n, mean, se, lo, hi) =>
+      assert(n > 0L)
+      assert(lo <= hi, s"$et CI inverted")
+      // the resample distribution centers on the sample mean; at this
+      // n the percentile CI must bracket it
+      assert(lo <= mean && mean <= hi,
+        s"$et mean $mean outside CI [$lo, $hi]")
+      assert(se >= 0.0 && se < mean, s"$et implausible se $se")
+    }
+  }
+
+  test("q139: interpolation lies within its bracket values and gaps") {
+    val s = spark
+    val rows = SparkEntry.queries("q139_interp_join")(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, back, fwd, v) =>
+      assert(back >= 0L && fwd >= 0L, s"event $id negative bracket gap")
+      assert(!v.isNaN, s"event $id NaN interpolation")
+    }
+    // linear interpolation never leaves the corpus value range
+    val (lo, hi) = (0.0, Tables.events(s, sf).agg(max("value"))
+      .head.getDouble(0) + 1e-6)
+    rows.foreach { case (id, _, _, v) =>
+      assert(v >= lo && v <= hi, s"event $id interp $v escapes range")
+    }
+  }
+
+  test("q140: CUPED preserves the pooled mean and reduces variance") {
+    val rows = SparkEntry.queries("q140_cuped_lift")(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    assert(rows.length == 2, "exactly two arms")
+    val n = rows.map(_._2).sum.toDouble
+    val pooledPost = rows.map(r => r._2 * r._4).sum / n
+    val pooledAdj = rows.map(r => r._2 * r._5).sum / n
+    // θ·(x − x̄) sums to zero over the pooled population
+    assert(math.abs(pooledPost - pooledAdj) < 2e-4,
+      s"CUPED shifted the pooled mean: $pooledPost vs $pooledAdj")
+    rows.foreach { case (arm, _, _, _, _, theta, vr) =>
+      assert(theta == rows.head._6 && vr == rows.head._7,
+        s"arm $arm sees different pooled scalars")
+      assert(vr >= 0.0 && vr < 1.0, s"variance reduction $vr outside [0,1)")
+    }
+  }
+
+  test("q141: distribution functions coherent within each partition") {
+    val rows = SparkEntry.queries("q141_rank_battery")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getInt(3), r.getInt(4),
+        r.getDouble(5), r.getDouble(6), r.getInt(7)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (et, part) =>
+      val sorted = part.sortBy(_._3)
+      assert(sorted.head._3 == 1 && sorted.head._5 == 0.0,
+        s"$et first row must have rank 1, percent_rank 0")
+      assert(sorted.last._6 == 1.0, s"$et last cume_dist must be 1")
+      sorted.foreach { case (_, _, rnk, drnk, prank, cdist, q4) =>
+        assert(drnk <= rnk, "dense_rank exceeds rank")
+        assert(prank >= 0.0 && prank <= 1.0)
+        assert(cdist > 0.0 && cdist <= 1.0)
+        assert(q4 >= 1 && q4 <= 4)
+      }
+      // counts must be nonincreasing along the rank order
+      val ns = sorted.map(_._2)
+      assert(ns.zip(ns.tail).forall { case (a, b) => a >= b },
+        s"$et rank order violates n DESC")
+    }
+  }
+
+  test("q143: survival curve is monotone nonincreasing within [0, 1]") {
+    val rows = SparkEntry.queries("q143_survival_km")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(rows.nonEmpty)
+    val sorted = rows.sortBy(_._1)
+    sorted.foreach { case (t, nRisk, d, c, sHat) =>
+      assert(d + c <= nRisk, s"t=$t more events+censors than at risk")
+      assert(sHat >= 0.0 && sHat <= 1.0, s"t=$t s_hat $sHat outside [0,1]")
+    }
+    val ss = sorted.map(_._5)
+    assert(ss.zip(ss.tail).forall { case (a, b) => a >= b - 1e-9 },
+      "survival increased over time")
+    // risk sets telescope: n_{i+1} = n_i - d_i - c_i
+    sorted.zip(sorted.tail).foreach { case ((_, n1, d1, c1, _),
+        (t2, n2, _, _, _)) =>
+      assert(n2 == n1 - d1 - c1, s"risk set broken at t=$t2")
+    }
+  }
 }
