@@ -137,9 +137,13 @@ class ArchiveScanBuilder(rows: Long, parts: Int) extends ScanBuilder
     case nr: NamedReference => Some(nr.fieldNames().mkString("."))
     case _ => None
   }
+  private var groupByType = false
+
   override def supportCompletePushDown(agg: Aggregation): Boolean = false
   override def pushAggregation(agg: Aggregation): Boolean = {
-    if (agg.groupByExpressions().nonEmpty) return false
+    val gb = agg.groupByExpressions().toSeq.map(fieldOf)
+    val gbOk = gb.isEmpty || gb == Seq(Some("event_type"))
+    if (!gbOk) return false
     val toks = agg.aggregateExpressions().toSeq.map {
       case _: CountStar => Some("count")
       case m: Min if fieldOf(m.column()).contains("event_id") =>
@@ -149,12 +153,16 @@ class ArchiveScanBuilder(rows: Long, parts: Int) extends ScanBuilder
       case _ => None
     }
     if (toks.exists(_.isEmpty)) false
-    else { aggTokens = toks.flatten; true }
+    else {
+      aggTokens = toks.flatten
+      groupByType = gb.nonEmpty
+      true
+    }
   }
 
   override def build(): Scan =
     if (aggTokens.nonEmpty)
-      new ArchiveAggScan(rows, parts, pushed, aggTokens)
+      new ArchiveAggScan(rows, parts, pushed, aggTokens, groupByType)
     else new ArchiveScan(rows, parts, pushed, required)
 }
 
@@ -181,28 +189,36 @@ class ArchiveScan(rows: Long, parts: Int, pushed: Array[Filter],
   * materialized. Spark merges the per-split partials (partial
   * pushdown), so correctness composes with any split count. */
 class ArchiveAggScan(rows: Long, parts: Int, pushed: Array[Filter],
-    aggTokens: Seq[String]) extends Scan with Batch {
-  override def readSchema(): StructType =
-    StructType(aggTokens.zipWithIndex.map { case (t, i) =>
+    aggTokens: Seq[String], groupByType: Boolean = false)
+    extends Scan with Batch {
+  override def readSchema(): StructType = {
+    val gb = if (groupByType)
+      Seq(StructField("event_type", StringType, nullable = false))
+    else Nil
+    StructType(gb ++ aggTokens.zipWithIndex.map { case (t, i) =>
       StructField(s"agg_$i" + "_" + t, LongType, nullable = true)
     })
+  }
   override def toBatch: Batch = this
   override def description(): String =
     s"ArchiveAggScan pushedAgg=[${aggTokens.mkString(", ")}] " +
+      s"groupBy=[${if (groupByType) "event_type" else ""}] " +
       s"pushed=[${pushed.mkString(", ")}]"
   override def planInputPartitions(): Array[InputPartition] =
     ArchiveSource.prunedRanges(rows, parts, pushed)
       .map(identity[InputPartition])
   override def createReaderFactory(): PartitionReaderFactory =
-    new ArchiveAggReaderFactory(pushed, aggTokens)
+    new ArchiveAggReaderFactory(pushed, aggTokens, groupByType)
 }
 
 class ArchiveAggReaderFactory(pushed: Array[Filter],
-    aggTokens: Seq[String]) extends PartitionReaderFactory {
+    aggTokens: Seq[String], groupByType: Boolean)
+    extends PartitionReaderFactory {
   override def createReader(partition: InputPartition)
       : PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[ArchiveRangePartition]
-    new ArchiveAggPartitionReader(p.start, p.end, pushed, aggTokens)
+    new ArchiveAggPartitionReader(p.start, p.end, pushed, aggTokens,
+      groupByType)
   }
 }
 
@@ -211,47 +227,64 @@ class ArchiveAggReaderFactory(pushed: Array[Filter],
   * idx = (r*3) mod 5 ⇔ r = (idx*2) mod 5, 2 being 3⁻¹ mod 5), so
   * count/min/max over [start, end) reduce to arithmetic on the class. */
 class ArchiveAggPartitionReader(start: Long, end: Long,
-    pushed: Array[Filter], aggTokens: Seq[String])
+    pushed: Array[Filter], aggTokens: Seq[String], groupByType: Boolean)
     extends PartitionReader[InternalRow] {
-  private var done = false
 
-  private val residue: Option[Long] = pushed.collectFirst {
+  private val typeEq: Option[String] = pushed.collectFirst {
     case EqualTo("event_type", v: String) => v
-  }.map { t =>
-    val idx = ArchiveSource.types.indexOf(t)
-    if (idx < 0) -1L else (idx.toLong * 2L) % 5L
   }
 
   // ids <= n in the residue class r (mod 5); n < r means none
   private def countLe(n: Long, r: Long): Long =
     if (n < r) 0L else (n - r) / 5L + 1L
 
-  private def row(): InternalRow = {
-    val (cnt, minId, maxId): (Long, Option[Long], Option[Long]) =
-      residue match {
-        case Some(-1L) => (0L, None, None) // unknown type: no rows
-        case Some(r) =>
-          val c = countLe(end - 1, r) - countLe(start - 1, r)
-          if (c == 0L) (0L, None, None)
-          else {
-            val lo = start + ((r - start) % 5L + 5L) % 5L
-            val hi = (end - 1) - (((end - 1) - r) % 5L + 5L) % 5L
-            (c, Some(lo), Some(hi))
-          }
+  /** count/min/max over [start, end) ∩ residue class r — O(1). */
+  private def stats(r: Long): (Long, Option[Long], Option[Long]) = {
+    val c = countLe(end - 1, r) - countLe(start - 1, r)
+    if (c == 0L) (0L, None, None)
+    else {
+      val lo = start + ((r - start) % 5L + 5L) % 5L
+      val hi = (end - 1) - (((end - 1) - r) % 5L + 5L) % 5L
+      (c, Some(lo), Some(hi))
+    }
+  }
+
+  private def rowFor(prefix: Seq[Any],
+      st: (Long, Option[Long], Option[Long])): InternalRow =
+    InternalRow.fromSeq(prefix ++ aggTokens.map {
+      case "count" => st._1
+      case "min_id" => st._2.map(Long.box).orNull
+      case "max_id" => st._3.map(Long.box).orNull
+    })
+
+  private val out: Iterator[InternalRow] =
+    if (groupByType) {
+      // one row per type PRESENT in the split (absent groups must not
+      // be invented); a pushed type filter narrows to its residue
+      ArchiveSource.types.zipWithIndex.iterator
+        .filter { case (t, _) => typeEq.forall(_ == t) }
+        .map { case (t, idx) => (t, stats((idx.toLong * 2L) % 5L)) }
+        .filter(_._2._1 > 0L)
+        .map { case (t, st) =>
+          rowFor(Seq(UTF8String.fromString(t)), st)
+        }
+    } else {
+      val st = typeEq match {
+        case Some(t) =>
+          val idx = ArchiveSource.types.indexOf(t)
+          if (idx < 0) (0L, None, None)
+          else stats((idx.toLong * 2L) % 5L)
         case None =>
           if (end > start) (end - start, Some(start), Some(end - 1))
           else (0L, None, None)
       }
-    InternalRow.fromSeq(aggTokens.map {
-      case "count" => cnt
-      case "min_id" => minId.map(Long.box).orNull
-      case "max_id" => maxId.map(Long.box).orNull
-    })
-  }
+      Iterator.single(rowFor(Nil, st))
+    }
 
+  private var current: InternalRow = _
   override def next(): Boolean =
-    if (done) false else { done = true; true }
-  override def get(): InternalRow = row()
+    if (out.hasNext) { current = out.next(); true } else false
+  override def get(): InternalRow = current
   override def close(): Unit = ()
 }
 

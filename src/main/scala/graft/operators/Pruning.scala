@@ -121,6 +121,39 @@ object Pruning {
            |  min(id) AS min_id, max(id) AS max_id
            |FROM rows_ WHERE event_type = 'view'""".stripMargin))
 
+  // --------------------------------------------------------------- q144
+  /** GROUP BY pushdown through the custom DSv2 source: per-type
+    * count/min/max over an id range are answered by the scan with one
+    * O(1) row per (split, present type) — matching ids form one
+    * residue class mod 5, so each group's stats are arithmetic, and
+    * absent groups are never invented. Spark's merge aggregate keeps
+    * the result split-count-independent (partial pushdown). The
+    * DuckDB oracle replays the formula with generate_series, so the
+    * grouped pushdown path is oracle-matched end to end. */
+  val q144ArchiveGroupPushdown = QueryDef(
+    "q144_archive_group_pushdown",
+    (s, _) => {
+      import org.apache.spark.sql.functions._
+      s.read.format("graft.connectors.ArchiveSource").load()
+        .filter(col("event_id") >= 20000L && col("event_id") < 80000L)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_rows"),
+          min("event_id").as("min_id"),
+          max("event_id").as("max_id"))
+        .orderBy("event_type")
+    },
+    Some("""WITH ids AS (
+           |  SELECT g AS id FROM generate_series(20000, 79999) t(g)),
+           |rows_ AS (
+           |  SELECT id,
+           |    ['click','view','purchase','signup','error']
+           |      [CAST((id * 40503) % 5 AS INT) + 1] AS event_type
+           |  FROM ids)
+           |SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+           |  min(id) AS min_id, max(id) AS max_id
+           |FROM rows_ GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[QueryDef] =
-    Seq(q49BloomPruneJoin, q125ArchivePushdown, q142ArchiveAggPushdown)
+    Seq(q49BloomPruneJoin, q125ArchivePushdown, q142ArchiveAggPushdown,
+      q144ArchiveGroupPushdown)
 }

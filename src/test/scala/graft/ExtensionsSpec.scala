@@ -137,11 +137,31 @@ class ExtensionsSpec extends SparkSpec {
       .select("event_id").collect().map(_.getLong(0))
     assert((r.getLong(0), r.getLong(1), r.getLong(2)) ==
       (ids.length.toLong, ids.min, ids.max))
-    // a grouped aggregate must NOT push (source only handles global)
+    // a grouping the source can't answer (user_id) must fall back
     val grouped = s.read.format("graft.connectors.ArchiveSource").load()
-      .groupBy("event_type").count()
+      .groupBy("user_id").count()
     assert(!grouped.queryExecution.executedPlan.toString
-      .contains("ArchiveAggScan"), "grouped agg should fall back")
-    assert(grouped.count() == 5L)
+      .contains("ArchiveAggScan"), "unsupported grouping should fall back")
+    assert(grouped.count() == 997L)
+  }
+
+  test("archive DSv2: GROUP BY event_type pushes into the aggregate scan") {
+    val s = spark
+    val agg = SparkEntry.queries("q144_archive_group_pushdown")(s, "")
+    val p = agg.queryExecution.executedPlan.toString
+    assert(p.contains("ArchiveAggScan") && p.contains("groupBy=[event_type]"),
+      s"grouped aggregates not pushed:\n${p.take(800)}")
+    // verified against the ROW path (projection scans can't push aggs)
+    val rows = s.read.format("graft.connectors.ArchiveSource").load()
+      .filter(col("event_id") >= 20000L && col("event_id") < 80000L)
+      .select("event_type", "event_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (t, xs) =>
+        (t, (xs.length.toLong, xs.map(_._2).min, xs.map(_._2).max))
+      }
+    val pushedRes = agg.collect()
+      .map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(pushedRes == rows, s"grouped pushdown diverges from row scan")
   }
 }
