@@ -525,6 +525,32 @@ object Statistics {
     * qualifying purchase) and one join on user_id; the survival
     * windows run over the ≤365-row day grid (the q113 domain-bounded
     * global-window posture) — raw events never reach a window. */
+  /** q143's duration-table → survival-curve projection, shared with the
+    * survivalStream twin (identical code over identical integer
+    * durations ⇒ bit-for-bit). `durs` columns: t, ev (1 event /
+    * 0 censored). */
+  def q143Finish(durs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val grid = durs.groupBy("t")
+      .agg(sum("ev").as("d"), sum(lit(1L) - col("ev")).as("c"))
+    val tot = grid.agg(sum(col("d") + col("c")).as("n0"))
+    val wPrev = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wCum = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    grid.crossJoin(broadcast(tot))
+      .withColumn("n_risk",
+        col("n0") - coalesce(sum(col("d") + col("c")).over(wPrev),
+          lit(0L)))
+      .withColumn("term",
+        when(col("n_risk") > col("d"),
+          log(lit(1.0) - col("d").cast("double") / col("n_risk")))
+          .otherwise(lit(-1e308)))
+      .select(col("t"), col("n_risk"), col("d"), col("c"),
+        r6(exp(sum("term").over(wCum))).as("s_hat"))
+      .orderBy("t")
+  }
+
   val q143SurvivalKm = QueryDef(
     "q143_survival_km",
     (s, d) => {
@@ -548,24 +574,7 @@ object Statistics {
             .otherwise(expr(s"((d1 + 1) * ${DayUs}L - us) div ${DayUs}L"))
             .as("t"),
           when(col("pu").isNotNull, 1L).otherwise(0L).as("ev"))
-      val grid = durs.groupBy("t")
-        .agg(sum("ev").as("d"), sum(lit(1L) - col("ev")).as("c"))
-      val tot = grid.agg(sum(col("d") + col("c")).as("n0"))
-      val wPrev = Window.orderBy("t")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val wCum = Window.orderBy("t")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      grid.crossJoin(broadcast(tot))
-        .withColumn("n_risk",
-          col("n0") - coalesce(sum(col("d") + col("c")).over(wPrev),
-            lit(0L)))
-        .withColumn("term",
-          when(col("n_risk") > col("d"),
-            log(lit(1.0) - col("d").cast("double") / col("n_risk")))
-            .otherwise(lit(-1e308)))
-        .select(col("t"), col("n_risk"), col("d"), col("c"),
-          r6(exp(sum("term").over(wCum))).as("s_hat"))
-        .orderBy("t")
+      q143Finish(durs)
     },
     Some(s"""WITH span AS (
            |  SELECT max(epoch_us(ts) // ${DayUs}) AS d1 FROM events),

@@ -1517,6 +1517,83 @@ object Stateful {
         OutputMode.Append())
   }
 
+  /** One user's closed time-to-event observation (q143's `durs` row). */
+  final case class DurRow(user_id: Long, t: Long, ev: Long)
+  final case class SurvState(minSignupUs: Long, minQualUs: Long,
+      pending: Seq[Long], done: Boolean)
+
+  /** Streaming twin of q143's per-user duration pass — the live
+    * time-to-event tracker behind the survival curve. State per user:
+    * the running min first-signup time (set-on-min), the min purchase
+    * time known to be ≥ that signup, and the abStream pending-seq
+    * posture for purchases that arrived BEFORE any signup: a pending
+    * purchase only qualifies if a yet-earlier signup arrives, and any
+    * future signup's event time is ≥ the watermark, so pending entries
+    * below the watermark prune — state stays bounded by purchase-rate ×
+    * watermark delay. When a new min signup lands, qualifying pendings
+    * promote into the min. Each user emits one (t, ev) observation at
+    * watermark close: event duration to the first qualifying purchase,
+    * or censored at the exclusive timeline end; users who never signed
+    * up stay silent. The risk table + survival product then run over
+    * the emitted user-sized table via operators.Statistics.q143Finish —
+    * identical code to batch. */
+  def survivalStream(df: DataFrame, d1: Long, slack: String = "2 hours")
+      : Dataset[DurRow] = {
+    import org.apache.spark.sql.Encoders
+    implicit val stEnc: Encoder[SurvState] = Encoders.product[SurvState]
+    implicit val outEnc: Encoder[DurRow] = Encoders.product[DurRow]
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    implicit val evEnc: Encoder[Ev] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.TIMESTAMP,
+        Encoders.scalaLong, Encoders.STRING, Encoders.scalaDouble)
+    val DayUs = 86400000000L
+    val ds = df.withWatermark("ts", slack)
+      .filter(col("event_type").isin("signup", "purchase"))
+      .select("user_id", "ts", "event_id", "event_type", "value").as[Ev]
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (user: Long, rows: Iterator[Ev], state: GroupState[SurvState]) =>
+          val st0 = state.getOption.getOrElse(
+            SurvState(Long.MaxValue, Long.MaxValue, Nil, false))
+          var sg = st0.minSignupUs; var q = st0.minQualUs
+          var pend = st0.pending
+          rows.foreach { e =>
+            val t = microsOf(e._2)
+            e._4 match {
+              case "signup" if t < sg =>
+                sg = t
+                val (promote, keep) = pend.partition(_ >= sg)
+                if (promote.nonEmpty) q = math.min(q, promote.min)
+                pend = keep
+              case "purchase" =>
+                if (t >= sg) q = math.min(q, t)
+                else pend = pend :+ t
+              case _ => ()
+            }
+          }
+          val wm = state.getCurrentWatermarkMs()
+          if (!st0.done && wm > d1 * 86400000L + 1L) {
+            state.update(SurvState(sg, q, Nil, true))
+            if (sg == Long.MaxValue) Iterator.empty
+            else {
+              val t =
+                if (q != Long.MaxValue) Math.floorDiv(q - sg, DayUs)
+                else Math.floorDiv((d1 + 1L) * DayUs - sg, DayUs)
+              Iterator.single(DurRow(user,
+                t, if (q != Long.MaxValue) 1L else 0L))
+            }
+          } else {
+            // a future signup arrives with event time >= the watermark,
+            // so pending purchases below it can never qualify — prune
+            val kept = pend.filter(_ >= wm * 1000L)
+            state.update(SurvState(sg, q, kept, st0.done))
+            if (!st0.done) state.setTimeoutTimestamp(wm + 1L)
+            Iterator.empty
+          }
+      }
+  }
+
   /** One (event_type, value-bin) drift cell (q137's `grid` table). */
   final case class PsiCell(event_type: String, bin: Long, train_n: Long,
       serve_n: Long)

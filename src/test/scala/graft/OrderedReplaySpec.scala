@@ -1145,6 +1145,28 @@ class OrderedReplaySpec extends SparkSpec {
         s"batch-only: ${batch.toSet.diff(streamed.toSet).take(3)}")
   }
 
+  test("streaming survival durations: per-user state == batch q143 curve") {
+    val s = spark
+    import s.implicits._
+    val d1 = Tables.events(s, sf)
+      .select(expr("unix_micros(ts) div 86400000000L").as("day"))
+      .agg(max("day")).head.getLong(0)
+    val out = runStream("ooo_surv")(df => Stateful.survivalStream(df, d1))
+    // re-materialize locally: q143Finish crossJoins grid branches
+    val durs = out.filter("user_id >= 0").collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    assert(durs.nonEmpty)
+    val streamed = operators.Statistics.q143Finish(
+        durs.toSeq.toDF("t", "ev")).collect()
+      .map(_.toString).toSeq
+    val batch = SparkEntry.queries("q143_survival_km")(s, sf).collect()
+      .map(_.toString).toSeq
+    // identical risk-table code over identical integer durations
+    assert(streamed == batch,
+      s"stream-only: ${streamed.toSet.diff(batch.toSet).take(3)}; " +
+        s"batch-only: ${batch.toSet.diff(streamed.toSet).take(3)}")
+  }
+
   test("streaming SLA attainment: per-order gap state == batch q131") {
     val s = spark
     import s.implicits._
