@@ -616,7 +616,78 @@ object Statistics {
            |    * 1000000) / 1000000 AS s_hat
            |FROM terms ORDER BY t""".stripMargin))
 
+  // --------------------------------------------------------------- q145
+  /** Classical seasonal decomposition (STL-lite) of the per-type daily
+    * series: trend = centered 7-day moving average, seasonality = the
+    * day-of-week mean of the detrended series, residual = the rest —
+    * the decomposition a capacity planner reads before q60's anomaly
+    * thresholds make sense (a Monday spike is seasonality, not an
+    * incident). Daily means are exact milli BIGINTs; the trend divides
+    * an exact ≤7-int window sum; detrended values round to micro-unit
+    * BIGINTs BEFORE the day-of-week mean so every aggregate is an
+    * exact integer sum — order-proof (the q137 fixed-point posture).
+    *
+    * Scale shape: one map-side hash-agg to the (type × day) calendar
+    * grid; every window and the dow rollup run calendar-bounded,
+    * partitioned by type; raw events never reach a window. */
+  val q145SeasonalDecompose = QueryDef(
+    "q145_seasonal_decompose",
+    (s, d) => {
+      val grid = Tables.events(s, d)
+        .select(col("event_type"),
+          expr(s"unix_micros(ts) div ${DayUs}L").as("day"),
+          expr("cast(round(value * 1000) as bigint)").as("vm"))
+        .groupBy("event_type", "day")
+        .agg(round(sum("vm").cast("double") / count(lit(1))).cast("long")
+          .as("mi"))
+      val wMa = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(-3, 3)
+      val trended = grid
+        .withColumn("trend", avg(col("mi")).over(wMa))
+        .withColumn("det_micro",
+          round((col("mi") - col("trend")) * 1000.0).cast("long"))
+        .withColumn("dow", expr("day % 7"))
+      val seasonal = trended.groupBy(col("event_type").as("et"),
+          col("dow").as("dw"))
+        .agg(round(sum("det_micro").cast("double") / count(lit(1)))
+          .cast("long").as("seas_micro"))
+      trended.join(broadcast(seasonal),
+          col("event_type") === col("et") && col("dow") === col("dw"))
+        .select(col("event_type"), col("day"), col("mi"),
+          r4(col("trend") / 1000.0).as("trend"),
+          r4(col("seas_micro") / 1000000.0).as("seasonal"),
+          r4((col("det_micro") - col("seas_micro")) / 1000000.0)
+            .as("residual"))
+        .orderBy("event_type", "day")
+    },
+    Some(s"""WITH grid AS (
+           |  SELECT event_type, epoch_us(ts) // ${DayUs} AS day,
+           |    CAST(round(CAST(sum(CAST(round(value * 1000) AS BIGINT))
+           |      AS DOUBLE) / count(*)) AS BIGINT) AS mi
+           |  FROM events GROUP BY 1, 2),
+           |trended AS (
+           |  SELECT *,
+           |    avg(mi) OVER (PARTITION BY event_type ORDER BY day
+           |      ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS trend,
+           |    CAST(round((mi - avg(mi) OVER (PARTITION BY event_type
+           |      ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING))
+           |      * 1000.0) AS BIGINT) AS det_micro,
+           |    day % 7 AS dow
+           |  FROM grid),
+           |seasonal AS (
+           |  SELECT event_type, dow,
+           |    CAST(round(CAST(sum(det_micro) AS DOUBLE) / count(*))
+           |      AS BIGINT) AS seas_micro
+           |  FROM trended GROUP BY 1, 2)
+           |SELECT event_type, day, mi,
+           |  round(trend / 1000.0 * 10000) / 10000 AS trend,
+           |  round(seas_micro / 1000000.0 * 10000) / 10000 AS seasonal,
+           |  round((det_micro - seas_micro) / 1000000.0 * 10000) / 10000
+           |    AS residual
+           |FROM trended JOIN seasonal USING (event_type, dow)
+           |ORDER BY event_type, day""".stripMargin))
+
   val all: Seq[QueryDef] =
     Seq(q137PsiDrift, q138BootstrapCi, q139InterpJoin, q140CupedLift,
-      q141RankBattery, q143SurvivalKm)
+      q141RankBattery, q143SurvivalKm, q145SeasonalDecompose)
 }

@@ -243,6 +243,19 @@ class CompositeInvariantSpec extends SparkSpec {
     }
   }
 
+  test("q145: decomposition reassembles — mi == trend + seasonal + residual") {
+    val rows = SparkEntry.queries("q145_seasonal_decompose")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (et, day, mi, trend, seas, resid) =>
+      val rebuilt = trend + seas + resid
+      assert(math.abs(mi / 1000.0 - rebuilt) < 2e-3,
+        s"$et day $day: ${mi / 1000.0} != $trend + $seas + $resid")
+    }
+  }
+
   test("q143: survival curve is monotone nonincreasing within [0, 1]") {
     val rows = SparkEntry.queries("q143_survival_km")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),

@@ -400,6 +400,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("cosine_similarity"), "scoring must stay native")
   }
 
+  test("q139: interpolation windows always partition by user_id") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val root = SparkEntry.queries("q139_interp_join")(spark, sf)
+      .queryExecution.executedPlan
+    val exec = root match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val ws = exec.collect { case w: WindowExec => w }
+    assert(ws.nonEmpty, "bracket computation must be window-based")
+    assert(ws.forall(_.partitionSpec.nonEmpty),
+      "a global window over raw events would single-partition the corpus")
+  }
+
   test("x23: sketch admission has no global single-partition window") {
     import org.apache.spark.sql.execution.window.WindowExec
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec

@@ -150,4 +150,8 @@ class ScaleInvarianceSpec extends SparkSpec {
   test("q143 Kaplan-Meier curve invariant to partition count") {
     invariant("q143_survival_km", sf001)
   }
+
+  test("q145 seasonal decomposition invariant to partition count") {
+    invariant("q145_seasonal_decompose", sf001)
+  }
 }
