@@ -285,6 +285,65 @@ object Security {
            |FROM hours JOIN w6 ON hour // 6 = w6
            |ORDER BY hour""".stripMargin))
 
+  // --------------------------------------------------------------- q146
+  /** Request-log URL analytics: the HTTP-log read every security/log
+    * pipeline runs (the reference's domain — its webhook/s3 sinks move
+    * URL-shaped records all day). Each event synthesizes its request
+    * URL deterministically from its own columns (a stand-in for a raw
+    * `url` field), then Spark's `parse_url` extracts host / path /
+    * query-param — and the DuckDB oracle re-derives the same pieces
+    * straight from the source columns, so any parse_url extraction
+    * error breaks the hash match: the parser is verified end to end,
+    * not just the aggregation. Rollup: per
+    * (host, path) request counts, distinct users, and exact traffic
+    * share ×10⁶.
+    *
+    * Scale shape: parse_url is a codegen'd expression evaluated in the
+    * scan projection; ONE map-side hash-agg onto the (hosts × paths)
+    * grid (a catalog-bounded domain), totals broadcast back. */
+  val q146UrlAnalytics = QueryDef(
+    "q146_url_analytics",
+    (s, d) => {
+      val urled = Tables.events(s, d)
+        .withColumn("url",
+          concat(lit("https://"),
+            element_at(lit(Array("api.example.com", "cdn.example.net",
+              "auth.example.org")), (col("user_id") % 3L).cast("int") + 1),
+            lit("/v1/"), col("event_type"),
+            lit("?u="), col("user_id").cast("string"),
+            lit("&q="), (col("value") * 100).cast("long").cast("string")))
+      val parsed = urled.select(
+        parse_url(col("url"), lit("HOST")).as("host"),
+        parse_url(col("url"), lit("PATH")).as("path"),
+        parse_url(col("url"), lit("QUERY"), lit("u")).cast("long")
+          .as("uid"))
+      val grid = parsed.groupBy("host", "path")
+        .agg(count(lit(1)).as("n_requests"),
+          count_distinct(col("uid")).as("n_users"))
+      val tot = grid.agg(sum("n_requests").as("total"))
+      grid.crossJoin(broadcast(tot))
+        .select(col("host"), col("path"), col("n_requests"),
+          col("n_users"),
+          expr("n_requests * 1000000 div total").as("share_ppm"))
+        .orderBy("host", "path")
+    },
+    Some("""WITH urled AS (
+           |  SELECT ['api.example.com', 'cdn.example.net',
+           |      'auth.example.org'][CAST(user_id % 3 AS INT) + 1]
+           |      AS host,
+           |    '/v1/' || event_type AS path,
+           |    user_id AS uid
+           |  FROM events),
+           |grid AS (
+           |  SELECT host, path, CAST(count(*) AS BIGINT) AS n_requests,
+           |    CAST(count(DISTINCT uid) AS BIGINT) AS n_users
+           |  FROM urled GROUP BY 1, 2),
+           |tot AS (SELECT CAST(sum(n_requests) AS BIGINT) AS total
+           |  FROM grid)
+           |SELECT host, path, n_requests, n_users,
+           |  CAST(n_requests * 1000000 // total AS BIGINT) AS share_ppm
+           |FROM grid CROSS JOIN tot ORDER BY host, path""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q110RarityScore, q111Beaconing,
-    q112FirstSeen, q128BurnRate)
+    q112FirstSeen, q128BurnRate, q146UrlAnalytics)
 }

@@ -154,4 +154,8 @@ class ScaleInvarianceSpec extends SparkSpec {
   test("q145 seasonal decomposition invariant to partition count") {
     invariant("q145_seasonal_decompose", sf001)
   }
+
+  test("q146 URL analytics invariant to partition count") {
+    invariant("q146_url_analytics", sf001)
+  }
 }
