@@ -62,6 +62,47 @@ class ProcessorMetrics(maxSpans: Int = 4096) extends StreamingQueryListener {
   private lazy val log = org.slf4j.LoggerFactory.getLogger(classOf[ProcessorMetrics])
 }
 
+/** Data-quality observability via `Dataset.observe` — the record-level
+  * monitoring the span vocabulary above can't carry: row counts, null
+  * counts, and domain violations computed INSIDE the running job's own
+  * pass (an accumulator-backed aggregate — zero extra scans, zero extra
+  * shuffles) and harvested from the engine's observed-metrics channel:
+  * `QueryExecution.observedMetrics` in batch,
+  * `StreamingQueryProgress.observedMetrics` per epoch in streaming.
+  * At 100 TB this is the only affordable quality gate shape — a
+  * separate validation query would double the scan bill. */
+object QualityMetrics {
+  import org.apache.spark.sql.DataFrame
+  import org.apache.spark.sql.functions._
+
+  /** Wrap an event-shaped frame with the standard quality observation.
+    * The returned frame is the SAME data; metrics ride the job. */
+  def observed(df: DataFrame, name: String = "graft_quality"): DataFrame =
+    df.observe(name,
+      count(lit(1)).as("n_rows"),
+      sum(when(col("ts").isNull, 1L).otherwise(0L)).as("n_null_ts"),
+      sum(when(col("value") < 0.0, 1L).otherwise(0L)).as("n_neg_value"),
+      sum(when(col("user_id").isNull || col("user_id") < 0L, 1L)
+        .otherwise(0L)).as("n_bad_user"))
+
+  /** Batch-side harvest: attach before running, read after. */
+  class BatchHarvest
+      extends org.apache.spark.sql.util.QueryExecutionListener {
+    private val got =
+      new java.util.concurrent.ConcurrentHashMap[String,
+        org.apache.spark.sql.Row]()
+    def metrics(name: String): Option[org.apache.spark.sql.Row] =
+      Option(got.get(name))
+    override def onSuccess(funcName: String,
+        qe: org.apache.spark.sql.execution.QueryExecution,
+        durationNs: Long): Unit =
+      qe.observedMetrics.foreach { case (k, v) => got.put(k, v) }
+    override def onFailure(funcName: String,
+        qe: org.apache.spark.sql.execution.QueryExecution,
+        exception: Exception): Unit = ()
+  }
+}
+
 object ProcessorMetrics {
   final case class EpochSpans(
       queryName: String,
