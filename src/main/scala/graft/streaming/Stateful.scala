@@ -1500,6 +1500,90 @@ object Stateful {
     }
   }
 
+  /** One warm-start cell for the initial-state variant: a day bucket's
+    * accumulated (n, Σmilli) from batch history. */
+  final case class SeedCell(event_type: String, day: Long, n: Long,
+      sum_milli: Long)
+
+  /** DailyMeanProcessor with BATCH WARM-START — the lambda→kappa
+    * migration move: a new streaming job must not reprocess months of
+    * history, so its state store boots from a batch-computed snapshot
+    * (`handleInitialState` seeds the MapState cells AND re-registers
+    * each open day's timer) and the stream picks up from the cutover
+    * point. Seeded days close on the streamed watermark exactly like
+    * live days — history and tail emit through one code path. */
+  class DailyMeanSeededProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessorWithInitialState[
+        String, Ev, TwsDay, SeedCell] {
+    import org.apache.spark.sql.Encoders
+    @transient private var cells: MapState[Long, (Long, Long)] = _
+
+    private def milliOf(v: Double): Long =
+      java.math.BigDecimal.valueOf(v * 1000)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+    private def roundDiv(s: Long, n: Long): Long =
+      java.math.BigDecimal.valueOf(s.toDouble / n)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      cells = getHandle.getMapState[Long, (Long, Long)]("cells",
+        Encoders.scalaLong,
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong),
+        TTLConfig.NONE)
+
+    override def handleInitialState(key: String, seed: SeedCell,
+        timerValues: TimerValues): Unit = {
+      val cur = if (cells.containsKey(seed.day)) cells.getValue(seed.day)
+        else (0L, 0L)
+      cells.updateValue(seed.day,
+        (cur._1 + seed.n, cur._2 + seed.sum_milli))
+      getHandle.registerTimer((seed.day + 1L) * 86400000L)
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[Ev],
+        timerValues: TimerValues): Iterator[TwsDay] = {
+      val DayUs = 86400000000L
+      rows.foreach { e =>
+        val day = Math.floorDiv(microsOf(e._2), DayUs)
+        val cur =
+          if (cells.containsKey(day)) cells.getValue(day) else (0L, 0L)
+        cells.updateValue(day, (cur._1 + 1L, cur._2 + milliOf(e._5)))
+        getHandle.registerTimer((day + 1L) * 86400000L)
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: String, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[TwsDay] = {
+      val day = expiredTimerInfo.getExpiryTimeInMs / 86400000L - 1L
+      if (cells.containsKey(day)) {
+        val (n, sum) = cells.getValue(day)
+        cells.removeKey(day)
+        Iterator.single(TwsDay(key, day, roundDiv(sum, n)))
+      } else Iterator.empty
+    }
+  }
+
+  /** The warm-started transformWithState daily-mean twin: `seed` is the
+    * batch-history cell snapshot; the stream carries only post-cutover
+    * rows. */
+  def dailyMeansTwsSeeded(df: DataFrame, seed: Dataset[SeedCell],
+      slack: String = "2 hours"): Dataset[TwsDay] = {
+    import org.apache.spark.sql.Encoders
+    implicit val outEnc: Encoder[TwsDay] = Encoders.product[TwsDay]
+    implicit val seedEnc: Encoder[SeedCell] = Encoders.product[SeedCell]
+    implicit val keyEnc: Encoder[String] = Encoders.STRING
+    implicit val evEnc: Encoder[Ev] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.TIMESTAMP,
+        Encoders.scalaLong, Encoders.STRING, Encoders.scalaDouble)
+    val ds = df.withWatermark("ts", slack)
+      .select("user_id", "ts", "event_id", "event_type", "value").as[Ev]
+    ds.groupByKey(_._4)
+      .transformWithState(new DailyMeanSeededProcessor,
+        TimeMode.EventTime(), OutputMode.Append(),
+        seed.groupByKey(_.event_type))
+  }
+
   /** The transformWithState daily-mean twin (see DailyMeanProcessor).
     * Input: the standard event columns. */
   def dailyMeansTws(df: DataFrame, slack: String = "2 hours")

@@ -952,6 +952,76 @@ class OrderedReplaySpec extends SparkSpec {
         s"${batch.toSet.diff(streamed.toSet).take(3)}")
   }
 
+  test("transformWithState warm-start: seeded history + streamed tail == batch") {
+    // the lambda→kappa migration: state boots from a batch snapshot of
+    // the first timeline half, the stream carries ONLY the second half,
+    // and the union of emissions must equal batch over the WHOLE range
+    val s = spark
+    import s.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+
+    val prev = s.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val DayUs = 86400000000L
+      def dayOf(e: Stateful.Ev): Long =
+        Math.floorDiv(e._2.getTime * 1000L, DayUs)
+      def milliOf(v: Double): Long =
+        java.math.BigDecimal.valueOf(v * 1000)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+      val (shuffled, sentinelTs) = shuffledEvents()
+      val d0 = shuffled.map(dayOf).min
+      val d1 = shuffled.map(dayOf).max
+      val mid = (d0 + d1 + 1) / 2
+      val (hist, tail) = shuffled.partition(e => dayOf(e) < mid)
+      assert(hist.nonEmpty && tail.nonEmpty, "split must be real")
+      val seed = hist.groupBy(e => (e._4, dayOf(e))).map {
+        case ((et, day), es) =>
+          Stateful.SeedCell(et, day, es.length.toLong,
+            es.map(e => milliOf(e._5)).sum)
+      }.toSeq
+      val seedDs = s.createDataset(seed)
+
+      val input = MemoryStream[Stateful.Ev]
+      val q = Stateful.dailyMeansTwsSeeded(
+          input.toDS().toDF("user_id", "ts", "event_id", "event_type",
+            "value"), seedDs)
+        .writeStream.format("memory").queryName("tws_seeded")
+        .option("checkpointLocation", tmpDir("tws_seed_ck"))
+        .trigger(Trigger.ProcessingTime(50)).start()
+      val third = tail.length / 3
+      Seq(tail.slice(0, third), tail.slice(third, 2 * third),
+        tail.drop(2 * third)).foreach { chunk =>
+        input.addData(chunk.toSeq); q.processAllAvailable()
+      }
+      for (i <- 1 to 2) {
+        input.addData((-1L,
+          new java.sql.Timestamp(sentinelTs.getTime + i), -1L,
+          "zz_sentinel", 0.0))
+        q.processAllAvailable()
+      }
+      q.stop()
+
+      val streamed = s.table("tws_seeded")
+        .filter("event_type != 'zz_sentinel'").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val batch = operators.Temporal.q104Daily(s, sf).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      assert(streamed.nonEmpty)
+      assert(streamed == batch,
+        s"warm-start broke parity: stream-only " +
+          s"${streamed.diff(batch).take(3)}; batch-only " +
+          s"${batch.diff(streamed).take(3)}")
+    } finally {
+      if (prev.isEmpty)
+        s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      else s.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    }
+  }
+
   test("transformWithState survives a checkpoint restart mid-stream") {
     // the state-v2 recovery shape: MapState cells AND registered
     // event-time timers must both round-trip the RocksDB store — a
