@@ -4,7 +4,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.{QueryDef, Tables}
-import graft.functions.Rounding.{r4, r6}
+import graft.functions.Rounding.{r2, r4, r6}
 
 /** Statistical monitoring / inference operators over the event stream:
   * distribution-drift scoring (PSI), one-pass bootstrap resampling, and
@@ -687,7 +687,226 @@ object Statistics {
            |FROM trended JOIN seasonal USING (event_type, dow)
            |ORDER BY event_type, day""".stripMargin))
 
+  // --------------------------------------------------------------- q147
+  /** Theil-Sen robust trend per event type: the median of all pairwise
+    * slopes of the daily-revenue series, plus the matching median
+    * intercept — the slope estimator a capacity planner trusts when
+    * q60/q117 say the series has outliers (a single flash-sale day
+    * drags OLS (q72) but moves at most half the pairwise medians).
+    * Daily revenue is an exact cents BIGINT; each pairwise slope is
+    * Δcents/Δdays on exact integers, so both engines divide identical
+    * operands; the median interpolates with the proven
+    * percentile_cont ↔ quantile_cont bridge and rounds to 6 places.
+    *
+    * Scale shape: ONE map-side hash-agg collapses the corpus to the
+    * (type × day) calendar grid; the all-pairs self-join runs on that
+    * calendar-bounded grid (≤ days²/2 rows per type — thousands, not
+    * corpus-sized), never on raw events. The intercept pass re-joins
+    * the broadcast 5-row slope table. 100 TB changes the first agg's
+    * input only. */
+  val q147TheilSen = QueryDef(
+    "q147_theilsen",
+    (s, d) => {
+      val grid = Tables.events(s, d)
+        .select(col("event_type"),
+          expr(s"unix_micros(ts) div ${DayUs}L").as("day"),
+          expr("cast(round(value * 100) as bigint)").as("c"))
+        .groupBy("event_type", "day")
+        .agg(sum("c").as("c"))
+      val a = grid.select(col("event_type"), col("day").as("d1"),
+        col("c").as("c1"))
+      val b = grid.select(col("event_type").as("et2"),
+        col("day").as("d2"), col("c").as("c2"))
+      val slopes = a.join(b,
+          col("event_type") === col("et2") && col("d1") < col("d2"))
+        .withColumn("slope",
+          (col("c2") - col("c1")).cast("double") / (col("d2") - col("d1")))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_pairs"),
+          expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY slope)")
+            .as("slope"))
+      grid.join(broadcast(slopes), "event_type")
+        .withColumn("ic", col("c") - col("slope") * col("day"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_days"), first("n_pairs").as("n_pairs"),
+          r6(first("slope")).as("slope_cents"),
+          r6(expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY ic)"))
+            .as("icept_cents"))
+        .orderBy("event_type")
+    },
+    Some(s"""WITH grid AS (
+           |  SELECT event_type, epoch_us(ts) // ${DayUs} AS day,
+           |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           |      AS c
+           |  FROM events GROUP BY 1, 2),
+           |sl AS (
+           |  SELECT a.event_type, count(*) AS n_pairs,
+           |    quantile_cont((b.c - a.c) / CAST(b.day - a.day AS DOUBLE),
+           |      0.5) AS slope
+           |  FROM grid a JOIN grid b
+           |    ON a.event_type = b.event_type AND a.day < b.day
+           |  GROUP BY 1)
+           |SELECT g.event_type, count(*) AS n_days,
+           |  any_value(n_pairs) AS n_pairs,
+           |  round(any_value(slope) * 1000000) / 1000000 AS slope_cents,
+           |  round(quantile_cont(g.c - slope * g.day, 0.5) * 1000000)
+           |    / 1000000 AS icept_cents
+           |FROM grid g JOIN sl USING (event_type)
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  // --------------------------------------------------------------- q148
+  /** Chi-square independence test on the return-flag × line-status
+    * contingency table — the categorical-drift check a data-quality
+    * gate runs before trusting a snapshot (q136's return rates assume
+    * the two dimensions move independently; this quantifies it).
+    * Observed counts are exact BIGINTs from one hash-agg; expected
+    * counts divide exact integer products; each cell's (O−E)²/E
+    * contribution rounds to a micro-unit BIGINT BEFORE the total, so
+    * the statistic is an exact integer sum (the q137 posture).
+    *
+    * Scale shape: ONE map-side-combined hash-agg to the ≤ R×C cell
+    * grid; marginals and the total roll up on the grid and broadcast
+    * back. Raw lineitem never reaches a join or window. */
+  val q148ChiSquare = QueryDef(
+    "q148_chi_square",
+    (s, d) => {
+      val obs = Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("o"))
+      val rowT = obs.groupBy(col("l_returnflag").as("rf"))
+        .agg(sum("o").as("rt"), count(lit(1)).as("nc"))
+      val colT = obs.groupBy(col("l_linestatus").as("ls"))
+        .agg(sum("o").as("ct"), count(lit(1)).as("nr"))
+      val tot = obs.agg(sum("o").as("n"))
+      val cells = obs
+        .join(broadcast(rowT), col("l_returnflag") === col("rf"))
+        .join(broadcast(colT), col("l_linestatus") === col("ls"))
+        .crossJoin(broadcast(tot))
+        .withColumn("e",
+          (col("rt") * col("ct")).cast("double") / col("n"))
+        .withColumn("contrib_micro",
+          round((col("o") - col("e")) * (col("o") - col("e")) / col("e")
+            * 1e6).cast("long"))
+      val chi = cells.agg(sum("contrib_micro").as("chi2_micro"),
+        max((col("nr") - 1) * (col("nc") - 1)).as("dof"))
+      cells.crossJoin(broadcast(chi))
+        .select(col("l_returnflag"), col("l_linestatus"), col("o"),
+          r4(col("e")).as("expected"), col("contrib_micro"),
+          col("chi2_micro"), col("dof"))
+        .orderBy("l_returnflag", "l_linestatus")
+    },
+    Some("""WITH obs AS (
+          |  SELECT l_returnflag, l_linestatus,
+          |    CAST(count(*) AS BIGINT) AS o
+          |  FROM lineitem GROUP BY 1, 2),
+          |rt AS (SELECT l_returnflag, CAST(sum(o) AS BIGINT) AS rt,
+          |    CAST(count(*) AS BIGINT) AS nc
+          |  FROM obs GROUP BY 1),
+          |ct AS (SELECT l_linestatus, CAST(sum(o) AS BIGINT) AS ct,
+          |    CAST(count(*) AS BIGINT) AS nr
+          |  FROM obs GROUP BY 1),
+          |tot AS (SELECT CAST(sum(o) AS BIGINT) AS n FROM obs),
+          |cells AS (
+          |  SELECT l_returnflag, l_linestatus, o,
+          |    CAST(rt * ct AS DOUBLE) / n AS e, nr, nc
+          |  FROM obs JOIN rt USING (l_returnflag)
+          |    JOIN ct USING (l_linestatus) CROSS JOIN tot),
+          |cm AS (
+          |  SELECT *, CAST(round((o - e) * (o - e) / e * 1e6) AS BIGINT)
+          |    AS contrib_micro
+          |  FROM cells),
+          |chi AS (SELECT CAST(sum(contrib_micro) AS BIGINT)
+          |    AS chi2_micro,
+          |    CAST(max((nr - 1) * (nc - 1)) AS BIGINT) AS dof
+          |  FROM cm)
+          |SELECT l_returnflag, l_linestatus, o,
+          |  round(e * 10000) / 10000 AS expected, contrib_micro,
+          |  chi2_micro, dof
+          |FROM cm CROSS JOIN chi
+          |ORDER BY l_returnflag, l_linestatus""".stripMargin))
+
+  // --------------------------------------------------------------- q149
+  /** Mann-Whitney U (rank-sum) test comparing `value` between purchase
+    * and click events — the nonparametric A/B companion to q106/q140:
+    * no normality assumption, so it survives the heavy-tailed revenue
+    * distributions that break a t-test. Values bin to exact milli
+    * units; ranks come from the VALUE HISTOGRAM, not a per-row sort:
+    * the tied-rank midpoint for a distinct value is
+    * (2·cum_before + t + 1)/2, so doubling every rank keeps the rank
+    * sum an exact BIGINT. U, the tie-corrected normal approximation z,
+    * and the rank-biserial effect size all derive from five exact
+    * integers in one final row.
+    *
+    * Scale shape: ONE map-side hash-agg to the value histogram
+    * (domain-bounded — milli-unit values, the q50/q54 posture), one
+    * window over that bounded histogram, one 1-row reduce. Raw events
+    * are never sorted or windowed. */
+  val q149MannWhitney = QueryDef(
+    "q149_mann_whitney",
+    (s, d) => {
+      val h = Tables.events(s, d)
+        .filter(col("event_type").isin("purchase", "click"))
+        .select(expr("cast(round(value * 1000) as bigint)").as("vm"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L)
+            .as("isp"))
+        .groupBy("vm")
+        .agg(sum("isp").as("n1"), sum(lit(1L) - col("isp")).as("n2"))
+      val w = Window.orderBy("vm")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val ranked = h
+        .withColumn("t", col("n1") + col("n2"))
+        .withColumn("cum", coalesce(sum("t").over(w), lit(0L)))
+        .withColumn("ar2", lit(2L) * col("cum") + col("t") + 1L)
+      ranked.agg(
+          sum("n1").as("na"), sum("n2").as("nb"),
+          sum(col("n1") * col("ar2")).as("r1_x2"),
+          sum(col("t") * col("t") * col("t") - col("t")).as("ties"))
+        .select(col("na").as("n_purchase"), col("nb").as("n_click"),
+          r2((col("r1_x2") - col("na") * (col("na") + 1L)) / 2.0)
+            .as("u"),
+          r6(((col("r1_x2") - col("na") * (col("na") + 1L)) / 2.0
+            - col("na") * col("nb") / 2.0)
+            / sqrt(col("na").cast("double") * col("nb") / 12.0
+              * ((col("na") + col("nb") + 1L)
+                - col("ties").cast("double")
+                  / ((col("na") + col("nb"))
+                    * (col("na") + col("nb") - 1L))))).as("z"),
+          r6((col("r1_x2") - col("na") * (col("na") + 1L)).cast("double")
+            / (col("na") * col("nb")) - 1.0).as("rank_biserial"))
+    },
+    Some("""WITH h AS (
+          |  SELECT CAST(round(value * 1000) AS BIGINT) AS vm,
+          |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+          |      END) AS BIGINT) AS n1,
+          |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+          |      END) AS BIGINT) AS n2
+          |  FROM events WHERE event_type IN ('purchase', 'click')
+          |  GROUP BY 1),
+          |ranked AS (
+          |  SELECT *, n1 + n2 AS t,
+          |    COALESCE(CAST(sum(n1 + n2) OVER (ORDER BY vm
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+          |      AS BIGINT), 0) AS cum
+          |  FROM h),
+          |agg AS (
+          |  SELECT CAST(sum(n1) AS BIGINT) AS na,
+          |    CAST(sum(n2) AS BIGINT) AS nb,
+          |    CAST(sum(n1 * (2 * cum + t + 1)) AS BIGINT) AS r1_x2,
+          |    CAST(sum(t * t * t - t) AS BIGINT) AS ties
+          |  FROM ranked)
+          |SELECT na AS n_purchase, nb AS n_click,
+          |  round((r1_x2 - na * (na + 1)) / 2.0 * 100) / 100 AS u,
+          |  round(((r1_x2 - na * (na + 1)) / 2.0 - na * nb / 2.0)
+          |    / sqrt(CAST(na AS DOUBLE) * nb / 12.0
+          |      * ((na + nb + 1) - CAST(ties AS DOUBLE)
+          |        / ((na + nb) * (na + nb - 1)))) * 1000000) / 1000000
+          |    AS z,
+          |  round((CAST(r1_x2 - na * (na + 1) AS DOUBLE) / (na * nb)
+          |    - 1.0) * 1000000) / 1000000 AS rank_biserial
+          |FROM agg""".stripMargin))
+
   val all: Seq[QueryDef] =
     Seq(q137PsiDrift, q138BootstrapCi, q139InterpJoin, q140CupedLift,
-      q141RankBattery, q143SurvivalKm, q145SeasonalDecompose)
+      q141RankBattery, q143SurvivalKm, q145SeasonalDecompose,
+      q147TheilSen, q148ChiSquare, q149MannWhitney)
 }
