@@ -767,13 +767,13 @@ object Statistics {
     * Scale shape: ONE map-side-combined hash-agg to the ≤ R×C cell
     * grid; marginals and the total roll up on the grid and broadcast
     * back. Raw lineitem never reaches a join or window. */
-  val q148ChiSquare = QueryDef(
-    "q148_chi_square",
-    (s, d) => {
-      val obs = Tables.lineitem(s, d)
-        .groupBy("l_returnflag", "l_linestatus")
-        .agg(count(lit(1)).as("o"))
-      val rowT = obs.groupBy(col("l_returnflag").as("rf"))
+  /** q148's cell grid → report projection, shared with the
+    * chiSquareStream twin (identical code over identical integer
+    * counters ⇒ bit-for-bit). `obs` columns: l_returnflag,
+    * l_linestatus, o. */
+  def q148Finish(obs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val rowT = obs.groupBy(col("l_returnflag").as("rf"))
         .agg(sum("o").as("rt"), count(lit(1)).as("nc"))
       val colT = obs.groupBy(col("l_linestatus").as("ls"))
         .agg(sum("o").as("ct"), count(lit(1)).as("nr"))
@@ -794,7 +794,14 @@ object Statistics {
           r4(col("e")).as("expected"), col("contrib_micro"),
           col("chi2_micro"), col("dof"))
         .orderBy("l_returnflag", "l_linestatus")
-    },
+  }
+
+  val q148ChiSquare = QueryDef(
+    "q148_chi_square",
+    (s, d) =>
+      q148Finish(Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("o"))),
     Some("""WITH obs AS (
           |  SELECT l_returnflag, l_linestatus,
           |    CAST(count(*) AS BIGINT) AS o

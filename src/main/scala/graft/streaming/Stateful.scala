@@ -1737,6 +1737,59 @@ object Stateful {
       }
   }
 
+  /** One contingency cell's running count (q148's `obs` grid). */
+  final case class ContingencyCell(l_returnflag: String,
+      l_linestatus: String, o: Long)
+  final case class CellState(n: Long, done: Boolean)
+
+  /** Streaming twin of q148's contingency pass — the LIVE
+    * categorical-independence monitor: a data-quality gate wants the
+    * return-flag × line-status chi-square continuously as snapshots
+    * land, not at audit time. Keyed by the (flag, status) cell; state
+    * is ONE commutative counter per cell, bounded by the R×C grid (a
+    * catalog constant) — tied with psiStream for the smallest state
+    * shape in the twin roster. Cells emit once when the watermark
+    * passes `endDay` (max ship day, the catalog-at-ingest stat), and
+    * the marginals/expected/chi-square projection then runs over the
+    * emitted grid via operators.Statistics.q148Finish — identical
+    * code to batch, so the twin is bit-for-bit.
+    *
+    * Input columns: l_returnflag, l_linestatus, ts (ship timestamp). */
+  def chiSquareStream(df: DataFrame, endDay: Long,
+      slack: String = "2 hours"): Dataset[ContingencyCell] = {
+    import org.apache.spark.sql.Encoders
+    implicit val stEnc: Encoder[CellState] = Encoders.product[CellState]
+    implicit val outEnc: Encoder[ContingencyCell] =
+      Encoders.product[ContingencyCell]
+    implicit val keyEnc: Encoder[(String, String)] =
+      Encoders.tuple(Encoders.STRING, Encoders.STRING)
+    implicit val rowEnc: Encoder[(String, String, java.sql.Timestamp)] =
+      Encoders.tuple(Encoders.STRING, Encoders.STRING,
+        Encoders.TIMESTAMP)
+    val ds = df.withWatermark("ts", slack)
+      .select("l_returnflag", "l_linestatus", "ts")
+      .as[(String, String, java.sql.Timestamp)]
+    ds.groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (key: (String, String),
+            rows: Iterator[(String, String, java.sql.Timestamp)],
+            state: GroupState[CellState]) =>
+          val st0 = state.getOption.getOrElse(CellState(0L, false))
+          var n = st0.n
+          rows.foreach(_ => n += 1L)
+          val wm = state.getCurrentWatermarkMs()
+          if (!st0.done && wm > endDay * 86400000L + 1L) {
+            state.update(CellState(n, true))
+            Iterator.single(ContingencyCell(key._1, key._2, n))
+          } else {
+            state.update(CellState(n, st0.done))
+            if (!st0.done) state.setTimeoutTimestamp(wm + 1L)
+            Iterator.empty
+          }
+      }
+  }
+
   /** One closed order's SLA observation (q131's `j` table). */
   final case class SlaGap(o_orderpriority: String, gap_days: Long)
   final case class SlaState(openUs: Long, priority: String,

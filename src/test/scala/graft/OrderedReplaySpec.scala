@@ -1354,4 +1354,56 @@ class OrderedReplaySpec extends SparkSpec {
       s"stream-only: ${streamed.toSet.diff(batch.toSet).take(3)}; " +
         s"batch-only: ${batch.toSet.diff(streamed.toSet).take(3)}")
   }
+
+  test("streaming chi-square: contingency cells == batch q148") {
+    val s = spark
+    import s.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+
+    val dmax = Tables.lineitem(s, sf)
+      .select((unix_micros(col("l_shipdate").cast("timestamp"))
+        / 86400000000L).cast("long").as("day"))
+      .agg(max("day")).head.getLong(0)
+    val lines = Tables.lineitem(s, sf)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("l_shipdate").cast("timestamp").as("ts"),
+        col("l_orderkey"), col("l_linenumber"))
+      .as[(String, String, java.sql.Timestamp, Long, Long)].collect()
+    val feed = lines.sortBy { r =>
+      val jitter = Math.floorMod(r._4 * 2654435761L + r._5, 1800000L)
+      (r._3.getTime + jitter, r._4, r._5)
+    }.map(r => (r._1, r._2, r._3))
+
+    val input = MemoryStream[(String, String, java.sql.Timestamp)]
+    val q = Stateful.chiSquareStream(
+        input.toDS().toDF("l_returnflag", "l_linestatus", "ts"),
+        dmax, "2 hours")
+      .writeStream.format("memory").queryName("ooo_chisq")
+      .trigger(Trigger.ProcessingTime(50)).start()
+    val third = feed.length / 3
+    Seq(feed.slice(0, third), feed.slice(third, 2 * third),
+      feed.drop(2 * third)).foreach { chunk =>
+      input.addData(chunk.toSeq); q.processAllAvailable()
+    }
+    val sentTs = new java.sql.Timestamp((dmax + 30L) * 86400000L)
+    for (i <- 1 to 2) {
+      input.addData(("zz_sentinel", "zz",
+        new java.sql.Timestamp(sentTs.getTime + i)))
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    val cells = s.table("ooo_chisq").filter("l_returnflag != 'zz_sentinel'")
+    assert(cells.count() > 0)
+    val streamed = operators.Statistics.q148Finish(cells).collect()
+      .map(_.toString).toSeq
+    val batch = SparkEntry.queries("q148_chi_square")(s, sf).collect()
+      .map(_.toString).toSeq
+    // identical projection over identical integer counters ⇒ bit-for-bit
+    assert(streamed == batch,
+      s"stream-only: ${streamed.toSet.diff(batch.toSet).take(3)}; " +
+        s"batch-only: ${batch.toSet.diff(streamed.toSet).take(3)}")
+  }
 }
