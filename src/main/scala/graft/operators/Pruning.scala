@@ -1,5 +1,7 @@
 package graft.operators
 
+import org.apache.spark.sql.functions._
+
 import graft.QueryDef
 
 /** Explicit bloom-filter join pruning: cut the fact side of a
@@ -153,7 +155,202 @@ object Pruning {
            |  min(id) AS min_id, max(id) AS max_id
            |FROM rows_ GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  // --------------------------------------------------------------- q150
+  /** Partition-strategy planner: score candidate partition keys for the
+    * events table from catalog-style stats — the decision every 100 TB
+    * table owner makes once and lives with. For each candidate
+    * (event_type / day / hour / user_id mod 1024) it measures partition
+    * count, total rows, max-partition rows, and a skew ratio
+    * (max/avg, micro-unit fixed point), then scores: a candidate earns
+    * its point only when cardinality sits in the manageable [16, 4096]
+    * file-count band, minus its skew penalty — so low-cardinality
+    * (event_type: giant files, no pruning granularity) and
+    * high-skew keys rank below a balanced calendar/hash key.
+    *
+    * Scale shape: ONE scan; the 4× explode happens map-side and
+    * collapses via partial agg to the candidate×key cell grid (every
+    * candidate is domain-bounded: 5 types, ~30 days, ~720 hours, 1024
+    * hash buckets), so the only shuffle carries cells, not rows. The
+    * rank window runs over 4 rows. */
+  val q150PartitionPlanner = QueryDef(
+    "q150_partition_planner",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val cells = graft.Tables.events(s, d)
+        .select(explode(array(
+          struct(lit("event_type").as("cand"),
+            col("event_type").as("keyval")),
+          struct(lit("day").as("cand"),
+            expr("cast(unix_micros(ts) div 86400000000 as string)")
+              .as("keyval")),
+          struct(lit("hour").as("cand"),
+            expr("cast(unix_micros(ts) div 3600000000 as string)")
+              .as("keyval")),
+          struct(lit("user_mod").as("cand"),
+            expr("cast(user_id % 1024 as string)").as("keyval"))))
+          .as("c"))
+        .select(col("c.cand").as("cand"), col("c.keyval").as("keyval"))
+        .groupBy("cand", "keyval").agg(count(lit(1)).as("n"))
+      val per = cells.groupBy("cand")
+        .agg(count(lit(1)).as("n_parts"), sum("n").as("total"),
+          max("n").as("max_n"))
+        .withColumn("skew_micro",
+          round(col("max_n").cast("double") * col("n_parts")
+            / col("total") * 1e6).cast("long"))
+        .withColumn("score_micro",
+          when(col("n_parts").between(16, 4096), 1000000L)
+            .otherwise(0L) - col("skew_micro"))
+      per.withColumn("rk", rank().over(
+          Window.orderBy(col("score_micro").desc, col("cand"))))
+        .select(col("cand"), col("n_parts"), col("total"), col("max_n"),
+          col("skew_micro"), col("score_micro"), col("rk"))
+        .orderBy("rk", "cand")
+    },
+    Some("""WITH cells AS (
+          |  SELECT cand, keyval, CAST(count(*) AS BIGINT) AS n FROM (
+          |    SELECT 'event_type' AS cand, event_type AS keyval
+          |    FROM events
+          |    UNION ALL SELECT 'day',
+          |      CAST(epoch_us(ts) // 86400000000 AS VARCHAR) FROM events
+          |    UNION ALL SELECT 'hour',
+          |      CAST(epoch_us(ts) // 3600000000 AS VARCHAR) FROM events
+          |    UNION ALL SELECT 'user_mod',
+          |      CAST(user_id % 1024 AS VARCHAR) FROM events)
+          |  GROUP BY 1, 2),
+          |per AS (
+          |  SELECT cand, CAST(count(*) AS BIGINT) AS n_parts,
+          |    CAST(sum(n) AS BIGINT) AS total,
+          |    CAST(max(n) AS BIGINT) AS max_n
+          |  FROM cells GROUP BY 1),
+          |scored AS (
+          |  SELECT *,
+          |    CAST(round(CAST(max_n AS DOUBLE) * n_parts / total * 1e6)
+          |      AS BIGINT) AS skew_micro,
+          |    (CASE WHEN n_parts BETWEEN 16 AND 4096 THEN 1000000
+          |      ELSE 0 END)
+          |      - CAST(round(CAST(max_n AS DOUBLE) * n_parts / total
+          |        * 1e6) AS BIGINT) AS score_micro
+          |  FROM per)
+          |SELECT cand, n_parts, total, max_n, skew_micro, score_micro,
+          |  CAST(rank() OVER (ORDER BY score_micro DESC, cand)
+          |    AS INT) AS rk
+          |FROM scored ORDER BY rk, cand""".stripMargin))
+
+  // --------------------------------------------------------------- q151
+  /** Zone-map data-skipping audit — measures what q76's layouts BUY:
+    * lay events into files two ways (2-day time-range cut vs balanced
+    * 5+5-bit Morton cut on day-offset × type-hash), build each file's
+    * zone map (min/max day offset + the file's event-type set), then
+    * replay a probe workload (every event type × four probe WEEKS)
+    * against the zone maps alone and report how many files each layout
+    * must read. Time-cut files each contain every event type, so type
+    * selectivity prunes nothing and a week probe pays the full range;
+    * z-order files bound BOTH dimensions, so the same probe touches
+    * only the day-quadrant × hash-quadrant intersection — the
+    * data-skipping argument, quantified without scanning a row twice.
+    *
+    * Scale shape: one scan → two map-side-combined aggs on ≤32-value
+    * file keys (zone maps) plus one distinct on (layout, file, type)
+    * pairs (≤ files × types cells); the probe replay joins the
+    * broadcast 20-row probe grid against those catalog-sized tables.
+    * At write time the same keys feed repartitionByRange. */
+  val q151SkippingAudit = QueryDef(
+    "q151_skipping_audit",
+    (s, d) => {
+      def interleave(a: String, b: String): String =
+        (0 until 5).map(i =>
+          s"(((($a >> $i) & 1) << ${2 * i}) + ((($b >> $i) & 1) << ${2 * i + 1}))")
+          .mkString(" + ")
+      val span = graft.Tables.events(s, d)
+        .agg(min(expr("unix_micros(ts) div 86400000000")).as("d0"))
+      val ev = graft.Tables.events(s, d)
+        .crossJoin(broadcast(span))
+        .withColumn("a",
+          expr("(unix_micros(ts) div 86400000000) - d0"))
+        .withColumn("b",
+          expr("cast(conv(substring(md5(event_type), 1, 2), 16, 10) as bigint) & 31"))
+        .withColumn("zkey", expr(interleave("a", "b")))
+        .select(col("event_type"), col("a"),
+          expr("a div 2").as("file_t"),
+          expr("zkey div 64").as("file_z"))
+      val cuts = ev.select(lit("time").as("layout"),
+          col("file_t").as("file_id"), col("event_type"), col("a"))
+        .unionByName(ev.select(lit("zorder").as("layout"),
+          col("file_z").as("file_id"), col("event_type"), col("a")))
+      val zone = cuts.groupBy("layout", "file_id")
+        .agg(min("a").as("min_a"), max("a").as("max_a"))
+      val pairs = cuts.select("layout", "file_id", "event_type").distinct()
+        .select(col("layout").as("pl"), col("file_id").as("pf"),
+          col("event_type").as("pt"))
+      val nFiles = zone.groupBy(col("layout").as("fl"))
+        .agg(count(lit(1)).as("files_total"))
+      val pdays = s.range(1)
+        .select(explode(array(lit(2L), lit(9L), lit(16L), lit(23L)))
+          .as("pa"))
+      val probes = cuts.select(col("event_type").as("ptype")).distinct()
+        .crossJoin(pdays)
+      val read = zone.crossJoin(broadcast(probes))
+        .filter(col("min_a") <= col("pa") + 6L
+          && col("pa") <= col("max_a"))
+        .join(pairs, col("layout") === col("pl")
+          && col("file_id") === col("pf") && col("ptype") === col("pt"),
+          "left_semi")
+        .groupBy("layout", "ptype", "pa")
+        .agg(count(lit(1)).as("files_read"))
+      read.join(broadcast(nFiles), col("layout") === col("fl"))
+        .select(col("layout"), col("ptype"), col("pa"),
+          col("files_read"), col("files_total"),
+          graft.functions.Rounding.r4(col("files_read").cast("double")
+            / col("files_total")).as("read_frac"))
+        .orderBy("layout", "ptype", "pa")
+    },
+    Some {
+      val il = (0 until 5).map(i =>
+        s"((((a >> $i) & 1) << ${2 * i}) + (((b >> $i) & 1) << ${2 * i + 1}))")
+        .mkString(" + ")
+      s"""WITH span AS (
+         |  SELECT min(epoch_us(ts) // 86400000000) AS d0 FROM events),
+         |ev AS (
+         |  SELECT event_type,
+         |    (epoch_us(ts) // 86400000000) - d0 AS a,
+         |    ('0x' || substr(md5(event_type), 1, 2))::BIGINT & 31 AS b
+         |  FROM events CROSS JOIN span),
+         |z AS (SELECT *, $il AS zkey FROM ev),
+         |cuts AS (
+         |  SELECT 'time' AS layout, a // 2 AS file_id, event_type, a
+         |  FROM z
+         |  UNION ALL
+         |  SELECT 'zorder', zkey // 64, event_type, a FROM z),
+         |zone AS (
+         |  SELECT layout, file_id, min(a) AS min_a, max(a) AS max_a
+         |  FROM cuts GROUP BY 1, 2),
+         |pairs AS (
+         |  SELECT DISTINCT layout, file_id, event_type FROM cuts),
+         |nfiles AS (
+         |  SELECT layout, CAST(count(*) AS BIGINT) AS files_total
+         |  FROM zone GROUP BY 1),
+         |probes AS (
+         |  SELECT ptype, pa FROM
+         |    (SELECT DISTINCT event_type AS ptype FROM cuts)
+         |    CROSS JOIN (SELECT CAST(unnest([2, 9, 16, 23]) AS BIGINT)
+         |      AS pa)),
+         |rd AS (
+         |  SELECT zone.layout, ptype, pa,
+         |    CAST(count(*) AS BIGINT) AS files_read
+         |  FROM zone CROSS JOIN probes
+         |  JOIN pairs ON pairs.layout = zone.layout
+         |    AND pairs.file_id = zone.file_id
+         |    AND pairs.event_type = probes.ptype
+         |  WHERE min_a <= pa + 6 AND pa <= max_a
+         |  GROUP BY 1, 2, 3)
+         |SELECT rd.layout, ptype, pa, files_read, files_total,
+         |  round(CAST(files_read AS DOUBLE) / files_total * 10000)
+         |    / 10000 AS read_frac
+         |FROM rd JOIN nfiles ON nfiles.layout = rd.layout
+         |ORDER BY rd.layout, ptype, pa""".stripMargin
+    })
+
   val all: Seq[QueryDef] =
     Seq(q49BloomPruneJoin, q125ArchivePushdown, q142ArchiveAggPushdown,
-      q144ArchiveGroupPushdown)
+      q144ArchiveGroupPushdown, q150PartitionPlanner, q151SkippingAudit)
 }
