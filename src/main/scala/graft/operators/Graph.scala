@@ -396,6 +396,101 @@ object Graph {
            |FROM lbl GROUP BY 1
            |ORDER BY n_nodes DESC, root LIMIT 20""".stripMargin))
 
+  // --------------------------------------------------------------- q152
+  /** Community detection by SYNCHRONOUS label propagation (Raghavan et
+    * al. 2007) over the ≥2-shared-orders co-purchase graph — the
+    * near-linear community pass that complements q96: connected
+    * components answer "reachable at all?", LPA answers "densely
+    * bought together", splitting a giant component into merchandising
+    * clusters. Three fixed synchronous rounds (deterministic by
+    * construction — no convergence test, no oscillation hazard); each
+    * node adopts its neighbors' plurality label with the (count DESC,
+    * label ASC) tie-break, so both engines pick identical winners and
+    * the result hash-matches an unrolled recursive-CTE oracle.
+    *
+    * Scale shape: per round ONE equi-join of the symmetric edge list
+    * against the label table plus one map-side-combined (node, label)
+    * count and a per-node top-1 window on the high-cardinality node
+    * key — d03/q82's iterated-exchange pattern with materialize()
+    * lineage cuts. Labels move as (node, label) pairs; nothing
+    * driver-sized ever collects. */
+  val q152LabelCommunities = QueryDef(
+    "q152_label_communities",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      val pairs = li.as("a").join(li.hint("shuffle_hash").as("b"),
+          col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+        .agg(countDistinct(col("a.ok")).as("n_ord"))
+        .filter(col("n_ord") >= 2)
+      val edges = materialize(s,
+        pairs.select(col("u").as("src"), col("v").as("dst"))
+          .union(pairs.select(col("v").as("src"), col("u").as("dst"))))
+      var labels = materialize(s, edges.select(col("src").as("node"))
+        .distinct().withColumn("lab", col("node")))
+      var lastMat = labels
+      val w = Window.partitionBy("src").orderBy(col("c").desc, col("lab"))
+      for (_ <- 1 to 3) {
+        val next = edges.join(labels.hint("shuffle_hash"),
+            col("dst") === col("node"))
+          .groupBy(col("src"), col("lab"))
+          .agg(count(lit(1)).as("c"))
+          .withColumn("rn", row_number().over(w))
+          .filter(col("rn") === 1)
+          .select(col("src").as("node"), col("lab"))
+        labels = materialize(s, next)
+        lastMat.unpersist()
+        lastMat = labels
+      }
+      val sizes = labels.groupBy(col("lab").as("lab2"))
+        .agg(count(lit(1)).as("n_members"))
+      val out = labels.join(sizes, col("lab") === col("lab2"))
+        .select(col("node").as("part"), col("lab").as("community"),
+          col("n_members"))
+        .orderBy("part")
+        .localCheckpoint(true)
+      lastMat.unpersist()
+      edges.unpersist()
+      out
+    },
+    Some("""WITH
+           |li AS (SELECT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+           |pairs AS (SELECT a.p AS u, b.p AS v
+           |  FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p
+           |  GROUP BY 1, 2 HAVING count(DISTINCT a.ok) >= 2),
+           |edges AS MATERIALIZED (SELECT u AS src, v AS dst FROM pairs
+           |  UNION ALL SELECT v, u FROM pairs),
+           |lab0 AS MATERIALIZED (
+           |  SELECT DISTINCT src AS node, src AS lab FROM edges),
+           |lab1 AS MATERIALIZED (
+           |  SELECT node, lab FROM (
+           |    SELECT e.src AS node, l.lab,
+           |      row_number() OVER (PARTITION BY e.src
+           |        ORDER BY count(*) DESC, l.lab ASC) AS rn
+           |    FROM edges e JOIN lab0 l ON e.dst = l.node
+           |    GROUP BY e.src, l.lab) WHERE rn = 1),
+           |lab2 AS MATERIALIZED (
+           |  SELECT node, lab FROM (
+           |    SELECT e.src AS node, l.lab,
+           |      row_number() OVER (PARTITION BY e.src
+           |        ORDER BY count(*) DESC, l.lab ASC) AS rn
+           |    FROM edges e JOIN lab1 l ON e.dst = l.node
+           |    GROUP BY e.src, l.lab) WHERE rn = 1),
+           |lab3 AS MATERIALIZED (
+           |  SELECT node, lab FROM (
+           |    SELECT e.src AS node, l.lab,
+           |      row_number() OVER (PARTITION BY e.src
+           |        ORDER BY count(*) DESC, l.lab ASC) AS rn
+           |    FROM edges e JOIN lab2 l ON e.dst = l.node
+           |    GROUP BY e.src, l.lab) WHERE rn = 1),
+           |sizes AS (SELECT lab, CAST(count(*) AS BIGINT) AS n_members
+           |  FROM lab3 GROUP BY 1)
+           |SELECT node AS part, lab AS community, n_members
+           |FROM lab3 JOIN sizes USING (lab)
+           |ORDER BY part""".stripMargin))
+
   // ---------------------------------------------------------------- q98
   /** Link prediction over the ≥2-shared-orders co-purchase graph
     * (q82/q96's sparsified substrate): for every NON-adjacent pair with
@@ -649,5 +744,6 @@ object Graph {
     })
 
   val all: Seq[QueryDef] = Seq(q73CopurchaseRank, q81Triangles, q82BfsLevels,
-    q96ConnectedComponents, q98LinkPrediction, q105MutualTop, q120KCore)
+    q96ConnectedComponents, q98LinkPrediction, q105MutualTop, q120KCore,
+    q152LabelCommunities)
 }
