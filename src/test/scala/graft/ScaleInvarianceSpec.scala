@@ -158,4 +158,28 @@ class ScaleInvarianceSpec extends SparkSpec {
   test("q146 URL analytics invariant to partition count") {
     invariant("q146_url_analytics", sf001)
   }
+
+  test("q147 Theil-Sen medians invariant to partition count") {
+    invariant("q147_theilsen", sf001)
+  }
+
+  test("q148 chi-square cells invariant to partition count") {
+    invariant("q148_chi_square", sf001)
+  }
+
+  test("q149 Mann-Whitney rank sums invariant to partition count") {
+    invariant("q149_mann_whitney", sf001)
+  }
+
+  test("q150 partition planner scores invariant to partition count") {
+    invariant("q150_partition_planner", sf001)
+  }
+
+  test("q151 zone-map audit invariant to partition count") {
+    invariant("q151_skipping_audit", sf001)
+  }
+
+  test("q152 label-propagation communities invariant to partition count") {
+    invariant("q152_label_communities", sf001)
+  }
 }
