@@ -1242,6 +1242,83 @@ object Relational3 {
            |    * 1000000) / 1000000 AS vs_baseline
            |FROM brands CROSS JOIN base ORDER BY p_brand""".stripMargin))
 
+  // --------------------------------------------------------------- q153
+  /** FIFO return allocation — match each part's returned quantity
+    * against its shipments in ship-date order, the inventory-costing /
+    * warranty-exposure primitive. The textbook form is a sequential
+    * scan per part ("consume the earliest shipment first"); the engine
+    * form is PREFIX-SUM ALGEBRA: a shipment's allocated share is
+    * clamp(returned_total − cum_qty_before, 0, qty), so one window
+    * cumulative sum replaces the sequential matcher — the same
+    * sequential→prefix-sum turn behind x06's sequence packing. All
+    * quantities are exact BIGINTs; the window order is total
+    * (day, orderkey, linenumber), so allocation is deterministic.
+    *
+    * Scale shape: the window AND the returned-total join both key on
+    * l_partkey — a high-cardinality key that scales with the data, one
+    * exchange shape shared by both stages. The per-part report rolls
+    * up with a map-side-combined hash-agg. Nothing global, nothing
+    * driver-side. */
+  val q153FifoAllocation = QueryDef(
+    "q153_fifo_allocation",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val li = Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_orderkey"), col("l_linenumber"),
+          expr("unix_micros(cast(l_shipdate as timestamp)) div 86400000000")
+            .as("day"),
+          expr("cast(round(l_quantity) as bigint)").as("q"),
+          col("l_returnflag"))
+      val rtot = li.groupBy(col("l_partkey").as("pk2"))
+        .agg(sum(when(col("l_returnflag") === "R", col("q"))
+          .otherwise(0L)).as("rq"))
+      val w = Window.partitionBy("l_partkey")
+        .orderBy("day", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val alloc = li.join(rtot, col("l_partkey") === col("pk2"))
+        .withColumn("cum", coalesce(sum("q").over(w), lit(0L)))
+        .withColumn("alloc",
+          greatest(lit(0L), least(col("q"), col("rq") - col("cum"))))
+      alloc.groupBy(col("l_partkey").as("part"))
+        .agg(count(lit(1)).as("n_ship"), sum("q").as("qty_total"),
+          max("rq").as("qty_returned"),
+          sum(when(col("alloc") === col("q"), 1L).otherwise(0L))
+            .as("n_consumed"),
+          sum(when(col("alloc") > 0L && col("alloc") < col("q"), 1L)
+            .otherwise(0L)).as("n_partial"),
+          coalesce(min(when(col("alloc") < col("q"), col("day"))),
+            lit(-1L)).as("open_day"))
+        .orderBy("part")
+    },
+    Some("""WITH li AS (
+          |  SELECT l_partkey, l_orderkey, l_linenumber,
+          |    epoch_us(l_shipdate) // 86400000000 AS day,
+          |    CAST(round(l_quantity) AS BIGINT) AS q, l_returnflag
+          |  FROM lineitem),
+          |rtot AS (
+          |  SELECT l_partkey, CAST(sum(CASE WHEN l_returnflag = 'R'
+          |    THEN q ELSE 0 END) AS BIGINT) AS rq
+          |  FROM li GROUP BY 1),
+          |alloc AS (
+          |  SELECT li.*, rq,
+          |    COALESCE(CAST(sum(q) OVER (PARTITION BY li.l_partkey
+          |      ORDER BY day, l_orderkey, l_linenumber
+          |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+          |      AS BIGINT), 0) AS cum
+          |  FROM li JOIN rtot USING (l_partkey)),
+          |cl AS (
+          |  SELECT *, greatest(0, least(q, rq - cum)) AS al FROM alloc)
+          |SELECT l_partkey AS part, CAST(count(*) AS BIGINT) AS n_ship,
+          |  CAST(sum(q) AS BIGINT) AS qty_total,
+          |  CAST(max(rq) AS BIGINT) AS qty_returned,
+          |  CAST(sum(CASE WHEN al = q THEN 1 ELSE 0 END) AS BIGINT)
+          |    AS n_consumed,
+          |  CAST(sum(CASE WHEN al > 0 AND al < q THEN 1 ELSE 0 END)
+          |    AS BIGINT) AS n_partial,
+          |  COALESCE(min(CASE WHEN al < q THEN day END), -1)
+          |    AS open_day
+          |FROM cl GROUP BY 1 ORDER BY part""".stripMargin))
+
   val all: Seq[QueryDef] =
     Seq(q69StarJoin, q70EventDedup, q71ArgExtremes, q72Regression,
       q74VariantExtract, q75HofBattery, q76ZorderLayout, q79ExistsChain,
@@ -1249,5 +1326,5 @@ object Relational3 {
       q99BenfordAudit, q118PriceVolumeBridge, q122OrderBacklog,
       q127AmountReconciliation, q131SlaAttainment, q132SupplierHhi,
       q133TradeMatrix, q134SalesOpportunity, q135MarketShare,
-      q136ReturnRates)
+      q136ReturnRates, q153FifoAllocation)
 }

@@ -182,4 +182,8 @@ class ScaleInvarianceSpec extends SparkSpec {
   test("q152 label-propagation communities invariant to partition count") {
     invariant("q152_label_communities", sf001)
   }
+
+  test("q153 FIFO allocation invariant to partition count") {
+    invariant("q153_fifo_allocation", sf001)
+  }
 }
