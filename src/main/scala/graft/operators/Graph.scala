@@ -409,11 +409,13 @@ object Graph {
     * the result hash-matches an unrolled recursive-CTE oracle.
     *
     * Scale shape: per round ONE equi-join of the symmetric edge list
-    * against the label table plus one map-side-combined (node, label)
-    * count and a per-node top-1 window on the high-cardinality node
-    * key — d03/q82's iterated-exchange pattern with materialize()
-    * lineage cuts. Labels move as (node, label) pairs; nothing
-    * driver-sized ever collects. */
+    * against the label table plus two map-side-combined hash-aggs —
+    * (node, label) counts, then a per-node min-of-struct((-c, lab))
+    * argmax — so the plurality pick never sorts; both levels partial-
+    * aggregate before the exchange (measured faster than the
+    * row_number-window form it replaced). d03/q82's iterated-exchange
+    * pattern with materialize() lineage cuts; labels move as
+    * (node, label) pairs; nothing driver-sized ever collects. */
   val q152LabelCommunities = QueryDef(
     "q152_label_communities",
     (s, d) => {
@@ -431,15 +433,17 @@ object Graph {
       var labels = materialize(s, edges.select(col("src").as("node"))
         .distinct().withColumn("lab", col("node")))
       var lastMat = labels
-      val w = Window.partitionBy("src").orderBy(col("c").desc, col("lab"))
       for (_ <- 1 to 3) {
+        // plurality winner via min-of-struct argmax — both aggs combine
+        // map-side, no per-node sort (beats row_number-over-window here)
         val next = edges.join(labels.hint("shuffle_hash"),
             col("dst") === col("node"))
           .groupBy(col("src"), col("lab"))
           .agg(count(lit(1)).as("c"))
-          .withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1)
-          .select(col("src").as("node"), col("lab"))
+          .groupBy("src")
+          .agg(min(struct((-col("c")).as("nc"), col("lab").as("lab")))
+            .as("m"))
+          .select(col("src").as("node"), col("m.lab").as("lab"))
         labels = materialize(s, next)
         lastMat.unpersist()
         lastMat = labels
