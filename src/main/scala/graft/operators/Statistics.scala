@@ -848,39 +848,46 @@ object Statistics {
     * (domain-bounded — milli-unit values, the q50/q54 posture), one
     * window over that bounded histogram, one 1-row reduce. Raw events
     * are never sorted or windowed. */
+  /** q149's histogram → U/z/effect projection, shared with the
+    * mannWhitneyStream twin (identical code over identical integer
+    * counters ⇒ bit-for-bit). `h` columns: vm (milli-unit value bin),
+    * n1 (purchase count), n2 (click count). */
+  def q149Finish(h: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val w = Window.orderBy("vm")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ranked = h
+      .withColumn("t", col("n1") + col("n2"))
+      .withColumn("cum", coalesce(sum("t").over(w), lit(0L)))
+      .withColumn("ar2", lit(2L) * col("cum") + col("t") + 1L)
+    ranked.agg(
+        sum("n1").as("na"), sum("n2").as("nb"),
+        sum(col("n1") * col("ar2")).as("r1_x2"),
+        sum(col("t") * col("t") * col("t") - col("t")).as("ties"))
+      .select(col("na").as("n_purchase"), col("nb").as("n_click"),
+        r2((col("r1_x2") - col("na") * (col("na") + 1L)) / 2.0)
+          .as("u"),
+        r6(((col("r1_x2") - col("na") * (col("na") + 1L)) / 2.0
+          - col("na") * col("nb") / 2.0)
+          / sqrt(col("na").cast("double") * col("nb") / 12.0
+            * ((col("na") + col("nb") + 1L)
+              - col("ties").cast("double")
+                / ((col("na") + col("nb"))
+                  * (col("na") + col("nb") - 1L))))).as("z"),
+        r6((col("r1_x2") - col("na") * (col("na") + 1L)).cast("double")
+          / (col("na") * col("nb")) - 1.0).as("rank_biserial"))
+  }
+
   val q149MannWhitney = QueryDef(
     "q149_mann_whitney",
-    (s, d) => {
-      val h = Tables.events(s, d)
+    (s, d) =>
+      q149Finish(Tables.events(s, d)
         .filter(col("event_type").isin("purchase", "click"))
         .select(expr("cast(round(value * 1000) as bigint)").as("vm"),
           when(col("event_type") === "purchase", 1L).otherwise(0L)
             .as("isp"))
         .groupBy("vm")
-        .agg(sum("isp").as("n1"), sum(lit(1L) - col("isp")).as("n2"))
-      val w = Window.orderBy("vm")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val ranked = h
-        .withColumn("t", col("n1") + col("n2"))
-        .withColumn("cum", coalesce(sum("t").over(w), lit(0L)))
-        .withColumn("ar2", lit(2L) * col("cum") + col("t") + 1L)
-      ranked.agg(
-          sum("n1").as("na"), sum("n2").as("nb"),
-          sum(col("n1") * col("ar2")).as("r1_x2"),
-          sum(col("t") * col("t") * col("t") - col("t")).as("ties"))
-        .select(col("na").as("n_purchase"), col("nb").as("n_click"),
-          r2((col("r1_x2") - col("na") * (col("na") + 1L)) / 2.0)
-            .as("u"),
-          r6(((col("r1_x2") - col("na") * (col("na") + 1L)) / 2.0
-            - col("na") * col("nb") / 2.0)
-            / sqrt(col("na").cast("double") * col("nb") / 12.0
-              * ((col("na") + col("nb") + 1L)
-                - col("ties").cast("double")
-                  / ((col("na") + col("nb"))
-                    * (col("na") + col("nb") - 1L))))).as("z"),
-          r6((col("r1_x2") - col("na") * (col("na") + 1L)).cast("double")
-            / (col("na") * col("nb")) - 1.0).as("rank_biserial"))
-    },
+        .agg(sum("isp").as("n1"), sum(lit(1L) - col("isp")).as("n2"))),
     Some("""WITH h AS (
           |  SELECT CAST(round(value * 1000) AS BIGINT) AS vm,
           |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
@@ -912,8 +919,95 @@ object Statistics {
           |    - 1.0) * 1000000) / 1000000 AS rank_biserial
           |FROM agg""".stripMargin))
 
+  // --------------------------------------------------------------- q154
+  /** Autocorrelation function of the per-type daily-revenue series at
+    * lags 1..7 — the weekly-rhythm diagnostic that tells q145's
+    * seasonal decomposition WHICH period to model (a spike at lag 7
+    * says day-of-week; a flat ACF says don't bother). Distinct
+    * estimator from q65's correlogram (per-lag Pearson over 6-hour
+    * float bucket-means): this is the TEXTBOOK sample ACF — one global
+    * mean, full-series denominator, ρ(L) = Σ(xₜ−μ)(xₜ₊L−μ) /
+    * Σ(xₜ−μ)² — on daily revenue SUMS, expanded so every sum is exact — pair products Σxₜxₜ₊L
+    * move as decimal(38,0) ↔ HUGEINT (the q132 convention), the mean
+    * enters only in the final one-row-per-(type,lag) float algebra,
+    * mirrored term-for-term in the oracle so both engines evaluate
+    * identical doubles. Calendar gaps pair only days that both exist —
+    * the join handles missing days for free.
+    *
+    * Scale shape: ONE map-side hash-agg collapses the corpus to the
+    * (type × day) calendar grid; the lag pairing is a broadcast 7-row
+    * cross join + an equi-join of the grid against itself (calendar-
+    * bounded — thousands of rows, never corpus-sized); per-type stats
+    * broadcast back. 100 TB changes only the first agg's input —
+    * q147's posture exactly. */
+  val q154Autocorrelation = QueryDef(
+    "q154_autocorrelation",
+    (s, d) => {
+      val g = Tables.events(s, d)
+        .select(col("event_type"),
+          expr(s"unix_micros(ts) div ${DayUs}L").as("day"),
+          expr("cast(round(value * 100) as bigint)").as("c"))
+        .groupBy("event_type", "day")
+        .agg(sum("c").as("x"))
+      val st = g.groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("x").as("s"),
+          sum(col("x").cast("decimal(38,0)")
+            * col("x").cast("decimal(38,0)")).as("ss"))
+        .withColumn("mu", col("s").cast("double") / col("n"))
+      val lags = s.range(1, 8).select(col("id").as("lag"))
+      val b = g.select(col("event_type").as("et2"),
+        col("day").as("d2"), col("x").as("x2"))
+      val p = g.crossJoin(broadcast(lags))
+        .join(b, col("et2") === col("event_type")
+          && col("d2") === col("day") + col("lag"))
+        .groupBy("event_type", "lag")
+        .agg(count(lit(1)).as("k"), sum("x").as("sx"),
+          sum("x2").as("sy"),
+          sum(col("x").cast("decimal(38,0)")
+            * col("x2").cast("decimal(38,0)")).as("sxy"))
+      p.join(broadcast(st), "event_type")
+        .select(col("event_type"), col("lag"),
+          col("k").as("n_pairs"),
+          r6((col("sxy").cast("double")
+            - col("mu") * (col("sx") + col("sy"))
+            + col("k") * col("mu") * col("mu"))
+            / (col("ss").cast("double")
+              - col("n") * col("mu") * col("mu"))).as("acf"))
+        .orderBy("event_type", "lag")
+    },
+    Some("""WITH g AS (
+           |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+           |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           |      AS x
+           |  FROM events GROUP BY 1, 2),
+           |st AS (
+           |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(x) AS BIGINT) AS s,
+           |    sum(CAST(x AS HUGEINT) * x) AS ss
+           |  FROM g GROUP BY 1),
+           |mu AS (SELECT *, CAST(s AS DOUBLE) / n AS mu FROM st),
+           |lags AS (SELECT unnest(generate_series(1, 7)) AS lag),
+           |p AS (
+           |  SELECT g.event_type, lags.lag,
+           |    CAST(count(*) AS BIGINT) AS k,
+           |    CAST(sum(g.x) AS BIGINT) AS sx,
+           |    CAST(sum(b.x) AS BIGINT) AS sy,
+           |    sum(CAST(g.x AS HUGEINT) * b.x) AS sxy
+           |  FROM g CROSS JOIN lags
+           |    JOIN g b ON b.event_type = g.event_type
+           |      AND b.day = g.day + lags.lag
+           |  GROUP BY 1, 2)
+           |SELECT p.event_type, lag, k AS n_pairs,
+           |  round((CAST(sxy AS DOUBLE) - mu * (sx + sy)
+           |      + k * mu * mu)
+           |    / (CAST(ss AS DOUBLE) - n * mu * mu) * 1000000)
+           |    / 1000000 AS acf
+           |FROM p JOIN mu ON mu.event_type = p.event_type
+           |ORDER BY p.event_type, lag""".stripMargin))
+
   val all: Seq[QueryDef] =
     Seq(q137PsiDrift, q138BootstrapCi, q139InterpJoin, q140CupedLift,
       q141RankBattery, q143SurvivalKm, q145SeasonalDecompose,
-      q147TheilSen, q148ChiSquare, q149MannWhitney)
+      q147TheilSen, q148ChiSquare, q149MannWhitney,
+      q154Autocorrelation)
 }

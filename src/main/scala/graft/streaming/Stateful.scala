@@ -1790,6 +1790,61 @@ object Stateful {
       }
   }
 
+  /** One value-histogram bin's running group counts (q149's `h` grid). */
+  final case class MwBin(vm: Long, n1: Long, n2: Long)
+  final case class MwState(n1: Long, n2: Long, done: Boolean)
+
+  /** Streaming twin of q149's histogram pass — the LIVE Mann-Whitney
+    * rank-sum monitor: an experimentation stack wants the
+    * purchase-vs-click value comparison continuously as events land,
+    * not at readout time. Keyed by the milli-unit value bin; state is
+    * TWO commutative counters per bin, bounded by the value DOMAIN
+    * (the q50/q54 histogram posture) — arrival order is irrelevant, so
+    * no reorder buffer. Bins emit once when the watermark passes
+    * `endDay`; the tied-rank/U/z/effect projection then runs over the
+    * emitted histogram via operators.Statistics.q149Finish — identical
+    * code to batch, so the twin is bit-for-bit. Rows whose `grp` is
+    * neither 1 (purchase) nor 0 (click) advance the watermark but
+    * count nowhere: their bins close as (0, 0) cells, which every
+    * q149Finish aggregate treats as exact zeros — sentinels need no
+    * downstream filter.
+    *
+    * Input columns: vm (BIGINT milli-value bin), grp (1 purchase /
+    * 0 click / anything else ignored), ts. */
+  def mannWhitneyStream(df: DataFrame, endDay: Long,
+      slack: String = "2 hours"): Dataset[MwBin] = {
+    import org.apache.spark.sql.Encoders
+    implicit val stEnc: Encoder[MwState] = Encoders.product[MwState]
+    implicit val outEnc: Encoder[MwBin] = Encoders.product[MwBin]
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    implicit val rowEnc: Encoder[(Long, Int, java.sql.Timestamp)] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaInt,
+        Encoders.TIMESTAMP)
+    val ds = df.withWatermark("ts", slack)
+      .select("vm", "grp", "ts")
+      .as[(Long, Int, java.sql.Timestamp)]
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (key: Long, rows: Iterator[(Long, Int, java.sql.Timestamp)],
+            state: GroupState[MwState]) =>
+          val st0 = state.getOption.getOrElse(MwState(0L, 0L, false))
+          var n1 = st0.n1; var n2 = st0.n2
+          rows.foreach { r =>
+            if (r._2 == 1) n1 += 1L else if (r._2 == 0) n2 += 1L
+          }
+          val wm = state.getCurrentWatermarkMs()
+          if (!st0.done && wm > endDay * 86400000L + 1L) {
+            state.update(MwState(n1, n2, true))
+            Iterator.single(MwBin(key, n1, n2))
+          } else {
+            state.update(MwState(n1, n2, st0.done))
+            if (!st0.done) state.setTimeoutTimestamp(wm + 1L)
+            Iterator.empty
+          }
+      }
+  }
+
   /** One closed order's SLA observation (q131's `j` table). */
   final case class SlaGap(o_orderpriority: String, gap_days: Long)
   final case class SlaState(openUs: Long, priority: String,
