@@ -186,4 +186,8 @@ class ScaleInvarianceSpec extends SparkSpec {
   test("q153 FIFO allocation invariant to partition count") {
     invariant("q153_fifo_allocation", sf001)
   }
+
+  test("q154 sample ACF invariant to partition count (decimal pair sums)") {
+    invariant("q154_autocorrelation", sf001)
+  }
 }
