@@ -704,36 +704,43 @@ object Statistics {
     * corpus-sized), never on raw events. The intercept pass re-joins
     * the broadcast 5-row slope table. 100 TB changes the first agg's
     * input only. */
+  /** q147's calendar grid → slope/intercept projection, shared with
+    * the dailyRevenueStream twin (identical code over identical
+    * integer cells ⇒ bit-for-bit). `grid` columns: event_type, day,
+    * c (exact daily cents). */
+  def q147Finish(grid: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val a = grid.select(col("event_type"), col("day").as("d1"),
+      col("c").as("c1"))
+    val b = grid.select(col("event_type").as("et2"),
+      col("day").as("d2"), col("c").as("c2"))
+    val slopes = a.join(b,
+        col("event_type") === col("et2") && col("d1") < col("d2"))
+      .withColumn("slope",
+        (col("c2") - col("c1")).cast("double") / (col("d2") - col("d1")))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_pairs"),
+        expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY slope)")
+          .as("slope"))
+    grid.join(broadcast(slopes), "event_type")
+      .withColumn("ic", col("c") - col("slope") * col("day"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"), first("n_pairs").as("n_pairs"),
+        r6(first("slope")).as("slope_cents"),
+        r6(expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY ic)"))
+          .as("icept_cents"))
+      .orderBy("event_type")
+  }
+
   val q147TheilSen = QueryDef(
     "q147_theilsen",
-    (s, d) => {
-      val grid = Tables.events(s, d)
+    (s, d) =>
+      q147Finish(Tables.events(s, d)
         .select(col("event_type"),
           expr(s"unix_micros(ts) div ${DayUs}L").as("day"),
           expr("cast(round(value * 100) as bigint)").as("c"))
         .groupBy("event_type", "day")
-        .agg(sum("c").as("c"))
-      val a = grid.select(col("event_type"), col("day").as("d1"),
-        col("c").as("c1"))
-      val b = grid.select(col("event_type").as("et2"),
-        col("day").as("d2"), col("c").as("c2"))
-      val slopes = a.join(b,
-          col("event_type") === col("et2") && col("d1") < col("d2"))
-        .withColumn("slope",
-          (col("c2") - col("c1")).cast("double") / (col("d2") - col("d1")))
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n_pairs"),
-          expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY slope)")
-            .as("slope"))
-      grid.join(broadcast(slopes), "event_type")
-        .withColumn("ic", col("c") - col("slope") * col("day"))
-        .groupBy("event_type")
-        .agg(count(lit(1)).as("n_days"), first("n_pairs").as("n_pairs"),
-          r6(first("slope")).as("slope_cents"),
-          r6(expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY ic)"))
-            .as("icept_cents"))
-        .orderBy("event_type")
-    },
+        .agg(sum("c").as("c"))),
     Some(s"""WITH grid AS (
            |  SELECT event_type, epoch_us(ts) // ${DayUs} AS day,
            |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
@@ -940,41 +947,48 @@ object Statistics {
     * bounded — thousands of rows, never corpus-sized); per-type stats
     * broadcast back. 100 TB changes only the first agg's input —
     * q147's posture exactly. */
+  /** q154's calendar grid → ACF projection, shared with the
+    * dailyRevenueStream twin (identical code over identical integer
+    * cells ⇒ bit-for-bit). `g` columns: event_type, day, x (exact
+    * daily cents). */
+  def q154Finish(g: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val st = g.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("x").as("s"),
+        sum(col("x").cast("decimal(38,0)")
+          * col("x").cast("decimal(38,0)")).as("ss"))
+      .withColumn("mu", col("s").cast("double") / col("n"))
+    val lags = g.sparkSession.range(1, 8).select(col("id").as("lag"))
+    val b = g.select(col("event_type").as("et2"),
+      col("day").as("d2"), col("x").as("x2"))
+    val p = g.crossJoin(broadcast(lags))
+      .join(b, col("et2") === col("event_type")
+        && col("d2") === col("day") + col("lag"))
+      .groupBy("event_type", "lag")
+      .agg(count(lit(1)).as("k"), sum("x").as("sx"),
+        sum("x2").as("sy"),
+        sum(col("x").cast("decimal(38,0)")
+          * col("x2").cast("decimal(38,0)")).as("sxy"))
+    p.join(broadcast(st), "event_type")
+      .select(col("event_type"), col("lag"),
+        col("k").as("n_pairs"),
+        r6((col("sxy").cast("double")
+          - col("mu") * (col("sx") + col("sy"))
+          + col("k") * col("mu") * col("mu"))
+          / (col("ss").cast("double")
+            - col("n") * col("mu") * col("mu"))).as("acf"))
+      .orderBy("event_type", "lag")
+  }
+
   val q154Autocorrelation = QueryDef(
     "q154_autocorrelation",
-    (s, d) => {
-      val g = Tables.events(s, d)
+    (s, d) =>
+      q154Finish(Tables.events(s, d)
         .select(col("event_type"),
           expr(s"unix_micros(ts) div ${DayUs}L").as("day"),
           expr("cast(round(value * 100) as bigint)").as("c"))
         .groupBy("event_type", "day")
-        .agg(sum("c").as("x"))
-      val st = g.groupBy("event_type")
-        .agg(count(lit(1)).as("n"), sum("x").as("s"),
-          sum(col("x").cast("decimal(38,0)")
-            * col("x").cast("decimal(38,0)")).as("ss"))
-        .withColumn("mu", col("s").cast("double") / col("n"))
-      val lags = s.range(1, 8).select(col("id").as("lag"))
-      val b = g.select(col("event_type").as("et2"),
-        col("day").as("d2"), col("x").as("x2"))
-      val p = g.crossJoin(broadcast(lags))
-        .join(b, col("et2") === col("event_type")
-          && col("d2") === col("day") + col("lag"))
-        .groupBy("event_type", "lag")
-        .agg(count(lit(1)).as("k"), sum("x").as("sx"),
-          sum("x2").as("sy"),
-          sum(col("x").cast("decimal(38,0)")
-            * col("x2").cast("decimal(38,0)")).as("sxy"))
-      p.join(broadcast(st), "event_type")
-        .select(col("event_type"), col("lag"),
-          col("k").as("n_pairs"),
-          r6((col("sxy").cast("double")
-            - col("mu") * (col("sx") + col("sy"))
-            + col("k") * col("mu") * col("mu"))
-            / (col("ss").cast("double")
-              - col("n") * col("mu") * col("mu"))).as("acf"))
-        .orderBy("event_type", "lag")
-    },
+        .agg(sum("c").as("x"))),
     Some("""WITH g AS (
            |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
            |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)

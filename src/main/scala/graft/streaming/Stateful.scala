@@ -1790,6 +1790,60 @@ object Stateful {
       }
   }
 
+  /** One calendar cell's running revenue (q147/q154's shared grid). */
+  final case class DayRevCell(event_type: String, day: Long, c: Long)
+  final case class DayRevState(c: Long, done: Boolean)
+
+  /** Streaming builder of the (event_type, day) daily-revenue calendar
+    * grid — ONE stream feeding TWO batch readouts: q147's Theil-Sen
+    * robust trend and q154's sample ACF both consume exactly this grid,
+    * so a single keyed state (one commutative exact-cents counter per
+    * calendar cell, bounded by types × days — the dailyMean posture)
+    * keeps both the live trend estimate and the live rhythm diagnostic
+    * current. Cells emit once when the watermark passes `endDay`; the
+    * pairwise-slope / lag-pairing projections then run over the emitted
+    * calendar-sized grid via operators.Statistics.q147Finish /
+    * q154Finish — identical code to batch, so both twins are
+    * bit-for-bit.
+    *
+    * Input columns: event_type, ts, cents (exact BIGINT). */
+  def dailyRevenueStream(df: DataFrame, endDay: Long,
+      slack: String = "2 hours"): Dataset[DayRevCell] = {
+    import org.apache.spark.sql.Encoders
+    implicit val stEnc: Encoder[DayRevState] =
+      Encoders.product[DayRevState]
+    implicit val outEnc: Encoder[DayRevCell] =
+      Encoders.product[DayRevCell]
+    implicit val keyEnc: Encoder[(String, Long)] =
+      Encoders.tuple(Encoders.STRING, Encoders.scalaLong)
+    implicit val rowEnc: Encoder[(String, java.sql.Timestamp, Long)] =
+      Encoders.tuple(Encoders.STRING, Encoders.TIMESTAMP,
+        Encoders.scalaLong)
+    val ds = df.withWatermark("ts", slack)
+      .select("event_type", "ts", "cents")
+      .as[(String, java.sql.Timestamp, Long)]
+    ds.groupByKey(r =>
+      (r._1, Math.floorDiv(microsOf(r._2), 86400000000L)))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (key: (String, Long),
+            rows: Iterator[(String, java.sql.Timestamp, Long)],
+            state: GroupState[DayRevState]) =>
+          val st0 = state.getOption.getOrElse(DayRevState(0L, false))
+          var c = st0.c
+          rows.foreach(c += _._3)
+          val wm = state.getCurrentWatermarkMs()
+          if (!st0.done && wm > endDay * 86400000L + 1L) {
+            state.update(DayRevState(c, true))
+            Iterator.single(DayRevCell(key._1, key._2, c))
+          } else {
+            state.update(DayRevState(c, st0.done))
+            if (!st0.done) state.setTimeoutTimestamp(wm + 1L)
+            Iterator.empty
+          }
+      }
+  }
+
   /** One value-histogram bin's running group counts (q149's `h` grid). */
   final case class MwBin(vm: Long, n1: Long, n2: Long)
   final case class MwState(n1: Long, n2: Long, done: Boolean)

@@ -1407,6 +1407,39 @@ class OrderedReplaySpec extends SparkSpec {
         s"batch-only: ${batch.toSet.diff(streamed.toSet).take(3)}")
   }
 
+  test("streaming daily-revenue grid: one state == batch q147 AND q154") {
+    val s = spark
+    import s.implicits._
+    val dmax = Tables.events(s, sf)
+      .select(expr("unix_micros(ts) div 86400000000L").as("day"))
+      .agg(max("day")).head.getLong(0)
+    val out = runStream("ooo_dayrev")(df =>
+      Stateful.dailyRevenueStream(df.select(
+        col("event_type"), col("ts"),
+        expr("cast(round(value * 100) as bigint)").as("cents")), dmax))
+    // re-materialize locally: both finishes self-join grid branches
+    val cells = out.filter("event_type != 'zz_sentinel'").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(cells.nonEmpty)
+    // ONE streamed state, TWO batch readouts off the same grid
+    val trendStream = operators.Statistics.q147Finish(
+        cells.toSeq.toDF("event_type", "day", "c")).collect()
+      .map(_.toString).toSeq
+    val trendBatch = SparkEntry.queries("q147_theilsen")(s, sf).collect()
+      .map(_.toString).toSeq
+    assert(trendStream == trendBatch,
+      s"q147 stream-only: ${trendStream.toSet.diff(trendBatch.toSet).take(3)}; " +
+        s"batch-only: ${trendBatch.toSet.diff(trendStream.toSet).take(3)}")
+    val acfStream = operators.Statistics.q154Finish(
+        cells.toSeq.toDF("event_type", "day", "x")).collect()
+      .map(_.toString).toSeq
+    val acfBatch = SparkEntry.queries("q154_autocorrelation")(s, sf)
+      .collect().map(_.toString).toSeq
+    assert(acfStream == acfBatch,
+      s"q154 stream-only: ${acfStream.toSet.diff(acfBatch.toSet).take(3)}; " +
+        s"batch-only: ${acfBatch.toSet.diff(acfStream.toSet).take(3)}")
+  }
+
   test("streaming Mann-Whitney: histogram counters == batch q149") {
     val s = spark
     import s.implicits._
