@@ -350,7 +350,83 @@ object Pruning {
          |ORDER BY rd.layout, ptype, pa""".stripMargin
     })
 
+  // --------------------------------------------------------------- q156
+  /** Dictionary-encoding advisor — the third leg of the physical-design
+    * family (q150 picks the partition key, q151 proves what zone maps
+    * buy, q156 decides the column encoding): for each audited string
+    * column it compares plain size (Σ value lengths) against
+    * dictionary size (distinct-value pool + n × ceil(log2 k)-bit
+    * indexes) and recommends DICT when it wins — the parquet-encoding
+    * decision a 100 TB table owner bakes into the writer config. Index
+    * width comes from the BINARY STRING of k−1 (length(bin(k−1))), not
+    * float log2, which misclassifies exact powers of two.
+    *
+    * Scale shape: per column ONE map-side-combined groupBy on the
+    * value domain (these are the low-cardinality columns dictionary
+    * encoding targets, so the grid is domain-bounded) followed by a
+    * 1-row rollup; three 1-row branches union. All-integer bytes. */
+  val q156EncodingAdvisor = QueryDef(
+    "q156_encoding_advisor",
+    (s, d) => {
+      def audit(df: org.apache.spark.sql.DataFrame, name: String,
+          c: String) =
+        df.select(col(c).as("v")).groupBy("v")
+          .agg(count(lit(1)).as("cnt"))
+          .agg(sum("cnt").as("n"), count(lit(1)).as("n_distinct"),
+            sum(col("cnt") * length(col("v"))).as("plain_bytes"),
+            sum(length(col("v"))).as("pool_bytes"))
+          .select(lit(name).as("column"), col("n"), col("n_distinct"),
+            col("plain_bytes"), col("pool_bytes"))
+      val g = graft.Tables.events(s, d)
+      val doc = graft.Tables.documents(s, d)
+      audit(g, "events.event_type", "event_type")
+        .unionByName(audit(doc, "documents.lang", "lang"))
+        .unionByName(audit(doc, "documents.source", "source"))
+        .withColumn("index_bits",
+          length(expr("bin(n_distinct - 1)")).cast("long"))
+        .withColumn("dict_bytes",
+          col("pool_bytes")
+            + expr("(n * index_bits + 7) div 8"))
+        .withColumn("saving_ppm",
+          round((col("plain_bytes") - col("dict_bytes")).cast("double")
+            / col("plain_bytes") * 1e6).cast("long"))
+        .withColumn("recommend_dict",
+          col("dict_bytes") < col("plain_bytes"))
+        .orderBy("column")
+    },
+    Some("""WITH per AS (
+           |  SELECT 'events.event_type' AS "column", event_type AS v
+           |  FROM events
+           |  UNION ALL
+           |  SELECT 'documents.lang', lang FROM documents
+           |  UNION ALL
+           |  SELECT 'documents.source', source FROM documents),
+           |grid AS (
+           |  SELECT "column", v, CAST(count(*) AS BIGINT) AS cnt
+           |  FROM per GROUP BY 1, 2),
+           |st AS (
+           |  SELECT "column", CAST(sum(cnt) AS BIGINT) AS n,
+           |    CAST(count(*) AS BIGINT) AS n_distinct,
+           |    CAST(sum(cnt * length(v)) AS BIGINT) AS plain_bytes,
+           |    CAST(sum(length(v)) AS BIGINT) AS pool_bytes
+           |  FROM grid GROUP BY 1),
+           |b AS (
+           |  SELECT *, CAST(length(bin(n_distinct - 1)) AS BIGINT)
+           |    AS index_bits
+           |  FROM st),
+           |dict AS (
+           |  SELECT *, pool_bytes + (n * index_bits + 7) // 8
+           |    AS dict_bytes
+           |  FROM b)
+           |SELECT "column", n, n_distinct, plain_bytes, pool_bytes,
+           |  index_bits, CAST(dict_bytes AS BIGINT) AS dict_bytes,
+           |  CAST(round(CAST(plain_bytes - dict_bytes AS DOUBLE)
+           |    / plain_bytes * 1000000) AS BIGINT) AS saving_ppm,
+           |  dict_bytes < plain_bytes AS recommend_dict
+           |FROM dict ORDER BY "column" """.stripMargin))
+
   val all: Seq[QueryDef] =
     Seq(q49BloomPruneJoin, q125ArchivePushdown, q142ArchiveAggPushdown,
-      q144ArchiveGroupPushdown, q150PartitionPlanner, q151SkippingAudit)
+      q144ArchiveGroupPushdown, q150PartitionPlanner, q151SkippingAudit,
+      q156EncodingAdvisor)
 }

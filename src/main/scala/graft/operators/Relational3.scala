@@ -1319,6 +1319,82 @@ object Relational3 {
           |    AS open_day
           |FROM cl GROUP BY 1 ORDER BY part""".stripMargin))
 
+  // --------------------------------------------------------------- q157
+  /** Join-fanout audit across the schema's foreign-key edges — q94's
+    * multiplicity twin: orphans certify a join is SAFE, fanout
+    * certifies it is SIZED (an unexpectedly hot parent key turns a
+    * fact-dim join into an accidental many-to-many and a 100 TB
+    * shuffle into a skew incident). Per edge: parents seen, children,
+    * max and mean fanout, and an exact integer-defined p99 (smallest
+    * fanout f with cum_keys·100 ≥ parents·99 over the count-of-counts
+    * histogram — no interpolation, no float boundary).
+    *
+    * Scale shape: per edge ONE hash-agg onto the parent key (the same
+    * exchange the certified join pays), then a count-of-counts
+    * hash-agg onto the fanout DOMAIN (bounded by max multiplicity, not
+    * key count) where the percentile window runs. Nothing key-sized is
+    * sorted; 4 rows out regardless of corpus size. */
+  val q157FanoutAudit = QueryDef(
+    "q157_fanout_audit",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      def audit(rel: String, child: org.apache.spark.sql.DataFrame,
+          fk: String) = {
+        val perKey = child.select(col(fk).as("k"))
+          .groupBy("k").agg(count(lit(1)).as("f"))
+        val hist = perKey.groupBy("f").agg(count(lit(1)).as("keys"))
+        val w = Window.orderBy("f")
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        val tot = hist.agg(sum(col("f") * col("keys")).as("n_children"),
+          sum("keys").as("n_parents"), max("f").as("max_fanout"))
+        hist.withColumn("cum", sum("keys").over(w))
+          .crossJoin(broadcast(tot))
+          .filter(col("cum") * 100L >= col("n_parents") * 99L)
+          .groupBy("n_children", "n_parents", "max_fanout")
+          .agg(min("f").as("p99_fanout"))
+          .select(lit(rel).as("relationship"), col("n_parents"),
+            col("n_children"), col("max_fanout"),
+            round(col("n_children").cast("double") / col("n_parents")
+              * 1e6).cast("long").as("avg_fanout_micro"),
+            col("p99_fanout"))
+      }
+      audit("lineitem->orders", Tables.lineitem(s, d), "l_orderkey")
+        .unionByName(audit("lineitem->part",
+          Tables.lineitem(s, d), "l_partkey"))
+        .unionByName(audit("lineitem->supplier",
+          Tables.lineitem(s, d), "l_suppkey"))
+        .unionByName(audit("orders->customer",
+          Tables.orders(s, d), "o_custkey"))
+        .orderBy("relationship")
+    },
+    Some {
+      def edge(rel: String, tbl: String, fk: String) =
+        s"""SELECT '$rel' AS relationship, n_parents, n_children,
+           |  max_fanout,
+           |  CAST(round(CAST(n_children AS DOUBLE) / n_parents * 1000000)
+           |    AS BIGINT) AS avg_fanout_micro,
+           |  (SELECT min(f) FROM (
+           |     SELECT f, sum(keys) OVER (ORDER BY f
+           |       ROWS UNBOUNDED PRECEDING) AS cum
+           |     FROM (SELECT f, CAST(count(*) AS BIGINT) AS keys
+           |           FROM (SELECT $fk AS k, count(*) AS f
+           |                 FROM $tbl GROUP BY 1) GROUP BY 1)) h
+           |   CROSS JOIN (SELECT CAST(count(DISTINCT $fk) AS BIGINT)
+           |     AS np FROM $tbl) t
+           |   WHERE cum * 100 >= np * 99) AS p99_fanout
+           |FROM (
+           |  SELECT CAST(count(DISTINCT $fk) AS BIGINT) AS n_parents,
+           |    CAST(count(*) AS BIGINT) AS n_children,
+           |    CAST(max(f) AS BIGINT) AS max_fanout
+           |  FROM (SELECT $fk, count(*) OVER (PARTITION BY $fk) AS f
+           |        FROM $tbl))""".stripMargin
+      Seq(edge("lineitem->orders", "lineitem", "l_orderkey"),
+        edge("lineitem->part", "lineitem", "l_partkey"),
+        edge("lineitem->supplier", "lineitem", "l_suppkey"),
+        edge("orders->customer", "orders", "o_custkey"))
+        .mkString("", "\nUNION ALL\n", "\nORDER BY relationship")
+    })
+
   val all: Seq[QueryDef] =
     Seq(q69StarJoin, q70EventDedup, q71ArgExtremes, q72Regression,
       q74VariantExtract, q75HofBattery, q76ZorderLayout, q79ExistsChain,
@@ -1326,5 +1402,5 @@ object Relational3 {
       q99BenfordAudit, q118PriceVolumeBridge, q122OrderBacklog,
       q127AmountReconciliation, q131SlaAttainment, q132SupplierHhi,
       q133TradeMatrix, q134SalesOpportunity, q135MarketShare,
-      q136ReturnRates, q153FifoAllocation)
+      q136ReturnRates, q153FifoAllocation, q157FanoutAudit)
 }

@@ -190,4 +190,12 @@ class ScaleInvarianceSpec extends SparkSpec {
   test("q154 sample ACF invariant to partition count (decimal pair sums)") {
     invariant("q154_autocorrelation", sf001)
   }
+
+  test("q156 encoding advisor invariant to partition count (integer bytes)") {
+    invariant("q156_encoding_advisor", sf001)
+  }
+
+  test("q157 fanout audit invariant to partition count (integer histogram)") {
+    invariant("q157_fanout_audit", sf001)
+  }
 }
