@@ -1395,6 +1395,76 @@ object Relational3 {
         .mkString("", "\nUNION ALL\n", "\nORDER BY relationship")
     })
 
+  // --------------------------------------------------------------- q158
+  /** Suppliers who kept orders waiting — the TPC-H Q21 shape, the
+    * hardest join chain in the classic battery: for finished orders,
+    * blame the supplier who shipped >90 days after the order date
+    * (q131's SLA grammar — this corpus has no commitdate) when OTHER
+    * suppliers fed the same order and NONE of them was late. The
+    * textbook form is a correlated EXISTS + NOT-EXISTS pair per line;
+    * the engine form is ONE per-order aggregate — n_suppliers and
+    * n_late_suppliers — with blame ⇔ (late ∧ n_supp ≥ 2 ∧ n_late = 1),
+    * provably the same predicate, and the DuckDB oracle runs the
+    * TEXTBOOK exists form so the rewrite's equivalence is checked by
+    * hash, not by argument.
+    *
+    * Scale shape: one fact-fact shuffle on the order key, one
+    * per-order hash-agg, one supplier-grid rollup with a broadcast
+    * dim join; the double-correlated subquery never executes as a
+    * per-row probe. Total (numwait DESC, s_name) order makes the
+    * top-20 cut deterministic. */
+  val q158LateBlame = QueryDef(
+    "q158_late_blame",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          expr("unix_micros(cast(l_shipdate as timestamp)) div 86400000000")
+            .as("ship_day"))
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"),
+          expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+            .as("ord_day"))
+      val j = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .withColumn("late", col("ship_day") > col("ord_day") + 90L)
+      val per = j.groupBy(col("l_orderkey").as("ok"))
+        .agg(countDistinct("l_suppkey").as("n_supp"),
+          countDistinct(when(col("late"), col("l_suppkey")))
+            .as("n_late_supp"))
+      val blame = j.filter(col("late"))
+        .select(col("l_orderkey"), col("l_suppkey")).distinct()
+        .join(per.filter(col("n_supp") >= 2L
+          && col("n_late_supp") === 1L),
+          col("l_orderkey") === col("ok"))
+        .groupBy("l_suppkey").agg(count(lit(1)).as("numwait"))
+      blame.join(broadcast(Tables.supplier(s, d)
+          .select("s_suppkey", "s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_name"), col("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(20)
+    },
+    Some("""WITH j AS (
+           |  SELECT l_orderkey, l_suppkey,
+           |    epoch_us(l_shipdate) // 86400000000
+           |      > epoch_us(o_orderdate) // 86400000000 + 90 AS late
+           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           |  WHERE o_orderstatus = 'F')
+           |SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+           |FROM (SELECT DISTINCT l_orderkey, l_suppkey
+           |      FROM j WHERE late) l1
+           |JOIN supplier ON s_suppkey = l1.l_suppkey
+           |WHERE EXISTS (
+           |    SELECT 1 FROM j l2
+           |    WHERE l2.l_orderkey = l1.l_orderkey
+           |      AND l2.l_suppkey <> l1.l_suppkey)
+           |  AND NOT EXISTS (
+           |    SELECT 1 FROM j l3
+           |    WHERE l3.l_orderkey = l1.l_orderkey
+           |      AND l3.l_suppkey <> l1.l_suppkey AND l3.late)
+           |GROUP BY 1 ORDER BY numwait DESC, s_name
+           |LIMIT 20""".stripMargin))
+
   val all: Seq[QueryDef] =
     Seq(q69StarJoin, q70EventDedup, q71ArgExtremes, q72Regression,
       q74VariantExtract, q75HofBattery, q76ZorderLayout, q79ExistsChain,
@@ -1402,5 +1472,6 @@ object Relational3 {
       q99BenfordAudit, q118PriceVolumeBridge, q122OrderBacklog,
       q127AmountReconciliation, q131SlaAttainment, q132SupplierHhi,
       q133TradeMatrix, q134SalesOpportunity, q135MarketShare,
-      q136ReturnRates, q153FifoAllocation, q157FanoutAudit)
+      q136ReturnRates, q153FifoAllocation, q157FanoutAudit,
+      q158LateBlame)
 }

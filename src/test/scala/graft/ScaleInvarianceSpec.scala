@@ -198,4 +198,8 @@ class ScaleInvarianceSpec extends SparkSpec {
   test("q157 fanout audit invariant to partition count (integer histogram)") {
     invariant("q157_fanout_audit", sf001)
   }
+
+  test("q158 late-blame counts invariant to partition count") {
+    invariant("q158_late_blame", sf001)
+  }
 }
