@@ -950,26 +950,45 @@ object Statistics {
   /** q154's calendar grid → ACF projection, shared with the
     * dailyRevenueStream twin (identical code over identical integer
     * cells ⇒ bit-for-bit). `g` columns: event_type, day, x (exact
-    * daily cents). */
+    * daily cents).
+    *
+    * Deliberately LINEAR: a naive self-join formulation references the
+    * grid three times and Spark plans THREE corpus scans (no subplan
+    * CSE) — PlanSpec pins this pipeline to one scan. Instead each grid
+    * row explodes by lag offset 0..7 (map-side, calendar-sized), one
+    * hash-agg aligns x_T with each x_{T−L} on the target day, a wide
+    * conditional aggregate collects every lag's sufficient statistics
+    * in one pass, and stack() unpivots the 7 lags back to rows — the
+    * q121 one-table-many-models idiom. */
   def q154Finish(g: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val st = g.groupBy("event_type")
-      .agg(count(lit(1)).as("n"), sum("x").as("s"),
-        sum(col("x").cast("decimal(38,0)")
-          * col("x").cast("decimal(38,0)")).as("ss"))
+    def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+    val cells = g
+      .select(col("event_type"), col("day"), col("x"),
+        explode(array((0 to 7).map(lit(_)): _*)).as("l"))
+      .select(col("event_type"), (col("day") + col("l")).as("t"),
+        col("l"), col("x"))
+      .groupBy("event_type", "t")
+      .agg(max(when(col("l") === 0, col("x"))).as("x0"),
+        (1 to 7).map(lg =>
+          max(when(col("l") === lg, col("x"))).as(s"xm$lg")): _*)
+    val wide = cells.groupBy("event_type")
+      .agg(count(col("x0")).as("n"),
+        Seq(sum("x0").as("s"),
+          sum(dec(col("x0")) * dec(col("x0"))).as("ss")) ++
+        (1 to 7).flatMap(lg => Seq(
+          count(when(col("x0").isNotNull
+            && col(s"xm$lg").isNotNull, 1)).as(s"k$lg"),
+          sum(when(col("x0").isNotNull, col(s"xm$lg"))).as(s"sx$lg"),
+          sum(when(col(s"xm$lg").isNotNull, col("x0"))).as(s"sy$lg"),
+          sum(dec(col(s"xm$lg")) * dec(col("x0"))).as(s"sxy$lg"))): _*)
       .withColumn("mu", col("s").cast("double") / col("n"))
-    val lags = g.sparkSession.range(1, 8).select(col("id").as("lag"))
-    val b = g.select(col("event_type").as("et2"),
-      col("day").as("d2"), col("x").as("x2"))
-    val p = g.crossJoin(broadcast(lags))
-      .join(b, col("et2") === col("event_type")
-        && col("d2") === col("day") + col("lag"))
-      .groupBy("event_type", "lag")
-      .agg(count(lit(1)).as("k"), sum("x").as("sx"),
-        sum("x2").as("sy"),
-        sum(col("x").cast("decimal(38,0)")
-          * col("x2").cast("decimal(38,0)")).as("sxy"))
-    p.join(broadcast(st), "event_type")
+    val stackExpr = (1 to 7)
+      .map(lg => s"bigint($lg), k$lg, sx$lg, sy$lg, sxy$lg")
+      .mkString("stack(7, ", ", ", ") as (lag, k, sx, sy, sxy)")
+    wide.select(col("event_type"), col("n"), col("ss"), col("mu"),
+        expr(stackExpr))
+      .filter(col("k") > 0L)
       .select(col("event_type"), col("lag"),
         col("k").as("n_pairs"),
         r6((col("sxy").cast("double")

@@ -431,4 +431,33 @@ class PlanSpec extends SparkSpec {
       "admission cut must come from the quantile sketch, not a " +
         "corpus-wide row_number window")
   }
+
+  test("q154: ACF pairs join the calendar grid, never raw events") {
+    val p = plan("q154_autocorrelation")
+    // both sides of the lag self-join must be the (type, day) aggregate
+    // — the corpus collapses in ONE scan before any join
+    assert("events\\.parquet".r.findAllIn(p).length <= 1,
+      "lag pairing must reuse the aggregated calendar grid, not re-scan")
+    assert(!p.contains("CartesianProduct"),
+      "lag fan-out must stay a broadcast of the 7-row lag table")
+  }
+
+  test("q157: the p99 window runs over the fanout histogram, not keys") {
+    val p = plan("q157_fanout_audit")
+    val winIdx = p.indexOf("Window")
+    assert(winIdx >= 0, "p99 needs its cumulative window")
+    assert(p.indexOf("HashAggregate", winIdx) >= 0,
+      "window input must be the count-of-counts histogram")
+    assert(!p.contains("CartesianProduct"),
+      "totals must attach via 1-row broadcast")
+  }
+
+  test("q158: the Q21 shape stays equi-join + aggregate — no per-row probes") {
+    val p = plan("q158_late_blame")
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "the exists/not-exists rewrite must not plan correlated probes")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-20 must stay a bounded take, not a global sort")
+  }
 }
