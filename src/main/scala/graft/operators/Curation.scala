@@ -1389,6 +1389,65 @@ object Curation {
     },
     None)
 
+  // ---------------------------------------------------------------- x24
+  /** Largest-remainder budget allocation — proration that SUMS EXACTLY
+    * to the budget, the property naive per-stratum rounding loses (5
+    * strata × round(share·B) can land B±2, which breaks any downstream
+    * contract that "exactly B sequences ship"). Hamilton's method on
+    * exact integers: base_i = ⌊B·n_i/N⌋ via integer div, then the
+    * shortfall B − Σbase (< #strata by construction) goes to the
+    * largest remainders B·n_i mod N with a (remainder DESC, source)
+    * total order — deterministic ties, Σalloc ≡ B as an arithmetic
+    * identity, not a hope. The same primitive allocates sampling
+    * quotas (x02), shard counts (x16), and epoch budgets (x13);
+    * here it fixes a 10,000-doc curation budget across sources.
+    *
+    * Scale shape: ONE map-side hash-agg onto the source grid; every
+    * window runs over that catalog-sized grid. 100 TB changes only the
+    * counting scan. */
+  val x24LargestRemainder = QueryDef(
+    "x24_largest_remainder",
+    (s, d) => {
+      val B = 10000L
+      val strata = Tables.documents(s, d)
+        .groupBy("source").agg(count(lit(1)).as("n_docs"))
+      val tot = strata.agg(sum("n_docs").as("nn"))
+      val based = strata.crossJoin(broadcast(tot))
+        .withColumn("base", expr(s"($B * n_docs) div nn"))
+        .withColumn("rem", expr(s"($B * n_docs) % nn"))
+      val short = based.agg((lit(B) - sum("base")).as("shortfall"))
+      val w = Window.orderBy(col("rem").desc, col("source"))
+      based.crossJoin(broadcast(short))
+        .withColumn("rk", row_number().over(w))
+        .withColumn("extra",
+          when(col("rk") <= col("shortfall"), 1L).otherwise(0L))
+        .select(col("source"), col("n_docs"), col("base"), col("rem"),
+          col("extra"), (col("base") + col("extra")).as("alloc"))
+        .orderBy("source")
+    },
+    Some("""WITH strata AS (
+           |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+           |  FROM documents GROUP BY 1),
+           |tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS nn FROM strata),
+           |based AS (
+           |  SELECT source, n_docs,
+           |    (10000 * n_docs) // nn AS base,
+           |    (10000 * n_docs) % nn AS rem
+           |  FROM strata CROSS JOIN tot),
+           |short AS (SELECT 10000 - CAST(sum(base) AS BIGINT)
+           |  AS shortfall FROM based),
+           |rk AS (
+           |  SELECT *, row_number() OVER (ORDER BY rem DESC, source)
+           |    AS r
+           |  FROM based CROSS JOIN short)
+           |SELECT source, n_docs, CAST(base AS BIGINT) AS base,
+           |  CAST(rem AS BIGINT) AS rem,
+           |  CASE WHEN r <= shortfall THEN CAST(1 AS BIGINT)
+           |    ELSE CAST(0 AS BIGINT) END AS extra,
+           |  CAST(base + CASE WHEN r <= shortfall THEN 1 ELSE 0 END
+           |    AS BIGINT) AS alloc
+           |FROM rk ORDER BY source""".stripMargin))
+
   val all: Seq[QueryDef] =
     Seq(x01Decontaminate, x02StratifiedSample, x03DomainMix,
       t06PiiRedact, t07Repetition, x04ContainmentScore, x05WeightedSample,
@@ -1397,5 +1456,5 @@ object Curation {
       x13EpochPlan, x14KAnonymity, x15DsirWeights, x16ShardPlan,
       x17ModalityAgreement, x18CurriculumPlan, x19TokenBudget,
       x20DedupAwareSample, x21PostDedupRebalance, x22ContextSweep,
-      x23DedupSampleSketch)
+      x23DedupSampleSketch, x24LargestRemainder)
 }

@@ -1038,9 +1038,90 @@ object Statistics {
            |FROM p JOIN mu ON mu.event_type = p.event_type
            |ORDER BY p.event_type, lag""".stripMargin))
 
+  // --------------------------------------------------------------- q159
+  /** Revenue-weighted median ship delay per order priority — the
+    * logistics question the PLAIN median answers wrong: "by what day
+    * has half the REVENUE shipped?" differs from "half the lines"
+    * whenever expensive lines ship on a different schedule. Both
+    * medians come from the same delay histogram with the exact lower-
+    * median rule (smallest delay d with 2·cum(d) ≥ total — integer
+    * comparison, no interpolation, no float boundary), weights as
+    * exact cents, so the answer is order-proof and engine-proof. The
+    * gap column (weighted − plain) is the skew diagnostic itself.
+    *
+    * Scale shape: one order-key fact-fact shuffle, ONE map-side
+    * hash-agg onto the (priority × delay-day) histogram — delay is
+    * calendar-bounded, so the cumulative windows run over a tiny
+    * domain grid; raw lines are never sorted (the q149 histogram-rank
+    * posture). */
+  val q159WeightedMedian = QueryDef(
+    "q159_weighted_median",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"),
+          expr("unix_micros(cast(l_shipdate as timestamp)) div 86400000000")
+            .as("ship_day"),
+          expr("cast(round(l_extendedprice * 100) as bigint)").as("cc"))
+      val ord = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderpriority"),
+          expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+            .as("ord_day"))
+      val hist = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderpriority"),
+          (col("ship_day") - col("ord_day")).as("delay"), col("cc"))
+        .groupBy("o_orderpriority", "delay")
+        .agg(count(lit(1)).as("n"), sum("cc").as("w"))
+      val w = Window.partitionBy("o_orderpriority").orderBy("delay")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val cum = hist
+        .withColumn("cn", sum("n").over(w))
+        .withColumn("cw", sum("w").over(w))
+      val tot = hist.groupBy(col("o_orderpriority").as("pr"))
+        .agg(sum("n").as("tn"), sum("w").as("tw"))
+      cum.join(broadcast(tot), col("o_orderpriority") === col("pr"))
+        .groupBy("o_orderpriority")
+        .agg(first("tn").as("n_lines"), first("tw").as("total_cents"),
+          min(when(col("cn") * 2L >= col("tn"), col("delay")))
+            .as("median_delay"),
+          min(when(col("cw") * 2L >= col("tw"), col("delay")))
+            .as("w_median_delay"))
+        .withColumn("skew_days",
+          col("w_median_delay") - col("median_delay"))
+        .orderBy("o_orderpriority")
+    },
+    Some("""WITH j AS (
+           |  SELECT o_orderpriority,
+           |    epoch_us(l_shipdate) // 86400000000
+           |      - epoch_us(o_orderdate) // 86400000000 AS delay,
+           |    CAST(round(l_extendedprice * 100) AS BIGINT) AS cc
+           |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+           |hist AS (
+           |  SELECT o_orderpriority, delay,
+           |    CAST(count(*) AS BIGINT) AS n, CAST(sum(cc) AS BIGINT) AS w
+           |  FROM j GROUP BY 1, 2),
+           |cum AS (
+           |  SELECT *,
+           |    CAST(sum(n) OVER (PARTITION BY o_orderpriority
+           |      ORDER BY delay ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cn,
+           |    CAST(sum(w) OVER (PARTITION BY o_orderpriority
+           |      ORDER BY delay ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cw
+           |  FROM hist),
+           |tot AS (
+           |  SELECT o_orderpriority, CAST(sum(n) AS BIGINT) AS tn,
+           |    CAST(sum(w) AS BIGINT) AS tw
+           |  FROM hist GROUP BY 1)
+           |SELECT cum.o_orderpriority, any_value(tn) AS n_lines,
+           |  any_value(tw) AS total_cents,
+           |  min(CASE WHEN cn * 2 >= tn THEN delay END) AS median_delay,
+           |  min(CASE WHEN cw * 2 >= tw THEN delay END) AS w_median_delay,
+           |  min(CASE WHEN cw * 2 >= tw THEN delay END)
+           |    - min(CASE WHEN cn * 2 >= tn THEN delay END) AS skew_days
+           |FROM cum JOIN tot ON tot.o_orderpriority = cum.o_orderpriority
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[QueryDef] =
     Seq(q137PsiDrift, q138BootstrapCi, q139InterpJoin, q140CupedLift,
       q141RankBattery, q143SurvivalKm, q145SeasonalDecompose,
       q147TheilSen, q148ChiSquare, q149MannWhitney,
-      q154Autocorrelation)
+      q154Autocorrelation, q159WeightedMedian)
 }

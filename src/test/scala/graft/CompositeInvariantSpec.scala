@@ -275,4 +275,20 @@ class CompositeInvariantSpec extends SparkSpec {
       assert(n2 == n1 - d1 - c1, s"risk set broken at t=$t2")
     }
   }
+
+  test("x24: allocations sum exactly to the budget; within 1 of proportional") {
+    val rows = SparkEntry.queries("x24_largest_remainder")(spark, sf)
+      .select("n_docs", "base", "extra", "alloc").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val total = rows.map(_._4).sum
+    assert(total == 10000L, s"largest-remainder lost the budget: $total")
+    // Hamilton quota property: every stratum gets floor or ceil of its
+    // exact proportional share, never drifts further
+    val nn = rows.map(_._1).sum
+    rows.foreach { case (n, base, extra, alloc) =>
+      assert(extra == 0L || extra == 1L)
+      assert(base == 10000L * n / nn, s"base not the floor quota")
+      assert(alloc - base <= 1L)
+    }
+  }
 }

@@ -202,4 +202,12 @@ class ScaleInvarianceSpec extends SparkSpec {
   test("q158 late-blame counts invariant to partition count") {
     invariant("q158_late_blame", sf001)
   }
+
+  test("q159 weighted medians invariant to partition count") {
+    invariant("q159_weighted_median", sf001)
+  }
+
+  test("x24 largest-remainder allocation invariant to partition count") {
+    invariant("x24_largest_remainder", sf001)
+  }
 }
