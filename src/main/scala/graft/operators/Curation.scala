@@ -1405,26 +1405,33 @@ object Curation {
     * Scale shape: ONE map-side hash-agg onto the source grid; every
     * window runs over that catalog-sized grid. 100 TB changes only the
     * counting scan. */
+  /** Hamilton's method over an arbitrary strata table — factored out
+    * so AllocationPropertySpec can drive it with random strata and
+    * assert Σalloc ≡ B and the floor/ceil quota property hold for ANY
+    * input, not just the documents fixture. `strata` columns: source,
+    * n_docs. */
+  def largestRemainder(strata: org.apache.spark.sql.DataFrame,
+      budget: Long): org.apache.spark.sql.DataFrame = {
+    val tot = strata.agg(sum("n_docs").as("nn"))
+    val based = strata.crossJoin(broadcast(tot))
+      .withColumn("base", expr(s"(${budget}L * n_docs) div nn"))
+      .withColumn("rem", expr(s"(${budget}L * n_docs) % nn"))
+    val short = based.agg((lit(budget) - sum("base")).as("shortfall"))
+    val w = Window.orderBy(col("rem").desc, col("source"))
+    based.crossJoin(broadcast(short))
+      .withColumn("rk", row_number().over(w))
+      .withColumn("extra",
+        when(col("rk") <= col("shortfall"), 1L).otherwise(0L))
+      .select(col("source"), col("n_docs"), col("base"), col("rem"),
+        col("extra"), (col("base") + col("extra")).as("alloc"))
+      .orderBy("source")
+  }
+
   val x24LargestRemainder = QueryDef(
     "x24_largest_remainder",
-    (s, d) => {
-      val B = 10000L
-      val strata = Tables.documents(s, d)
-        .groupBy("source").agg(count(lit(1)).as("n_docs"))
-      val tot = strata.agg(sum("n_docs").as("nn"))
-      val based = strata.crossJoin(broadcast(tot))
-        .withColumn("base", expr(s"($B * n_docs) div nn"))
-        .withColumn("rem", expr(s"($B * n_docs) % nn"))
-      val short = based.agg((lit(B) - sum("base")).as("shortfall"))
-      val w = Window.orderBy(col("rem").desc, col("source"))
-      based.crossJoin(broadcast(short))
-        .withColumn("rk", row_number().over(w))
-        .withColumn("extra",
-          when(col("rk") <= col("shortfall"), 1L).otherwise(0L))
-        .select(col("source"), col("n_docs"), col("base"), col("rem"),
-          col("extra"), (col("base") + col("extra")).as("alloc"))
-        .orderBy("source")
-    },
+    (s, d) =>
+      largestRemainder(Tables.documents(s, d)
+        .groupBy("source").agg(count(lit(1)).as("n_docs")), 10000L),
     Some("""WITH strata AS (
            |  SELECT source, CAST(count(*) AS BIGINT) AS n_docs
            |  FROM documents GROUP BY 1),
