@@ -1329,42 +1329,54 @@ object Relational3 {
     * fanout f with cum_keys·100 ≥ parents·99 over the count-of-counts
     * histogram — no interpolation, no float boundary).
     *
-    * Scale shape: per edge ONE hash-agg onto the parent key (the same
-    * exchange the certified join pays), then a count-of-counts
+    * Scale shape: ONE lineitem scan serves all three of its edges — a
+    * map-side stack() unpivots (edge, fk) pairs, so the per-edge
+    * "hash-agg onto the parent key" happens in one shared exchange
+    * (the q154 lesson: Spark has no subplan CSE, so per-edge branches
+    * would re-scan the fact table per edge). Then a count-of-counts
     * hash-agg onto the fanout DOMAIN (bounded by max multiplicity, not
-    * key count) where the percentile window runs. Nothing key-sized is
-    * sorted; 4 rows out regardless of corpus size. */
+    * key count) where the percentile window runs, partitioned by edge.
+    * Nothing key-sized is sorted; 4 rows out regardless of corpus
+    * size. */
   val q157FanoutAudit = QueryDef(
     "q157_fanout_audit",
     (s, d) => {
       import org.apache.spark.sql.expressions.Window
-      def audit(rel: String, child: org.apache.spark.sql.DataFrame,
-          fk: String) = {
-        val perKey = child.select(col(fk).as("k"))
-          .groupBy("k").agg(count(lit(1)).as("f"))
-        val hist = perKey.groupBy("f").agg(count(lit(1)).as("keys"))
-        val w = Window.orderBy("f")
-          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-        val tot = hist.agg(sum(col("f") * col("keys")).as("n_children"),
-          sum("keys").as("n_parents"), max("f").as("max_fanout"))
-        hist.withColumn("cum", sum("keys").over(w))
-          .crossJoin(broadcast(tot))
-          .filter(col("cum") * 100L >= col("n_parents") * 99L)
-          .groupBy("n_children", "n_parents", "max_fanout")
-          .agg(min("f").as("p99_fanout"))
-          .select(lit(rel).as("relationship"), col("n_parents"),
-            col("n_children"), col("max_fanout"),
-            round(col("n_children").cast("double") / col("n_parents")
-              * 1e6).cast("long").as("avg_fanout_micro"),
-            col("p99_fanout"))
-      }
-      audit("lineitem->orders", Tables.lineitem(s, d), "l_orderkey")
-        .unionByName(audit("lineitem->part",
-          Tables.lineitem(s, d), "l_partkey"))
-        .unionByName(audit("lineitem->supplier",
-          Tables.lineitem(s, d), "l_suppkey"))
-        .unionByName(audit("orders->customer",
-          Tables.orders(s, d), "o_custkey"))
+      val perKey = Tables.lineitem(s, d)
+        .select(expr("""stack(3,
+            'lineitem->orders', l_orderkey,
+            'lineitem->part', l_partkey,
+            'lineitem->supplier', l_suppkey)
+          as (relationship, k)"""))
+        .unionByName(Tables.orders(s, d)
+          .select(lit("orders->customer").as("relationship"),
+            col("o_custkey").as("k")))
+        .groupBy("relationship", "k").agg(count(lit(1)).as("f"))
+      val hist = perKey.groupBy("relationship", "f")
+        .agg(count(lit(1)).as("keys"))
+      // totals ride the SAME window exchange as the running sum (full
+      // frame vs running frame) — a separate totals branch would
+      // re-reference hist and duplicate the whole upstream scan
+      val w = Window.partitionBy("relationship").orderBy("f")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val full = Window.partitionBy("relationship")
+        .rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)
+      hist.withColumn("cum", sum("keys").over(w))
+        .withColumn("n_children", sum(col("f") * col("keys")).over(full))
+        .withColumn("n_parents", sum("keys").over(full))
+        .withColumn("max_fanout", max("f").over(full))
+        .filter(col("cum") * 100L >= col("n_parents") * 99L)
+        .groupBy("relationship")
+        .agg(first("n_parents").as("n_parents"),
+          first("n_children").as("n_children"),
+          first("max_fanout").as("max_fanout"),
+          min("f").as("p99_fanout"))
+        .select(col("relationship"), col("n_parents"),
+          col("n_children"), col("max_fanout"),
+          round(col("n_children").cast("double") / col("n_parents")
+            * 1e6).cast("long").as("avg_fanout_micro"),
+          col("p99_fanout"))
         .orderBy("relationship")
     },
     Some {

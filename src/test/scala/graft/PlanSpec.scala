@@ -450,6 +450,9 @@ class PlanSpec extends SparkSpec {
       "window input must be the count-of-counts histogram")
     assert(!p.contains("CartesianProduct"),
       "totals must attach via 1-row broadcast")
+    // all three lineitem edges ride ONE scan via stack() (q154 lesson)
+    assert("lineitem\\.parquet".r.findAllIn(p).length <= 1,
+      "per-edge branches must not re-scan the fact table")
   }
 
   test("q158: the Q21 shape stays equi-join + aggregate — no per-row probes") {
