@@ -44,9 +44,17 @@ object Statistics {
     * `grid` columns: event_type, bin, train_n, serve_n. */
   def q137Finish(grid: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val tots = grid.groupBy("event_type")
-      .agg(sum("train_n").as("tt"), sum("serve_n").as("st"))
-    val contrib = grid.join(broadcast(tots), "event_type")
+    // per-type totals and the PSI rollup via full-frame windows over
+    // the types×10 grid, NOT groupBy branches — each branch would
+    // re-reference the grid and re-run the corpus aggregate (no
+    // subplan CSE; ScanProbe measured the branchy form scanning
+    // events twice). One scan, one grid exchange, zero joins.
+    import org.apache.spark.sql.expressions.Window
+    val byType = Window.partitionBy("event_type")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    grid
+      .withColumn("tt", sum("train_n").over(byType))
+      .withColumn("st", sum("serve_n").over(byType))
       .withColumn("p",
         (col("train_n") + 1L).cast("double") / (col("tt") + 10L))
       .withColumn("q",
@@ -54,9 +62,7 @@ object Statistics {
       .withColumn("contrib_micro",
         round((col("p") - col("q")) * log(col("p") / col("q")) * 1e6)
           .cast("long"))
-    val psi = contrib.groupBy(col("event_type").as("et"))
-      .agg(sum("contrib_micro").as("psi_micro"))
-    contrib.join(broadcast(psi), col("event_type") === col("et"))
+      .withColumn("psi_micro", sum("contrib_micro").over(byType))
       .select(col("event_type"), col("bin"), col("train_n"),
         col("serve_n"), col("contrib_micro"), col("psi_micro"))
       .orderBy("event_type", "bin")
@@ -780,27 +786,38 @@ object Statistics {
     * l_linestatus, o. */
   def q148Finish(obs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val rowT = obs.groupBy(col("l_returnflag").as("rf"))
-        .agg(sum("o").as("rt"), count(lit(1)).as("nc"))
-      val colT = obs.groupBy(col("l_linestatus").as("ls"))
-        .agg(sum("o").as("ct"), count(lit(1)).as("nr"))
-      val tot = obs.agg(sum("o").as("n"))
-      val cells = obs
-        .join(broadcast(rowT), col("l_returnflag") === col("rf"))
-        .join(broadcast(colT), col("l_linestatus") === col("ls"))
-        .crossJoin(broadcast(tot))
+    // marginals via window aggregates over the R×C grid, NOT separate
+    // groupBy branches: each branch would re-reference obs, and with no
+    // subplan CSE the corpus aggregate (and its scan) re-executes per
+    // marginal — ScanProbe measured the old form reading lineitem FOUR
+    // times. Full-frame windows over ≤ R×C rows cost nothing and keep
+    // the plan linear: one scan, one grid exchange.
+    import org.apache.spark.sql.expressions.Window
+    val byRf = Window.partitionBy("l_returnflag")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val byLs = Window.partitionBy("l_linestatus")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val all = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cells = obs
+        .withColumn("rt", sum("o").over(byRf))
+        .withColumn("nc", count(lit(1)).over(byRf))
+        .withColumn("ct", sum("o").over(byLs))
+        .withColumn("nr", count(lit(1)).over(byLs))
+        .withColumn("n", sum("o").over(all))
         .withColumn("e",
           (col("rt") * col("ct")).cast("double") / col("n"))
         .withColumn("contrib_micro",
           round((col("o") - col("e")) * (col("o") - col("e")) / col("e")
             * 1e6).cast("long"))
-      val chi = cells.agg(sum("contrib_micro").as("chi2_micro"),
-        max((col("nr") - 1) * (col("nc") - 1)).as("dof"))
-      cells.crossJoin(broadcast(chi))
-        .select(col("l_returnflag"), col("l_linestatus"), col("o"),
-          r4(col("e")).as("expected"), col("contrib_micro"),
-          col("chi2_micro"), col("dof"))
-        .orderBy("l_returnflag", "l_linestatus")
+    cells
+      .withColumn("chi2_micro", sum("contrib_micro").over(all))
+      .withColumn("dof",
+        max((col("nr") - 1) * (col("nc") - 1)).over(all))
+      .select(col("l_returnflag"), col("l_linestatus"), col("o"),
+        r4(col("e")).as("expected"), col("contrib_micro"),
+        col("chi2_micro"), col("dof"))
+      .orderBy("l_returnflag", "l_linestatus")
   }
 
   val q148ChiSquare = QueryDef(
