@@ -249,55 +249,61 @@ object Pruning {
     * only the day-quadrant × hash-quadrant intersection — the
     * data-skipping argument, quantified without scanning a row twice.
     *
-    * Scale shape: one scan → two map-side-combined aggs on ≤32-value
-    * file keys (zone maps) plus one distinct on (layout, file, type)
-    * pairs (≤ files × types cells); the probe replay joins the
-    * broadcast 20-row probe grid against those catalog-sized tables.
-    * At write time the same keys feed repartitionByRange. */
+    * Scale shape: ONE corpus scan (plus the 1-column span stat scan)
+    * feeds everything — the two layouts stack() map-side into one
+    * (layout, file, type) cell aggregate, file-level zone bounds and
+    * per-layout file totals ride full-frame windows over that
+    * catalog-sized cell grid, and the probe workload EXPLODES onto the
+    * cells (each cell row tests its own type against the four probe
+    * weeks), so no probe relation and no second derivation of the cut
+    * table exist to re-trigger the scan. The branchy original read
+    * events TEN times (ScanProbe-measured — zone/pairs/probes each
+    * re-derived the cuts; no subplan CSE), while claiming "without
+    * scanning a row twice"; now the claim is literally true. At write
+    * time the same keys feed repartitionByRange. */
   val q151SkippingAudit = QueryDef(
     "q151_skipping_audit",
     (s, d) => {
+      import org.apache.spark.sql.expressions.Window
       def interleave(a: String, b: String): String =
         (0 until 5).map(i =>
           s"(((($a >> $i) & 1) << ${2 * i}) + ((($b >> $i) & 1) << ${2 * i + 1}))")
           .mkString(" + ")
       val span = graft.Tables.events(s, d)
         .agg(min(expr("unix_micros(ts) div 86400000000")).as("d0"))
-      val ev = graft.Tables.events(s, d)
+      val cells = graft.Tables.events(s, d)
         .crossJoin(broadcast(span))
         .withColumn("a",
           expr("(unix_micros(ts) div 86400000000) - d0"))
         .withColumn("b",
           expr("cast(conv(substring(md5(event_type), 1, 2), 16, 10) as bigint) & 31"))
         .withColumn("zkey", expr(interleave("a", "b")))
-        .select(col("event_type"), col("a"),
-          expr("a div 2").as("file_t"),
-          expr("zkey div 64").as("file_z"))
-      val cuts = ev.select(lit("time").as("layout"),
-          col("file_t").as("file_id"), col("event_type"), col("a"))
-        .unionByName(ev.select(lit("zorder").as("layout"),
-          col("file_z").as("file_id"), col("event_type"), col("a")))
-      val zone = cuts.groupBy("layout", "file_id")
-        .agg(min("a").as("min_a"), max("a").as("max_a"))
-      val pairs = cuts.select("layout", "file_id", "event_type").distinct()
-        .select(col("layout").as("pl"), col("file_id").as("pf"),
-          col("event_type").as("pt"))
-      val nFiles = zone.groupBy(col("layout").as("fl"))
-        .agg(count(lit(1)).as("files_total"))
-      val pdays = s.range(1)
-        .select(explode(array(lit(2L), lit(9L), lit(16L), lit(23L)))
-          .as("pa"))
-      val probes = cuts.select(col("event_type").as("ptype")).distinct()
-        .crossJoin(pdays)
-      val read = zone.crossJoin(broadcast(probes))
+        .selectExpr("event_type", "a",
+          "stack(2, 'time', a div 2, 'zorder', zkey div 64) as (layout, file_id)")
+        .groupBy("layout", "file_id", "event_type")
+        .agg(min("a").as("m1"), max("a").as("m2"))
+      val byFile = Window.partitionBy("layout", "file_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val byLayout = Window.partitionBy("layout")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val read = cells
+        .withColumn("min_a", min("m1").over(byFile))
+        .withColumn("max_a", max("m2").over(byFile))
+        .withColumn("first_of_file",
+          row_number().over(Window.partitionBy("layout", "file_id")
+            .orderBy("event_type")) === 1)
+        .withColumn("files_total",
+          sum(when(col("first_of_file"), 1L).otherwise(0L))
+            .over(byLayout))
+        .select(col("layout"), col("event_type").as("ptype"),
+          col("min_a"), col("max_a"), col("files_total"),
+          explode(array(lit(2L), lit(9L), lit(16L), lit(23L))).as("pa"))
         .filter(col("min_a") <= col("pa") + 6L
           && col("pa") <= col("max_a"))
-        .join(pairs, col("layout") === col("pl")
-          && col("file_id") === col("pf") && col("ptype") === col("pt"),
-          "left_semi")
         .groupBy("layout", "ptype", "pa")
-        .agg(count(lit(1)).as("files_read"))
-      read.join(broadcast(nFiles), col("layout") === col("fl"))
+        .agg(count(lit(1)).as("files_read"),
+          first("files_total").as("files_total"))
+      read
         .select(col("layout"), col("ptype"), col("pa"),
           col("files_read"), col("files_total"),
           graft.functions.Rounding.r4(col("files_read").cast("double")
