@@ -539,12 +539,17 @@ object Statistics {
       : org.apache.spark.sql.DataFrame = {
     val grid = durs.groupBy("t")
       .agg(sum("ev").as("d"), sum(lit(1L) - col("ev")).as("c"))
-    val tot = grid.agg(sum(col("d") + col("c")).as("n0"))
     val wPrev = Window.orderBy("t")
       .rowsBetween(Window.unboundedPreceding, -1)
     val wCum = Window.orderBy("t")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    grid.crossJoin(broadcast(tot))
+    // n0 rides a full-frame window over the day grid rather than a
+    // separate totals branch — a second reference to `grid` would
+    // re-run the whole upstream per-user pipeline (no subplan CSE)
+    val wAll = Window.orderBy("t")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    grid
+      .withColumn("n0", sum(col("d") + col("c")).over(wAll))
       .withColumn("n_risk",
         col("n0") - coalesce(sum(col("d") + col("c")).over(wPrev),
           lit(0L)))
@@ -563,17 +568,29 @@ object Statistics {
       val span = Tables.events(s, d)
         .select(expr(s"unix_micros(ts) div ${DayUs}L").as("day"))
         .agg(max("day").as("d1"))
-      val signup = Tables.events(s, d)
-        .filter(col("event_type") === "signup")
+      // ONE events pass for both the signup time and the first
+      // qualifying purchase: a per-user full-frame window pins us =
+      // min signup time beside every row, then a single grouped agg
+      // takes the earliest purchase at-or-after it — the branchy
+      // signup/purchase join re-ran the signup aggregate (and its
+      // scan) twice (ScanProbe-measured events×4; now events×2 —
+      // corpus + the 1-column span stat)
+      val byUser = Window.partitionBy("user_id")
+        .rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)
+      val perUser = Tables.events(s, d)
+        .filter(col("event_type").isin("signup", "purchase"))
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("tu"))
+        .withColumn("us",
+          min(when(col("event_type") === "signup", col("tu")))
+            .over(byUser))
+        .filter(col("us").isNotNull)
         .groupBy("user_id")
-        .agg(min(unix_micros(col("ts"))).as("us"))
-      val firstP = signup
-        .join(Tables.events(s, d).filter(col("event_type") === "purchase")
-          .select(col("user_id"), unix_micros(col("ts")).as("pu")),
-          "user_id")
-        .filter(col("pu") >= col("us"))
-        .groupBy("user_id").agg(min("pu").as("pu"))
-      val durs = signup.join(firstP, Seq("user_id"), "left")
+        .agg(first("us").as("us"),
+          min(when(col("event_type") === "purchase"
+            && col("tu") >= col("us"), col("tu"))).as("pu"))
+      val durs = perUser
         .crossJoin(broadcast(span))
         .select(
           when(col("pu").isNotNull, expr(s"(pu - us) div ${DayUs}L"))
