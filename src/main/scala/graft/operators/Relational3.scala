@@ -1187,10 +1187,16 @@ object Relational3 {
     * identical integer counters ⇒ bit-for-bit parity). */
   def q136Finish(brands: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
-    val base = brands.agg(
-      (sum("n_returned").cast("double") / sum("n_lines"))
-        .as("base_rate"))
-    brands.crossJoin(broadcast(base))
+    // corpus baseline via a full-frame window over the brand grid — a
+    // separate totals branch would re-reference `brands` and re-run
+    // the fact join + aggregate (no subplan CSE, ScanProbe-measured)
+    import org.apache.spark.sql.expressions.Window
+    val wAll = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    brands
+      .withColumn("base_rate",
+        sum("n_returned").over(wAll).cast("double")
+          / sum("n_lines").over(wAll))
       .select(col("p_brand"), col("n_lines"), col("n_returned"),
         r6(col("n_returned").cast("double") / col("n_lines"))
           .as("return_rate"),
