@@ -15,7 +15,7 @@ object SparkEntry {
       graft.operators.Behavioral.all ++ graft.operators.Relational3.all ++
       graft.operators.Graph.all ++ graft.operators.Bpe.all ++
       graft.operators.AsOf.all ++ graft.operators.Security.all ++
-      graft.operators.Statistics.all
+      graft.operators.Statistics.all ++ graft.operators.Quality.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * Exercises the reference's end-to-end shape (SURVEY.md §7 step 1):

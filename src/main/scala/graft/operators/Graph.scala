@@ -747,7 +747,116 @@ object Graph {
          |FROM cores ORDER BY k""".stripMargin
     })
 
+  // --------------------------------------------------------------- q163
+  /** Exact 2-hop neighborhood size per node over the sparsified
+    * (≥2-shared-orders) co-purchase graph — the r=2 point of the
+    * neighborhood function N(v, r) that powers graph-diameter and
+    * influence-reach analytics (Palmer et al.'s ANF statistic). Counts
+    * distinct nodes within ≤2 hops, excluding the node itself.
+    *
+    * Scale shape: edges build with q82's two exchanges; the 2-hop
+    * expansion is ONE hash equi-join on the shared middle endpoint
+    * whose output streams straight into a distinct-agg on (src, node) —
+    * the wedge-enumeration cost q81 documents, O(Σdeg²) with no
+    * materialized set. This EXACT form is the oracle twin of q164's
+    * HyperBall sketch, which is the registered scale path for r ≥ 2 on
+    * graphs where distinct-sets stop fitting (the d07↔d08 /
+    * q54↔q59 exact↔sketch split). */
+  val q163TwoHop = QueryDef(
+    "q163_two_hop",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      val pairs = li.as("a").join(li.hint("shuffle_hash").as("b"),
+          col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+        .agg(countDistinct(col("a.ok")).as("n_ord"))
+        .filter(col("n_ord") >= 2)
+      val edges = pairs.select(col("u").as("src"), col("v").as("dst"))
+        .union(pairs.select(col("v").as("src"), col("u").as("dst")))
+        .persist()
+      val hop2 = edges.as("e1")
+        .join(edges.hint("shuffle_hash").as("e2"),
+          col("e1.dst") === col("e2.src") && col("e2.dst") =!= col("e1.src"))
+        .select(col("e1.src").as("src"), col("e2.dst").as("node"))
+      val out = edges.select(col("src"), col("dst").as("node"))
+        .union(hop2)
+        .groupBy("src").agg(countDistinct(col("node")).as("n_within_2"))
+        .select(col("src").as("part"), col("n_within_2"))
+        .orderBy("part")
+        .localCheckpoint(true)
+      edges.unpersist()
+      out
+    },
+    Some("""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS p FROM lineitem),
+           |pairs AS (SELECT a.p AS u, b.p AS v
+           |  FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p
+           |  GROUP BY 1, 2 HAVING count(DISTINCT a.ok) >= 2),
+           |edges AS MATERIALIZED (SELECT u AS src, v AS dst FROM pairs
+           |  UNION ALL SELECT v, u FROM pairs),
+           |ball AS (
+           |  SELECT src, dst AS node FROM edges
+           |  UNION
+           |  SELECT e1.src, e2.dst FROM edges e1
+           |  JOIN edges e2 ON e1.dst = e2.src AND e2.dst <> e1.src)
+           |SELECT src AS part, CAST(count(DISTINCT node) AS BIGINT)
+           |  AS n_within_2
+           |FROM ball GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  // --------------------------------------------------------------- q164
+  /** HyperBall neighborhood-function sketch (Boldi & Vigna's
+    * HLL-counter formulation of ANF): per-node DataSketches HLL
+    * registers seeded with {self}, then one merge round per hop —
+    * B_r(v) = B_{r-1}(v) ∪ ⋃_{u∈N(v)} B_{r-1}(u) — so the ≤2-hop reach
+    * estimate costs two O(E) register-merge joins REGARDLESS of how
+    * large the distinct 2-hop sets grow. This is the registered scale
+    * path for neighborhood reach: q163's exact distinct-agg is its
+    * oracle twin (sketch estimates are implementation-defined →
+    * rows-only in the driver, with SketchSpec gating mean relative
+    * error vs q163's exact counts at lgK=14's ~0.8% σ).
+    *
+    * Scale shape: registers are fixed-size (2^14 nibbles) per node;
+    * each round is one equi-join on the edge list + one
+    * map-side-combined hll_union_agg — the q73/q82 iterated-exchange
+    * pattern with sketches as the message payload. At 100 TB the
+    * registers stream through shuffles at O(V · 2^lgK) bytes while the
+    * exact form's O(Σ|B_2(v)|) pair stream does not. */
+  val q164AnfSketch = QueryDef(
+    "q164_anf_sketch",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      val pairs = li.as("a").join(li.hint("shuffle_hash").as("b"),
+          col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+        .agg(countDistinct(col("a.ok")).as("n_ord"))
+        .filter(col("n_ord") >= 2)
+      val edges = pairs.select(col("u").as("src"), col("v").as("dst"))
+        .union(pairs.select(col("v").as("src"), col("u").as("dst")))
+        .persist()
+      // round 1: B_1(v) = {v} ∪ N(v), as an HLL register per node
+      val b1 = edges.select(col("src"), col("dst").as("m"))
+        .union(edges.select(col("src"), col("src").as("m")).distinct())
+        .groupBy("src").agg(expr("hll_sketch_agg(m, 14)").as("sk"))
+        .persist()
+      // round 2: merge each neighbor's B_1 into the node's own
+      val b2 = edges
+        .join(b1.select(col("src").as("node"), col("sk")),
+          col("dst") === col("node"))
+        .select(col("src"), col("sk"))
+        .union(b1.select(col("src"), col("sk")))
+        .groupBy("src").agg(expr("hll_union_agg(sk)").as("sk2"))
+      val out = b2
+        .select(col("src").as("part"),
+          expr("hll_sketch_estimate(sk2)").as("ball2_est"))
+        .orderBy("part")
+        .localCheckpoint(true)
+      b1.unpersist(); edges.unpersist()
+      out
+    },
+    None)
+
   val all: Seq[QueryDef] = Seq(q73CopurchaseRank, q81Triangles, q82BfsLevels,
     q96ConnectedComponents, q98LinkPrediction, q105MutualTop, q120KCore,
-    q152LabelCommunities)
+    q152LabelCommunities, q163TwoHop, q164AnfSketch)
 }

@@ -1365,6 +1365,57 @@ object Stateful {
       watermarkWakeups = true)
   }
 
+  /** One user's closed drawdown summary (q160's per-user row, sans the
+    * derived dollar projection). */
+  final case class DrawdownRow(user_id: Long, n_moves: Long,
+      final_cents: Long, peak_cents: Long, max_dd_cents: Long)
+  final case class DrawdownState(cum: Long, peak: Long, maxdd: Long,
+      n: Long, done: Boolean)
+
+  /** Streaming twin of q160's per-user pass — the live max-drawdown
+    * tracker. The prefix-max recurrence is order-sensitive, so the
+    * ordered-replay harness folds each signed cent move into O(1) state
+    * per user (cum, peak, maxdd): cum += Δ; peak = max(peak, cum);
+    * maxdd = max(maxdd, peak − cum) — exactly the batch window's
+    * running columns, as exact BIGINTs. Snapshots emit when the
+    * watermark passes `endDayExclusive` (the beaconStream close
+    * convention: past the exclusive end every real row has drained from
+    * the reorder buffer); q160's final projection over the snapshot is
+    * then bit-for-bit with batch. */
+  def drawdownStream(df: DataFrame, endDayExclusive: Long,
+      slack: String = "2 hours"): Dataset[DrawdownRow] = {
+    import org.apache.spark.sql.Encoders
+    implicit val stEnc: Encoder[(DrawdownState, Seq[Ev])] =
+      Encoders.product[(DrawdownState, Seq[Ev])]
+    implicit val outEnc: Encoder[DrawdownRow] = Encoders.product[DrawdownRow]
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    implicit val evEnc: Encoder[Ev] = Encoders.product[Ev]
+    def centsOf(v: Double): Long =
+      java.math.BigDecimal.valueOf(v * 100.0)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+    val empty = DrawdownState(0L, Long.MinValue, 0L, 0L, done = false)
+    orderedPerKeyBy[Long, DrawdownState, DrawdownRow](df, slack, empty)(
+      _._1)(
+      apply = { (_, e, st) =>
+        val et = e._4
+        if (st.done || (et != "purchase" && et != "error")) (st, Nil)
+        else {
+          val delta = if (et == "purchase") centsOf(e._5) else -centsOf(e._5)
+          val cum = st.cum + delta
+          val peak = math.max(st.peak, cum)
+          val maxdd = math.max(st.maxdd, peak - cum)
+          (DrawdownState(cum, peak, maxdd, st.n + 1L, done = false), Nil)
+        }
+      },
+      onWatermark = { (key, wm, st) =>
+        if (!st.done && st.n > 0L && wm > endDayExclusive * 86400000L + 1L)
+          (st.copy(done = true),
+            Seq(DrawdownRow(key, st.n, st.cum, st.peak, st.maxdd)))
+        else (st, Nil)
+      },
+      watermarkWakeups = true)
+  }
+
   /** One exposed user's experiment outcome (q106's `per` table). */
   final case class AbUser(user_id: Long, conv: Long)
   final case class AbState(minViewUs: Long, purchases: Seq[Long],

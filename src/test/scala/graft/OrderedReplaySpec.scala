@@ -420,6 +420,26 @@ class OrderedReplaySpec extends SparkSpec {
         s"batch-only: ${batch.toSet.diff(streamed.toSet).take(3)}")
   }
 
+  test("streaming drawdown: per-user snapshots == batch q160") {
+    val s = spark
+    val endDay = Tables.events(s, sf)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(max("day")).head.getLong(0)
+    val out = runStream("ooo_drawdown")(df =>
+      Stateful.drawdownStream(df, endDay + 1L))
+    val streamed = out.filter("user_id >= 0").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    val batch = SparkEntry.queries("q160_max_drawdown")(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSet
+    assert(streamed.nonEmpty)
+    // exact BIGINT cents through the identical recurrence ⇒ bit-for-bit
+    assert(streamed == batch,
+      s"stream-only: ${streamed.diff(batch).take(3)}; " +
+        s"batch-only: ${batch.diff(streamed).take(3)}")
+  }
+
   test("streaming first-seen: pair snapshots == batch q112 series") {
     val s = spark
     val endDay = Tables.events(s, sf)

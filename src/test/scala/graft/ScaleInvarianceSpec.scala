@@ -210,4 +210,24 @@ class ScaleInvarianceSpec extends SparkSpec {
   test("x24 largest-remainder allocation invariant to partition count") {
     invariant("x24_largest_remainder", sf001)
   }
+
+  test("q160 max drawdown invariant to partition count (exact cents)") {
+    invariant("q160_max_drawdown", sf001)
+  }
+
+  test("q161 dq rule pack invariant to partition count (micro shares)") {
+    invariant("q161_dq_rules", sf001)
+  }
+
+  test("q162 dp release invariant to partition count (hash noise)") {
+    invariant("q162_dp_release", sf001)
+  }
+
+  test("q163 two-hop counts invariant to partition count") {
+    invariant("q163_two_hop", sf001)
+  }
+
+  test("q164 ANF sketch invariant to partition count (register max-merge)") {
+    invariant("q164_anf_sketch", sf001)
+  }
 }

@@ -161,4 +161,22 @@ class SketchSpec extends SparkSpec {
         s"$f: estimate $e vs exact $n (${math.abs(e - n).toDouble / n})")
     }
   }
+
+  // ------------------------------------------------- HyperBall ANF q164
+  test("q164 HyperBall ball-2 estimates track q163 exact counts") {
+    // q163 excludes self; the sketch ball includes it — compare vs n+1
+    val exact = SparkEntry.queries("q163_two_hop")(spark, sf)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1) + 1L)).toMap
+    val est = SparkEntry.queries("q164_anf_sketch")(spark, sf)
+      .collect().map(r => r.getLong(0) -> r.getLong(1).toDouble).toMap
+    assert(est.keySet == exact.keySet, "node sets diverge")
+    assert(est.nonEmpty)
+    val relErrs = exact.map { case (node, n) =>
+      math.abs(est(node) - n) / n.toDouble
+    }
+    val mean = relErrs.sum / relErrs.size
+    // lgK=14 gives ~0.8% sigma; small balls are EXACT in sparse mode
+    assert(mean < 0.02, f"mean relative error $mean%.4f >= 2%%")
+    assert(relErrs.max < 0.10, f"max relative error ${relErrs.max}%.4f >= 10%%")
+  }
 }
