@@ -226,5 +226,83 @@ object Quality {
            |  CAST(500000 AS BIGINT) AS eps_micro
            |FROM nz ORDER BY event_type""".stripMargin))
 
-  val all: Seq[QueryDef] = Seq(q160MaxDrawdown, q161DqRules, q162DpRelease)
+  // --------------------------------------------------------------- q167
+  /** q167's counter grid → rule report projection, shared with the
+    * dqStream twin (identical code over identical integer counters ⇒
+    * bit-for-bit). `counters` columns: event_type, n, n_range, n_enum,
+    * n_k, n_user — one row per event type (the stream's key grid). */
+  def q167Finish(counters: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    counters.agg(sum("n").as("n"), sum("n_range").as("n_range"),
+      sum("n_enum").as("n_enum"), sum("n_k").as("n_k"),
+      sum("n_user").as("n_user"))
+      .selectExpr(
+        """stack(4,
+          |  'r01_range_value',
+          |    cast(round(n_range * 1e6 / n) as bigint), cast(750000 as bigint),
+          |  'r02_enum_type',
+          |    cast(round(n_enum * 1e6 / n) as bigint), cast(1000000 as bigint),
+          |  'r03_props_json',
+          |    cast(round(n_k * 1e6 / n) as bigint), cast(1000000 as bigint),
+          |  'r04_user_nonneg',
+          |    cast(round(n_user * 1e6 / n) as bigint), cast(1000000 as bigint)
+          |) as (rule_id, metric_micro, threshold_micro)""".stripMargin)
+      .withColumn("pass",
+        (col("metric_micro") >= col("threshold_micro")).cast("int"))
+      .orderBy("rule_id")
+
+  /** The live-feed expectation pack — q161's rule-suite shape applied
+    * to the event stream (range, enum domain, payload parseability,
+    * key sanity), the monitoring side of the same governance story.
+    * Counters accumulate per event type so the stream twin
+    * (`Stateful.dqStream`) keys on a catalog-sized grid with O(1)
+    * commutative state per key; batch and stream share `q167Finish`.
+    *
+    * Scale shape: ONE map-side-combined conditional aggregate to the
+    * event-type grid; the JSON-payload rule is a row-local regex (no
+    * parse, no shuffle); the report rolls up on the ≤5-row grid. */
+  val q167EventDq = QueryDef(
+    "q167_event_dq",
+    (s, d) => q167Finish(
+      Tables.events(s, d).groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum(when(col("value") > 0 && col("value") <= 400.0, 1L)
+          .otherwise(0L)).as("n_range"),
+        sum(when(col("event_type")
+          .isin("click", "view", "purchase", "signup", "error"), 1L)
+          .otherwise(0L)).as("n_enum"),
+        sum(when(col("props").rlike("^\\{\"k\": -?[0-9]+\\}$"), 1L)
+          .otherwise(0L)).as("n_k"),
+        sum(when(col("user_id") >= 0, 1L).otherwise(0L)).as("n_user"))),
+    Some("""WITH a AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(CASE WHEN value > 0 AND value <= 400
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS n_range,
+           |    CAST(sum(CASE WHEN event_type IN
+           |      ('click','view','purchase','signup','error')
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS n_enum,
+           |    CAST(sum(CASE WHEN regexp_matches(props,
+           |      '^\{"k": -?[0-9]+\}$') THEN 1 ELSE 0 END) AS BIGINT) AS n_k,
+           |    CAST(sum(CASE WHEN user_id >= 0 THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS n_user
+           |  FROM events),
+           |r AS (
+           |  SELECT 'r01_range_value' AS rule_id,
+           |    CAST(round(n_range * 1e6 / n) AS BIGINT) AS metric_micro,
+           |    CAST(750000 AS BIGINT) AS threshold_micro FROM a
+           |  UNION ALL SELECT 'r02_enum_type',
+           |    CAST(round(n_enum * 1e6 / n) AS BIGINT),
+           |    CAST(1000000 AS BIGINT) FROM a
+           |  UNION ALL SELECT 'r03_props_json',
+           |    CAST(round(n_k * 1e6 / n) AS BIGINT),
+           |    CAST(1000000 AS BIGINT) FROM a
+           |  UNION ALL SELECT 'r04_user_nonneg',
+           |    CAST(round(n_user * 1e6 / n) AS BIGINT),
+           |    CAST(1000000 AS BIGINT) FROM a)
+           |SELECT rule_id, metric_micro, threshold_micro,
+           |  CAST(metric_micro >= threshold_micro AS INT) AS pass
+           |FROM r ORDER BY rule_id""".stripMargin))
+
+  val all: Seq[QueryDef] =
+    Seq(q160MaxDrawdown, q161DqRules, q162DpRelease, q167EventDq)
 }

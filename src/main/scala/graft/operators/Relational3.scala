@@ -1483,6 +1483,183 @@ object Relational3 {
            |GROUP BY 1 ORDER BY numwait DESC, s_name
            |LIMIT 20""".stripMargin))
 
+  // --------------------------------------------------------------- q165
+  /** Product-family profit by supplier nation and year — the TPC-H Q9
+    * shape (the classic battery's widest join tree: fact × fact ×
+    * three dims with a dim-side name filter). The testbed has no
+    * partsupp, so unit cost is the standard 80%-of-retail convention:
+    * profit = Σ [rev_cents − (retail_cents · qty · 4) div 5] over the
+    * filtered part family, every term an exact BIGINT (integer div —
+    * deterministic in both engines; the floor loss is the documented
+    * trade, identical on both sides).
+    *
+    * Scale shape: the `p_name` filter broadcasts with the part dim and
+    * prunes the fact FIRST (13% selectivity), so only matching lines
+    * reach the one fact-fact exchange (lineitem ⋈ orders on orderkey);
+    * supplier → nation ride along as broadcasts. The grid (nation ×
+    * year) is domain-bounded. */
+  val q165ProductProfit = QueryDef(
+    "q165_product_profit",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)
+          .filter(col("p_name").like("%red%"))
+          .select(col("p_partkey"), col("p_retailprice"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(Tables.supplier(s, d)
+          .select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d)
+          .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .join(Tables.orders(s, d)
+          .select(col("o_orderkey"),
+            year(col("o_orderdate")).as("o_year")),
+          col("l_orderkey") === col("o_orderkey"))
+        .select(col("n_name"), col("o_year"),
+          (expr("cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)")
+            - expr("(cast(round(p_retailprice * 100) as bigint)" +
+              " * cast(round(l_quantity) as bigint) * 4) div 5"))
+            .as("profit_cents"))
+      li.groupBy("n_name", "o_year")
+        .agg(count(lit(1)).as("n_lines"),
+          sum("profit_cents").as("profit_cents"))
+        .withColumn("profit", col("profit_cents").cast("double") / 100)
+        .orderBy(col("n_name"), col("o_year").desc)
+    },
+    Some("""WITH li AS (
+           |  SELECT n_name, year(o_orderdate) AS o_year,
+           |    CAST(round(l_extendedprice * (1 - l_discount) * 100)
+           |      AS BIGINT)
+           |    - (CAST(round(p_retailprice * 100) AS BIGINT)
+           |       * CAST(round(l_quantity) AS BIGINT) * 4) // 5
+           |      AS profit_cents
+           |  FROM lineitem
+           |  JOIN part ON l_partkey = p_partkey AND p_name LIKE '%red%'
+           |  JOIN supplier ON l_suppkey = s_suppkey
+           |  JOIN nation ON s_nationkey = n_nationkey
+           |  JOIN orders ON l_orderkey = o_orderkey)
+           |SELECT n_name, o_year, CAST(count(*) AS BIGINT) AS n_lines,
+           |  CAST(sum(profit_cents) AS BIGINT) AS profit_cents,
+           |  CAST(CAST(sum(profit_cents) AS BIGINT) AS DOUBLE) / 100
+           |    AS profit
+           |FROM li GROUP BY 1, 2 ORDER BY n_name, o_year DESC""".stripMargin))
+
+  // --------------------------------------------------------------- q166
+  /** ABC–XYZ inventory classification — the supply-chain planning
+    * matrix: ABC from each part's share of total revenue (A ≈ top 80%,
+    * B next 15%, C tail), XYZ from demand variability (CV of weekly
+    * shipped quantity: X < 0.25, Y < 0.50, Z otherwise). The classic
+    * formulation sorts every part by revenue and cuts the global
+    * cumulative share — a corpus-sized single-partition window; here
+    * ABC classifies at REVENUE-BAND granularity instead: band =
+    * bit-length of the part's revenue cents (length(bin(x)) — integer,
+    * never float log2, the q156 lesson), cut thresholds tested with
+    * exact integer cross-multiplication (cum·5 vs total·4, cum·20 vs
+    * total·19) over the ≤64-row band histogram — the q113 banded-Pareto
+    * posture.
+    *
+    * Scale shape: ONE corpus scan to the (part × week) grid, a
+    * part-level rollup on the same exchange — CACHED, because both the
+    * band histogram and the classification join consume it and Spark
+    * has no subplan CSE (unpersisted, the histogram branch re-runs the
+    * corpus scan — ScanProbe-measured, the q154/q157 lesson); the
+    * ≤64-row band-class table broadcasts back; nothing part-sized
+    * sorts globally. Weekly CV runs on exact integer Σq/Σq² (milli-CV
+    * via one sqrt at the end). The answer materializes before return
+    * so the cache frees deterministically (the q81/d03 lesson). */
+  val q166AbcXyz = QueryDef(
+    "q166_abc_xyz",
+    (s, d) => {
+      val wk = Tables.lineitem(s, d)
+        .groupBy(col("l_partkey").as("part"),
+          expr("unix_micros(cast(l_shipdate as timestamp)) div 604800000000")
+            .as("week"))
+        .agg(expr("sum(cast(round(l_quantity) as bigint))").as("wq"),
+          expr("sum(cast(round(l_extendedprice * 100) as bigint))")
+            .as("wrev"))
+      val per = wk.groupBy("part")
+        .agg(sum("wrev").as("rev_cents"),
+          count(lit(1)).as("n_weeks"),
+          sum("wq").as("sq"),
+          // pair products as decimal(38,0) ↔ HUGEINT (q132 convention)
+          expr("cast(sum(cast(wq as decimal(38,0)) * wq) as bigint)")
+            .as("sq2"))
+        .withColumn("band", length(bin(col("rev_cents"))))
+        .withColumn("cv_milli",
+          expr("cast(round(1000 * sqrt(cast(n_weeks as decimal(38,0)) * sq2" +
+            " - cast(sq as decimal(38,0)) * sq) / sq) as bigint)"))
+        .persist()
+      // band histogram: cum revenue from the TOP band down; class cuts
+      // by integer cross-multiplication (exact 80% / 95% thresholds)
+      val bandW = org.apache.spark.sql.expressions.Window
+        .orderBy(col("band").desc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+      val bands = per.groupBy("band").agg(sum("rev_cents").as("brev"))
+        .withColumn("cum_before", coalesce(sum("brev").over(bandW), lit(0L)))
+        .withColumn("total", sum("brev").over(
+          org.apache.spark.sql.expressions.Window.partitionBy()
+            .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+              org.apache.spark.sql.expressions.Window.unboundedFollowing)))
+        .withColumn("abc_class",
+          when(col("cum_before") * 5 < col("total") * 4, "A")
+            .when(col("cum_before") * 20 < col("total") * 19, "B")
+            .otherwise("C"))
+        .select(col("band"), col("abc_class"))
+      val out = per.join(broadcast(bands), Seq("band"))
+        .withColumn("xyz_class",
+          when(col("cv_milli") < 250, "X")
+            .when(col("cv_milli") < 500, "Y").otherwise("Z"))
+        .groupBy("abc_class", "xyz_class")
+        .agg(count(lit(1)).as("n_parts"),
+          sum("rev_cents").as("rev_cents_total"))
+        .orderBy("abc_class", "xyz_class")
+        .localCheckpoint(true)
+      per.unpersist()
+      out
+    },
+    Some("""WITH wk AS (
+           |  SELECT l_partkey AS part,
+           |    epoch_us(l_shipdate) // 604800000000 AS week,
+           |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS wq,
+           |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+           |      AS BIGINT) AS wrev
+           |  FROM lineitem GROUP BY 1, 2),
+           |per AS (
+           |  SELECT part, CAST(sum(wrev) AS BIGINT) AS rev_cents,
+           |    CAST(count(*) AS BIGINT) AS n_weeks,
+           |    CAST(sum(wq) AS BIGINT) AS sq,
+           |    CAST(sum(CAST(wq AS HUGEINT) * wq) AS BIGINT) AS sq2
+           |  FROM wk GROUP BY 1),
+           |pb AS (
+           |  SELECT *, length(bin(rev_cents)) AS band,
+           |    CAST(round(1000 * sqrt(CAST(n_weeks AS HUGEINT) * sq2
+           |      - CAST(sq AS HUGEINT) * sq) / sq) AS BIGINT) AS cv_milli
+           |  FROM per),
+           |bands AS (
+           |  SELECT band, CAST(sum(rev_cents) AS BIGINT) AS brev
+           |  FROM pb GROUP BY 1),
+           |cls AS (
+           |  SELECT band,
+           |    CAST(coalesce(sum(brev) OVER (ORDER BY band DESC
+           |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           |      AS BIGINT) AS cum_before,
+           |    CAST(sum(brev) OVER () AS BIGINT) AS total
+           |  FROM bands),
+           |abc AS (
+           |  SELECT band,
+           |    CASE WHEN cum_before * 5 < total * 4 THEN 'A'
+           |         WHEN cum_before * 20 < total * 19 THEN 'B'
+           |         ELSE 'C' END AS abc_class
+           |  FROM cls)
+           |SELECT abc_class,
+           |  CASE WHEN cv_milli < 250 THEN 'X'
+           |       WHEN cv_milli < 500 THEN 'Y' ELSE 'Z' END AS xyz_class,
+           |  CAST(count(*) AS BIGINT) AS n_parts,
+           |  CAST(sum(rev_cents) AS BIGINT) AS rev_cents_total
+           |FROM pb JOIN abc USING (band)
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
+
   val all: Seq[QueryDef] =
     Seq(q69StarJoin, q70EventDedup, q71ArgExtremes, q72Regression,
       q74VariantExtract, q75HofBattery, q76ZorderLayout, q79ExistsChain,
@@ -1491,5 +1668,5 @@ object Relational3 {
       q127AmountReconciliation, q131SlaAttainment, q132SupplierHhi,
       q133TradeMatrix, q134SalesOpportunity, q135MarketShare,
       q136ReturnRates, q153FifoAllocation, q157FanoutAudit,
-      q158LateBlame)
+      q158LateBlame, q165ProductProfit, q166AbcXyz)
 }

@@ -1314,6 +1314,69 @@ object Stateful {
       }
   }
 
+  /** One event type's closed DQ counters (q167's grid row). */
+  final case class DqCounts(event_type: String, n: Long, n_range: Long,
+      n_enum: Long, n_k: Long, n_user: Long)
+  final case class DqState(n: Long, nRange: Long, nEnum: Long, nK: Long,
+      nUser: Long, done: Boolean)
+
+  /** Streaming twin of q167's per-type pass — live expectation
+    * monitoring over the event feed. Every rule flag is row-local
+    * (range test, enum membership, payload regex, key sanity) and
+    * evaluated in the select BEFORE keying, so state per event type is
+    * five commutative BIGINT counters — arrival order irrelevant, no
+    * reorder buffer, state bounded by the TYPE GRID (the
+    * returnRateStream posture). Snapshots emit when the watermark
+    * passes `endDayExclusive`; the rule report then runs over the
+    * emitted grid via operators.Quality.q167Finish — identical code to
+    * batch. Input columns: event_type, ts, value, user_id, props. */
+  def dqStream(df: DataFrame, endDayExclusive: Long,
+      slack: String = "2 hours"): Dataset[DqCounts] = {
+    import org.apache.spark.sql.Encoders
+    implicit val stEnc: Encoder[DqState] = Encoders.product[DqState]
+    implicit val outEnc: Encoder[DqCounts] = Encoders.product[DqCounts]
+    implicit val keyEnc: Encoder[String] = Encoders.STRING
+    val flagged = df.withWatermark("ts", slack)
+      .select(col("event_type"), col("ts"),
+        when(col("value") > 0 && col("value") <= 400.0, 1L)
+          .otherwise(0L).as("ok_range"),
+        when(col("event_type")
+          .isin("click", "view", "purchase", "signup", "error"), 1L)
+          .otherwise(0L).as("ok_enum"),
+        when(col("props").rlike("^\\{\"k\": -?[0-9]+\\}$"), 1L)
+          .otherwise(0L).as("ok_k"),
+        when(col("user_id") >= 0, 1L).otherwise(0L).as("ok_user"))
+    val ds = flagged
+      .select(col("event_type"), col("ts"), col("ok_range"),
+        col("ok_enum"), col("ok_k"), col("ok_user"))
+      .as[(String, java.sql.Timestamp, Long, Long, Long, Long)](
+        Encoders.product[(String, java.sql.Timestamp, Long, Long, Long, Long)])
+    ds.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (key: String,
+            rows: Iterator[(String, java.sql.Timestamp, Long, Long, Long, Long)],
+            state: GroupState[DqState]) =>
+          val st0 = state.getOption.getOrElse(
+            DqState(0L, 0L, 0L, 0L, 0L, done = false))
+          var n = st0.n; var r = st0.nRange; var e = st0.nEnum
+          var k = st0.nK; var u = st0.nUser
+          rows.foreach { row =>
+            n += 1L; r += row._3; e += row._4; k += row._5; u += row._6
+          }
+          val wm = state.getCurrentWatermarkMs()
+          if (!st0.done && wm > endDayExclusive * 86400000L + 1L) {
+            state.update(DqState(n, r, e, k, u, done = true))
+            if (n > 0L) Iterator.single(DqCounts(key, n, r, e, k, u))
+            else Iterator.empty
+          } else {
+            state.update(DqState(n, r, e, k, u, st0.done))
+            if (!st0.done) state.setTimeoutTimestamp(wm + 1L)
+            Iterator.empty
+          }
+      }
+  }
+
   /** One channel's closed gap statistics (q111's per-channel row). */
   final case class BeaconRow(user_id: Long, event_type: String,
       n_gaps: Long, sg: Long, sg2: Long)

@@ -1375,6 +1375,61 @@ class OrderedReplaySpec extends SparkSpec {
         s"batch-only: ${batch.toSet.diff(streamed.toSet).take(3)}")
   }
 
+  test("streaming DQ pack: rule report == batch q167") {
+    val s = spark
+    import s.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+
+    val endDay = Tables.events(s, sf)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(max("day")).head.getLong(0)
+    // props-bearing feed (the standard harness feed lacks props),
+    // shuffled within the slack horizon
+    val evs = Tables.events(s, sf)
+      .select(col("event_type"), col("ts"), col("value"), col("user_id"),
+        col("props"), col("event_id"))
+      .as[(String, java.sql.Timestamp, Double, Long, String, Long)]
+      .collect()
+    val feed = evs.sortBy { r =>
+      val jitter = Math.floorMod(r._6 * 2654435761L, 1800000L)
+      (r._2.getTime + jitter, r._6)
+    }.map(r => (r._1, r._2, r._3, r._4, r._5))
+
+    val input = MemoryStream[(String, java.sql.Timestamp, Double, Long, String)]
+    val q = Stateful.dqStream(
+        input.toDS().toDF("event_type", "ts", "value", "user_id", "props"),
+        endDay + 1L, "2 hours")
+      .writeStream.format("memory").queryName("ooo_dq")
+      .trigger(Trigger.ProcessingTime(50)).start()
+    val third = feed.length / 3
+    Seq(feed.slice(0, third), feed.slice(third, 2 * third),
+      feed.drop(2 * third)).foreach { chunk =>
+      input.addData(chunk.toSeq); q.processAllAvailable()
+    }
+    val sentTs = new java.sql.Timestamp((endDay + 31L) * 86400000L)
+    for (i <- 1 to 2) {
+      input.addData(("zz_sentinel",
+        new java.sql.Timestamp(sentTs.getTime + i), 0.0, -1L, "x"))
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    // sentinel rows fold into the zz_sentinel key's counters, which the
+    // finish sums — exclude them like the other custom-feed twins
+    val grid = s.table("ooo_dq").filter("event_type != 'zz_sentinel'")
+    assert(grid.count() > 0)
+    val streamed = operators.Quality.q167Finish(grid).collect()
+      .map(_.toString).toSeq
+    val batch = SparkEntry.queries("q167_event_dq")(s, sf).collect()
+      .map(_.toString).toSeq
+    // identical projection over identical integer counters ⇒ bit-for-bit
+    assert(streamed == batch,
+      s"stream-only: ${streamed.toSet.diff(batch.toSet).take(3)}; " +
+        s"batch-only: ${batch.toSet.diff(streamed.toSet).take(3)}")
+  }
+
   test("streaming chi-square: contingency cells == batch q148") {
     val s = spark
     import s.implicits._

@@ -230,4 +230,16 @@ class ScaleInvarianceSpec extends SparkSpec {
   test("q164 ANF sketch invariant to partition count (register max-merge)") {
     invariant("q164_anf_sketch", sf001)
   }
+
+  test("q165 product profit invariant to partition count (exact cents)") {
+    invariant("q165_product_profit", sf001)
+  }
+
+  test("q166 ABC-XYZ matrix invariant to partition count (banded cents)") {
+    invariant("q166_abc_xyz", sf001)
+  }
+
+  test("q167 event DQ pack invariant to partition count (micro shares)") {
+    invariant("q167_event_dq", sf001)
+  }
 }
