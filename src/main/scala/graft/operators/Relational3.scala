@@ -1498,6 +1498,18 @@ object Relational3 {
     * reach the one fact-fact exchange (lineitem ⋈ orders on orderkey);
     * supplier → nation ride along as broadcasts. The grid (nation ×
     * year) is domain-bounded. */
+  /** q165's (nation × year) grid → report projection, shared with the
+    * profitStream twin (identical code over identical integer counters
+    * ⇒ bit-for-bit). `grid` columns: n_name, o_year, n_lines,
+    * profit_cents. */
+  def q165Finish(grid: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    grid.groupBy("n_name", "o_year")
+      .agg(sum("n_lines").as("n_lines"),
+        sum("profit_cents").as("profit_cents"))
+      .withColumn("profit", col("profit_cents").cast("double") / 100)
+      .orderBy(col("n_name"), col("o_year").desc)
+
   val q165ProductProfit = QueryDef(
     "q165_product_profit",
     (s, d) => {
@@ -1521,11 +1533,8 @@ object Relational3 {
             - expr("(cast(round(p_retailprice * 100) as bigint)" +
               " * cast(round(l_quantity) as bigint) * 4) div 5"))
             .as("profit_cents"))
-      li.groupBy("n_name", "o_year")
-        .agg(count(lit(1)).as("n_lines"),
-          sum("profit_cents").as("profit_cents"))
-        .withColumn("profit", col("profit_cents").cast("double") / 100)
-        .orderBy(col("n_name"), col("o_year").desc)
+      q165Finish(li.select(col("n_name"), col("o_year"),
+        lit(1L).as("n_lines"), col("profit_cents")))
     },
     Some("""WITH li AS (
            |  SELECT n_name, year(o_orderdate) AS o_year,

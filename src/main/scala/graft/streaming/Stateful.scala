@@ -1314,6 +1314,53 @@ object Stateful {
       }
   }
 
+  /** One (nation, year) cell's closed profit counters (q165's grid row). */
+  final case class ProfitCell(n_name: String, o_year: Int, n_lines: Long,
+      profit_cents: Long)
+  final case class ProfitState(n: Long, cents: Long, done: Boolean)
+
+  /** Streaming twin of q165's per-cell pass — live profit tracking by
+    * supplier nation and order year. The dimension enrichment (part
+    * filter + supplier → nation) happens at ingest (the returnRateStream
+    * feed posture), so state per (nation, year) cell is two commutative
+    * BIGINT counters — no reorder buffer, state bounded by the
+    * (nation × year) GRID. Snapshots emit when the watermark passes
+    * `endDayExclusive`; Relational3.q165Finish then projects the report
+    * over the emitted grid — identical code to batch.
+    * Input columns: n_name, ts, o_year, profit_cents. */
+  def profitStream(df: DataFrame, endDayExclusive: Long,
+      slack: String = "2 hours"): Dataset[ProfitCell] = {
+    import org.apache.spark.sql.Encoders
+    implicit val stEnc: Encoder[ProfitState] = Encoders.product[ProfitState]
+    implicit val outEnc: Encoder[ProfitCell] = Encoders.product[ProfitCell]
+    implicit val keyEnc: Encoder[(String, Int)] =
+      Encoders.tuple(Encoders.STRING, Encoders.scalaInt)
+    val ds = df.withWatermark("ts", slack)
+      .select(col("n_name"), col("ts"), col("o_year"), col("profit_cents"))
+      .as[(String, java.sql.Timestamp, Int, Long)](
+        Encoders.product[(String, java.sql.Timestamp, Int, Long)])
+    ds.groupByKey(r => (r._1, r._3))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (key: (String, Int),
+            rows: Iterator[(String, java.sql.Timestamp, Int, Long)],
+            state: GroupState[ProfitState]) =>
+          val st0 = state.getOption.getOrElse(ProfitState(0L, 0L, false))
+          var n = st0.n; var c = st0.cents
+          rows.foreach { r => n += 1L; c += r._4 }
+          val wm = state.getCurrentWatermarkMs()
+          if (!st0.done && wm > endDayExclusive * 86400000L + 1L) {
+            state.update(ProfitState(n, c, done = true))
+            if (n > 0L) Iterator.single(ProfitCell(key._1, key._2, n, c))
+            else Iterator.empty
+          } else {
+            state.update(ProfitState(n, c, st0.done))
+            if (!st0.done) state.setTimeoutTimestamp(wm + 1L)
+            Iterator.empty
+          }
+      }
+  }
+
   /** One event type's closed DQ counters (q167's grid row). */
   final case class DqCounts(event_type: String, n: Long, n_range: Long,
       n_enum: Long, n_k: Long, n_user: Long)

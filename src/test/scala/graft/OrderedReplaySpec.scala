@@ -1430,6 +1430,74 @@ class OrderedReplaySpec extends SparkSpec {
         s"batch-only: ${batch.toSet.diff(streamed.toSet).take(3)}")
   }
 
+  test("streaming profit: nation-year cells == batch q165") {
+    val s = spark
+    import s.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+
+    val dmax = Tables.orders(s, sf)
+      .select(expr("unix_micros(cast(o_orderdate as timestamp))" +
+        " div 86400000000").as("day"))
+      .agg(max("day")).head.getLong(0)
+    // ingest-enriched line feed: part filter + supplier→nation joins
+    // happen before the stream (the returnRateStream posture)
+    val lines = Tables.lineitem(s, sf)
+      .join(Tables.part(s, sf).filter(col("p_name").like("%red%"))
+        .select("p_partkey", "p_retailprice"),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.supplier(s, sf).select("s_suppkey", "s_nationkey"),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.nation(s, sf).select("n_nationkey", "n_name"),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.orders(s, sf).select(col("o_orderkey"),
+        col("o_orderdate").cast("timestamp").as("ts"),
+        year(col("o_orderdate")).as("o_year")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("n_name"), col("ts"), col("o_year"),
+        (expr("cast(round(l_extendedprice * (1 - l_discount) * 100) as bigint)")
+          - expr("(cast(round(p_retailprice * 100) as bigint)" +
+            " * cast(round(l_quantity) as bigint) * 4) div 5"))
+          .as("profit_cents"),
+        col("l_orderkey"), col("l_linenumber"))
+      .as[(String, java.sql.Timestamp, Int, Long, Long, Long)].collect()
+    val feed = lines.sortBy { r =>
+      val jitter = Math.floorMod(r._5 * 2654435761L + r._6, 1800000L)
+      (r._2.getTime + jitter, r._5, r._6)
+    }.map(r => (r._1, r._2, r._3, r._4))
+
+    val input = MemoryStream[(String, java.sql.Timestamp, Int, Long)]
+    val q = Stateful.profitStream(
+        input.toDS().toDF("n_name", "ts", "o_year", "profit_cents"),
+        dmax + 1L, "2 hours")
+      .writeStream.format("memory").queryName("ooo_profit")
+      .trigger(Trigger.ProcessingTime(50)).start()
+    val third = feed.length / 3
+    Seq(feed.slice(0, third), feed.slice(third, 2 * third),
+      feed.drop(2 * third)).foreach { chunk =>
+      input.addData(chunk.toSeq); q.processAllAvailable()
+    }
+    val sentTs = new java.sql.Timestamp((dmax + 31L) * 86400000L)
+    for (i <- 1 to 2) {
+      input.addData(("zz_sentinel",
+        new java.sql.Timestamp(sentTs.getTime + i), 0, 0L))
+      q.processAllAvailable()
+    }
+    q.stop()
+
+    val grid = s.table("ooo_profit").filter("n_name != 'zz_sentinel'")
+    assert(grid.count() > 0)
+    val streamed = operators.Relational3.q165Finish(grid).collect()
+      .map(_.toString).toSeq
+    val batch = SparkEntry.queries("q165_product_profit")(s, sf).collect()
+      .map(_.toString).toSeq
+    // identical projection over identical integer counters ⇒ bit-for-bit
+    assert(streamed == batch,
+      s"stream-only: ${streamed.toSet.diff(batch.toSet).take(3)}; " +
+        s"batch-only: ${batch.toSet.diff(streamed.toSet).take(3)}")
+  }
+
   test("streaming chi-square: contingency cells == batch q148") {
     val s = spark
     import s.implicits._

@@ -242,4 +242,8 @@ class ScaleInvarianceSpec extends SparkSpec {
   test("q167 event DQ pack invariant to partition count (micro shares)") {
     invariant("q167_event_dq", sf001)
   }
+
+  test("q168 IR metrics invariant to partition count (micro discounts)") {
+    invariant("q168_ir_metrics", sf001)
+  }
 }
