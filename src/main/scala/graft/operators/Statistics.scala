@@ -1153,9 +1153,117 @@ object Statistics {
            |FROM cum JOIN tot ON tot.o_orderpriority = cum.o_orderpriority
            |GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  // --------------------------------------------------------------- q169
+  /** Feature-relevance audit: mutual information and Cramér's V between
+    * the event type and each candidate feature (weekday, value band) —
+    * the dependence screen a feature store runs before admitting a
+    * column. Both features stack into ONE corpus scan (explode to
+    * (feature, x, y) cells, map-side-combined count-agg to the ≤70-row
+    * grid); marginals and totals come from windows OVER THE GRID, so
+    * 100 TB of events reaches the information theory as a handful of
+    * counters. Per-cell MI contributions round to micro BIGINTs before
+    * the per-feature total (the fixed-point posture: exact integer sum,
+    * order-proof); the ln/χ² arguments are ratios of exact integers —
+    * identical doubles in both engines.
+    *
+    * MI uses natural log (nats); V normalizes χ² by N·(min(r,c)−1);
+    * weekday is epoch-day mod 7 (engine-neutral, no locale), the value
+    * band is q137's fixed-width milli-unit bin. */
+  /** q169's cell grid → information-theory projection, shared with the
+    * relevanceStream twin (identical code over identical integer
+    * counters ⇒ bit-for-bit). `cells` columns: feature, x, y, nxy. */
+  def q169Finish(cells: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+      import org.apache.spark.sql.expressions.Window
+      val wf = Window.partitionBy("feature")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val wx = Window.partitionBy("feature", "x")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val wy = Window.partitionBy("feature", "y")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      cells
+        .withColumn("n", sum("nxy").over(wf))
+        .withColumn("nx", sum("nxy").over(wx))
+        .withColumn("ny", sum("nxy").over(wy))
+        .withColumn("rr", size(collect_set(col("x")).over(wf)))
+        .withColumn("cc", size(collect_set(col("y")).over(wf)))
+        .withColumn("mi_c",
+          expr("cast(round(1e6 * nxy / n" +
+            " * ln(cast(nxy as double) * n / (cast(nx as double) * ny)))" +
+            " as bigint)"))
+        .withColumn("chi_c",
+          expr("cast(round(1e6 * pow(nxy - cast(nx as double) * ny / n, 2)" +
+            " / (cast(nx as double) * ny / n)) as bigint)"))
+        .groupBy("feature")
+        .agg(count(lit(1)).as("n_cells"),
+          sum("mi_c").as("mi_micro"),
+          sum("chi_c").as("chi2_micro"),
+          expr("cast(round(1000 * sqrt(cast(sum(chi_c) as double) / 1e6" +
+            " / (any_value(n) * (least(any_value(rr), any_value(cc)) - 1))))" +
+            " as bigint)").as("v_milli"))
+        .orderBy("feature")
+  }
+
+  /** The (feature, x, y) cell builder shared by batch and the stream
+    * twin's feed enrichment: both candidate features stack into one
+    * pass over the raw (event_type, ts, value) columns. */
+  def q169Cells(ev: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    ev.select(col("event_type").as("x"),
+        explode(array(
+          struct(lit("weekday").as("feature"),
+            expr(s"(unix_micros(ts) div ${DayUs}L) % 7").as("y")),
+          struct(lit("value_band").as("feature"),
+            least(expr("cast(round(value * 1000) as bigint) div 50000"),
+              lit(9L)).as("y")))).as("f"))
+      .select(col("x"), col("f.feature").as("feature"), col("f.y").as("y"))
+
+  val q169FeatureRelevance = QueryDef(
+    "q169_feature_relevance",
+    (s, d) => q169Finish(
+      q169Cells(Tables.events(s, d))
+        .groupBy("feature", "x", "y").agg(count(lit(1)).as("nxy"))),
+    Some(s"""WITH ev AS (
+            |  SELECT event_type AS x,
+            |    (epoch_us(ts) // ${DayUs}) % 7 AS wd,
+            |    least(CAST(round(value * 1000) AS BIGINT) // 50000, 9) AS vb
+            |  FROM events),
+            |cells AS (
+            |  SELECT 'weekday' AS feature, x, wd AS y,
+            |    CAST(count(*) AS BIGINT) AS nxy
+            |  FROM ev GROUP BY 1, 2, 3
+            |  UNION ALL
+            |  SELECT 'value_band', x, vb, CAST(count(*) AS BIGINT)
+            |  FROM ev GROUP BY 1, 2, 3),
+            |marg AS (
+            |  SELECT feature, x, y, nxy,
+            |    CAST(sum(nxy) OVER (PARTITION BY feature) AS BIGINT) AS n,
+            |    CAST(sum(nxy) OVER (PARTITION BY feature, x) AS BIGINT) AS nx,
+            |    CAST(sum(nxy) OVER (PARTITION BY feature, y) AS BIGINT) AS ny,
+            |    CAST(count(DISTINCT x) OVER (PARTITION BY feature)
+            |      AS BIGINT) AS rr,
+            |    CAST(count(DISTINCT y) OVER (PARTITION BY feature)
+            |      AS BIGINT) AS cc
+            |  FROM cells),
+            |contrib AS (
+            |  SELECT feature, rr, cc, n,
+            |    CAST(round(1e6 * nxy / n
+            |      * ln(CAST(nxy AS DOUBLE) * n
+            |        / (CAST(nx AS DOUBLE) * ny))) AS BIGINT) AS mi_c,
+            |    CAST(round(1e6 * pow(nxy - CAST(nx AS DOUBLE) * ny / n, 2)
+            |      / (CAST(nx AS DOUBLE) * ny / n)) AS BIGINT) AS chi_c
+            |  FROM marg)
+            |SELECT feature, CAST(count(*) AS BIGINT) AS n_cells,
+            |  CAST(sum(mi_c) AS BIGINT) AS mi_micro,
+            |  CAST(sum(chi_c) AS BIGINT) AS chi2_micro,
+            |  CAST(round(1000 * sqrt(CAST(sum(chi_c) AS DOUBLE) / 1e6
+            |    / (any_value(n) * (least(any_value(rr), any_value(cc)) - 1))))
+            |    AS BIGINT) AS v_milli
+            |FROM contrib GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[QueryDef] =
     Seq(q137PsiDrift, q138BootstrapCi, q139InterpJoin, q140CupedLift,
       q141RankBattery, q143SurvivalKm, q145SeasonalDecompose,
       q147TheilSen, q148ChiSquare, q149MannWhitney,
-      q154Autocorrelation, q159WeightedMedian)
+      q154Autocorrelation, q159WeightedMedian, q169FeatureRelevance)
 }

@@ -1314,6 +1314,64 @@ object Stateful {
       }
   }
 
+  /** One (feature, x, y) cell's closed count (q169's grid row). */
+  final case class RelevanceCell(feature: String, x: String, y: Long,
+      nxy: Long)
+  final case class RelCellState(n: Long, done: Boolean)
+
+  /** Streaming twin of q169's cell pass — live feature-relevance
+    * contingency counting. Both candidate features are row-local
+    * projections of the standard event feed (weekday = epoch-day mod 7,
+    * value band = q137's milli bin), evaluated in the select before
+    * keying, so state per (feature, x, y) cell is ONE commutative
+    * BIGINT counter bounded by the ≤(5·7 + 5·10)-cell GRID. Snapshots
+    * emit when the watermark passes `endDayExclusive`; the MI/χ²/V
+    * projection then runs over the emitted grid via
+    * operators.Statistics.q169Finish — identical code to batch. */
+  def relevanceStream(df: DataFrame, endDayExclusive: Long,
+      slack: String = "2 hours"): Dataset[RelevanceCell] = {
+    import org.apache.spark.sql.Encoders
+    implicit val stEnc: Encoder[RelCellState] = Encoders.product[RelCellState]
+    implicit val outEnc: Encoder[RelevanceCell] =
+      Encoders.product[RelevanceCell]
+    implicit val keyEnc: Encoder[(String, String, Long)] =
+      Encoders.tuple(Encoders.STRING, Encoders.STRING, Encoders.scalaLong)
+    val DayUs = 86400000000L
+    val cells = df.withWatermark("ts", slack)
+      .select(col("event_type").as("x"), col("ts"),
+        explode(array(
+          struct(lit("weekday").as("feature"),
+            expr(s"(unix_micros(ts) div ${DayUs}L) % 7").as("y")),
+          struct(lit("value_band").as("feature"),
+            least(expr("cast(round(value * 1000) as bigint) div 50000"),
+              lit(9L)).as("y")))).as("f"))
+      .select(col("f.feature").as("feature"), col("x"), col("f.y").as("y"),
+        col("ts"))
+      .as[(String, String, Long, java.sql.Timestamp)](
+        Encoders.product[(String, String, Long, java.sql.Timestamp)])
+    cells.groupByKey(r => (r._1, r._2, r._3))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (key: (String, String, Long),
+            rows: Iterator[(String, String, Long, java.sql.Timestamp)],
+            state: GroupState[RelCellState]) =>
+          val st0 = state.getOption.getOrElse(RelCellState(0L, done = false))
+          var n = st0.n
+          rows.foreach(_ => n += 1L)
+          val wm = state.getCurrentWatermarkMs()
+          if (!st0.done && wm > endDayExclusive * 86400000L + 1L) {
+            state.update(RelCellState(n, done = true))
+            if (n > 0L)
+              Iterator.single(RelevanceCell(key._1, key._2, key._3, n))
+            else Iterator.empty
+          } else {
+            state.update(RelCellState(n, st0.done))
+            if (!st0.done) state.setTimeoutTimestamp(wm + 1L)
+            Iterator.empty
+          }
+      }
+  }
+
   /** One (nation, year) cell's closed profit counters (q165's grid row). */
   final case class ProfitCell(n_name: String, o_year: Int, n_lines: Long,
       profit_cents: Long)

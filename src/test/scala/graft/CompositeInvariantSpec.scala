@@ -291,4 +291,121 @@ class CompositeInvariantSpec extends SparkSpec {
       assert(alloc - base <= 1L)
     }
   }
+
+  test("q160: drawdown bounded by peak; final never exceeds peak") {
+    val rows = SparkEntry.queries("q160_max_drawdown")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (u, n, fin, peak, dd) =>
+      assert(n > 0L, s"user $u emitted with no moves")
+      assert(dd >= 0L, s"user $u negative drawdown")
+      assert(fin <= peak, s"user $u final above running peak")
+      // the trough the drawdown measures is a real prefix value, so the
+      // drop can never exceed peak minus the worst possible prefix; in
+      // particular peak - final is ONE candidate drawdown
+      assert(dd >= peak - fin, s"user $u drawdown below peak-final")
+    }
+  }
+
+  test("q161/q167: rule metrics are shares; pass agrees with threshold") {
+    for (q <- Seq("q161_dq_rules", "q167_event_dq")) {
+      val rows = SparkEntry.queries(q)(spark, sf).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      assert(rows.nonEmpty, q)
+      rows.foreach { case (rule, m, t, pass) =>
+        assert(m >= 0L && m <= 1000000L, s"$q $rule metric outside [0,1e6]")
+        assert(pass == (if (m >= t) 1 else 0), s"$q $rule pass flag wrong")
+      }
+    }
+  }
+
+  test("q162: noisy count = true count + noise; ledger constant") {
+    val rows = SparkEntry.queries("q162_dp_release")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (et, n, noise, noisy, eps) =>
+      assert(noisy == n * 1000000L + noise, s"$et additivity broken")
+      assert(eps == 500000L)
+      // Laplace(2) noise beyond 40 units (|u-0.5| < 2e-9) means the
+      // hash-uniform source is broken, not unlucky
+      assert(math.abs(noise) < 40000000L, s"$et implausible noise $noise")
+    }
+  }
+
+  test("q163/q164: two-hop reach bounds and sketch sanity") {
+    val exact = SparkEntry.queries("q163_two_hop")(spark, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exact.nonEmpty)
+    // reach within 2 hops is at least the node's degree
+    val deg = {
+      val s = spark
+      val li = Tables.lineitem(s, sf)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      val pairs = li.as("a").join(li.as("b"),
+          col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+        .agg(countDistinct(col("a.ok")).as("n_ord"))
+        .filter(col("n_ord") >= 2)
+      pairs.select(col("u").as("n")).union(pairs.select(col("v").as("n")))
+        .groupBy("n").count().collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    }
+    exact.foreach { case (node, reach) =>
+      assert(reach >= deg.getOrElse(node, 0L),
+        s"node $node reach below degree")
+    }
+  }
+
+  test("q166: matrix cells partition the part set; revenue reconciles") {
+    val s = spark
+    val rows = SparkEntry.queries("q166_abc_xyz")(s, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    val nParts = rows.map(_._3).sum
+    val revTotal = rows.map(_._4).sum
+    val expectedParts = Tables.lineitem(s, sf)
+      .select(countDistinct(col("l_partkey"))).head.getLong(0)
+    val expectedRev = Tables.lineitem(s, sf)
+      .select(sum(expr("cast(round(l_extendedprice * 100) as bigint)")))
+      .head.getLong(0)
+    assert(nParts == expectedParts, s"cells lost parts: $nParts vs $expectedParts")
+    assert(revTotal == expectedRev, s"cells lost revenue")
+    rows.foreach { case (abc, xyz, n, _) =>
+      assert(Set("A", "B", "C")(abc) && Set("X", "Y", "Z")(xyz))
+      assert(n > 0L, "empty cell emitted")
+    }
+  }
+
+  test("q169: MI non-negative within rounding; V in [0, 1]") {
+    val rows = SparkEntry.queries("q169_feature_relevance")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(rows.map(_._1).toSet == Set("weekday", "value_band"))
+    rows.foreach { case (f, cells, mi, chi2, v) =>
+      assert(cells > 0L)
+      // true MI >= 0; per-cell micro rounding can dip the sum by at
+      // most half a micro per cell
+      assert(mi >= -cells, s"$f MI below rounding floor: $mi")
+      assert(chi2 >= 0L)
+      assert(v >= 0L && v <= 1000L, s"$f Cramér V outside [0,1]: $v")
+    }
+  }
+
+  test("q168: metric ranges and DCG <= IDCG") {
+    val rows = SparkEntry.queries("q168_ir_metrics")(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (qid, nRel, p10, mrr, dcg, ndcg) =>
+      assert(nRel >= 0L && nRel <= 10L)
+      assert(p10 == nRel * 100000L, s"q$qid precision inconsistent")
+      assert(mrr >= 0L && mrr <= 1000000L)
+      assert(ndcg >= 0L && ndcg <= 1000000L, s"q$qid NDCG outside [0,1]")
+      assert((nRel == 0L) == (mrr == 0L), s"q$qid MRR/relevance mismatch")
+      assert((dcg == 0L) == (nRel == 0L))
+    }
+  }
 }

@@ -440,6 +440,25 @@ class OrderedReplaySpec extends SparkSpec {
         s"batch-only: ${batch.diff(streamed).take(3)}")
   }
 
+  test("streaming feature relevance: cell grid == batch q169") {
+    val s = spark
+    val endDay = Tables.events(s, sf)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(max("day")).head.getLong(0)
+    val out = runStream("ooo_relevance")(df =>
+      Stateful.relevanceStream(df, endDay + 1L))
+    val grid = out.filter("x != 'zz_sentinel'")
+    assert(grid.count() > 0)
+    val streamed = operators.Statistics.q169Finish(grid).collect()
+      .map(_.toString).toSeq
+    val batch = SparkEntry.queries("q169_feature_relevance")(s, sf).collect()
+      .map(_.toString).toSeq
+    // identical projection over identical integer counters ⇒ bit-for-bit
+    assert(streamed == batch,
+      s"stream-only: ${streamed.toSet.diff(batch.toSet).take(3)}; " +
+        s"batch-only: ${batch.toSet.diff(streamed.toSet).take(3)}")
+  }
+
   test("streaming first-seen: pair snapshots == batch q112 series") {
     val s = spark
     val endDay = Tables.events(s, sf)

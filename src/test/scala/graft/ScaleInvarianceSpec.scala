@@ -246,4 +246,8 @@ class ScaleInvarianceSpec extends SparkSpec {
   test("q168 IR metrics invariant to partition count (micro discounts)") {
     invariant("q168_ir_metrics", sf001)
   }
+
+  test("q169 feature relevance invariant to partition count (grid ints)") {
+    invariant("q169_feature_relevance", sf001)
+  }
 }
