@@ -1349,9 +1349,119 @@ object Behavioral {
            |    AS DOUBLE), 1.0) * 10000) / 10000 AS conversion
            |FROM steps ORDER BY step""".stripMargin))
 
+  // --------------------------------------------------------------- q172
+  /** Markov next-event prediction eval: train q61's first-order
+    * transition model on half the users (deterministic md5 split — the
+    * q46 convention, so the split is reproducible across engines and
+    * retries), predict each test transition's next event as the train
+    * argmax, and report per-current-type accuracy against the
+    * majority-class baseline P(most common next). The eval layer q61
+    * lacks (q168's role, for sequence models): on this synthetic log
+    * the honest finding is that history buys ~nothing over the
+    * baseline — transitions are near-independent — and the skill
+    * column SAYS so.
+    *
+    * Scale shape: ONE user-keyed window exchange builds transitions
+    * (lead over each user's (ts, event_id) timeline); everything after
+    * is grid work — one hash-agg (map-side combined) onto the
+    * (cur × next) ≤25-cell grid carrying train/test counters
+    * side-by-side (so the corpus is scanned ONCE — no per-split
+    * branches), the argmax is a window over that grid with a
+    * (count DESC, type ASC) total order broadcast down the partition
+    * by a full-frame window (not a join back), accuracies divide
+    * exact integers once. 100 TB changes only the first exchange's
+    * input. */
+  /** The md5 user split shared by q172's batch pass and the streaming
+    * twin's enrichment of markovStream's emitted transitions. */
+  def q172IsTrain(userId: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    substring(md5(userId.cast("string")), 1, 1)
+      .isin("0", "1", "2", "3", "4", "5", "6", "7")
+
+  /** q172's transition grid → eval projection, shared with the
+    * markovStream twin (identical code over identical integer counters
+    * ⇒ bit-for-bit). `grid` columns: cur, nxt, n_train, n_test_c. */
+  def q172Finish(grid: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val byCur = Window.partitionBy("cur")
+      .orderBy(col("n_train").desc, col("nxt").asc)
+    val fullCur = Window.partitionBy("cur")
+      .rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+    grid
+        .withColumn("rn", row_number().over(byCur))
+        .withColumn("predicted",
+          max(when(col("rn") === 1, col("nxt"))).over(fullCur))
+        .groupBy("cur")
+        .agg(max("predicted").as("predicted"),
+          sum("n_test_c").as("n_test"),
+          sum(when(col("nxt") === col("predicted"), col("n_test_c"))
+            .otherwise(0L)).as("n_correct"),
+          max("n_test_c").as("n_majority"))
+        .select(col("cur").as("cur_type"), col("predicted"),
+          col("n_test"), col("n_correct"),
+          expr("n_correct * 1000000 div n_test").as("acc_ppm"),
+          expr("n_majority * 1000000 div n_test").as("baseline_ppm"),
+          // difference of the two non-negative floor divisions — never
+          // divide a negative (Spark div truncates, DuckDB // floors)
+          expr("n_correct * 1000000 div n_test" +
+            " - n_majority * 1000000 div n_test").as("skill_ppm"))
+        .orderBy("cur_type")
+  }
+
+  val q172MarkovEval = QueryDef(
+    "q172_markov_eval",
+    (s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      q172Finish(Tables.events(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type").as("cur"))
+        .withColumn("nxt", lead("cur", 1).over(w))
+        .filter(col("nxt").isNotNull)
+        .withColumn("is_train", q172IsTrain(col("user_id")))
+        .groupBy("cur", "nxt")
+        .agg(sum(when(col("is_train"), 1L).otherwise(0L)).as("n_train"),
+          sum(when(col("is_train"), 0L).otherwise(1L)).as("n_test_c")))
+    },
+    Some("""WITH trans AS (
+           |  SELECT event_type AS cur,
+           |    lead(event_type, 1) OVER (PARTITION BY user_id
+           |      ORDER BY ts, event_id) AS nxt,
+           |    substring(md5(CAST(user_id AS VARCHAR)), 1, 1)
+           |      IN ('0','1','2','3','4','5','6','7') AS is_train
+           |  FROM events),
+           |grid AS (
+           |  SELECT cur, nxt,
+           |    CAST(sum(CASE WHEN is_train THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS n_train,
+           |    CAST(sum(CASE WHEN is_train THEN 0 ELSE 1 END) AS BIGINT)
+           |      AS n_test_c
+           |  FROM trans WHERE nxt IS NOT NULL GROUP BY 1, 2),
+           |ranked AS (
+           |  SELECT *, row_number() OVER (PARTITION BY cur
+           |    ORDER BY n_train DESC, nxt ASC) AS rn
+           |  FROM grid),
+           |p AS (
+           |  SELECT *, max(CASE WHEN rn = 1 THEN nxt END)
+           |    OVER (PARTITION BY cur) AS predicted
+           |  FROM ranked),
+           |test AS (
+           |  SELECT cur, max(predicted) AS predicted,
+           |    CAST(sum(n_test_c) AS BIGINT) AS n_test,
+           |    CAST(sum(CASE WHEN nxt = predicted THEN n_test_c ELSE 0
+           |      END) AS BIGINT) AS n_correct,
+           |    CAST(max(n_test_c) AS BIGINT) AS n_majority
+           |  FROM p GROUP BY 1)
+           |SELECT cur AS cur_type, predicted, n_test, n_correct,
+           |  n_correct * 1000000 // n_test AS acc_ppm,
+           |  n_majority * 1000000 // n_test AS baseline_ppm,
+           |  n_correct * 1000000 // n_test
+           |    - n_majority * 1000000 // n_test AS skill_ppm
+           |FROM test ORDER BY cur_type""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q57Funnel, q58Retention, q61Markov,
     q62SessionPaths, q68Attribution, q80SlidingDistinct, q83PeakConcurrency,
     q85DecileMobility, q102RfmSegments, q103CohortLtv, q106AbLift,
     q107ConversionLag, q108FunnelTrend, q116BasketLift, q121MultiTouch,
-    q123DauMau, q124RetentionDecay, q126TimedFunnel)
+    q123DauMau, q124RetentionDecay, q126TimedFunnel, q172MarkovEval)
 }

@@ -431,8 +431,102 @@ object Pruning {
            |  dict_bytes < plain_bytes AS recommend_dict
            |FROM dict ORDER BY "column" """.stripMargin))
 
+  // --------------------------------------------------------------- q175
+  /** Join-cardinality estimation audit: for the three workhorse
+    * equi-joins (orders⋈customer, lineitem⋈orders, lineitem⋈part),
+    * compare the textbook CBO estimator |R|·|S| / max(ndv_R, ndv_S)
+    * with the TRUE join cardinality and report the q-error
+    * max(est/act, act/est) — the validation a cost-based optimizer's
+    * statistics pipeline runs before anyone trusts its join ordering
+    * (the decision q69's star join and q157's fanout audit both hinge
+    * on). The true size comes from Σ_k cnt_R(k)·cnt_S(k) over the two
+    * KEY HISTOGRAMS — never from executing the row-level join.
+    *
+    * Scale shape: per join, each side collapses to its key histogram
+    * in ONE map-side-combined hash-agg over a single pruned key column
+    * (ReadSchema is one column per scan); one FULL OUTER equi-join of
+    * the two histograms (key-cardinality-sized, not row-sized) feeds
+    * one aggregate that produces act, both row totals, and both NDVs
+    * together — so no side is re-scanned for its stats. Pair products
+    * move as decimal(38,0) ↔ HUGEINT (the q132 convention); the
+    * estimator's |R|·|S| product stays BIGINT (overflows only past
+    * ~10^9 × 10^9 rows — move it to decimal alongside). */
+  val q175JoinEstimate = QueryDef(
+    "q175_join_estimate",
+    (s, d) => {
+      def hist(df: org.apache.spark.sql.DataFrame, key: String) =
+        df.groupBy(col(key).as("k")).agg(count(lit(1)).as("c"))
+      def audit(name: String, hA: org.apache.spark.sql.DataFrame,
+          hB: org.apache.spark.sql.DataFrame) =
+        hA.withColumnRenamed("c", "ca")
+          .join(hB.withColumnRenamed("c", "cb"), Seq("k"), "full_outer")
+          .agg(
+            sum(col("ca").cast("decimal(38,0)")
+              * col("cb").cast("decimal(38,0)")).as("actd"),
+            sum("ca").as("rows_a"), count("ca").as("ndv_a"),
+            sum("cb").as("rows_b"), count("cb").as("ndv_b"))
+          .select(lit(name).as("join_name"),
+            col("rows_a"), col("ndv_a"), col("rows_b"), col("ndv_b"),
+            expr("rows_a * rows_b div greatest(ndv_a, ndv_b)")
+              .as("est_rows"),
+            coalesce(col("actd"), lit(0)).cast("long").as("act_rows"))
+      val li = graft.Tables.lineitem(s, d)
+      val ord = graft.Tables.orders(s, d)
+      audit("lineitem_orders", hist(li, "l_orderkey"),
+          hist(ord, "o_orderkey"))
+        .unionByName(audit("lineitem_part", hist(li, "l_partkey"),
+          hist(graft.Tables.part(s, d), "p_partkey")))
+        .unionByName(audit("orders_customer", hist(ord, "o_custkey"),
+          hist(graft.Tables.customer(s, d), "c_custkey")))
+        .withColumn("q_error",
+          graft.functions.Rounding.r4(
+            greatest(col("est_rows").cast("double") / col("act_rows"),
+              col("act_rows").cast("double") / col("est_rows"))))
+        .orderBy("join_name")
+    },
+    Some("""WITH pairs AS (
+           |  SELECT 'lineitem_orders' AS join_name, l_orderkey AS ka,
+           |    NULL::BIGINT AS kb FROM lineitem
+           |  UNION ALL
+           |  SELECT 'lineitem_orders', NULL, o_orderkey FROM orders
+           |  UNION ALL
+           |  SELECT 'lineitem_part', l_partkey, NULL FROM lineitem
+           |  UNION ALL
+           |  SELECT 'lineitem_part', NULL, p_partkey FROM part
+           |  UNION ALL
+           |  SELECT 'orders_customer', o_custkey, NULL FROM orders
+           |  UNION ALL
+           |  SELECT 'orders_customer', NULL, c_custkey FROM customer),
+           |h AS (
+           |  SELECT join_name, COALESCE(ka, kb) AS k,
+           |    CAST(count(ka) AS BIGINT) AS ca,
+           |    CAST(count(kb) AS BIGINT) AS cb
+           |  FROM pairs GROUP BY 1, 2),
+           |st AS (
+           |  SELECT join_name,
+           |    CAST(sum(CASE WHEN ca > 0 AND cb > 0
+           |      THEN CAST(ca AS HUGEINT) * cb END) AS BIGINT)
+           |      AS act_rows,
+           |    CAST(sum(ca) AS BIGINT) AS rows_a,
+           |    CAST(sum(CASE WHEN ca > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS ndv_a,
+           |    CAST(sum(cb) AS BIGINT) AS rows_b,
+           |    CAST(sum(CASE WHEN cb > 0 THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS ndv_b
+           |  FROM h GROUP BY 1)
+           |SELECT join_name, rows_a, ndv_a, rows_b, ndv_b,
+           |  rows_a * rows_b // greatest(ndv_a, ndv_b) AS est_rows,
+           |  COALESCE(act_rows, 0) AS act_rows,
+           |  round(greatest(
+           |    CAST(rows_a * rows_b // greatest(ndv_a, ndv_b) AS DOUBLE)
+           |      / COALESCE(act_rows, 0),
+           |    CAST(COALESCE(act_rows, 0) AS DOUBLE)
+           |      / (rows_a * rows_b // greatest(ndv_a, ndv_b)))
+           |    * 10000) / 10000 AS q_error
+           |FROM st ORDER BY join_name""".stripMargin))
+
   val all: Seq[QueryDef] =
     Seq(q49BloomPruneJoin, q125ArchivePushdown, q142ArchiveAggPushdown,
       q144ArchiveGroupPushdown, q150PartitionPlanner, q151SkippingAudit,
-      q156EncodingAdvisor)
+      q156EncodingAdvisor, q175JoinEstimate)
 }

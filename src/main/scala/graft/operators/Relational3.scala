@@ -1669,6 +1669,89 @@ object Relational3 {
            |FROM pb JOIN abc USING (band)
            |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin))
 
+  // --------------------------------------------------------------- q177
+  /** Customer order-count distribution (the TPC-H Q13 shape): how many
+    * customers placed 0, 1, 2, … orders — the engagement histogram
+    * behind every "active customer" definition, and the classic
+    * OUTER-join aggregate (zero-order customers must appear, so the
+    * join can't be inner and the count must count JOIN MATCHES, not
+    * rows). Output ordered by (custdist DESC, c_count DESC), the
+    * benchmark's canonical order, with integer ties exact.
+    *
+    * Scale shape: orders collapse to per-customer counts in ONE
+    * map-side-combined hash-agg BEFORE the join (never join raw orders
+    * to customer and count rows — that shuffles the fact table twice);
+    * the outer join then moves one row per customer; the distribution
+    * is a second bounded hash-agg (counts range over a few dozen
+    * values). */
+  val q177CustDist = QueryDef(
+    "q177_custdist",
+    (s, d) => {
+      val perCust = Tables.orders(s, d)
+        .groupBy(col("o_custkey")).agg(count(lit(1)).as("n_orders"))
+      Tables.customer(s, d)
+        .join(perCust, col("c_custkey") === col("o_custkey"),
+          "left_outer")
+        .select(coalesce(col("n_orders"), lit(0L)).as("c_count"))
+        .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+    Some("""WITH per_cust AS (
+           |  SELECT o_custkey, CAST(count(*) AS BIGINT) AS n_orders
+           |  FROM orders GROUP BY 1)
+           |SELECT COALESCE(n_orders, 0) AS c_count,
+           |  CAST(count(*) AS BIGINT) AS custdist
+           |FROM customer LEFT JOIN per_cust ON c_custkey = o_custkey
+           |GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin))
+
+  // --------------------------------------------------------------- q178
+  /** Large-volume orders (the TPC-H Q18 shape): orders whose total
+    * line quantity exceeds 300 units, with the customer and order
+    * context attached — the "whale order" report whose naive form
+    * (join everything, then filter) ships the whole fact table through
+    * the join. Quantities are exact integers (units are whole in this
+    * corpus), so the HAVING cut and the ordering are bit-stable.
+    *
+    * Scale shape: the HAVING filter runs on the per-order quantity
+    * aggregate FIRST (one map-side-combined hash-agg), so only the
+    * handful of qualifying orderkeys reach the joins — and both
+    * context joins then BROADCAST that tiny qualifying set against
+    * orders and customer instead of shuffling either. Top-100 by
+    * (qty DESC, orderkey) is a TakeOrdered, never a global sort. */
+    val q178LargeOrders = QueryDef(
+    "q178_large_orders",
+    (s, d) => {
+      val big = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"))
+        .agg(expr("cast(sum(cast(round(l_quantity) as bigint)) as bigint)")
+          .as("total_qty"))
+        .filter(col("total_qty") > 300L)
+      Tables.orders(s, d)
+        .join(broadcast(big), col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.customer(s, d),
+          col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("o_custkey"), col("o_orderkey"),
+          col("o_orderdate"),
+          expr("cast(round(o_totalprice * 100) as bigint)")
+            .as("total_cents"),
+          col("total_qty"))
+        .orderBy(col("total_qty").desc, col("o_orderkey").asc)
+        .limit(100)
+    },
+    Some("""WITH big AS (
+           |  SELECT l_orderkey,
+           |    CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+           |      AS total_qty
+           |  FROM lineitem GROUP BY 1
+           |  HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 300)
+           |SELECT c_name, o_custkey, o_orderkey, o_orderdate,
+           |  CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents,
+           |  total_qty
+           |FROM big JOIN orders ON o_orderkey = l_orderkey
+           |  JOIN customer ON o_custkey = c_custkey
+           |ORDER BY total_qty DESC, o_orderkey ASC
+           |LIMIT 100""".stripMargin))
+
   val all: Seq[QueryDef] =
     Seq(q69StarJoin, q70EventDedup, q71ArgExtremes, q72Regression,
       q74VariantExtract, q75HofBattery, q76ZorderLayout, q79ExistsChain,
@@ -1677,5 +1760,6 @@ object Relational3 {
       q127AmountReconciliation, q131SlaAttainment, q132SupplierHhi,
       q133TradeMatrix, q134SalesOpportunity, q135MarketShare,
       q136ReturnRates, q153FifoAllocation, q157FanoutAudit,
-      q158LateBlame, q165ProductProfit, q166AbcXyz)
+      q158LateBlame, q165ProductProfit, q166AbcXyz, q177CustDist,
+      q178LargeOrders)
 }

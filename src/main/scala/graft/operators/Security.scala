@@ -344,6 +344,77 @@ object Security {
            |  CAST(n_requests * 1000000 // total AS BIGINT) AS share_ppm
            |FROM grid CROSS JOIN tot ORDER BY host, path""".stripMargin))
 
+  // --------------------------------------------------------------- q170
+  /** Log-template mining (Drain-lite): collapse a raw log stream to its
+    * TEMPLATES by masking every numeric token, then profile each
+    * template — count, first/last seen, span, one example line. This is
+    * the triage view every log pipeline (the reference's domain —
+    * runreveal ships security logs end to end) builds first: millions
+    * of distinct lines become dozens of templates. Each event
+    * synthesizes its log line deterministically from its own columns
+    * (q146's convention — a stand-in for a raw `message` field), the
+    * DuckDB oracle re-derives the identical line, so the masking regex
+    * and the rollup are verified end to end.
+    *
+    * Scale shape: line composition + regex masking are row-local
+    * codegen'd projections in the scan; ONE map-side-combined hash-agg
+    * onto the template grid (templates are format strings — a
+    * catalog-bounded domain, NOT corpus-sized). first/last/example are
+    * min/max aggregates, so the whole rollup is commutative — the
+    * streaming twin (Stateful.templateStream) keeps one
+    * (n, min, max, min-line) cell per template forever. */
+  /** q170's per-event (template, line, us) projection, shared with the
+    * streaming twin's feed enrichment. Columns in: event_type, ts,
+    * user_id, value, event_id. */
+  def q170Lines(ev: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    ev.withColumn("line",
+        concat(col("event_type"), lit(" user="),
+          col("user_id").cast("string"),
+          lit(" status="),
+          when(col("value") >= 300.0, "FAIL").otherwise("OK"),
+          lit(" took "),
+          expr("cast(round(value * 1000) as bigint)").cast("string"),
+          lit("us req="), pmod(col("event_id"), lit(9973L)).cast("string")))
+      .select(regexp_replace(col("line"), "[0-9]+", "<N>").as("template"),
+        col("line"), unix_micros(col("ts")).as("us"), col("ts"))
+
+  /** q170's template grid → report projection, shared with the
+    * streaming twin (identical code over identical commutative cells ⇒
+    * bit-for-bit). `g` columns: template, n, first_us, last_us,
+    * example. */
+  def q170Finish(g: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    g.select(col("template"), col("n"), col("first_us"), col("last_us"),
+        expr("(last_us - first_us) div 1000000L").as("span_s"),
+        col("example"))
+      .orderBy("template")
+
+  val q170LogTemplates = QueryDef(
+    "q170_log_templates",
+    (s, d) =>
+      q170Finish(q170Lines(Tables.events(s, d))
+        .groupBy("template")
+        .agg(count(lit(1)).as("n"), min("us").as("first_us"),
+          max("us").as("last_us"), min("line").as("example"))),
+    Some("""WITH lines AS (
+           |  SELECT event_type || ' user=' || user_id || ' status='
+           |      || (CASE WHEN value >= 300.0 THEN 'FAIL' ELSE 'OK' END)
+           |      || ' took ' || CAST(round(value * 1000) AS BIGINT)
+           |      || 'us req=' || (event_id % 9973) AS line,
+           |    epoch_us(ts) AS us
+           |  FROM events),
+           |t AS (
+           |  SELECT regexp_replace(line, '[0-9]+', '<N>', 'g')
+           |      AS template,
+           |    line, us
+           |  FROM lines)
+           |SELECT template, CAST(count(*) AS BIGINT) AS n,
+           |  min(us) AS first_us, max(us) AS last_us,
+           |  (max(us) - min(us)) // 1000000 AS span_s,
+           |  min(line) AS example
+           |FROM t GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q110RarityScore, q111Beaconing,
-    q112FirstSeen, q128BurnRate, q146UrlAnalytics)
+    q112FirstSeen, q128BurnRate, q146UrlAnalytics, q170LogTemplates)
 }

@@ -1261,9 +1261,466 @@ object Statistics {
             |    AS BIGINT) AS v_milli
             |FROM contrib GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  /** The (event_type, day, x) daily-revenue calendar grid — exact
+    * cents, ONE map-side hash-agg over the corpus. Shared input shape
+    * of q154/q171/q173 and of the dailyRevenueStream twin. */
+  private def dailyRevGrid(s: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"),
+        expr(s"unix_micros(ts) div ${DayUs}L").as("day"),
+        expr("cast(round(value * 100) as bigint)").as("c"))
+      .groupBy("event_type", "day")
+      .agg(sum("c").as("x"))
+
+  // --------------------------------------------------------------- q171
+  /** Change-point localization per event type: the single split of the
+    * daily-revenue series that maximizes the two-sample CUSUM statistic
+    * √(k(n−k)/n)·|mean_left − mean_right| — binary segmentation's inner
+    * step, the "WHEN did behavior change" answer that q60's rolling
+    * z-score (local spikes) and q137's PSI (distribution drift score)
+    * don't give. On this stationary synthetic log the located split is
+    * noise — and the statistic SAYS so (small stat vs the series
+    * spread), the q99/Benford convention.
+    *
+    * Scale shape: the corpus collapses to the (type × day) calendar
+    * grid in ONE map-side hash-agg (dailyRevGrid); prefix sums, the
+    * per-split statistic, and the argmax all run as windows over that
+    * calendar-bounded grid. The statistic derives from exact integer
+    * prefix sums; ties break on the earlier day, so the argmax is a
+    * deterministic total order. */
+  /** q171's grid → split projection, shared with the dailyRevenueStream
+    * twin (identical code over identical integer cells ⇒ bit-for-bit).
+    * `g` columns: event_type, day, x (exact daily cents). */
+  def q171Finish(g: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val byDay = Window.partitionBy("event_type").orderBy("day")
+    val cum = byDay.rowsBetween(Window.unboundedPreceding,
+      Window.currentRow)
+    val full = Window.partitionBy("event_type")
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val scored = g
+      .withColumn("k", count(lit(1)).over(cum))
+      .withColumn("cum", sum("x").over(cum))
+      .withColumn("n", count(lit(1)).over(full))
+      .withColumn("tot", sum("x").over(full))
+      .filter(col("k") < col("n"))
+      .withColumn("ml", col("cum").cast("double") / col("k"))
+      .withColumn("mr",
+        (col("tot") - col("cum")).cast("double") / (col("n") - col("k")))
+      .withColumn("stat_micro",
+        round(sqrt((col("k") * (col("n") - col("k"))).cast("double")
+            / col("n"))
+          * abs(col("ml") - col("mr")) * 10000).cast("long"))
+    val best = Window.partitionBy("event_type")
+      .orderBy(col("stat_micro").desc, col("day").asc)
+    scored.withColumn("rn", row_number().over(best))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("day").as("split_day"),
+        col("k").as("n_before"), (col("n") - col("k")).as("n_after"),
+        r4(col("ml") / 100.0).as("mean_before"),
+        r4(col("mr") / 100.0).as("mean_after"), col("stat_micro"))
+      .orderBy("event_type")
+  }
+
+  val q171ChangePoint = QueryDef(
+    "q171_change_point",
+    (s, d) => q171Finish(dailyRevGrid(s, d)),
+    Some("""WITH g AS (
+           |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+           |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           |      AS x
+           |  FROM events GROUP BY 1, 2),
+           |scored AS (
+           |  SELECT event_type, day,
+           |    CAST(count(*) OVER (PARTITION BY event_type ORDER BY day
+           |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS k,
+           |    CAST(sum(x) OVER (PARTITION BY event_type ORDER BY day
+           |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+           |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+           |      AS n,
+           |    CAST(sum(x) OVER (PARTITION BY event_type) AS BIGINT)
+           |      AS tot
+           |  FROM g),
+           |st AS (
+           |  SELECT *, CAST(cum AS DOUBLE) / k AS ml,
+           |    CAST(tot - cum AS DOUBLE) / (n - k) AS mr,
+           |    CAST(round(sqrt(CAST(k * (n - k) AS DOUBLE) / n)
+           |      * abs(CAST(cum AS DOUBLE) / k
+           |        - CAST(tot - cum AS DOUBLE) / (n - k)) * 10000)
+           |      AS BIGINT) AS stat_micro
+           |  FROM scored WHERE k < n),
+           |ranked AS (
+           |  SELECT *, row_number() OVER (PARTITION BY event_type
+           |    ORDER BY stat_micro DESC, day ASC) AS rn
+           |  FROM st)
+           |SELECT event_type, day AS split_day, k AS n_before,
+           |  n - k AS n_after,
+           |  round(ml / 100.0 * 10000) / 10000 AS mean_before,
+           |  round(mr / 100.0 * 10000) / 10000 AS mean_after, stat_micro
+           |FROM ranked WHERE rn = 1 ORDER BY event_type""".stripMargin))
+
+  // --------------------------------------------------------------- q173
+  /** Rolling-origin forecast backtest: score three one-step-ahead
+    * forecasters of the daily-revenue series — naive (yesterday),
+    * seasonal-naive (same weekday last week), 7-day moving average —
+    * by MAE and MAPE over every day where the forecaster's inputs
+    * exist. The eval layer a forecasting stack runs before trusting any
+    * model (q168's role, for time series): on this synthetic log the
+    * honest answer is that seasonal-naive buys nothing (no weekly
+    * rhythm — q154's flat ACF said so) and the smoother MA7 wins.
+    *
+    * Scale shape: the corpus collapses to the calendar grid in ONE
+    * map-side hash-agg; the lag alignment is q154's explode-by-offset
+    * idiom (map-side, calendar-sized — NO grid self-joins, one scan);
+    * errors stay exact: every forecast scales by 7 so MA7's mean is the
+    * exact integer Σx, |7·actual − 7·forecast| is an exact BIGINT, and
+    * per-origin APE rounds to micro BEFORE the exact-integer sum (the
+    * fixed-point posture). */
+  def q173Finish(g: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val cells = g
+      .select(col("event_type"), col("day"), col("x"),
+        explode(array((0 to 7).map(lit(_)): _*)).as("l"))
+      .select(col("event_type"), (col("day") + col("l")).as("t"),
+        col("l"), col("x"))
+      .groupBy("event_type", "t")
+      .agg(max(when(col("l") === 0, col("x"))).as("x0"),
+        (1 to 7).map(lg =>
+          max(when(col("l") === lg, col("x"))).as(s"xm$lg")): _*)
+      .filter(col("x0").isNotNull && col("x0") > 0L)
+    val sum7 = (1 to 7).map(lg => col(s"xm$lg")).reduce(_ + _)
+    val scored = cells
+      .withColumn("e_naive",
+        when(col("xm1").isNotNull, abs(lit(7L) * (col("x0") - col("xm1")))))
+      .withColumn("e_snaive",
+        when(col("xm7").isNotNull, abs(lit(7L) * (col("x0") - col("xm7")))))
+      .withColumn("e_ma7",
+        when((1 to 7).map(lg => col(s"xm$lg").isNotNull).reduce(_ && _),
+          abs(lit(7L) * col("x0") - sum7)))
+    def ape(e: String) = round(col(e).cast("double") * 1e6
+      / (lit(7L) * col("x0"))).cast("long")
+    val wide = scored.groupBy("event_type")
+      .agg(count("e_naive").as("n_naive"),
+        sum("e_naive").as("se_naive"),
+        sum(ape("e_naive")).as("sa_naive"),
+        count("e_snaive").as("n_snaive"),
+        sum("e_snaive").as("se_snaive"),
+        sum(ape("e_snaive")).as("sa_snaive"),
+        count("e_ma7").as("n_ma7"),
+        sum("e_ma7").as("se_ma7"),
+        sum(ape("e_ma7")).as("sa_ma7"))
+    wide.select(col("event_type"),
+        expr("stack(3, 'ma7', n_ma7, se_ma7, sa_ma7," +
+          " 'naive', n_naive, se_naive, sa_naive," +
+          " 'snaive', n_snaive, se_snaive, sa_snaive)" +
+          " as (method, n_origins, se7, sape)"))
+      .filter(col("n_origins") > 0L)
+      .select(col("event_type"), col("method"), col("n_origins"),
+        r4(col("se7").cast("double") / 700.0 / col("n_origins"))
+          .as("mae"),
+        expr("sape div n_origins").as("mape_ppm"))
+      .orderBy("event_type", "method")
+  }
+
+  val q173ForecastBacktest = QueryDef(
+    "q173_forecast_backtest",
+    (s, d) => q173Finish(dailyRevGrid(s, d)),
+    Some("""WITH g AS (
+           |  SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+           |    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+           |      AS x
+           |  FROM events GROUP BY 1, 2),
+           |cells AS (
+           |  SELECT event_type, day + l AS t, l, x
+           |  FROM g CROSS JOIN (SELECT unnest(generate_series(0, 7))
+           |    AS l)),
+           |al AS (
+           |  SELECT event_type, t,
+           |    max(CASE WHEN l = 0 THEN x END) AS x0,
+           |    max(CASE WHEN l = 1 THEN x END) AS xm1,
+           |    max(CASE WHEN l = 2 THEN x END) AS xm2,
+           |    max(CASE WHEN l = 3 THEN x END) AS xm3,
+           |    max(CASE WHEN l = 4 THEN x END) AS xm4,
+           |    max(CASE WHEN l = 5 THEN x END) AS xm5,
+           |    max(CASE WHEN l = 6 THEN x END) AS xm6,
+           |    max(CASE WHEN l = 7 THEN x END) AS xm7
+           |  FROM cells GROUP BY 1, 2
+           |  HAVING max(CASE WHEN l = 0 THEN x END) IS NOT NULL
+           |    AND max(CASE WHEN l = 0 THEN x END) > 0),
+           |scored AS (
+           |  SELECT event_type,
+           |    CASE WHEN xm1 IS NOT NULL
+           |      THEN abs(7 * (x0 - xm1)) END AS e_naive,
+           |    CASE WHEN xm7 IS NOT NULL
+           |      THEN abs(7 * (x0 - xm7)) END AS e_snaive,
+           |    CASE WHEN xm1 IS NOT NULL AND xm2 IS NOT NULL
+           |        AND xm3 IS NOT NULL AND xm4 IS NOT NULL
+           |        AND xm5 IS NOT NULL AND xm6 IS NOT NULL
+           |        AND xm7 IS NOT NULL
+           |      THEN abs(7 * x0 - (xm1 + xm2 + xm3 + xm4 + xm5 + xm6
+           |        + xm7)) END AS e_ma7,
+           |    x0
+           |  FROM al),
+           |wide AS (
+           |  SELECT event_type,
+           |    CAST(count(e_naive) AS BIGINT) AS n_naive,
+           |    CAST(sum(e_naive) AS BIGINT) AS se_naive,
+           |    CAST(sum(CAST(round(CAST(e_naive AS DOUBLE) * 1e6
+           |      / (7 * x0)) AS BIGINT)) AS BIGINT) AS sa_naive,
+           |    CAST(count(e_snaive) AS BIGINT) AS n_snaive,
+           |    CAST(sum(e_snaive) AS BIGINT) AS se_snaive,
+           |    CAST(sum(CAST(round(CAST(e_snaive AS DOUBLE) * 1e6
+           |      / (7 * x0)) AS BIGINT)) AS BIGINT) AS sa_snaive,
+           |    CAST(count(e_ma7) AS BIGINT) AS n_ma7,
+           |    CAST(sum(e_ma7) AS BIGINT) AS se_ma7,
+           |    CAST(sum(CAST(round(CAST(e_ma7 AS DOUBLE) * 1e6
+           |      / (7 * x0)) AS BIGINT)) AS BIGINT) AS sa_ma7
+           |  FROM scored GROUP BY 1),
+           |stacked AS (
+           |  SELECT event_type, 'ma7' AS method, n_ma7 AS n_origins,
+           |    se_ma7 AS se7, sa_ma7 AS sape FROM wide
+           |  UNION ALL
+           |  SELECT event_type, 'naive', n_naive, se_naive, sa_naive
+           |  FROM wide
+           |  UNION ALL
+           |  SELECT event_type, 'snaive', n_snaive, se_snaive, sa_snaive
+           |  FROM wide)
+           |SELECT event_type, method, n_origins,
+           |  round(CAST(se7 AS DOUBLE) / 700.0 / n_origins * 10000)
+           |    / 10000 AS mae,
+           |  sape // n_origins AS mape_ppm
+           |FROM stacked WHERE n_origins > 0
+           |ORDER BY event_type, method""".stripMargin))
+
+  // --------------------------------------------------------------- q174
+  /** Robust outlier census per event type: median / MAD / robust
+    * z-scores (0.6745·(x−med)/MAD, outlier at |z| > 3.5 — the
+    * Iglewicz-Hoaglin rule) — the heavy-tail-proof sibling of q60's
+    * mean/σ z-score, which a single whale purchase corrupts. Both
+    * medians use the exact lower-median rule (smallest value with
+    * 2·cum ≥ total — integer comparison, q159's convention), and the
+    * outlier test rewrites 0.6745·|x−med| > 3.5·MAD as the EXACT
+    * integer comparison 6745·dm > 35000·MAD, so the census is
+    * bit-stable in any engine at any partitioning.
+    *
+    * Scale shape: ONE corpus scan hash-aggs to the milli-unit value
+    * histogram (domain-bounded — the q149/q59 posture); the median,
+    * the deviation histogram, the MAD, and the outlier counts are all
+    * windows + one re-agg OVER THE HISTOGRAM. The pipeline is linear
+    * (full-frame window totals, not joins back), so Spark plans exactly
+    * one fact scan. */
+  val q174RobustOutliers = QueryDef(
+    "q174_robust_outliers",
+    (s, d) => {
+      val byVm = Window.partitionBy("event_type").orderBy("vm")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val byDm = Window.partitionBy("event_type").orderBy("dm")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val full = Window.partitionBy("event_type")
+        .rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)
+      val hist = Tables.events(s, d)
+        .select(col("event_type"),
+          expr("cast(round(value * 1000) as bigint)").as("vm"))
+        .groupBy("event_type", "vm")
+        .agg(count(lit(1)).as("cnt"))
+      val med = hist
+        .withColumn("cum", sum("cnt").over(byVm))
+        .withColumn("tn", sum("cnt").over(full))
+        .withColumn("med",
+          min(when(col("cum") * 2L >= col("tn"), col("vm"))).over(full))
+      val dev = med
+        .select(col("event_type"), abs(col("vm") - col("med")).as("dm"),
+          col("cnt"), col("tn"), col("med"))
+        .groupBy("event_type", "dm")
+        .agg(sum("cnt").as("c2"), max("tn").as("tn"),
+          max("med").as("med"))
+      val mad = dev
+        .withColumn("cumd", sum("c2").over(byDm))
+        .withColumn("mad",
+          min(when(col("cumd") * 2L >= col("tn"), col("dm"))).over(full))
+      mad.groupBy("event_type")
+        .agg(max("tn").as("n"), max("med").as("median_milli"),
+          max("mad").as("mad_milli"),
+          sum(when(lit(6745L) * col("dm") > lit(35000L) * col("mad"),
+            col("c2")).otherwise(0L)).as("n_outliers"),
+          max("dm").as("max_dev"))
+        .select(col("event_type"), col("n"), col("median_milli"),
+          col("mad_milli"), col("n_outliers"),
+          r4(lit(0.6745) * col("max_dev").cast("double")
+            / col("mad_milli")).as("max_abs_z"))
+        .orderBy("event_type")
+    },
+    Some("""WITH h AS (
+           |  SELECT event_type, CAST(round(value * 1000) AS BIGINT)
+           |      AS vm,
+           |    CAST(count(*) AS BIGINT) AS cnt
+           |  FROM events GROUP BY 1, 2),
+           |c AS (
+           |  SELECT *,
+           |    CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY vm
+           |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+           |    CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT)
+           |      AS tn
+           |  FROM h),
+           |m AS (
+           |  SELECT *, min(CASE WHEN cum * 2 >= tn THEN vm END)
+           |    OVER (PARTITION BY event_type) AS med
+           |  FROM c),
+           |dev AS (
+           |  SELECT event_type, abs(vm - med) AS dm,
+           |    CAST(sum(cnt) AS BIGINT) AS c2, max(tn) AS tn,
+           |    max(med) AS med
+           |  FROM m GROUP BY 1, 2),
+           |cd AS (
+           |  SELECT *, CAST(sum(c2) OVER (PARTITION BY event_type
+           |    ORDER BY dm ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumd
+           |  FROM dev),
+           |m2 AS (
+           |  SELECT *, min(CASE WHEN cumd * 2 >= tn THEN dm END)
+           |    OVER (PARTITION BY event_type) AS mad
+           |  FROM cd)
+           |SELECT event_type, max(tn) AS n, max(med) AS median_milli,
+           |  max(mad) AS mad_milli,
+           |  CAST(sum(CASE WHEN 6745 * dm > 35000 * mad THEN c2 ELSE 0
+           |    END) AS BIGINT) AS n_outliers,
+           |  round(0.6745 * max(dm) / max(mad) * 10000) / 10000
+           |    AS max_abs_z
+           |FROM m2 GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  // --------------------------------------------------------------- q176
+  /** Seasonality-adjusted robust anomaly census: q145's STL-lite
+    * decomposition feeding q174's MAD rule — the COMPOSED detector a
+    * monitoring stack actually deploys (flag a day only when it's
+    * anomalous AFTER trend and day-of-week are explained away; q60's
+    * raw z-score pages on every Monday). Residuals are exact micro
+    * BIGINTs (q145's fixed-point detrending), both medians use the
+    * exact lower-median rule, and the flag is the exact integer
+    * comparison 6745·dm > 35000·MAD — so the census is engine- and
+    * partitioning-proof. The worst day ties break on the earlier day.
+    *
+    * Scale shape: ONE map-side hash-agg to the (type × day) calendar
+    * grid; the decomposition, both median passes, and the census are
+    * windows + one broadcast joinback over that calendar-bounded grid
+    * (never the corpus) — q145's posture with q174's tail. */
+  val q176StlAnomaly = QueryDef(
+    "q176_stl_anomaly",
+    (s, d) => {
+      val grid = Tables.events(s, d)
+        .select(col("event_type"),
+          expr(s"unix_micros(ts) div ${DayUs}L").as("day"),
+          expr("cast(round(value * 1000) as bigint)").as("vm"))
+        .groupBy("event_type", "day")
+        .agg(round(sum("vm").cast("double") / count(lit(1))).cast("long")
+          .as("mi"))
+      val wMa = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(-3, 3)
+      val trended = grid
+        .withColumn("trend", avg(col("mi")).over(wMa))
+        .withColumn("det_micro",
+          round((col("mi") - col("trend")) * 1000.0).cast("long"))
+        .withColumn("dow", expr("day % 7"))
+      val seasonal = trended.groupBy(col("event_type").as("et"),
+          col("dow").as("dw"))
+        .agg(round(sum("det_micro").cast("double") / count(lit(1)))
+          .cast("long").as("seas_micro"))
+      val res = trended.join(broadcast(seasonal),
+          col("event_type") === col("et") && col("dow") === col("dw"))
+        .select(col("event_type"), col("day"),
+          (col("det_micro") - col("seas_micro")).as("res"))
+      val byRes = Window.partitionBy("event_type").orderBy("res", "day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val fullW = Window.partitionBy("event_type")
+        .rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)
+      val withMed = res
+        .withColumn("cum", count(lit(1)).over(byRes))
+        .withColumn("n", count(lit(1)).over(fullW))
+        .withColumn("med",
+          min(when(col("cum") * 2L >= col("n"), col("res"))).over(fullW))
+        .withColumn("dm", abs(col("res") - col("med")))
+      val byDm = Window.partitionBy("event_type").orderBy("dm", "day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      withMed
+        .withColumn("cumd", count(lit(1)).over(byDm))
+        .withColumn("mad",
+          min(when(col("cumd") * 2L >= col("n"), col("dm"))).over(fullW))
+        .withColumn("maxdm", max("dm").over(fullW))
+        .groupBy("event_type")
+        .agg(max("n").as("n_days"), max("med").as("med_res_micro"),
+          max("mad").as("mad_res_micro"),
+          sum(when(lit(6745L) * col("dm") > lit(35000L) * col("mad"),
+            1L).otherwise(0L)).as("n_anomalies"),
+          min(when(col("dm") === col("maxdm"), col("day")))
+            .as("worst_day"),
+          max("maxdm").as("mx"))
+        .select(col("event_type"), col("n_days"), col("med_res_micro"),
+          col("mad_res_micro"), col("n_anomalies"), col("worst_day"),
+          when(col("mad_res_micro") > 0L,
+            r4(lit(0.6745) * col("mx").cast("double")
+              / col("mad_res_micro"))).as("worst_z"))
+        .orderBy("event_type")
+    },
+    Some(s"""WITH grid AS (
+           |  SELECT event_type, epoch_us(ts) // ${DayUs} AS day,
+           |    CAST(round(CAST(sum(CAST(round(value * 1000) AS BIGINT))
+           |      AS DOUBLE) / count(*)) AS BIGINT) AS mi
+           |  FROM events GROUP BY 1, 2),
+           |trended AS (
+           |  SELECT *,
+           |    CAST(round((mi - avg(mi) OVER (PARTITION BY event_type
+           |      ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING))
+           |      * 1000.0) AS BIGINT) AS det_micro,
+           |    day % 7 AS dow
+           |  FROM grid),
+           |seasonal AS (
+           |  SELECT event_type, dow,
+           |    CAST(round(CAST(sum(det_micro) AS DOUBLE) / count(*))
+           |      AS BIGINT) AS seas_micro
+           |  FROM trended GROUP BY 1, 2),
+           |res AS (
+           |  SELECT event_type, day, det_micro - seas_micro AS res
+           |  FROM trended JOIN seasonal USING (event_type, dow)),
+           |c1 AS (
+           |  SELECT *,
+           |    CAST(count(*) OVER (PARTITION BY event_type
+           |      ORDER BY res, day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           |      AS cum,
+           |    CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT)
+           |      AS n
+           |  FROM res),
+           |m1 AS (
+           |  SELECT *, min(CASE WHEN cum * 2 >= n THEN res END)
+           |    OVER (PARTITION BY event_type) AS med
+           |  FROM c1),
+           |d1 AS (SELECT *, abs(res - med) AS dm FROM m1),
+           |c2 AS (
+           |  SELECT *, CAST(count(*) OVER (PARTITION BY event_type
+           |    ORDER BY dm, day ROWS UNBOUNDED PRECEDING) AS BIGINT)
+           |    AS cumd
+           |  FROM d1),
+           |m2 AS (
+           |  SELECT *,
+           |    min(CASE WHEN cumd * 2 >= n THEN dm END)
+           |      OVER (PARTITION BY event_type) AS mad,
+           |    max(dm) OVER (PARTITION BY event_type) AS maxdm
+           |  FROM c2)
+           |SELECT event_type, max(n) AS n_days,
+           |  max(med) AS med_res_micro, max(mad) AS mad_res_micro,
+           |  CAST(sum(CASE WHEN 6745 * dm > 35000 * mad THEN 1 ELSE 0
+           |    END) AS BIGINT) AS n_anomalies,
+           |  min(CASE WHEN dm = maxdm THEN day END) AS worst_day,
+           |  CASE WHEN max(mad) > 0
+           |    THEN round(0.6745 * max(maxdm) / max(mad) * 10000) / 10000
+           |    END AS worst_z
+           |FROM m2 GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[QueryDef] =
     Seq(q137PsiDrift, q138BootstrapCi, q139InterpJoin, q140CupedLift,
       q141RankBattery, q143SurvivalKm, q145SeasonalDecompose,
       q147TheilSen, q148ChiSquare, q149MannWhitney,
-      q154Autocorrelation, q159WeightedMedian, q169FeatureRelevance)
+      q154Autocorrelation, q159WeightedMedian, q169FeatureRelevance,
+      q171ChangePoint, q173ForecastBacktest, q174RobustOutliers,
+      q176StlAnomaly)
 }

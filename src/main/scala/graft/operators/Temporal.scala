@@ -1240,8 +1240,64 @@ object Temporal {
            |    AS abs_err
            |FROM r ORDER BY 1, 2""".stripMargin))
 
+  // --------------------------------------------------------------- q179
+  /** Exponentially time-decayed popularity per part (30-day half-life,
+    * anchored at the corpus's last ship day): the freshness-weighted
+    * ranking a feature store / recommender serves instead of raw
+    * counts — one order last week outweighs five from two years ago.
+    * Each line's decay factor exp(−ln2/30 · age_days) rounds to a
+    * micro BIGINT BEFORE the per-part sum (the fixed-point posture:
+    * exact integer totals, order- and partition-proof; q143's
+    * exp-term precedent), and the top-20 ties break on partkey.
+    *
+    * Scale shape: the anchor is a single-column max (a catalog stat at
+    * ingest) broadcast back; ONE map-side-combined hash-agg onto the
+    * part grid; top-20 is a TakeOrdered; the 20-row result broadcasts
+    * into the name join. A streaming twin is the same commutative
+    * micro-counter per part. */
+  val q179DecayedPopularity = QueryDef(
+    "q179_decayed_popularity",
+    (s, d) => {
+      val DayUs = 86400000000L
+      val now = Tables.lineitem(s, d)
+        .agg(max(expr(s"unix_micros(cast(l_shipdate as timestamp)) div ${DayUs}L"))
+          .as("now_day"))
+      val scored = Tables.lineitem(s, d)
+        .select(col("l_partkey"),
+          expr(s"unix_micros(cast(l_shipdate as timestamp)) div ${DayUs}L")
+            .as("ship_day"))
+        .crossJoin(broadcast(now))
+        .select(col("l_partkey"),
+          expr("cast(round(1e6 * exp(-ln(2) / 30.0" +
+            " * (now_day - ship_day))) as bigint)").as("w_micro"))
+        .groupBy("l_partkey")
+        .agg(count(lit(1)).as("n_lines"), sum("w_micro").as("score_micro"))
+        .orderBy(col("score_micro").desc, col("l_partkey").asc)
+        .limit(20)
+      scored.join(Tables.part(s, d),
+          col("l_partkey") === col("p_partkey"))
+        .select(col("l_partkey").as("part_key"), col("p_name"),
+          col("n_lines"), col("score_micro"))
+        .orderBy(col("score_micro").desc, col("part_key").asc)
+    },
+    Some("""WITH anchor AS (
+           |  SELECT max(epoch_us(l_shipdate) // 86400000000) AS now_day
+           |  FROM lineitem),
+           |scored AS (
+           |  SELECT l_partkey,
+           |    CAST(count(*) AS BIGINT) AS n_lines,
+           |    CAST(sum(CAST(round(1e6 * exp(-ln(2) / 30.0
+           |      * (now_day - epoch_us(l_shipdate) // 86400000000)))
+           |      AS BIGINT)) AS BIGINT) AS score_micro
+           |  FROM lineitem CROSS JOIN anchor GROUP BY 1
+           |  ORDER BY score_micro DESC, l_partkey ASC LIMIT 20)
+           |SELECT l_partkey AS part_key, p_name, n_lines, score_micro
+           |FROM scored JOIN part ON l_partkey = p_partkey
+           |ORDER BY score_micro DESC, part_key ASC""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q48Scd2, q55GapFill, q56Ohlc, q60Anomaly,
     q63SeriesCorr, q64Ewma, q65Autocorr, q78SnapshotDiff, q84IntervalJoin,
     q89AsofDirections, q90SeasonalNaive, q95RollingQuantiles, q97MergeApply,
-    q100Twap, q104Cusum, q115WeekdayProfile, q119HoltForecast)
+    q100Twap, q104Cusum, q115WeekdayProfile, q119HoltForecast,
+    q179DecayedPopularity)
 }

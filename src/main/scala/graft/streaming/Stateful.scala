@@ -1372,6 +1372,63 @@ object Stateful {
       }
   }
 
+  /** One template's closed profile cell (q170's grid row). */
+  final case class TemplateCell(template: String, n: Long, first_us: Long,
+      last_us: Long, example: String)
+  final case class TemplateState(n: Long, first_us: Long, last_us: Long,
+      example: String, done: Boolean)
+
+  /** Streaming twin of q170's template rollup — live log-template
+    * triage: the view a security pipeline wants AS lines land, not at
+    * report time. Line composition + numeric masking are row-local
+    * projections of the standard event feed (shared with batch via
+    * operators.Security.q170Lines); state per template is one
+    * (count, min-ts, max-ts, min-line) commutative cell bounded by the
+    * TEMPLATE GRID — format strings, never corpus-sized. Snapshots emit
+    * when the watermark passes `endDayExclusive`; the report projection
+    * then runs via operators.Security.q170Finish — identical code to
+    * batch, so OrderedReplaySpec pins bit-for-bit parity. */
+  def templateStream(df: DataFrame, endDayExclusive: Long,
+      slack: String = "2 hours"): Dataset[TemplateCell] = {
+    import org.apache.spark.sql.Encoders
+    implicit val stEnc: Encoder[TemplateState] =
+      Encoders.product[TemplateState]
+    implicit val outEnc: Encoder[TemplateCell] =
+      Encoders.product[TemplateCell]
+    val rows = graft.operators.Security
+      .q170Lines(df.withWatermark("ts", slack))
+      .select(col("template"), col("line"), col("us"), col("ts"))
+      .as[(String, String, Long, java.sql.Timestamp)](
+        Encoders.product[(String, String, Long, java.sql.Timestamp)])
+    rows.groupByKey(_._1)(Encoders.STRING)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (key: String,
+            it: Iterator[(String, String, Long, java.sql.Timestamp)],
+            state: GroupState[TemplateState]) =>
+          val st0 = state.getOption.getOrElse(
+            TemplateState(0L, Long.MaxValue, Long.MinValue, "￿", false))
+          var n = st0.n; var lo = st0.first_us; var hi = st0.last_us
+          var ex = st0.example
+          it.foreach { r =>
+            n += 1L
+            if (r._3 < lo) lo = r._3
+            if (r._3 > hi) hi = r._3
+            if (r._2 < ex) ex = r._2
+          }
+          val wm = state.getCurrentWatermarkMs()
+          if (!st0.done && wm > endDayExclusive * 86400000L + 1L) {
+            state.update(TemplateState(n, lo, hi, ex, done = true))
+            if (n > 0L) Iterator.single(TemplateCell(key, n, lo, hi, ex))
+            else Iterator.empty
+          } else {
+            state.update(TemplateState(n, lo, hi, ex, st0.done))
+            if (!st0.done) state.setTimeoutTimestamp(wm + 1L)
+            Iterator.empty
+          }
+      }
+  }
+
   /** One (nation, year) cell's closed profit counters (q165's grid row). */
   final case class ProfitCell(n_name: String, o_year: Int, n_lines: Long,
       profit_cents: Long)

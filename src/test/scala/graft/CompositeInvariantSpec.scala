@@ -394,6 +394,155 @@ class CompositeInvariantSpec extends SparkSpec {
     }
   }
 
+  test("q171: split partitions the series; stat recomputes from parts") {
+    val s = spark
+    val days = Tables.events(s, sf)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct().groupBy("event_type").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = SparkEntry.queries("q171_change_point")(s, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (et, _, nb, na, ml, mr, stat) =>
+      assert(nb >= 1L && na >= 1L, s"$et empty side")
+      assert(nb + na == days(et), s"$et split loses days")
+      assert(stat >= 0L)
+      // the statistic must be within rounding of what the (rounded)
+      // means imply
+      val n = nb + na
+      val approx = math.sqrt(nb.toDouble * na / n) *
+        math.abs(ml - mr) * 100.0 * 10000.0
+      // means are r4-rounded (1e-4 dollars = 1e-2 cents), amplified by
+      // sqrt(k·na/n)·1e4 — allow that propagation plus one ulp
+      val tol = math.sqrt(nb.toDouble * na / n) * 100.0 * 2 + 1
+      assert(math.abs(stat - approx) <= tol,
+        s"$et stat $stat far from recomputed $approx (tol $tol)")
+    }
+  }
+
+  test("q172: accuracy identities; argmax prediction never beats majority") {
+    val rows = SparkEntry.queries("q172_markov_eval")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (cur, _, nTest, nCorrect, acc, base, skill) =>
+      assert(nCorrect <= nTest, s"$cur correct exceeds test")
+      assert(acc == nCorrect * 1000000L / nTest, s"$cur acc identity")
+      assert(skill == acc - base, s"$cur skill identity")
+      // the test-set majority class is by construction at least as
+      // frequent as whatever the train argmax predicted
+      assert(acc <= base, s"$cur prediction beat the majority count")
+    }
+  }
+
+  test("q173: input-availability ordering and error sanity") {
+    val rows = SparkEntry.queries("q173_forecast_backtest")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    val byType = rows.groupBy(_._1)
+    byType.foreach { case (et, ms) =>
+      val n = ms.map(m => m._2 -> m._3).toMap
+      // ma7 needs all 7 lags; naive needs 1 of them — strictly fewer
+      // valid origins for ma7 is impossible to violate
+      assert(n("ma7") <= n("naive"), s"$et ma7 origins exceed naive")
+      assert(n("ma7") <= n("snaive"), s"$et ma7 origins exceed snaive")
+      ms.foreach { case (_, method, no, mae, mape) =>
+        assert(no > 0L && mae >= 0.0 && mape >= 0L,
+          s"$et $method bad metrics")
+      }
+    }
+  }
+
+  test("q174: outlier flag agrees with the exact integer MAD rule") {
+    val rows = SparkEntry.queries("q174_robust_outliers")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (et, n, med, mad, nOut, maxZ) =>
+      assert(nOut >= 0L && nOut <= n, s"$et outlier count out of range")
+      assert(mad > 0L, s"$et degenerate MAD")
+      assert(med >= 0L)
+      // max_abs_z is computed from the farthest deviation: outliers
+      // exist iff that deviation crosses the exact threshold
+      val maxDev = Math.round(maxZ * mad / 0.6745)
+      assert((nOut > 0L) == (6745L * maxDev > 35000L * mad)
+        || math.abs(6745.0 * maxDev - 35000.0 * mad) < 6745.0,
+        s"$et outlier flag inconsistent with max dev $maxDev")
+    }
+  }
+
+  test("q175: FK joins make the true size an identity; q-error >= 1") {
+    val s = spark
+    val rows = SparkEntry.queries("q175_join_estimate")(s, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getDouble(7)))
+    assert(rows.length == 3)
+    val liRows = Tables.lineitem(s, sf).count()
+    val ordRows = Tables.orders(s, sf).count()
+    rows.foreach { case (name, ra, na, rb, nb, est, act, qe) =>
+      assert(na <= ra && nb <= rb, s"$name ndv exceeds rows")
+      assert(est == ra * rb / math.max(na, nb), s"$name estimator identity")
+      assert(qe >= 1.0, s"$name q-error below 1")
+      // every fact row joins exactly one dim row in these FK joins
+      name match {
+        case "lineitem_orders" | "lineitem_part" =>
+          assert(act == liRows, s"$name true size must equal lineitem")
+        case "orders_customer" =>
+          assert(act == ordRows, s"$name true size must equal orders")
+      }
+    }
+  }
+
+  test("q176: anomaly flag consistent with worst deviation") {
+    val rows = SparkEntry.queries("q176_stl_anomaly")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(3), r.getLong(4),
+        if (r.isNullAt(6)) Double.NaN else r.getDouble(6)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (et, nDays, mad, nAnom, worstZ) =>
+      assert(nAnom >= 0L && nAnom <= nDays, s"$et count out of range")
+      assert(mad > 0L, s"$et degenerate MAD")
+      if (nAnom > 0L) assert(worstZ >= 3.5, s"$et anomalies but z $worstZ")
+      else assert(worstZ <= 3.5001, s"$et no anomalies but z $worstZ")
+    }
+  }
+
+  test("q177/q178: distribution covers every customer; Q18 cut respected") {
+    val s = spark
+    val dist = SparkEntry.queries("q177_custdist")(s, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    assert(dist.map(_._2).sum == Tables.customer(s, sf).count(),
+      "custdist rows must partition the customer set")
+    assert(dist.map(_._1).distinct.length == dist.length)
+    val orderSum = dist.map { case (c, n) => c * n }.sum
+    assert(orderSum == Tables.orders(s, sf).count(),
+      "weighted counts must recover the order total")
+    val big = SparkEntry.queries("q178_large_orders")(s, sf).collect()
+      .map(r => (r.getLong(2), r.getLong(5)))
+    assert(big.nonEmpty)
+    assert(big.forall(_._2 > 300L), "Q18 threshold violated")
+    assert(big.map(_._1).distinct.length == big.length)
+  }
+
+  test("q179: decay weights bounded; score never exceeds line count") {
+    val rows = SparkEntry.queries("q179_decayed_popularity")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+    assert(rows.length == 20)
+    rows.foreach { case (pk, n, score) =>
+      // each line contributes at most 1e6 (age 0) and more than 0
+      assert(score <= n * 1000000L, s"part $pk score exceeds line count")
+      assert(score > 0L, s"part $pk zero score")
+    }
+    // ranking is by score, descending
+    assert(rows.map(_._3).sliding(2).forall {
+      case Array(a, b) => a >= b; case _ => true
+    })
+  }
+
   test("q168: metric ranges and DCG <= IDCG") {
     val rows = SparkEntry.queries("q168_ir_metrics")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),

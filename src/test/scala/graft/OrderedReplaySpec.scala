@@ -1600,6 +1600,65 @@ class OrderedReplaySpec extends SparkSpec {
     assert(acfStream == acfBatch,
       s"q154 stream-only: ${acfStream.toSet.diff(acfBatch.toSet).take(3)}; " +
         s"batch-only: ${acfBatch.toSet.diff(acfStream.toSet).take(3)}")
+    // ... and the round-7 readouts off the SAME grid: change-point
+    // localization and the rolling-origin forecast backtest
+    val cpStream = operators.Statistics.q171Finish(
+        cells.toSeq.toDF("event_type", "day", "x")).collect()
+      .map(_.toString).toSeq
+    val cpBatch = SparkEntry.queries("q171_change_point")(s, sf).collect()
+      .map(_.toString).toSeq
+    assert(cpStream == cpBatch,
+      s"q171 stream-only: ${cpStream.toSet.diff(cpBatch.toSet).take(3)}; " +
+        s"batch-only: ${cpBatch.toSet.diff(cpStream.toSet).take(3)}")
+    val fbStream = operators.Statistics.q173Finish(
+        cells.toSeq.toDF("event_type", "day", "x")).collect()
+      .map(_.toString).toSeq
+    val fbBatch = SparkEntry.queries("q173_forecast_backtest")(s, sf)
+      .collect().map(_.toString).toSeq
+    assert(fbStream == fbBatch,
+      s"q173 stream-only: ${fbStream.toSet.diff(fbBatch.toSet).take(3)}; " +
+        s"batch-only: ${fbBatch.toSet.diff(fbStream.toSet).take(3)}")
+  }
+
+  test("streaming Markov eval: replayed transitions == batch q172") {
+    val s = spark
+    val out = runStream("ooo_markov_eval")(df => Stateful.markovStream(df))
+    val trans = out.filter("user_id >= 0")
+    assert(trans.count() > 0)
+    val grid = trans.toDF()
+      .withColumn("is_train",
+        operators.Behavioral.q172IsTrain(col("user_id")))
+      .groupBy(col("prev_type").as("cur"), col("next_type").as("nxt"))
+      .agg(sum(when(col("is_train"), 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("is_train"), 0L).otherwise(1L)).as("n_test_c"))
+    val streamed = operators.Behavioral.q172Finish(grid).collect()
+      .map(_.toString).toSeq
+    val batch = SparkEntry.queries("q172_markov_eval")(s, sf).collect()
+      .map(_.toString).toSeq
+    // the replay emits the identical consecutive-pair relation, the
+    // finish is shared code over exact integers ⇒ bit-for-bit
+    assert(streamed == batch,
+      s"stream-only: ${streamed.toSet.diff(batch.toSet).take(3)}; " +
+        s"batch-only: ${batch.toSet.diff(streamed.toSet).take(3)}")
+  }
+
+  test("streaming log templates: commutative cells == batch q170") {
+    val s = spark
+    val endDay = Tables.events(s, sf)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(max("day")).head.getLong(0)
+    val out = runStream("ooo_templates")(df =>
+      Stateful.templateStream(df, endDay + 1L))
+    val grid = out.filter("template NOT LIKE 'zz_sentinel%'")
+    assert(grid.count() > 0)
+    val streamed = operators.Security.q170Finish(grid.toDF()).collect()
+      .map(_.toString).toSeq
+    val batch = SparkEntry.queries("q170_log_templates")(s, sf).collect()
+      .map(_.toString).toSeq
+    // identical projection over identical commutative cells ⇒ bit-for-bit
+    assert(streamed == batch,
+      s"stream-only: ${streamed.toSet.diff(batch.toSet).take(3)}; " +
+        s"batch-only: ${batch.toSet.diff(streamed.toSet).take(3)}")
   }
 
   test("streaming Mann-Whitney: histogram counters == batch q149") {

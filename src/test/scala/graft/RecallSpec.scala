@@ -235,4 +235,43 @@ class RecallSpec extends SparkSpec {
       assert(hits.forall(_._3 != qid), s"qid $qid returned itself")
     }
   }
+
+  test("s22 k-center coreset: monotone radius, beats random baseline") {
+    val picks = SparkEntry.queries("s22_kcenter_coreset")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(3)))
+    assert(picks.length == 16)
+    assert(picks.map(_._2).distinct.length == 16, "duplicate pick")
+    // the recorded radius at pick i is the cover radius of the first
+    // i−1 centers — farthest-point traversal makes it non-increasing
+    val radii = picks.sortBy(_._1).map(_._3).drop(1)
+    assert(radii.sliding(2).forall {
+      case Array(a, b) => a >= b; case _ => true
+    }, s"cover radius not monotone: ${radii.toSeq}")
+
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      dot / math.sqrt(na * nb)
+    }
+    val all = Tables.embeddings(spark, sf)
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    def coverRadius(ids: Set[Long]): Double =
+      all.valuesIterator.map(v =>
+        ids.iterator.map(id => 1.0 - cos(v, all(id))).min).max
+    val greedy = coverRadius(picks.map(_._2).toSet)
+    // deterministic "random" baseline: 16 smallest md5(vec_id) picks
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val baseline = all.keys.toSeq
+      .sortBy(id => java.util.Arrays.hashCode(
+        md.digest(id.toString.getBytes)) -> id)
+      .take(16).toSet
+    val rand = coverRadius(baseline)
+    info(f"cover radius — greedy: $greedy%.4f, random: $rand%.4f")
+    assert(greedy <= rand,
+      f"greedy k-center ($greedy%.4f) lost to random picks ($rand%.4f)")
+  }
 }

@@ -250,4 +250,48 @@ class ScaleInvarianceSpec extends SparkSpec {
   test("q169 feature relevance invariant to partition count (grid ints)") {
     invariant("q169_feature_relevance", sf001)
   }
+
+  test("q170 log templates invariant to partition count (min/max cells)") {
+    invariant("q170_log_templates", sf001)
+  }
+
+  test("q171 change-point split invariant to partition count") {
+    invariant("q171_change_point", sf001)
+  }
+
+  test("q172 Markov eval invariant to partition count (grid argmax)") {
+    invariant("q172_markov_eval", sf001)
+  }
+
+  test("q173 forecast backtest invariant to partition count") {
+    invariant("q173_forecast_backtest", sf001)
+  }
+
+  test("q174 robust outliers invariant to partition count (histogram)") {
+    invariant("q174_robust_outliers", sf001)
+  }
+
+  test("s22 k-center selection invariant to partition count") {
+    invariant("s22_kcenter_coreset", sf001)
+  }
+
+  test("q175 join-size audit invariant to partition count (exact ints)") {
+    invariant("q175_join_estimate", sf001)
+  }
+
+  test("q176 STL anomaly census invariant to partition count") {
+    invariant("q176_stl_anomaly", sf001)
+  }
+
+  test("q177 custdist invariant to partition count (outer-join counts)") {
+    invariant("q177_custdist", sf001)
+  }
+
+  test("q178 large orders invariant to partition count (integer qty)") {
+    invariant("q178_large_orders", sf001)
+  }
+
+  test("q179 decayed popularity invariant to partition count (micro)") {
+    invariant("q179_decayed_popularity", sf001)
+  }
 }
