@@ -372,10 +372,29 @@ object Behavioral {
     * Scale shape: corpus-sized data crosses one exchange (the delta
     * hash-agg, map-side combined); the cumulative window and peak agg
     * run over ≤ types×1440 rows per day. */
+  /** q83's net-delta grid + session-start grid → peak report, shared
+    * with the concurrencyStream twin (identical code over identical
+    * integer cells ⇒ bit-for-bit). `net` columns: event_type, day,
+    * minute, net; `starts`: event_type, day, n_sessions. Minutes whose
+    * deltas cancel to zero may be absent — a zero-net minute's running
+    * sum equals its predecessor's, so the per-day max is unchanged. */
+  def q83Finish(net: org.apache.spark.sql.DataFrame,
+      starts: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val w = Window.partitionBy("event_type", "day").orderBy("minute")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    net.withColumn("cum", sum("net").over(w))
+      .groupBy("event_type", "day")
+      .agg(max("cum").as("peak"))
+      .join(starts, Seq("event_type", "day"))
+      .select(col("event_type"), col("day"), col("n_sessions"),
+        col("peak"))
+      .orderBy("event_type", "day")
+  }
+
   val q83PeakConcurrency = QueryDef(
     "q83_peak_concurrency",
     (s, d) => {
-      import org.apache.spark.sql.expressions.Window
       val ev = Tables.events(s, d)
         .select(col("event_type"),
           expr("unix_micros(ts) div 60000000").as("m0"))
@@ -391,16 +410,9 @@ object Behavioral {
           .filter(col("minute") < (col("day") + 1L) * 1440L))
       val net = deltas.groupBy("event_type", "day", "minute")
         .agg(sum("delta").as("net"))
-      val w = Window.partitionBy("event_type", "day").orderBy("minute")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val starts = ev.groupBy("event_type", "day")
         .agg(count(lit(1)).as("n_sessions"))
-      net.withColumn("cum", sum("net").over(w))
-        .groupBy("event_type", "day")
-        .agg(max("cum").as("peak"))
-        .join(starts, Seq("event_type", "day"))
-        .select(col("event_type"), col("day"), col("n_sessions"), col("peak"))
-        .orderBy("event_type", "day")
+      q83Finish(net, starts)
     },
     Some("""WITH ev AS (
            |  SELECT event_type, epoch_us(ts) // 60000000 AS m0,

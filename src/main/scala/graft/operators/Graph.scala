@@ -856,7 +856,77 @@ object Graph {
     },
     None)
 
+  // --------------------------------------------------------------- q180
+  /** Harmonic centrality via HyperBall (Boldi & Vigna's actual
+    * application of the ANF sketch): H(v) = Σ_{u≠v} 1/d(u,v),
+    * accumulated per radius as Σ_r (|B_r| − |B_{r−1}|)/r — every node
+    * at distance r contributes 1/r, and the per-radius ball sizes come
+    * from q164's HLL registers, so the centrality of EVERY node costs
+    * R register-merge rounds over the edge list instead of all-pairs
+    * BFS. Truncated at R=3 (this graph's effective diameter; deeper
+    * radii add 1/4-weighted tails). The top of this ranking is the
+    * "best-connected merchandise" list — reach-weighted, not just
+    * degree (q81/q120's families).
+    *
+    * Scale shape: q164's iterated O(E) register-merge join per round,
+    * registers fixed at 2^14 nibbles/node, persist/unpersist hygiene,
+    * one TakeOrdered(20) at the end. Rows-only (sketch estimates are
+    * implementation-defined); SketchSpec gates the r≤2 truncation
+    * against the EXACT harmonic from degree + q163's two-hop counts. */
+  val q180HarmonicCentrality = QueryDef(
+    "q180_harmonic_centrality",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      val pairs = li.as("a").join(li.hint("shuffle_hash").as("b"),
+          col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+        .agg(countDistinct(col("a.ok")).as("n_ord"))
+        .filter(col("n_ord") >= 2)
+      val edges = pairs.select(col("u").as("src"), col("v").as("dst"))
+        .union(pairs.select(col("v").as("src"), col("u").as("dst")))
+        .persist()
+      val b1 = edges.select(col("src"), col("dst").as("m"))
+        .union(edges.select(col("src"), col("src").as("m")).distinct())
+        .groupBy("src").agg(expr("hll_sketch_agg(m, 14)").as("sk"))
+        .persist()
+      def nextBall(prev: org.apache.spark.sql.DataFrame) = {
+        val merged = edges
+          .join(prev.select(col("src").as("node"), col("sk")),
+            col("dst") === col("node"))
+          .select(col("src"), col("sk"))
+          .union(prev.select(col("src"), col("sk")))
+          .groupBy("src").agg(expr("hll_union_agg(sk)").as("sk"))
+        merged
+      }
+      val b2 = nextBall(b1).persist()
+      val b3 = nextBall(b2)
+      val est = b3.select(col("src"), expr("hll_sketch_estimate(sk)")
+          .as("e3"))
+        .join(b2.select(col("src").as("s2"),
+          expr("hll_sketch_estimate(sk)").as("e2")),
+          col("src") === col("s2"))
+        .join(b1.select(col("src").as("s1"),
+          expr("hll_sketch_estimate(sk)").as("e1")),
+          col("src") === col("s1"))
+      val out = est.select(col("src").as("part"),
+          expr("cast(e1 - 1 as double)").as("reach1"),
+          expr("cast(greatest(e2 - e1, 0) as double)").as("reach2"),
+          expr("cast(greatest(e3 - e2, 0) as double)").as("reach3"),
+          expr("round((cast(e1 - 1 as double)" +
+            " + cast(greatest(e2 - e1, 0) as double) / 2" +
+            " + cast(greatest(e3 - e2, 0) as double) / 3) * 1000) / 1000")
+            .as("harmonic"))
+        .orderBy(col("harmonic").desc, col("part").asc)
+        .limit(20)
+        .localCheckpoint(true)
+      b2.unpersist(); b1.unpersist(); edges.unpersist()
+      out
+    },
+    None)
+
   val all: Seq[QueryDef] = Seq(q73CopurchaseRank, q81Triangles, q82BfsLevels,
     q96ConnectedComponents, q98LinkPrediction, q105MutualTop, q120KCore,
-    q152LabelCommunities, q163TwoHop, q164AnfSketch)
+    q152LabelCommunities, q163TwoHop, q164AnfSketch,
+    q180HarmonicCentrality)
 }

@@ -3,8 +3,8 @@ package graft.streaming
 import org.apache.spark.sql.{DataFrame, Dataset, Encoder}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{ExpiredTimerInfo, GroupState,
-  GroupStateTimeout, MapState, OutputMode, StatefulProcessor, TimeMode,
-  TimerValues, TTLConfig}
+  GroupStateTimeout, ListState, MapState, OutputMode, StatefulProcessor,
+  TimeMode, TimerValues, TTLConfig, ValueState}
 
 /** Stateful streaming operators (SURVEY.md §2.2 streaming row): event-time
   * windows, watermarked dedup, session windows, custom state machines.
@@ -1874,6 +1874,176 @@ object Stateful {
       .select("user_id", "ts", "event_id", "event_type", "value").as[Ev]
     ds.groupByKey(_._4)
       .transformWithState(new DailyMeanProcessor, TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
+  /** One (type, day, minute, kind) concurrency cell (q83's grids —
+    * kind "net" carries interval deltas, "start" the session count). */
+  final case class ConcCell(event_type: String, day: Long, minute: Long,
+      kind: String, n: Long)
+  final case class ConcState(n: Long, done: Boolean)
+
+  /** Streaming twin of q83's delta pass — live peak-concurrency
+    * tracking. Each event explodes row-locally into its interval
+    * endpoints (+1 at the start minute, −1 at the clipped end) plus a
+    * session-start marker, so state per (type, day, minute, kind) cell
+    * is ONE commutative BIGINT counter bounded by the calendar×1440
+    * minute grid — the interval sweep never buffers an interval.
+    * Snapshots emit when the watermark passes `endDayExclusive`; the
+    * cum/peak readout then runs via operators.Behavioral.q83Finish —
+    * identical code to batch, exact integers, bit-for-bit. */
+  def concurrencyStream(df: DataFrame, endDayExclusive: Long,
+      slack: String = "2 hours"): Dataset[ConcCell] = {
+    import org.apache.spark.sql.Encoders
+    implicit val stEnc: Encoder[ConcState] = Encoders.product[ConcState]
+    implicit val outEnc: Encoder[ConcCell] = Encoders.product[ConcCell]
+    implicit val keyEnc: Encoder[(String, Long, Long, String)] =
+      Encoders.tuple(Encoders.STRING, Encoders.scalaLong,
+        Encoders.scalaLong, Encoders.STRING)
+    val cells = df.withWatermark("ts", slack)
+      .select(col("event_type"), col("ts"),
+        expr("unix_micros(ts) div 60000000").as("m0"))
+      .withColumn("day", expr("m0 div 1440"))
+      .select(col("event_type"), col("ts"), col("day"),
+        explode(array(
+          struct(col("m0").as("minute"), lit(1L).as("d"),
+            lit("net").as("kind")),
+          struct(least(col("m0") + 30L, (col("day") + 1L) * 1440L)
+            .as("minute"), lit(-1L).as("d"), lit("net").as("kind")),
+          struct(lit(-1L).as("minute"), lit(1L).as("d"),
+            lit("start").as("kind")))).as("c"))
+      .filter(!(col("c.d") === -1L &&
+        col("c.minute") === (col("day") + 1L) * 1440L))
+      .select(col("event_type"), col("day"), col("c.minute").as("minute"),
+        col("c.kind").as("kind"), col("c.d").as("d"), col("ts"))
+      .as[(String, Long, Long, String, Long, java.sql.Timestamp)](
+        Encoders.product[(String, Long, Long, String, Long,
+          java.sql.Timestamp)])
+    cells.groupByKey(r => (r._1, r._2, r._3, r._4))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (key: (String, Long, Long, String),
+            rows: Iterator[(String, Long, Long, String, Long,
+              java.sql.Timestamp)],
+            state: GroupState[ConcState]) =>
+          val st0 = state.getOption.getOrElse(ConcState(0L, done = false))
+          var n = st0.n
+          rows.foreach(n += _._5)
+          val wm = state.getCurrentWatermarkMs()
+          if (!st0.done && wm > endDayExclusive * 86400000L + 1L) {
+            state.update(ConcState(n, done = true))
+            if (n != 0L)
+              Iterator.single(ConcCell(key._1, key._2, key._3, key._4, n))
+            else Iterator.empty
+          } else {
+            state.update(ConcState(n, st0.done))
+            if (!st0.done) state.setTimeoutTimestamp(wm + 1L)
+            Iterator.empty
+          }
+      }
+  }
+
+  /** One closed session of the transformWithState sessionize twin. */
+  final case class TwsSession(user_id: Long, session_seq: Long,
+      n_events: Long, first_event: Long)
+  /** The open-session accumulator of SessionProcessor. `active = false`
+    * marks a silence-closed machine that only remembers the NEXT
+    * session_seq (q37's per-user counter keeps counting across
+    * sessions, so the counter must outlive the session). */
+  final case class TwsSessState(seq: Long, lastUs: Long, nEvents: Long,
+      firstEvent: Long, active: Boolean)
+
+  /** q37's gaps-and-islands sessionizer on Spark 4's
+    * `transformWithState` — the state-v2 rendition of the ordered-
+    * replay reorder buffer. The capability on display beyond
+    * DailyMeanProcessor's MapState: `ListState.appendValue` absorbs
+    * the out-of-order feed O(1) per row (fMGWS must rewrite the WHOLE
+    * buffer Seq into its single state cell every batch — state-v2's
+    * granular list appends retire that write amplification), a
+    * `ValueState` carries the open-session machine, and one event-time
+    * timer per key re-arms each batch to drain rows strictly below the
+    * watermark in (ts, event_id) order. A session closes when the
+    * drained successor's gap exceeds 10 minutes — or, via the same
+    * timer, when the watermark passes last-event + gap with no
+    * successor (the onWatermark close fMGWS needed the harness hook
+    * for). Emissions carry exact integers only, so parity with batch
+    * q37 is bit-for-bit. Requires the RocksDB provider. */
+  class SessionProcessor
+      extends StatefulProcessor[Long, Ev, TwsSession] {
+    import org.apache.spark.sql.Encoders
+    private val GapUs = 600L * 1000000L
+    @transient private var buf: ListState[Ev] = _
+    @transient private var open: ValueState[TwsSessState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      buf = getHandle.getListState[Ev]("buf",
+        Encoders.tuple(Encoders.scalaLong, Encoders.TIMESTAMP,
+          Encoders.scalaLong, Encoders.STRING, Encoders.scalaDouble),
+        TTLConfig.NONE)
+      open = getHandle.getValueState[TwsSessState]("open",
+        Encoders.product[TwsSessState], TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: Long, rows: Iterator[Ev],
+        timerValues: TimerValues): Iterator[TwsSession] = {
+      rows.foreach(buf.appendValue)
+      // one wakeup per watermark advance (idempotent: same-expiry
+      // re-registration collapses onto the existing timer)
+      getHandle.registerTimer(timerValues.getCurrentWatermarkInMs() + 1L)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: Long, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[TwsSession] = {
+      val wm = timerValues.getCurrentWatermarkInMs()
+      val all = buf.get().toSeq
+      // strict <: the orderedPerKey microsecond-boundary caveat
+      val (ready, hold) = all.partition(_._2.getTime < wm)
+      val out = Seq.newBuilder[TwsSession]
+      var st: TwsSessState =
+        if (open.exists()) open.get()
+        else TwsSessState(1L, 0L, 0L, 0L, active = false)
+      ready.sortBy(e => (e._2.getTime, e._2.getNanos, e._3)).foreach { e =>
+        val us = microsOf(e._2)
+        if (st.active && us - st.lastUs <= GapUs)
+          st = st.copy(lastUs = us, nEvents = st.nEvents + 1L)
+        else {
+          if (st.active) {
+            out += TwsSession(key, st.seq, st.nEvents, st.firstEvent)
+            st = st.copy(seq = st.seq + 1L)
+          }
+          st = TwsSessState(st.seq, us, 1L, e._3, active = true)
+        }
+      }
+      // no successor can precede the watermark anymore: a gap-width of
+      // silence past the last event closes the session timer-side,
+      // leaving only the counter behind
+      if (st.active && wm * 1000L > st.lastUs + GapUs) {
+        out += TwsSession(key, st.seq, st.nEvents, st.firstEvent)
+        st = TwsSessState(st.seq + 1L, 0L, 0L, 0L, active = false)
+      }
+      buf.clear()
+      hold.foreach(buf.appendValue)
+      open.update(st)
+      if (hold.nonEmpty || st.active)
+        getHandle.registerTimer(wm + 1L)
+      out.result().iterator
+    }
+  }
+
+  /** The transformWithState sessionize twin (see SessionProcessor). */
+  def sessionizeTws(df: DataFrame, slack: String = "2 hours")
+      : Dataset[TwsSession] = {
+    import org.apache.spark.sql.Encoders
+    implicit val outEnc: Encoder[TwsSession] = Encoders.product[TwsSession]
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    implicit val evEnc: Encoder[Ev] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.TIMESTAMP,
+        Encoders.scalaLong, Encoders.STRING, Encoders.scalaDouble)
+    val ds = df.withWatermark("ts", slack)
+      .select("user_id", "ts", "event_id", "event_type", "value").as[Ev]
+    ds.groupByKey(_._1)
+      .transformWithState(new SessionProcessor, TimeMode.EventTime(),
         OutputMode.Append())
   }
 

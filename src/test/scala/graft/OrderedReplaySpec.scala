@@ -1126,6 +1126,70 @@ class OrderedReplaySpec extends SparkSpec {
     }
   }
 
+  test("transformWithState ListState survives a checkpoint restart") {
+    // the fourth recovery shape: a state-v2 LIST buffer (granular
+    // appends) + ValueState machine + re-armed timers must round-trip
+    // RocksDB — a restart that drops buffered rows would emit short
+    // sessions, one that replays them twice would inflate counts
+    val s = spark
+    import s.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+
+    val prev = s.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val (shuffled, sentinelTs) = shuffledEvents()
+      val ck = tmpDir("tws_list_restart_ck")
+      val got = java.util.concurrent.ConcurrentHashMap
+        .newKeySet[(Long, Long, Long, Long)]()
+      val input = MemoryStream[Stateful.Ev]
+      def start() =
+        Stateful.sessionizeTws(
+            input.toDS().toDF("user_id", "ts", "event_id", "event_type",
+              "value"))
+          .writeStream
+          .foreachBatch {
+            (ds: org.apache.spark.sql.Dataset[Stateful.TwsSession],
+                _: Long) =>
+              ds.collect().foreach(r => got.add(
+                (r.user_id, r.session_seq, r.n_events, r.first_event)))
+          }
+          .option("checkpointLocation", ck)
+          .trigger(Trigger.ProcessingTime(50)).start()
+
+      val q1 = start()
+      val half = shuffled.length / 2
+      input.addData(shuffled.slice(0, half).toSeq)
+      q1.processAllAvailable()
+      q1.stop()
+
+      val q2 = start()
+      input.addData(shuffled.drop(half).toSeq)
+      q2.processAllAvailable()
+      input.addData((-1L, sentinelTs, -1L, "zz_sentinel", 0.0))
+      q2.processAllAvailable()
+      q2.stop()
+
+      import scala.jdk.CollectionConverters._
+      val streamed = got.asScala.toSet.filter(_._1 >= 0)
+      val batch = SparkEntry.queries("q37_sessionize")(s, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(4))).toSet
+      assert(streamed.nonEmpty)
+      assert(streamed == batch,
+        s"restart broke ListState recovery: stream-only " +
+          s"${streamed.diff(batch).take(3)}; batch-only " +
+          s"${batch.diff(streamed).take(3)}")
+    } finally {
+      if (prev.isEmpty)
+        s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      else s.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    }
+  }
+
   test("ordered-replay Holt survives a checkpoint restart mid-stream") {
     // the riskier recovery shape: orderedPerKeyBy state carries the
     // reorder BUFFER (pending rows) beside the fold state — both must
@@ -1618,6 +1682,62 @@ class OrderedReplaySpec extends SparkSpec {
     assert(fbStream == fbBatch,
       s"q173 stream-only: ${fbStream.toSet.diff(fbBatch.toSet).take(3)}; " +
         s"batch-only: ${fbBatch.toSet.diff(fbStream.toSet).take(3)}")
+  }
+
+  test("transformWithState sessions: ListState buffer == batch q37") {
+    val s = spark
+    val prev = s.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val out = runStream("tws_sessions")(df => Stateful.sessionizeTws(df))
+      val streamed = out.filter("user_id >= 0").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3))).toSet
+      val batch = SparkEntry.queries("q37_sessionize")(s, sf).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(4))).toSet
+      assert(streamed.nonEmpty)
+      // granular list appends + one re-armed event-time timer per key
+      // reproduce the batch gaps-and-islands exactly
+      assert(streamed == batch,
+        s"stream-only: ${streamed.diff(batch).take(3)}; " +
+          s"batch-only: ${batch.diff(streamed).take(3)}")
+    } finally {
+      if (prev.isEmpty)
+        s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      else s.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    }
+  }
+
+  test("streaming peak concurrency: delta cells == batch q83") {
+    val s = spark
+    val endDay = Tables.events(s, sf)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(max("day")).head.getLong(0)
+    val out = runStream("ooo_concurrency")(df =>
+      Stateful.concurrencyStream(df, endDay + 1L))
+    // re-materialize locally: q83Finish joins two branches of the cell
+    // table, and a memory-table view would carry conflicting attr ids
+    import s.implicits._
+    val cells = out.filter("event_type != 'zz_sentinel'").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getLong(4)))
+    assert(cells.nonEmpty)
+    val net = cells.filter(_._4 == "net").toSeq
+      .map(c => (c._1, c._2, c._3, c._5))
+      .toDF("event_type", "day", "minute", "net")
+    val starts = cells.filter(_._4 == "start").toSeq
+      .map(c => (c._1, c._2, c._5))
+      .toDF("event_type", "day", "n_sessions")
+    val streamed = operators.Behavioral.q83Finish(net, starts).collect()
+      .map(_.toString).toSeq
+    val batch = SparkEntry.queries("q83_peak_concurrency")(s, sf)
+      .collect().map(_.toString).toSeq
+    // identical cum/peak readout over identical integer cells
+    assert(streamed == batch,
+      s"stream-only: ${streamed.toSet.diff(batch.toSet).take(3)}; " +
+        s"batch-only: ${batch.toSet.diff(streamed.toSet).take(3)}")
   }
 
   test("streaming Markov eval: replayed transitions == batch q172") {

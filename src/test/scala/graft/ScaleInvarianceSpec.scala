@@ -294,4 +294,8 @@ class ScaleInvarianceSpec extends SparkSpec {
   test("q179 decayed popularity invariant to partition count (micro)") {
     invariant("q179_decayed_popularity", sf001)
   }
+
+  test("q180 harmonic centrality invariant to partition count (registers)") {
+    invariant("q180_harmonic_centrality", sf001)
+  }
 }

@@ -179,4 +179,46 @@ class SketchSpec extends SparkSpec {
     assert(mean < 0.02, f"mean relative error $mean%.4f >= 2%%")
     assert(relErrs.max < 0.10, f"max relative error ${relErrs.max}%.4f >= 10%%")
   }
+
+  // -------------------------------------------- harmonic centrality q180
+  test("q180 r<=2 harmonic truncation tracks the exact two-hop harmonic") {
+    val s = spark
+    // exact degree over the same sparsified (>=2-shared-orders) graph
+    val li = Tables.lineitem(s, sf)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+      .agg(countDistinct(col("a.ok")).as("n_ord"))
+      .filter(col("n_ord") >= 2)
+    val deg = pairs.select(col("u").as("n")).union(
+        pairs.select(col("v").as("n")))
+      .groupBy("n").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val twoHop = SparkEntry.queries("q163_two_hop")(s, sf).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val est = SparkEntry.queries("q180_harmonic_centrality")(s, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(est.length == 20)
+    val relErrs = est.map { case (part, r1, r2, _) =>
+      val d = deg(part).toDouble
+      val exact = d + (twoHop(part) - d) / 2.0
+      math.abs((r1 + r2 / 2.0) - exact) / exact
+    }
+    val mean = relErrs.sum / relErrs.size
+    assert(mean < 0.03, f"mean relative error $mean%.4f >= 3%%")
+    // the ranking surfaces genuinely high-reach nodes: every top-20
+    // pick must beat the exact-harmonic median
+    val allExact = twoHop.map { case (p, n2) =>
+      val d = deg(p).toDouble; d + (n2 - d) / 2.0
+    }.toSeq.sorted
+    val median = allExact(allExact.size / 2)
+    est.foreach { case (part, r1, r2, _) =>
+      val d = deg(part).toDouble
+      val exact = d + (twoHop(part) - d) / 2.0
+      assert(exact >= median, s"top-20 pick $part below median reach")
+    }
+  }
 }
