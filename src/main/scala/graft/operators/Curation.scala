@@ -1455,6 +1455,71 @@ object Curation {
            |    AS BIGINT) AS alloc
            |FROM rk ORDER BY source""".stripMargin))
 
+  // ---------------------------------------------------------------- x25
+  /** Epoch-shuffle decorrelation audit: a training run re-shuffles the
+    * corpus every epoch with the deterministic md5(epoch ‖ doc_id)
+    * permutation (reproducible across engines, retries, and resumes —
+    * the q46 convention applied to DATA ORDERING), and this query
+    * PROVES the shuffles decorrelate: the Pearson correlation between
+    * epoch 0's and epoch e's 256-band positions sits at ~0 for every
+    * later epoch (a correlated shuffle re-feeds batches in similar
+    * order and biases curricula / LR-schedule interactions). All sums
+    * are exact integers over bands ≤255 (q63's explicit-sum Pearson);
+    * the correlation is the only float, rounded to micro.
+    *
+    * Scale shape: ONE corpus scan projects all four epoch bands
+    * row-locally (md5 + hex prefix — no shuffle of the corpus at all),
+    * explodes 3 epoch pairs, and ONE map-side-combined agg produces
+    * the five sufficient statistics per epoch. The audit never sorts
+    * anything — it reasons about the permutation through its band
+    * projection. */
+  val x25EpochShuffleAudit = QueryDef(
+    "x25_epoch_shuffle_audit",
+    (s, d) => {
+      def band(e: Int) =
+        expr(s"cast(conv(substring(md5(concat('$e', ':'," +
+          " cast(doc_id as string))), 1, 2), 16, 10) as bigint)")
+      Tables.documents(s, d)
+        .select(col("doc_id"), band(0).as("b0"),
+          explode(array((1 to 3).map(e =>
+            struct(lit(e).as("epoch"), band(e).as("be"))): _*)).as("p"))
+        .select(col("p.epoch").as("epoch"), col("b0"),
+          col("p.be").as("be"))
+        .groupBy("epoch")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("b0").as("sx"), sum(col("b0") * col("b0")).as("sxx"),
+          sum("be").as("sy"), sum(col("be") * col("be")).as("syy"),
+          sum(col("b0") * col("be")).as("sxy"))
+        .select(col("epoch"), col("n_docs"),
+          expr("cast(round(1e6 * (n_docs * sxy - sx * sy)" +
+            " / sqrt(cast(n_docs * sxx - sx * sx as double)" +
+            " * (n_docs * syy - sy * sy))) as bigint)").as("r_micro"))
+        .orderBy("epoch")
+    },
+    Some("""WITH b AS (
+           |  SELECT doc_id,
+           |    ('0x' || substr(md5('0' || ':' || CAST(doc_id AS VARCHAR)),
+           |      1, 2))::BIGINT AS b0,
+           |    e.epoch,
+           |    ('0x' || substr(md5(CAST(e.epoch AS VARCHAR) || ':'
+           |      || CAST(doc_id AS VARCHAR)), 1, 2))::BIGINT AS be
+           |  FROM documents
+           |  CROSS JOIN (SELECT unnest(generate_series(1, 3)) AS epoch)
+           |    AS e),
+           |st AS (
+           |  SELECT epoch, CAST(count(*) AS BIGINT) AS n_docs,
+           |    CAST(sum(b0) AS BIGINT) AS sx,
+           |    CAST(sum(b0 * b0) AS BIGINT) AS sxx,
+           |    CAST(sum(be) AS BIGINT) AS sy,
+           |    CAST(sum(be * be) AS BIGINT) AS syy,
+           |    CAST(sum(b0 * be) AS BIGINT) AS sxy
+           |  FROM b GROUP BY 1)
+           |SELECT epoch, n_docs,
+           |  CAST(round(1e6 * (n_docs * sxy - sx * sy)
+           |    / sqrt(CAST(n_docs * sxx - sx * sx AS DOUBLE)
+           |      * (n_docs * syy - sy * sy))) AS BIGINT) AS r_micro
+           |FROM st ORDER BY epoch""".stripMargin))
+
   val all: Seq[QueryDef] =
     Seq(x01Decontaminate, x02StratifiedSample, x03DomainMix,
       t06PiiRedact, t07Repetition, x04ContainmentScore, x05WeightedSample,
@@ -1463,5 +1528,5 @@ object Curation {
       x13EpochPlan, x14KAnonymity, x15DsirWeights, x16ShardPlan,
       x17ModalityAgreement, x18CurriculumPlan, x19TokenBudget,
       x20DedupAwareSample, x21PostDedupRebalance, x22ContextSweep,
-      x23DedupSampleSketch, x24LargestRemainder)
+      x23DedupSampleSketch, x24LargestRemainder, x25EpochShuffleAudit)
 }

@@ -518,7 +518,99 @@ object Multimodal {
            |    / 10000 AS mean_aspect
            |FROM agg ORDER BY bucket_target""".stripMargin))
 
+  // ---------------------------------------------------------------- m09
+  /** Composed audio-dedup pipeline: m05's VAD segmentation → per-
+    * segment content fingerprint → cross-corpus duplicate-segment
+    * accounting per source — the end-to-end dedup an audio training
+    * pipeline runs ("how much of each source's SPEECH is re-uploaded
+    * elsewhere?"), and the multimodal sibling of x10's composed text
+    * pipeline: every stage reuses the exact semantics of its
+    * standalone oracle-matched operator (m05's islands, d02's
+    * fingerprint-by-digest, q136's share grid). Planted near-dup
+    * documents make the cross-source hits real, not vacuous.
+    *
+    * Scale shape: the frame explode + island window are m05's (one
+    * doc_id window); the segment's bytes are fetched by ONE doc_id
+    * equi-join back to the source table so the blob never rides the
+    * frame shuffle (m01's pruning rule); fingerprint occurrence counts
+    * are a digest-keyed hash-agg (posting-list, never pairwise); the
+    * report is a source-grid rollup. */
+  val m09SegmentDedup = QueryDef(
+    "m09_segment_dedup",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val FrameBytes = 64
+      val w = Window.partitionBy("doc_id").orderBy("frame_idx")
+      val segs = activeFrames(s, d)
+        .withColumn("island", col("frame_idx") - row_number().over(w))
+        .groupBy(col("doc_id"), col("island"))
+        .agg(min("frame_idx").as("seg_start"),
+          max("frame_idx").as("seg_end"),
+          count(lit(1)).as("n_frames"))
+        .filter(col("n_frames") >= 2)
+      val fp = segs.join(Tables.documents(s, d)
+            .select(col("doc_id").as("did"), col("text"), col("source")),
+          col("doc_id") === col("did"))
+        .select(col("doc_id"), col("source"), col("seg_start"),
+          md5(col("text").substr(
+            col("seg_start") * FrameBytes + 1,
+            (col("seg_end") - col("seg_start") + 1) * FrameBytes))
+            .as("fp"))
+      val occ = fp.groupBy("fp").agg(count(lit(1)).as("n_occ"),
+        countDistinct(col("source")).as("n_src"))
+      fp.join(occ, "fp")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_segments"),
+          sum(when(col("n_occ") >= 2, 1L).otherwise(0L))
+            .as("n_dup_segments"),
+          sum(when(col("n_src") >= 2, 1L).otherwise(0L))
+            .as("n_cross_source"))
+        .withColumn("dup_ppm",
+          expr("n_dup_segments * 1000000 div n_segments"))
+        .orderBy("source")
+    },
+    Some("""WITH sized AS (
+           |  SELECT doc_id, text,
+           |    CAST(length(text) // 64 AS INT) AS n_frames
+           |  FROM documents WHERE length(text) // 64 > 0),
+           |fr AS (
+           |  SELECT doc_id, CAST(i AS INT) AS frame_idx,
+           |    substring(text, CAST(i AS INT) * 64 + 1, 64) AS fr
+           |  FROM sized, unnest(range(0, n_frames)) AS t(i)),
+           |act AS (
+           |  SELECT doc_id, frame_idx
+           |  FROM fr
+           |  WHERE length(fr) - length(replace(fr, 'e', '')) >= 5),
+           |isl AS (
+           |  SELECT doc_id, frame_idx,
+           |    frame_idx - row_number()
+           |      OVER (PARTITION BY doc_id ORDER BY frame_idx) AS island
+           |  FROM act),
+           |segs AS (
+           |  SELECT doc_id, island, min(frame_idx) AS seg_start,
+           |    max(frame_idx) AS seg_end,
+           |    CAST(count(*) AS BIGINT) AS n_frames
+           |  FROM isl GROUP BY 1, 2 HAVING count(*) >= 2),
+           |fp AS (
+           |  SELECT segs.doc_id, d.source,
+           |    md5(substring(d.text, seg_start * 64 + 1,
+           |      (seg_end - seg_start + 1) * 64)) AS fp
+           |  FROM segs JOIN documents d ON segs.doc_id = d.doc_id),
+           |occ AS (
+           |  SELECT fp, CAST(count(*) AS BIGINT) AS n_occ,
+           |    CAST(count(DISTINCT source) AS BIGINT) AS n_src
+           |  FROM fp GROUP BY 1)
+           |SELECT source, CAST(count(*) AS BIGINT) AS n_segments,
+           |  CAST(sum(CASE WHEN n_occ >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_dup_segments,
+           |  CAST(sum(CASE WHEN n_src >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS n_cross_source,
+           |  CAST(sum(CASE WHEN n_occ >= 2 THEN 1 ELSE 0 END)
+           |    * 1000000 // count(*) AS BIGINT) AS dup_ppm
+           |FROM fp JOIN occ USING (fp)
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(m01Meta, m02Features, m03FrameSample,
     m04MediaNearDup, m05VadSegments, m06CdcDedup, m07InterleavedPack,
-    m08AspectBuckets)
+    m08AspectBuckets, m09SegmentDedup)
 }

@@ -1159,11 +1159,92 @@ object TextAnalysis {
            |    AS token_removal_share
            |FROM sweep GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  // ---------------------------------------------------------------- t27
+  /** Distinctive vocabulary per source — Monroe/Colaresi/Quinn's
+    * log-odds-ratio with a Dirichlet prior, z-scored: the "what words
+    * does THIS slice overuse" detector behind corpus datasheets and
+    * domain-tagging (t05's TF-IDF ranks terms within a document; this
+    * contrasts a SLICE against the rest of the corpus with variance-
+    * aware smoothing, so rare-word flukes don't top the list). δ and
+    * σ² derive from exact integer counts through identical double
+    * expressions in both engines; z rounds to micro before the per-
+    * source (z DESC, term) top-3 rank, so the cut is a deterministic
+    * total order.
+    *
+    * Scale shape: tokenize-once explode → ONE map-side-combined
+    * hash-agg onto the (source × word) vocab grid; corpus/source/word
+    * marginals and the vocab size all come from windows OVER THE GRID
+    * (the q169 posture), then one rank window on the per-source slice.
+    * 100 TB of text reaches the statistics as vocabulary-bounded
+    * counters. */
+  val t27DistinctiveTerms = QueryDef(
+    "t27_distinctive_terms",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val byW = Window.partitionBy("w")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val byS = Window.partitionBy("source")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val full = Window.partitionBy()
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val grid = Tables.documents(s, d)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+        .groupBy("source", "w").agg(count(lit(1)).as("ysw"))
+      val scored = grid
+        .withColumn("yw", sum("ysw").over(byW))
+        .withColumn("ns", sum("ysw").over(byS))
+        .withColumn("n", sum("ysw").over(full))
+        .withColumn("v", size(collect_set(col("w")).over(full)))
+        .filter(col("ysw") >= 5)
+        .withColumn("z_micro", expr(
+          "cast(round(1e6 * (" +
+            "ln((ysw + 0.5e0) / (ns + 0.5e0 * v - ysw - 0.5e0))" +
+            " - ln((yw - ysw + 0.5e0)" +
+            " / (n - ns + 0.5e0 * v - (yw - ysw) - 0.5e0))" +
+          ") / sqrt(1e0 / (ysw + 0.5e0) + 1e0 / (yw - ysw + 0.5e0)))" +
+          " as bigint)"))
+      val rk = Window.partitionBy("source")
+        .orderBy(col("z_micro").desc, col("w").asc)
+      scored.withColumn("rank", row_number().over(rk))
+        .filter(col("rank") <= 3)
+        .select(col("source"), col("rank"), col("w").as("term"),
+          col("ysw").as("n_in_source"), col("z_micro"))
+        .orderBy("source", "rank")
+    },
+    Some("""WITH grid AS (
+           |  SELECT source, unnest(string_split(text, ' ')) AS w
+           |  FROM documents),
+           |cnt AS (
+           |  SELECT source, w, CAST(count(*) AS BIGINT) AS ysw
+           |  FROM grid GROUP BY 1, 2),
+           |marg AS (
+           |  SELECT *,
+           |    CAST(sum(ysw) OVER (PARTITION BY w) AS BIGINT) AS yw,
+           |    CAST(sum(ysw) OVER (PARTITION BY source) AS BIGINT) AS ns,
+           |    CAST(sum(ysw) OVER () AS BIGINT) AS n,
+           |    (SELECT count(DISTINCT w) FROM cnt) AS v
+           |  FROM cnt),
+           |scored AS (
+           |  SELECT *, CAST(round(1e6 * (
+           |      ln((ysw + 0.5e0) / (ns + 0.5e0 * v - ysw - 0.5e0))
+           |      - ln((yw - ysw + 0.5e0)
+           |        / (n - ns + 0.5e0 * v - (yw - ysw) - 0.5e0))
+           |    ) / sqrt(1e0 / (ysw + 0.5e0) + 1e0 / (yw - ysw + 0.5e0)))
+           |    AS BIGINT) AS z_micro
+           |  FROM marg WHERE ysw >= 5),
+           |ranked AS (
+           |  SELECT *, row_number() OVER (PARTITION BY source
+           |    ORDER BY z_micro DESC, w ASC) AS rank
+           |  FROM scored)
+           |SELECT source, rank, w AS term, ysw AS n_in_source, z_micro
+           |FROM ranked WHERE rank <= 3
+           |ORDER BY source, rank""".stripMargin))
+
   val all: Seq[QueryDef] =
     Seq(t01LangId, t02Quality, t03TokenCount, t04RollingHash, t05TfIdf,
       t08UnigramLm, t09TokenEntropy, t10GopherRules, t11BigramLm,
       t12Collocations, t13LangidConfusion, t14Chunking, t15CorpusDatasheet,
       t16ChunkDedup, t17QualityClassifier, t18PplBuckets, t19BpePairs,
       t21DriftReport, t22Novelty, t23Readability, t24LexicalRichness,
-      t25ZipfSlope, t26QualitySweep)
+      t25ZipfSlope, t26QualitySweep, t27DistinctiveTerms)
 }

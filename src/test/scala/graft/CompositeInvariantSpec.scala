@@ -543,6 +543,48 @@ class CompositeInvariantSpec extends SparkSpec {
     })
   }
 
+  test("x25: epoch shuffles decorrelate (|r| within 3 sigma of zero)") {
+    val rows = SparkEntry.queries("x25_epoch_shuffle_audit")(spark, sf)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq == Seq(1, 2, 3))
+    rows.foreach { case (e, n, rMicro) =>
+      // under independence r ~ N(0, 1/sqrt(n)); 3 sigma in micro units
+      val bound = (3.0 * 1e6 / math.sqrt(n.toDouble)).toLong
+      assert(math.abs(rMicro) <= bound,
+        s"epoch $e correlation $rMicro exceeds 3-sigma bound $bound")
+    }
+  }
+
+  test("m09: dup accounting identities; cross-source <= duplicated") {
+    val rows = SparkEntry.queries("m09_segment_dedup")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._2).sum > 0L)
+    rows.foreach { case (src, nSeg, nDup, nCross, ppm) =>
+      assert(nDup <= nSeg && nCross <= nDup,
+        s"$src dedup counts inconsistent")
+      assert(ppm == nDup * 1000000L / nSeg, s"$src ppm identity")
+    }
+    // planted near-dups must surface SOMEWHERE as cross-source hits
+    assert(rows.map(_._4).sum > 0L, "no cross-source duplicate found")
+  }
+
+  test("t27: every source gets 3 ranked terms with positive top z") {
+    val rows = SparkEntry.queries("t27_distinctive_terms")(spark, sf)
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getString(2),
+        r.getLong(4)))
+    val bySrc = rows.groupBy(_._1)
+    assert(bySrc.nonEmpty)
+    bySrc.foreach { case (src, ts) =>
+      assert(ts.map(_._2).sorted.toSeq == Seq(1, 2, 3), s"$src ranks")
+      val sorted = ts.sortBy(_._2).map(_._4)
+      assert(sorted.sliding(2).forall {
+        case Array(a, b) => a >= b; case _ => true
+      }, s"$src z not non-increasing")
+    }
+  }
+
   test("q168: metric ranges and DCG <= IDCG") {
     val rows = SparkEntry.queries("q168_ir_metrics")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),

@@ -463,4 +463,28 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"),
       "top-20 must stay a bounded take, not a global sort")
   }
+
+  test("q174: the MAD census scans the fact table exactly once") {
+    val p = plan("q174_robust_outliers")
+    // linear pipeline of grid windows — no totals/median branch may
+    // re-scan events (the q154 lesson applied to the histogram path)
+    assert("events\\.parquet".r.findAllIn(p).length <= 1,
+      "median/MAD branches must reuse the one histogram scan")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q178: the Q18 qualifying set broadcasts into both context joins") {
+    val p = plan("q178_large_orders")
+    assert(p.contains("BroadcastHashJoin"), p.take(500))
+    assert(!p.contains("SortMergeJoin"),
+      "neither orders nor customer may shuffle for the whale set")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-100 must stay a bounded take")
+  }
+
+  test("q172: Markov eval reaches one corpus scan via the split-counter grid") {
+    val p = plan("q172_markov_eval")
+    assert("events\\.parquet".r.findAllIn(p).length <= 1,
+      "train/test branches must share the one transition scan")
+  }
 }

@@ -298,4 +298,16 @@ class ScaleInvarianceSpec extends SparkSpec {
   test("q180 harmonic centrality invariant to partition count (registers)") {
     invariant("q180_harmonic_centrality", sf001)
   }
+
+  test("t27 distinctive terms invariant to partition count (grid z)") {
+    invariant("t27_distinctive_terms", sf001)
+  }
+
+  test("x25 epoch-shuffle audit invariant to partition count (int sums)") {
+    invariant("x25_epoch_shuffle_audit", sf001)
+  }
+
+  test("m09 segment dedup invariant to partition count (digest counts)") {
+    invariant("m09_segment_dedup", sf001)
+  }
 }
