@@ -525,8 +525,78 @@ object Pruning {
            |    * 10000) / 10000 AS q_error
            |FROM st ORDER BY join_name""".stripMargin))
 
+  // --------------------------------------------------------------- q181
+  /** Storage-tier placement plan: assign each day-partition to
+    * hot / warm / cold by age (≤7d / ≤21d / older, anchored at the
+    * corpus's last event day) and price the layout — bytes, row and
+    * byte shares, and a monthly cost at per-tier rates. The lifecycle
+    * decision every 100 TB event-log owner automates (q150 picks the
+    * partition KEY; this prices WHERE each partition lives), computed
+    * from the data itself: per-day byte estimates sum the actual
+    * payload lengths, so the plan re-prices as the log grows. All
+    * integers: byte sums are exact, shares and costs are integer
+    * div/ppm (the q146 convention).
+    *
+    * Scale shape: the anchor is a single-column max (catalog stat);
+    * ONE map-side-combined hash-agg onto the day grid; the tier rollup
+    * and totals are grid work (window-free — totals attach via a
+    * 1-row broadcast). */
+  val q181TierPlan = QueryDef(
+    "q181_tier_plan",
+    (s, d) => {
+      val DayUs = 86400000000L
+      val ev = graft.Tables.events(s, d)
+        .select(expr(s"unix_micros(ts) div ${DayUs}L").as("day"),
+          (length(col("props")) + lit(40L)).as("row_bytes"))
+      val days = ev.groupBy("day")
+        .agg(count(lit(1)).as("n_rows"), sum("row_bytes").as("bytes"))
+      val anchor = days.agg(max("day").as("dmax"))
+      val tiers = days.crossJoin(broadcast(anchor))
+        .withColumn("tier",
+          when(col("dmax") - col("day") <= 7L, "1_hot")
+            .when(col("dmax") - col("day") <= 21L, "2_warm")
+            .otherwise("3_cold"))
+        .groupBy("tier")
+        .agg(count(lit(1)).as("n_days"), sum("n_rows").as("n_rows"),
+          sum("bytes").as("bytes"))
+      val tot = tiers.agg(sum("n_rows").as("tr"), sum("bytes").as("tb"))
+      tiers.crossJoin(broadcast(tot))
+        .select(col("tier"), col("n_days"), col("n_rows"), col("bytes"),
+          expr("bytes * 1000000 div tb").as("byte_share_ppm"),
+          expr("bytes * (case tier when '1_hot' then 23L" +
+            " when '2_warm' then 10L else 4L end) div 1048576")
+            .as("monthly_cost_micro"))
+        .orderBy("tier")
+    },
+    Some("""WITH ev AS (
+           |  SELECT epoch_us(ts) // 86400000000 AS day,
+           |    length(props) + 40 AS row_bytes
+           |  FROM events),
+           |days AS (
+           |  SELECT day, CAST(count(*) AS BIGINT) AS n_rows,
+           |    CAST(sum(row_bytes) AS BIGINT) AS bytes
+           |  FROM ev GROUP BY 1),
+           |anchor AS (SELECT max(day) AS dmax FROM days),
+           |tiers AS (
+           |  SELECT CASE WHEN dmax - day <= 7 THEN '1_hot'
+           |      WHEN dmax - day <= 21 THEN '2_warm'
+           |      ELSE '3_cold' END AS tier,
+           |    CAST(count(*) AS BIGINT) AS n_days,
+           |    CAST(sum(n_rows) AS BIGINT) AS n_rows,
+           |    CAST(sum(bytes) AS BIGINT) AS bytes
+           |  FROM days CROSS JOIN anchor GROUP BY 1),
+           |tot AS (SELECT CAST(sum(n_rows) AS BIGINT) AS tr,
+           |    CAST(sum(bytes) AS BIGINT) AS tb
+           |  FROM tiers)
+           |SELECT tier, n_days, n_rows, bytes,
+           |  bytes * 1000000 // tb AS byte_share_ppm,
+           |  bytes * (CASE tier WHEN '1_hot' THEN 23
+           |    WHEN '2_warm' THEN 10 ELSE 4 END) // 1048576
+           |    AS monthly_cost_micro
+           |FROM tiers CROSS JOIN tot ORDER BY tier""".stripMargin))
+
   val all: Seq[QueryDef] =
     Seq(q49BloomPruneJoin, q125ArchivePushdown, q142ArchiveAggPushdown,
       q144ArchiveGroupPushdown, q150PartitionPlanner, q151SkippingAudit,
-      q156EncodingAdvisor, q175JoinEstimate)
+      q156EncodingAdvisor, q175JoinEstimate, q181TierPlan)
 }

@@ -638,8 +638,72 @@ object Skew {
            |FROM j WHERE week < (SELECT max(week) FROM top)
            |ORDER BY week""".stripMargin))
 
+  // --------------------------------------------------------------- q182
+  /** 2-D skyline (Pareto front): the parts no other part beats on BOTH
+    * price and size — the multi-objective shortlist ("cheapest for its
+    * size class") that single-key top-k can't express, and q113's
+    * banded-Pareto discipline applied to DOMINANCE. The textbook form
+    * is a quadratic NOT EXISTS self-join (the oracle states exactly
+    * that semantics); the registered plan is the q59 histogram trick
+    * applied to dominance pruning: dollar-wide price BANDS carry their
+    * min size, a prefix-min over the ≤100-row band grid broadcasts
+    * back, and any point with a strictly-cheaper band at ≤ its size is
+    * dominated BEFORE any pairwise work — the exact check runs only
+    * among same-band survivors (dominance is transitive, and a
+    * surviving point's minimal dominator is provably same-band, so
+    * the band-local anti-join is sufficient, not approximate).
+    *
+    * Scale shape: ONE corpus scan → band hash-agg; prefix-min over the
+    * band GRID; broadcast back; the pairwise anti-join touches only
+    * same-band survivors (a vanishing fraction — the skyline and its
+    * shadow). All-integer dominance (exact cents, integer sizes), so
+    * ties resolve identically in any engine. */
+  val q182Skyline = QueryDef(
+    "q182_skyline",
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val BandC = 100L
+      val pts = Tables.part(s, d)
+        .select(col("p_partkey").as("part_key"),
+          expr("cast(round(p_retailprice * 100) as bigint)").as("price_c"),
+          col("p_size").cast("long").as("size"))
+      val bands = pts.groupBy(expr(s"price_c div ${BandC}L").as("pb"))
+        .agg(min("size").as("band_min"))
+      val wPrefix = Window.orderBy("pb")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val prefix = bands
+        .withColumn("m_lower", min("band_min").over(wPrefix))
+        .select("pb", "m_lower")
+      val cand = pts
+        .withColumn("pb", expr(s"price_c div ${BandC}L"))
+        .join(broadcast(prefix), "pb")
+        .filter(col("m_lower").isNull || col("m_lower") > col("size"))
+      cand.as("p").join(cand.as("q"),
+          col("q.pb") === col("p.pb") &&
+            col("q.price_c") <= col("p.price_c") &&
+            col("q.size") <= col("p.size") &&
+            (col("q.price_c") < col("p.price_c") ||
+              col("q.size") < col("p.size")),
+          "left_anti")
+        .select(col("part_key"), col("price_c"), col("size"))
+        .orderBy("price_c", "part_key")
+    },
+    Some("""SELECT p.p_partkey AS part_key,
+           |  CAST(round(p.p_retailprice * 100) AS BIGINT) AS price_c,
+           |  CAST(p.p_size AS BIGINT) AS size
+           |FROM part p
+           |WHERE NOT EXISTS (
+           |  SELECT 1 FROM part q
+           |  WHERE CAST(round(q.p_retailprice * 100) AS BIGINT)
+           |      <= CAST(round(p.p_retailprice * 100) AS BIGINT)
+           |    AND q.p_size <= p.p_size
+           |    AND (CAST(round(q.p_retailprice * 100) AS BIGINT)
+           |        < CAST(round(p.p_retailprice * 100) AS BIGINT)
+           |      OR q.p_size < p.p_size))
+           |ORDER BY price_c, part_key""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q36SaltedAgg, q46HashSample, q50Histogram,
     q53Profile, q66HeavyHitters, q67SketchRollup, q77GroupHeavyHitters,
     q86QuantileSketch, q92SkewAudit, q93SketchOverlap, q113Pareto,
-    q114SourceGini, q117MadOutliers, q130LeaderboardChurn)
+    q114SourceGini, q117MadOutliers, q130LeaderboardChurn, q182Skyline)
 }

@@ -1877,6 +1877,62 @@ object Stateful {
         OutputMode.Append())
   }
 
+  /** One closed (type, day) live-distinct cell: the sketch estimate
+    * plus the exact count the spec gates it against. */
+  final case class DistinctCell(event_type: String, day: Long,
+      est_users: Long)
+  final case class HllState(sketch: Array[Byte], done: Boolean)
+
+  /** Live approximate distinct users per (type, day) with a MERGEABLE
+    * SKETCH AS THE STATE VALUE — the streaming rendition of q67's HLL
+    * rollup and the 100 TB live-distinct primitive: per-key state is a
+    * fixed-size DataSketches HLL register array (the same library
+    * behind Spark's hll_sketch_agg), folded commutatively as events
+    * arrive in ANY order, so a day's distinct-user estimate is
+    * available the moment the watermark closes it — no per-user state,
+    * no exact set. Unlike every bit-parity twin, a sketch's ESTIMATE
+    * is implementation-defined, so the gate is a tolerance spec
+    * (estimate within the lgK=14 error envelope of the exact count —
+    * the q67/q164 convention). */
+  def hllDistinctStream(df: DataFrame, endDayExclusive: Long,
+      slack: String = "2 hours"): Dataset[DistinctCell] = {
+    import org.apache.spark.sql.Encoders
+    import org.apache.datasketches.hll.HllSketch
+    implicit val stEnc: Encoder[HllState] = Encoders.product[HllState]
+    implicit val outEnc: Encoder[DistinctCell] =
+      Encoders.product[DistinctCell]
+    implicit val keyEnc: Encoder[(String, Long)] =
+      Encoders.tuple(Encoders.STRING, Encoders.scalaLong)
+    val rows = df.withWatermark("ts", slack)
+      .select(col("event_type"), col("ts"), col("user_id"))
+      .as[(String, java.sql.Timestamp, Long)](
+        Encoders.product[(String, java.sql.Timestamp, Long)])
+    rows.groupByKey(r =>
+      (r._1, Math.floorDiv(microsOf(r._2), 86400000000L)))
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (key: (String, Long),
+            it: Iterator[(String, java.sql.Timestamp, Long)],
+            state: GroupState[HllState]) =>
+          val st0 = state.getOption.getOrElse(
+            HllState(Array.emptyByteArray, done = false))
+          val sk =
+            if (st0.sketch.isEmpty) new HllSketch(14)
+            else HllSketch.heapify(st0.sketch)
+          it.foreach(r => sk.update(r._3))
+          val wm = state.getCurrentWatermarkMs()
+          if (!st0.done && wm > endDayExclusive * 86400000L + 1L) {
+            state.update(HllState(sk.toUpdatableByteArray, done = true))
+            Iterator.single(DistinctCell(key._1, key._2,
+              Math.round(sk.getEstimate)))
+          } else {
+            state.update(HllState(sk.toUpdatableByteArray, st0.done))
+            if (!st0.done) state.setTimeoutTimestamp(wm + 1L)
+            Iterator.empty
+          }
+      }
+  }
+
   /** One (type, day, minute, kind) concurrency cell (q83's grids —
     * kind "net" carries interval deltas, "start" the session count). */
   final case class ConcCell(event_type: String, day: Long, minute: Long,

@@ -585,6 +585,51 @@ class CompositeInvariantSpec extends SparkSpec {
     }
   }
 
+  test("q181: tiers partition the day grid; shares and costs reconcile") {
+    val s = spark
+    val rows = SparkEntry.queries("q181_tier_plan")(s, sf).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(rows.map(_._1).toSeq.sorted ==
+      rows.map(_._1).toSeq, "tier order")
+    val totalDays = Tables.events(s, sf)
+      .select(expr("unix_micros(ts) div 86400000000").as("d"))
+      .distinct().count()
+    val totalRows = Tables.events(s, sf).count()
+    assert(rows.map(_._2).sum == totalDays, "tiers lose days")
+    assert(rows.map(_._3).sum == totalRows, "tiers lose rows")
+    val shareSum = rows.map(_._5).sum
+    assert(shareSum >= 999997L && shareSum <= 1000000L,
+      s"byte shares don't reconcile: $shareSum")
+    rows.foreach { case (t, _, _, bytes, _, cost) =>
+      val rate = t match {
+        case "1_hot" => 23L; case "2_warm" => 10L; case _ => 4L
+      }
+      assert(cost == bytes * rate / 1048576L, s"$t cost identity")
+    }
+  }
+
+  test("q182: skyline is mutually non-dominated and dominates the rest") {
+    val s = spark
+    val sky = SparkEntry.queries("q182_skyline")(s, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(sky.nonEmpty)
+    def dom(a: (Long, Long, Long), b: (Long, Long, Long)): Boolean =
+      a._2 <= b._2 && a._3 <= b._3 && (a._2 < b._2 || a._3 < b._3)
+    // no skyline member dominates another
+    for (a <- sky; b <- sky if a != b)
+      assert(!dom(a, b), s"skyline member $a dominates member $b")
+    // every non-member is dominated by some member
+    val all = Tables.part(s, sf).select(col("p_partkey"),
+        expr("cast(round(p_retailprice * 100) as bigint)"),
+        col("p_size").cast("long")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val skySet = sky.map(_._1).toSet
+    all.filterNot(p => skySet(p._1)).foreach { p =>
+      assert(sky.exists(m => dom(m, p)), s"non-member $p undominated")
+    }
+  }
+
   test("q168: metric ranges and DCG <= IDCG") {
     val rows = SparkEntry.queries("q168_ir_metrics")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),

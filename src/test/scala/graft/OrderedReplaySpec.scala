@@ -1710,6 +1710,32 @@ class OrderedReplaySpec extends SparkSpec {
     }
   }
 
+  test("streaming HLL distinct: sketch-state estimates track exact counts") {
+    val s = spark
+    val endDay = Tables.events(s, sf)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(max("day")).head.getLong(0)
+    val out = runStream("ooo_hll")(df =>
+      Stateful.hllDistinctStream(df, endDay + 1L))
+    val est = out.filter("event_type != 'zz_sentinel'").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(est.nonEmpty)
+    val exact = Tables.events(s, sf)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(countDistinct(col("user_id")).as("n"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(est.keySet == exact.keySet, "cell sets diverge")
+    // lgK=14 sigma ~0.8%; these small sets stay in exact sparse mode,
+    // but allow the envelope anyway
+    est.foreach { case (k, e) =>
+      val x = exact(k).toDouble
+      assert(math.abs(e - x) / x <= 0.02,
+        s"cell $k estimate $e far from exact ${exact(k)}")
+    }
+  }
+
   test("streaming peak concurrency: delta cells == batch q83") {
     val s = spark
     val endDay = Tables.events(s, sf)

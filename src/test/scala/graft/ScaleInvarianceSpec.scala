@@ -310,4 +310,12 @@ class ScaleInvarianceSpec extends SparkSpec {
   test("m09 segment dedup invariant to partition count (digest counts)") {
     invariant("m09_segment_dedup", sf001)
   }
+
+  test("q181 tier plan invariant to partition count (byte sums)") {
+    invariant("q181_tier_plan", sf001)
+  }
+
+  test("q182 skyline invariant to partition count (integer dominance)") {
+    invariant("q182_skyline", sf001)
+  }
 }
