@@ -630,6 +630,20 @@ class CompositeInvariantSpec extends SparkSpec {
     }
   }
 
+  test("d18: Jaccard identities over exact set sizes") {
+    val rows = SparkEntry.queries("d18_assortment_match")(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (c, sup, na, nb, shared, j) =>
+      assert(shared <= math.min(na, nb), s"($c,$sup) overlap too big")
+      assert(shared >= 10L)
+      assert(j == shared * 1000000L / (na + nb - shared),
+        s"($c,$sup) jaccard identity")
+      assert(j <= 1000000L)
+    }
+  }
+
   test("q168: metric ranges and DCG <= IDCG") {
     val rows = SparkEntry.queries("q168_ir_metrics")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),

@@ -318,4 +318,8 @@ class ScaleInvarianceSpec extends SparkSpec {
   test("q182 skyline invariant to partition count (integer dominance)") {
     invariant("q182_skyline", sf001)
   }
+
+  test("d18 assortment match invariant to partition count (set ints)") {
+    invariant("d18_assortment_match", sf001)
+  }
 }
