@@ -1752,6 +1752,59 @@ object Relational3 {
            |ORDER BY total_qty DESC, o_orderkey ASC
            |LIMIT 100""".stripMargin))
 
+  // --------------------------------------------------------------- q183
+  /** Important stock (the TPC-H Q11 shape): parts whose traded value
+    * through one nation's suppliers exceeds a fixed fraction (0.1%) of
+    * that nation's total — the HAVING-against-a-global-aggregate
+    * pattern whose naive form evaluates a correlated subquery per
+    * group. Value is exact BIGINT cents; the cut is the exact integer
+    * cross-multiplication value·10000 > total·10 (no float threshold,
+    * the q166 band-cut convention).
+    *
+    * Scale shape: the nation's supplier keys broadcast into the fact
+    * scan (dim-filter-first, q69's rule); ONE map-side hash-agg onto
+    * the part grid; the global total attaches as a 1-row broadcast —
+    * the "correlated" threshold costs one scalar, not a per-group
+    * probe. Output ordered by (value DESC, part). */
+  val q183ImportantStock = QueryDef(
+    "q183_important_stock",
+    (s, d) => {
+      val supp = Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)
+            .filter(col("n_name") === "NATION_3")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"))
+      val vals = Tables.lineitem(s, d)
+        .join(broadcast(supp), col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("l_partkey").as("part_key"))
+        .agg(expr("cast(sum(cast(round(l_extendedprice * 100) as bigint))"
+          + " as bigint)").as("value_cents"))
+      val tot = vals.agg(sum("value_cents").as("total_cents"))
+      vals.crossJoin(broadcast(tot))
+        .filter(col("value_cents") * 10000L > col("total_cents") * 10L)
+        .select(col("part_key"), col("value_cents"),
+          expr("value_cents * 1000000 div total_cents").as("share_ppm"))
+        .orderBy(col("value_cents").desc, col("part_key").asc)
+    },
+    Some("""WITH supp AS (
+           |  SELECT s_suppkey FROM supplier JOIN nation
+           |    ON s_nationkey = n_nationkey
+           |  WHERE n_name = 'NATION_3'),
+           |vals AS (
+           |  SELECT l_partkey AS part_key,
+           |    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+           |      AS BIGINT) AS value_cents
+           |  FROM lineitem JOIN supp ON l_suppkey = s_suppkey
+           |  GROUP BY 1),
+           |tot AS (SELECT CAST(sum(value_cents) AS BIGINT)
+           |    AS total_cents
+           |  FROM vals)
+           |SELECT part_key, value_cents,
+           |  value_cents * 1000000 // total_cents AS share_ppm
+           |FROM vals CROSS JOIN tot
+           |WHERE value_cents * 10000 > total_cents * 10
+           |ORDER BY value_cents DESC, part_key ASC""".stripMargin))
+
   val all: Seq[QueryDef] =
     Seq(q69StarJoin, q70EventDedup, q71ArgExtremes, q72Regression,
       q74VariantExtract, q75HofBattery, q76ZorderLayout, q79ExistsChain,
@@ -1761,5 +1814,5 @@ object Relational3 {
       q133TradeMatrix, q134SalesOpportunity, q135MarketShare,
       q136ReturnRates, q153FifoAllocation, q157FanoutAudit,
       q158LateBlame, q165ProductProfit, q166AbcXyz, q177CustDist,
-      q178LargeOrders)
+      q178LargeOrders, q183ImportantStock)
 }

@@ -322,4 +322,8 @@ class ScaleInvarianceSpec extends SparkSpec {
   test("d18 assortment match invariant to partition count (set ints)") {
     invariant("d18_assortment_match", sf001)
   }
+
+  test("q183 important stock invariant to partition count (cents cut)") {
+    invariant("q183_important_stock", sf001)
+  }
 }
