@@ -1716,11 +1716,127 @@ object Statistics {
            |    END AS worst_z
            |FROM m2 GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  // --------------------------------------------------------------- q184
+  /** Group-sequential A/B monitoring (O'Brien–Fleming-style spending):
+    * the daily interim analysis a live experiment runs INSTEAD of one
+    * end-of-test readout — each day k of K gets the cumulative pooled
+    * two-proportion z against the shrinking boundary c·√(K/k)
+    * (conservative early, nominal at the horizon), answering "when
+    * could we have stopped?" without inflating false positives the way
+    * daily peeking at a fixed threshold does. Completes the
+    * experimentation battery (q106 lift, q140 CUPED, q149 rank-sum)
+    * with its SEQUENTIAL member. Assignment is the md5 user split;
+    * c = 2.24 (≈ the two-sided α=0.05 OBF constant at these look
+    * counts — the shape, not a lookup table, is the operator). On this
+    * synthetic log the honest readout is no crossing.
+    *
+    * Scale shape: ONE map-side hash-agg onto the (day × arm) grid with
+    * purchase/event counters; cumulative sums, K, and the z/boundary
+    * algebra are windows over the ≤31-row-per-arm grid; every input to
+    * the float algebra is an exact integer prefix sum, so both engines
+    * evaluate identical doubles. */
+  /** q184's per-event (day, is_a, is_p) projection, shared with the
+    * streaming twin's feed enrichment. */
+  def q184Flags(ev: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    ev.select(col("ts"),
+      expr(s"unix_micros(ts) div ${DayUs}L").as("day"),
+      when(substring(md5(col("user_id").cast("string")), 1, 1)
+        .isin("0", "1", "2", "3", "4", "5", "6", "7"), 1L)
+        .otherwise(0L).as("is_a"),
+      when(col("event_type") === "purchase", 1L).otherwise(0L)
+        .as("is_p"))
+
+  /** q184's day grid → interim-analysis projection, shared with the
+    * seqAbStream twin (identical code over identical integer counters
+    * ⇒ bit-for-bit). `grid` columns: day, na_d, xa_d, nb_d, xb_d. */
+  def q184Finish(grid: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val byDay = Window.orderBy("day")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val full = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    grid
+        .withColumn("k", count(lit(1)).over(byDay))
+        .withColumn("kk", count(lit(1)).over(full))
+        .withColumn("cna", sum("na_d").over(byDay))
+        .withColumn("cxa", sum("xa_d").over(byDay))
+        .withColumn("cnb", sum("nb_d").over(byDay))
+        .withColumn("cxb", sum("xb_d").over(byDay))
+        .withColumn("z_micro", expr(
+          "cast(round(1e6 * (cast(cxa as double) / cna" +
+            " - cast(cxb as double) / cnb)" +
+            " / sqrt((cast(cxa + cxb as double) / (cna + cnb))" +
+            " * (1e0 - cast(cxa + cxb as double) / (cna + cnb))" +
+            " * (1e0 / cna + 1e0 / cnb))) as bigint)"))
+        .withColumn("boundary_micro", expr(
+          "cast(round(1e6 * 2.24e0 * sqrt(cast(kk as double) / k))" +
+            " as bigint)"))
+        .select(col("day"), col("k"), col("cna"), col("cxa"),
+          col("cnb"), col("cxb"), col("z_micro"), col("boundary_micro"),
+          (abs(col("z_micro")) > col("boundary_micro")).as("crossed"))
+        .orderBy("day")
+  }
+
+  val q184SequentialAb = QueryDef(
+    "q184_sequential_ab",
+    (s, d) =>
+      q184Finish(q184Flags(Tables.events(s, d))
+        .groupBy("day")
+        .agg(sum(col("is_a")).as("na_d"),
+          sum(col("is_a") * col("is_p")).as("xa_d"),
+          sum(lit(1L) - col("is_a")).as("nb_d"),
+          sum((lit(1L) - col("is_a")) * col("is_p")).as("xb_d"))),
+    Some("""WITH grid AS (
+           |  SELECT epoch_us(ts) // 86400000000 AS day,
+           |    CAST(sum(CASE WHEN substring(md5(CAST(user_id AS
+           |      VARCHAR)), 1, 1) IN ('0','1','2','3','4','5','6','7')
+           |      THEN 1 ELSE 0 END) AS BIGINT) AS na_d,
+           |    CAST(sum(CASE WHEN substring(md5(CAST(user_id AS
+           |      VARCHAR)), 1, 1) IN ('0','1','2','3','4','5','6','7')
+           |      AND event_type = 'purchase' THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS xa_d,
+           |    CAST(sum(CASE WHEN substring(md5(CAST(user_id AS
+           |      VARCHAR)), 1, 1) NOT IN ('0','1','2','3','4','5','6',
+           |      '7') THEN 1 ELSE 0 END) AS BIGINT) AS nb_d,
+           |    CAST(sum(CASE WHEN substring(md5(CAST(user_id AS
+           |      VARCHAR)), 1, 1) NOT IN ('0','1','2','3','4','5','6',
+           |      '7') AND event_type = 'purchase' THEN 1 ELSE 0 END)
+           |      AS BIGINT) AS xb_d
+           |  FROM events GROUP BY 1),
+           |cum AS (
+           |  SELECT day,
+           |    CAST(count(*) OVER (ORDER BY day ROWS UNBOUNDED
+           |      PRECEDING) AS BIGINT) AS k,
+           |    CAST(count(*) OVER () AS BIGINT) AS kk,
+           |    CAST(sum(na_d) OVER (ORDER BY day ROWS UNBOUNDED
+           |      PRECEDING) AS BIGINT) AS cna,
+           |    CAST(sum(xa_d) OVER (ORDER BY day ROWS UNBOUNDED
+           |      PRECEDING) AS BIGINT) AS cxa,
+           |    CAST(sum(nb_d) OVER (ORDER BY day ROWS UNBOUNDED
+           |      PRECEDING) AS BIGINT) AS cnb,
+           |    CAST(sum(xb_d) OVER (ORDER BY day ROWS UNBOUNDED
+           |      PRECEDING) AS BIGINT) AS cxb
+           |  FROM grid),
+           |st AS (
+           |  SELECT *,
+           |    CAST(round(1e6 * (CAST(cxa AS DOUBLE) / cna
+           |      - CAST(cxb AS DOUBLE) / cnb)
+           |      / sqrt((CAST(cxa + cxb AS DOUBLE) / (cna + cnb))
+           |        * (1e0 - CAST(cxa + cxb AS DOUBLE) / (cna + cnb))
+           |        * (1e0 / cna + 1e0 / cnb))) AS BIGINT) AS z_micro,
+           |    CAST(round(1e6 * 2.24e0 * sqrt(CAST(kk AS DOUBLE) / k))
+           |      AS BIGINT) AS boundary_micro
+           |  FROM cum)
+           |SELECT day, k, cna, cxa, cnb, cxb, z_micro, boundary_micro,
+           |  abs(z_micro) > boundary_micro AS crossed
+           |FROM st ORDER BY day""".stripMargin))
+
   val all: Seq[QueryDef] =
     Seq(q137PsiDrift, q138BootstrapCi, q139InterpJoin, q140CupedLift,
       q141RankBattery, q143SurvivalKm, q145SeasonalDecompose,
       q147TheilSen, q148ChiSquare, q149MannWhitney,
       q154Autocorrelation, q159WeightedMedian, q169FeatureRelevance,
       q171ChangePoint, q173ForecastBacktest, q174RobustOutliers,
-      q176StlAnomaly)
+      q176StlAnomaly, q184SequentialAb)
 }

@@ -1877,6 +1877,58 @@ object Stateful {
         OutputMode.Append())
   }
 
+  /** One closed day of the sequential-A/B experiment grid. */
+  final case class SeqAbCell(day: Long, na_d: Long, xa_d: Long,
+      nb_d: Long, xb_d: Long)
+  final case class SeqAbState(na: Long, xa: Long, nb: Long, xb: Long,
+      done: Boolean)
+
+  /** Streaming twin of q184's day pass — the LIVE interim analysis a
+    * group-sequential experiment actually runs: arm/conversion flags
+    * are row-local md5 projections of the feed (shared with batch via
+    * operators.Statistics.q184Flags), state per day is FOUR
+    * commutative BIGINT counters bounded by the calendar, and each
+    * day's cell emits when the watermark closes it — the
+    * "could we stop yet?" readout then runs via q184Finish over the
+    * closed grid, identical code to batch, bit-for-bit. */
+  def seqAbStream(df: DataFrame, endDayExclusive: Long,
+      slack: String = "2 hours"): Dataset[SeqAbCell] = {
+    import org.apache.spark.sql.Encoders
+    implicit val stEnc: Encoder[SeqAbState] = Encoders.product[SeqAbState]
+    implicit val outEnc: Encoder[SeqAbCell] = Encoders.product[SeqAbCell]
+    implicit val keyEnc: Encoder[Long] = Encoders.scalaLong
+    val rows = graft.operators.Statistics
+      .q184Flags(df.withWatermark("ts", slack))
+      .select(col("day"), col("is_a"), col("is_p"), col("ts"))
+      .as[(Long, Long, Long, java.sql.Timestamp)](
+        Encoders.product[(Long, Long, Long, java.sql.Timestamp)])
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (day: Long, it: Iterator[(Long, Long, Long, java.sql.Timestamp)],
+            state: GroupState[SeqAbState]) =>
+          val st0 = state.getOption.getOrElse(
+            SeqAbState(0L, 0L, 0L, 0L, done = false))
+          var na = st0.na; var xa = st0.xa; var nb = st0.nb
+          var xb = st0.xb
+          it.foreach { r =>
+            if (r._2 == 1L) { na += 1L; xa += r._3 }
+            else { nb += 1L; xb += r._3 }
+          }
+          val wm = state.getCurrentWatermarkMs()
+          if (!st0.done && wm > endDayExclusive * 86400000L + 1L) {
+            state.update(SeqAbState(na, xa, nb, xb, done = true))
+            if (na + nb > 0L)
+              Iterator.single(SeqAbCell(day, na, xa, nb, xb))
+            else Iterator.empty
+          } else {
+            state.update(SeqAbState(na, xa, nb, xb, st0.done))
+            if (!st0.done) state.setTimeoutTimestamp(wm + 1L)
+            Iterator.empty
+          }
+      }
+  }
+
   /** One closed (type, day) live-distinct cell: the sketch estimate
     * plus the exact count the spec gates it against. */
   final case class DistinctCell(event_type: String, day: Long,

@@ -1710,6 +1710,30 @@ class OrderedReplaySpec extends SparkSpec {
     }
   }
 
+  test("streaming sequential A/B: interim grid == batch q184") {
+    val s = spark
+    import s.implicits._
+    val endDay = Tables.events(s, sf)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(max("day")).head.getLong(0)
+    val out = runStream("ooo_seqab")(df =>
+      Stateful.seqAbStream(df, endDay + 1L))
+    // the sentinel user is negative but still lands in an arm; its day
+    // is 30 days out, so dropping rows past endDay removes it
+    val cells = out.filter(col("day") <= endDay).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(cells.nonEmpty)
+    val streamed = operators.Statistics.q184Finish(
+        cells.toSeq.toDF("day", "na_d", "xa_d", "nb_d", "xb_d"))
+      .collect().map(_.toString).toSeq
+    val batch = SparkEntry.queries("q184_sequential_ab")(s, sf).collect()
+      .map(_.toString).toSeq
+    assert(streamed == batch,
+      s"stream-only: ${streamed.toSet.diff(batch.toSet).take(3)}; " +
+        s"batch-only: ${batch.toSet.diff(streamed.toSet).take(3)}")
+  }
+
   test("streaming HLL distinct: sketch-state estimates track exact counts") {
     val s = spark
     val endDay = Tables.events(s, sf)

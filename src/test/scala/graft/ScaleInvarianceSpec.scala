@@ -326,4 +326,8 @@ class ScaleInvarianceSpec extends SparkSpec {
   test("q183 important stock invariant to partition count (cents cut)") {
     invariant("q183_important_stock", sf001)
   }
+
+  test("q184 sequential A/B invariant to partition count (prefix ints)") {
+    invariant("q184_sequential_ab", sf001)
+  }
 }
