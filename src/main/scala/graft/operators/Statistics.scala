@@ -1832,11 +1832,92 @@ object Statistics {
            |  abs(z_micro) > boundary_micro AS crossed
            |FROM st ORDER BY day""".stripMargin))
 
+  // --------------------------------------------------------------- q185
+  /** Distribution-free median confidence interval per event type — the
+    * order-statistic (binomial) CI: ranks l = ⌊(n − z√n)/2⌋ and
+    * u = ⌈(n + 2 + z√n)/2⌉ bracket the true median with ≥95%
+    * confidence under NO distributional assumption, the nonparametric
+    * companion to q138's bootstrap (which resamples) and q174's MAD
+    * (which scores) — this one just reads two order statistics.
+    * Rank→value lookups use the exact cumulative rule (smallest value
+    * with cum ≥ r, the q159 convention); the only float is z√n from an
+    * exact integer, identical in both engines.
+    *
+    * Scale shape: ONE corpus scan hash-aggs to the milli-unit value
+    * histogram (q174's posture); rank selection is a cumulative window
+    * + full-frame min-when over the domain-bounded histogram — raw
+    * events are never sorted. */
+  val q185MedianCi = QueryDef(
+    "q185_median_ci",
+    (s, d) => {
+      val byVm = Window.partitionBy("event_type").orderBy("vm")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val full = Window.partitionBy("event_type")
+        .rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)
+      Tables.events(s, d)
+        .select(col("event_type"),
+          expr("cast(round(value * 1000) as bigint)").as("vm"))
+        .groupBy("event_type", "vm")
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("cum", sum("cnt").over(byVm))
+        .withColumn("n", sum("cnt").over(full))
+        .withColumn("lo_r", expr(
+          "greatest(1L, cast(floor((n - 1.959964e0 * sqrt(cast(n as" +
+            " double))) / 2e0) as bigint))"))
+        .withColumn("hi_r", expr(
+          "least(n, cast(ceil((n + 2 + 1.959964e0 * sqrt(cast(n as" +
+            " double))) / 2e0) as bigint))"))
+        .withColumn("med",
+          min(when(col("cum") * 2L >= col("n"), col("vm"))).over(full))
+        .withColumn("lo",
+          min(when(col("cum") >= col("lo_r"), col("vm"))).over(full))
+        .withColumn("hi",
+          min(when(col("cum") >= col("hi_r"), col("vm"))).over(full))
+        .groupBy("event_type")
+        .agg(max("n").as("n"), max("med").as("median_milli"),
+          max("lo").as("lo_milli"), max("hi").as("hi_milli"))
+        .withColumn("width_milli", col("hi_milli") - col("lo_milli"))
+        .orderBy("event_type")
+    },
+    Some("""WITH h AS (
+           |  SELECT event_type, CAST(round(value * 1000) AS BIGINT)
+           |      AS vm,
+           |    CAST(count(*) AS BIGINT) AS cnt
+           |  FROM events GROUP BY 1, 2),
+           |c AS (
+           |  SELECT *,
+           |    CAST(sum(cnt) OVER (PARTITION BY event_type ORDER BY vm
+           |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+           |    CAST(sum(cnt) OVER (PARTITION BY event_type) AS BIGINT)
+           |      AS n
+           |  FROM h),
+           |r AS (
+           |  SELECT *,
+           |    greatest(1, CAST(floor((n - 1.959964e0
+           |      * sqrt(CAST(n AS DOUBLE))) / 2e0) AS BIGINT)) AS lo_r,
+           |    least(n, CAST(ceil((n + 2 + 1.959964e0
+           |      * sqrt(CAST(n AS DOUBLE))) / 2e0) AS BIGINT)) AS hi_r
+           |  FROM c),
+           |m AS (
+           |  SELECT *,
+           |    min(CASE WHEN cum * 2 >= n THEN vm END)
+           |      OVER (PARTITION BY event_type) AS med,
+           |    min(CASE WHEN cum >= lo_r THEN vm END)
+           |      OVER (PARTITION BY event_type) AS lo,
+           |    min(CASE WHEN cum >= hi_r THEN vm END)
+           |      OVER (PARTITION BY event_type) AS hi
+           |  FROM r)
+           |SELECT event_type, max(n) AS n, max(med) AS median_milli,
+           |  max(lo) AS lo_milli, max(hi) AS hi_milli,
+           |  max(hi) - max(lo) AS width_milli
+           |FROM m GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[QueryDef] =
     Seq(q137PsiDrift, q138BootstrapCi, q139InterpJoin, q140CupedLift,
       q141RankBattery, q143SurvivalKm, q145SeasonalDecompose,
       q147TheilSen, q148ChiSquare, q149MannWhitney,
       q154Autocorrelation, q159WeightedMedian, q169FeatureRelevance,
       q171ChangePoint, q173ForecastBacktest, q174RobustOutliers,
-      q176StlAnomaly, q184SequentialAb)
+      q176StlAnomaly, q184SequentialAb, q185MedianCi)
 }

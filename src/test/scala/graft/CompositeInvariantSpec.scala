@@ -644,6 +644,27 @@ class CompositeInvariantSpec extends SparkSpec {
     }
   }
 
+  test("q184/q185: interim analysis and CI structural gates") {
+    val seq = SparkEntry.queries("q184_sequential_ab")(spark, sf)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(7)))
+    assert(seq.nonEmpty)
+    var lastBoundary = Long.MaxValue
+    seq.sortBy(_._1).foreach { case (k, cna, cxa, cnb, cxb, b) =>
+      assert(cxa <= cna && cxb <= cnb, s"look $k conversions exceed n")
+      assert(b <= lastBoundary, s"look $k boundary must shrink")
+      lastBoundary = b
+    }
+    val ci = SparkEntry.queries("q185_median_ci")(spark, sf).collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(ci.nonEmpty)
+    ci.foreach { case (et, med, lo, hi, w) =>
+      assert(lo <= med && med <= hi, s"$et median outside its CI")
+      assert(w == hi - lo && w >= 0L, s"$et width identity")
+    }
+  }
+
   test("q168: metric ranges and DCG <= IDCG") {
     val rows = SparkEntry.queries("q168_ir_metrics")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),

@@ -330,4 +330,8 @@ class ScaleInvarianceSpec extends SparkSpec {
   test("q184 sequential A/B invariant to partition count (prefix ints)") {
     invariant("q184_sequential_ab", sf001)
   }
+
+  test("q185 median CI invariant to partition count (order stats)") {
+    invariant("q185_median_ci", sf001)
+  }
 }
