@@ -925,8 +925,86 @@ object Graph {
     },
     None)
 
+  // --------------------------------------------------------------- q186
+  /** Degree assortativity of the co-purchase graph — the Pearson
+    * correlation of endpoint degrees over all (symmetric) edges: do
+    * popular parts co-sell with other popular parts (r > 0, the
+    * "rich club") or with the long tail (r < 0, hub-and-spoke)? The
+    * one-number structural diagnostic that tells a recommender whether
+    * degree is a useful feature, beside q81's clustering and q120's
+    * coreness. All sufficient statistics are exact integer sums over
+    * the edge list (q63's explicit-sum Pearson; squares as
+    * decimal(38,0) ↔ HUGEINT, the q132 convention), so the statistic
+    * is bit-stable.
+    *
+    * Scale shape: q82's two-exchange edge build; the degree table is
+    * |nodes|-sized and BROADCASTS back onto the edge list twice; one
+    * map-side-combined 1-row reduce. */
+  val q186Assortativity = QueryDef(
+    "q186_assortativity",
+    (s, d) => {
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      val pairs = li.as("a").join(li.hint("shuffle_hash").as("b"),
+          col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+        .agg(countDistinct(col("a.ok")).as("n_ord"))
+        .filter(col("n_ord") >= 2)
+      val edges = pairs.select(col("u").as("src"), col("v").as("dst"))
+        .union(pairs.select(col("v").as("src"), col("u").as("dst")))
+        .persist() // referenced by the degree agg AND the edge reduce —
+                   // without this Spark re-runs the wedge join per branch
+      val deg = edges.groupBy(col("src").as("n"))
+        .agg(count(lit(1)).as("deg"))
+      val out = edges
+        .join(broadcast(deg.select(col("n").as("ns"),
+          col("deg").as("dx"))), col("src") === col("ns"))
+        .join(broadcast(deg.select(col("n").as("nd"),
+          col("deg").as("dy"))), col("dst") === col("nd"))
+        .agg(count(lit(1)).as("n_edges"),
+          sum("dx").as("sx"), sum(dec(col("dx")) * dec(col("dx")))
+            .as("sxx"),
+          sum("dy").as("sy"), sum(dec(col("dy")) * dec(col("dy")))
+            .as("syy"),
+          sum(dec(col("dx")) * dec(col("dy"))).as("sxy"))
+        .select(col("n_edges"),
+          expr("cast(round(1e6 * (cast(n_edges * sxy - sx * sy" +
+            " as double))" +
+            " / sqrt(cast(n_edges * sxx - sx * sx as double)" +
+            " * cast(n_edges * syy - sy * sy as double))) as bigint)")
+            .as("assortativity_micro"))
+        .localCheckpoint(true)
+      edges.unpersist()
+      out
+    },
+    Some("""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS p
+           |  FROM lineitem),
+           |pairs AS (SELECT a.p AS u, b.p AS v
+           |  FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p
+           |  GROUP BY 1, 2 HAVING count(DISTINCT a.ok) >= 2),
+           |edges AS MATERIALIZED (SELECT u AS src, v AS dst FROM pairs
+           |  UNION ALL SELECT v, u FROM pairs),
+           |deg AS (SELECT src AS n, CAST(count(*) AS BIGINT) AS deg
+           |  FROM edges GROUP BY 1),
+           |st AS (
+           |  SELECT CAST(count(*) AS BIGINT) AS n_edges,
+           |    CAST(sum(dx.deg) AS BIGINT) AS sx,
+           |    sum(CAST(dx.deg AS HUGEINT) * dx.deg) AS sxx,
+           |    CAST(sum(dy.deg) AS BIGINT) AS sy,
+           |    sum(CAST(dy.deg AS HUGEINT) * dy.deg) AS syy,
+           |    sum(CAST(dx.deg AS HUGEINT) * dy.deg) AS sxy
+           |  FROM edges JOIN deg dx ON src = dx.n
+           |    JOIN deg dy ON dst = dy.n)
+           |SELECT n_edges,
+           |  CAST(round(1e6 * (CAST(n_edges * sxy - sx * sy AS DOUBLE))
+           |    / sqrt(CAST(n_edges * sxx - sx * sx AS DOUBLE)
+           |      * CAST(n_edges * syy - sy * sy AS DOUBLE)))
+           |    AS BIGINT) AS assortativity_micro
+           |FROM st""".stripMargin))
+
   val all: Seq[QueryDef] = Seq(q73CopurchaseRank, q81Triangles, q82BfsLevels,
     q96ConnectedComponents, q98LinkPrediction, q105MutualTop, q120KCore,
     q152LabelCommunities, q163TwoHop, q164AnfSketch,
-    q180HarmonicCentrality)
+    q180HarmonicCentrality, q186Assortativity)
 }

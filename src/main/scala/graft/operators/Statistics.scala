@@ -1913,11 +1913,105 @@ object Statistics {
            |  max(hi) - max(lo) AS width_milli
            |FROM m GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  // --------------------------------------------------------------- q187
+  /** Exact higher moments per event type — skewness g₁, excess
+    * kurtosis g₂, and Sarle's bimodality coefficient (g₁²+1)/(g₂+3) —
+    * the shape screen (heavy tail? two regimes?) that q35's
+    * second-moment battery can't see and that decides between q60's
+    * mean/σ and q174's MAD detectors. Spark's built-in skewness/
+    * kurtosis accumulate FLOATS (partial-order-dependent, and DuckDB's
+    * definitions differ) — here every moment derives from exact power
+    * sums of milli-unit integers: Σv, Σv², Σv³, Σv⁴ move as
+    * decimal(38,0) ↔ HUGEINT (v⁴ ≤ 1.2×10²² already exceeds BIGINT —
+    * the q132 rule one power up), central moments expand from raw
+    * sums in the final 5-row float algebra, mirrored term-for-term.
+    *
+    * Scale shape: ONE map-side-combined hash-agg, O(1) state per
+    * group; nothing else. */
+  val q187HigherMoments = QueryDef(
+    "q187_higher_moments",
+    (s, d) => {
+      def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
+      Tables.events(s, d)
+        .select(col("event_type"),
+          expr("cast(round(value * 1000) as bigint)").as("v"))
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"), sum("v").as("s1"),
+          sum(dec(col("v")) * dec(col("v"))).as("s2"),
+          sum(dec(col("v")) * dec(col("v")) * dec(col("v"))).as("s3"),
+          sum(dec(col("v")) * dec(col("v")) * dec(col("v"))
+            * dec(col("v"))).as("s4"))
+        .select(col("event_type"), col("n"),
+          expr("cast(s1 as double) / n").as("mu"),
+          expr("cast(s2 as double) / n" +
+            " - (cast(s1 as double) / n) * (cast(s1 as double) / n)")
+            .as("m2"),
+          expr("cast(s3 as double) / n" +
+            " - 3e0 * (cast(s1 as double) / n)" +
+            " * (cast(s2 as double) / n)" +
+            " + 2e0 * pow(cast(s1 as double) / n, 3)").as("m3"),
+          expr("cast(s4 as double) / n" +
+            " - 4e0 * (cast(s1 as double) / n)" +
+            " * (cast(s3 as double) / n)" +
+            " + 6e0 * pow(cast(s1 as double) / n, 2)" +
+            " * (cast(s2 as double) / n)" +
+            " - 3e0 * pow(cast(s1 as double) / n, 4)").as("m4"))
+        .select(col("event_type"), col("n"),
+          r4(col("mu") / 1000.0).as("mean"),
+          r6(col("m3") / expr("pow(m2, 1.5e0)")).as("skewness"),
+          r6(col("m4") / (col("m2") * col("m2")) - 3.0).as("ex_kurtosis"),
+          r6((col("m3") / expr("pow(m2, 1.5e0)")
+              * (col("m3") / expr("pow(m2, 1.5e0)")) + 1.0)
+            / (col("m4") / (col("m2") * col("m2"))))
+            .as("bimodality"))
+        .orderBy("event_type")
+    },
+    Some("""WITH s AS (
+           |  SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+           |    CAST(sum(CAST(round(value * 1000) AS BIGINT)) AS BIGINT)
+           |      AS s1,
+           |    sum(CAST(CAST(round(value * 1000) AS BIGINT) AS HUGEINT)
+           |      * CAST(round(value * 1000) AS BIGINT)) AS s2,
+           |    sum(CAST(CAST(round(value * 1000) AS BIGINT) AS HUGEINT)
+           |      * CAST(round(value * 1000) AS BIGINT)
+           |      * CAST(round(value * 1000) AS BIGINT)) AS s3,
+           |    sum(CAST(CAST(round(value * 1000) AS BIGINT) AS HUGEINT)
+           |      * CAST(round(value * 1000) AS BIGINT)
+           |      * CAST(round(value * 1000) AS BIGINT)
+           |      * CAST(round(value * 1000) AS BIGINT)) AS s4
+           |  FROM events GROUP BY 1),
+           |m AS (
+           |  SELECT event_type, n,
+           |    CAST(s1 AS DOUBLE) / n AS mu,
+           |    CAST(s2 AS DOUBLE) / n
+           |      - (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)
+           |      AS m2,
+           |    CAST(s3 AS DOUBLE) / n
+           |      - 3e0 * (CAST(s1 AS DOUBLE) / n)
+           |      * (CAST(s2 AS DOUBLE) / n)
+           |      + 2e0 * pow(CAST(s1 AS DOUBLE) / n, 3) AS m3,
+           |    CAST(s4 AS DOUBLE) / n
+           |      - 4e0 * (CAST(s1 AS DOUBLE) / n)
+           |      * (CAST(s3 AS DOUBLE) / n)
+           |      + 6e0 * pow(CAST(s1 AS DOUBLE) / n, 2)
+           |      * (CAST(s2 AS DOUBLE) / n)
+           |      - 3e0 * pow(CAST(s1 AS DOUBLE) / n, 4) AS m4
+           |  FROM s)
+           |SELECT event_type, n,
+           |  round(mu / 1000.0 * 10000) / 10000 AS mean,
+           |  round(m3 / pow(m2, 1.5e0) * 1000000) / 1000000 AS skewness,
+           |  round((m4 / (m2 * m2) - 3.0) * 1000000) / 1000000
+           |    AS ex_kurtosis,
+           |  round(((m3 / pow(m2, 1.5e0)) * (m3 / pow(m2, 1.5e0)) + 1.0)
+           |    / (m4 / (m2 * m2)) * 1000000) / 1000000 AS bimodality
+           |FROM m ORDER BY event_type""".stripMargin))
+
   val all: Seq[QueryDef] =
     Seq(q137PsiDrift, q138BootstrapCi, q139InterpJoin, q140CupedLift,
       q141RankBattery, q143SurvivalKm, q145SeasonalDecompose,
       q147TheilSen, q148ChiSquare, q149MannWhitney,
       q154Autocorrelation, q159WeightedMedian, q169FeatureRelevance,
       q171ChangePoint, q173ForecastBacktest, q174RobustOutliers,
-      q176StlAnomaly, q184SequentialAb, q185MedianCi)
+      q176StlAnomaly, q184SequentialAb, q185MedianCi,
+      q187HigherMoments)
 }

@@ -665,6 +665,23 @@ class CompositeInvariantSpec extends SparkSpec {
     }
   }
 
+  test("q186/q187: correlation bounds and the Pearson moment inequality") {
+    val a = SparkEntry.queries("q186_assortativity")(spark, sf).head()
+    assert(math.abs(a.getLong(1)) <= 1000000L,
+      s"assortativity outside [-1,1]: ${a.getLong(1)}")
+    val rows = SparkEntry.queries("q187_higher_moments")(spark, sf)
+      .collect()
+      .map(r => (r.getString(0), r.getDouble(3), r.getDouble(4),
+        r.getDouble(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (et, g1, g2, bc) =>
+      // kurtosis >= skewness^2 + 1 (Pearson) <=> BC in (0, 1]
+      assert(g2 + 3.0 >= g1 * g1 + 1.0 - 1e-4,
+        s"$et violates the Pearson inequality")
+      assert(bc > 0.0 && bc <= 1.0 + 1e-4, s"$et bimodality $bc")
+    }
+  }
+
   test("q168: metric ranges and DCG <= IDCG") {
     val rows = SparkEntry.queries("q168_ir_metrics")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),

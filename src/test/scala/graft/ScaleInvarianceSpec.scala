@@ -334,4 +334,12 @@ class ScaleInvarianceSpec extends SparkSpec {
   test("q185 median CI invariant to partition count (order stats)") {
     invariant("q185_median_ci", sf001)
   }
+
+  test("q186 assortativity invariant to partition count (decimal sums)") {
+    invariant("q186_assortativity", sf001)
+  }
+
+  test("q187 higher moments invariant to partition count (power sums)") {
+    invariant("q187_higher_moments", sf001)
+  }
 }
