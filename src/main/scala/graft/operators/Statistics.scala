@@ -2006,6 +2006,93 @@ object Statistics {
            |    / (m4 / (m2 * m2)) * 1000000) / 1000000 AS bimodality
            |FROM m ORDER BY event_type""".stripMargin))
 
+  // --------------------------------------------------------------- q188
+  /** Two-sample Kolmogorov–Smirnov test comparing `value` between
+    * purchase and click events — the whole-distribution companion to
+    * q149's rank-sum (location) and q137's binned PSI (pre-chosen
+    * bins): D = sup|F₁−F₂| sees ANY distributional difference at its
+    * own resolution. The supremum is found EXACTLY in integers: at
+    * every distinct value, |cumA·n_B − cumB·n_A| (cross-multiplied, no
+    * float CDFs), the argmax threshold ties to the smallest value. The
+    * only floats are the final D, the scaled statistic λ =
+    * D·√(n_A·n_B/(n_A+n_B)), and the asymptotic p ≈ 2e^(−2λ²) — each
+    * from exact integers, identical in both engines.
+    *
+    * Scale shape: ONE map-side hash-agg to the milli-unit value
+    * histogram (the q149/q174 posture), cumulative + full-frame
+    * windows over that domain-bounded grid, a 1-row reduce. Cross
+    * products stay BIGINT to ~10⁹ rows per arm (decimal beyond — the
+    * q132 note). */
+  val q188KsTest = QueryDef(
+    "q188_ks_test",
+    (s, d) => {
+      val byVm = Window.orderBy("vm")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val full = Window.partitionBy()
+        .rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)
+      Tables.events(s, d)
+        .filter(col("event_type").isin("purchase", "click"))
+        .select(expr("cast(round(value * 1000) as bigint)").as("vm"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L)
+            .as("isp"))
+        .groupBy("vm")
+        .agg(sum("isp").as("na_c"), sum(lit(1L) - col("isp")).as("nb_c"))
+        .withColumn("cuma", sum("na_c").over(byVm))
+        .withColumn("cumb", sum("nb_c").over(byVm))
+        .withColumn("na", sum("na_c").over(full))
+        .withColumn("nb", sum("nb_c").over(full))
+        .withColumn("num",
+          abs(col("cuma") * col("nb") - col("cumb") * col("na")))
+        .withColumn("mx", max("num").over(full))
+        .groupBy("na", "nb", "mx")
+        .agg(min(when(col("num") === col("mx"), col("vm")))
+          .as("ks_threshold_milli"))
+        .select(col("na").as("n_purchase"), col("nb").as("n_click"),
+          col("ks_threshold_milli"),
+          r6(col("mx").cast("double") / (col("na") * col("nb")))
+            .as("d"),
+          r6(col("mx").cast("double") / (col("na") * col("nb"))
+            * sqrt(col("na").cast("double") * col("nb")
+              / (col("na") + col("nb")))).as("lambda"),
+          r6(lit(2.0) * exp(lit(-2.0)
+            * pow(col("mx").cast("double") / (col("na") * col("nb"))
+              * sqrt(col("na").cast("double") * col("nb")
+                / (col("na") + col("nb"))), 2.0))).as("p_asymptotic"))
+    },
+    Some("""WITH h AS (
+           |  SELECT CAST(round(value * 1000) AS BIGINT) AS vm,
+           |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0
+           |      END) AS BIGINT) AS na_c,
+           |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+           |      END) AS BIGINT) AS nb_c
+           |  FROM events WHERE event_type IN ('purchase', 'click')
+           |  GROUP BY 1),
+           |c AS (
+           |  SELECT *,
+           |    CAST(sum(na_c) OVER (ORDER BY vm ROWS UNBOUNDED
+           |      PRECEDING) AS BIGINT) AS cuma,
+           |    CAST(sum(nb_c) OVER (ORDER BY vm ROWS UNBOUNDED
+           |      PRECEDING) AS BIGINT) AS cumb,
+           |    CAST(sum(na_c) OVER () AS BIGINT) AS na,
+           |    CAST(sum(nb_c) OVER () AS BIGINT) AS nb
+           |  FROM h),
+           |n AS (
+           |  SELECT *, abs(cuma * nb - cumb * na) AS num,
+           |    max(abs(cuma * nb - cumb * na)) OVER () AS mx
+           |  FROM c)
+           |SELECT na AS n_purchase, nb AS n_click,
+           |  min(CASE WHEN num = mx THEN vm END) AS ks_threshold_milli,
+           |  round(CAST(mx AS DOUBLE) / (na * nb) * 1000000) / 1000000
+           |    AS d,
+           |  round(CAST(mx AS DOUBLE) / (na * nb)
+           |    * sqrt(CAST(na AS DOUBLE) * nb / (na + nb)) * 1000000)
+           |    / 1000000 AS lambda,
+           |  round(2.0 * exp(-2.0 * pow(CAST(mx AS DOUBLE) / (na * nb)
+           |    * sqrt(CAST(na AS DOUBLE) * nb / (na + nb)), 2.0))
+           |    * 1000000) / 1000000 AS p_asymptotic
+           |FROM n GROUP BY 1, 2, mx""".stripMargin))
+
   val all: Seq[QueryDef] =
     Seq(q137PsiDrift, q138BootstrapCi, q139InterpJoin, q140CupedLift,
       q141RankBattery, q143SurvivalKm, q145SeasonalDecompose,
@@ -2013,5 +2100,5 @@ object Statistics {
       q154Autocorrelation, q159WeightedMedian, q169FeatureRelevance,
       q171ChangePoint, q173ForecastBacktest, q174RobustOutliers,
       q176StlAnomaly, q184SequentialAb, q185MedianCi,
-      q187HigherMoments)
+      q187HigherMoments, q188KsTest)
 }

@@ -682,6 +682,22 @@ class CompositeInvariantSpec extends SparkSpec {
     }
   }
 
+  test("q188: KS structural gates — D in [0,1], p in (0,2], threshold real") {
+    val s = spark
+    val r = SparkEntry.queries("q188_ks_test")(s, sf).head()
+    val (na, nb, thr, dd, p) = (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getDouble(3), r.getDouble(5))
+    assert(na > 0L && nb > 0L)
+    assert(dd >= 0.0 && dd <= 1.0, s"D outside [0,1]: $dd")
+    assert(p > 0.0 && p <= 2.0, s"asymptotic p outside (0,2]: $p")
+    // the argmax threshold must be an actually-observed milli value
+    val vals = Tables.events(s, sf)
+      .filter(col("event_type").isin("purchase", "click"))
+      .select(expr("cast(round(value * 1000) as bigint)").as("vm"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    assert(vals(thr), s"threshold $thr not an observed value")
+  }
+
   test("q168: metric ranges and DCG <= IDCG") {
     val rows = SparkEntry.queries("q168_ir_metrics")(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),

@@ -342,4 +342,8 @@ class ScaleInvarianceSpec extends SparkSpec {
   test("q187 higher moments invariant to partition count (power sums)") {
     invariant("q187_higher_moments", sf001)
   }
+
+  test("q188 KS statistic invariant to partition count (cross-mult)") {
+    invariant("q188_ks_test", sf001)
+  }
 }
