@@ -49,21 +49,39 @@ object Bench {
       System.gc()
       if (ok) dt else -1.0
     }
+    // Calibration probe: a fixed CPU+shuffle-shaped synthetic timed before
+    // and after the sweep. Its drift is a pure host-load signal (the probe
+    // never changes round-to-round), letting a reader normalize totals
+    // when the machine is busy instead of mis-reading weather as
+    // regressions (the q73 lesson: 7.3s→14.6s from concurrent load alone).
+    def calibrate(): Double = {
+      val t0 = System.nanoTime()
+      spark.range(50000000L).selectExpr("id % 1000 as k", "id as v")
+        .groupBy("k").agg(org.apache.spark.sql.functions.sum("v"))
+        .write.format("noop").mode("overwrite").save()
+      System.gc()
+      (System.nanoTime() - t0) / 1e9
+    }
+    val calibBefore = calibrate()
     val firstPass = wanted.map { case (name, fn) => name -> time1(name, fn) }
     // One-off spikes (a full-GC pause, driver-machine contention, a cold
     // page cache) can inflate a single query 10-20×; re-time outliers once
     // and keep the min so the bench reflects the plan, not the weather.
     val oks = firstPass.map(_._2).filter(_ >= 0).sorted
     val median = if (oks.isEmpty) 0.0 else oks(oks.length / 2)
-    // Heavy queries (>5s: iterative graph/shuffle-bound) also swing ~2×
-    // run-to-run from GC/page-cache weather even when they aren't formal
-    // outliers, so they always get a second trial; min-of-2 pins the tail
-    // numbers to the plan's cost rather than the run's.
-    val results = firstPass.map { case (name, t) =>
-      if (t > 5.0 || t > math.max(2.0, 3 * median))
-        name -> math.min(t, time1(name, wanted.toMap.apply(name)))
-      else name -> t
+    // Any query ≥1s swings with GC/page-cache weather run-to-run, so all
+    // of them get a second trial; min-of-2 pins the reported number to the
+    // plan's cost rather than the run's. (Sub-second queries are dominated
+    // by fixed job-scheduling overhead and stay single-trial.)
+    val trials = firstPass.map { case (name, t) =>
+      if (t > 1.0 || t > math.max(2.0, 3 * median))
+        (name, t, time1(name, wanted.toMap.apply(name)))
+      else (name, t, -1.0)
     }
+    val results = trials.map { case (name, t1, t2) =>
+      name -> (if (t2 >= 0) math.min(t1, t2) else t1)
+    }
+    val calibAfter = calibrate()
     // The reporting line must stay SHORT: the driver keeps only a tail of
     // the sbt output, and a ~2.7 kB line gets head-truncated past parsing.
     // Short keys = the unique prefix before the first '_' (q01, d03, t04…);
@@ -85,6 +103,33 @@ object Bench {
         (line + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write bench_last.json: ${e.getMessage}") }
+    // Durable FULL artifact: every query under its full name with both
+    // trials, so a later round can diff per-query times mechanically
+    // without depending on the driver's bounded stdout-tail capture
+    // (BENCH_r07.json lost 129 of 286 entries to that truncation).
+    try {
+      val ts = java.time.Instant.now().toString
+      val entries = trials.map { case (name, t1, t2) =>
+        val best = if (t2 >= 0) math.min(t1, t2) else t1
+        f"""    "$name": {"sec": $best%.3f, "t1": $t1%.3f, "t2": ${
+          if (t2 >= 0) f"$t2%.3f" else "null"}}"""
+      }.mkString(",\n")
+      val full =
+        f"""{
+           |  "metric": "total", "value": $total%.3f, "unit": "sec",
+           |  "sf": "$sfDir", "cpus": "${sys.env.getOrElse(
+            "SPARK_GRAFT_CPUS", "4")}", "generated_at": "$ts",
+           |  "n_queries": ${results.size},
+           |  "calibration_sec": {"before": $calibBefore%.3f, "after": $calibAfter%.3f},
+           |  "queries": {
+           |$entries
+           |  }
+           |}
+           |""".stripMargin
+      java.nio.file.Files.write(java.nio.file.Paths.get("bench_full.json"),
+        full.getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write bench_full.json: ${e.getMessage}") }
     spark.stop()
   }
 }

@@ -116,8 +116,12 @@ class ArchiveScanBuilder(rows: Long, parts: Int) extends ScanBuilder
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, rejected) = filters.partition {
       case EqualTo("event_type", _: String) => true
-      case GreaterThanOrEqual("event_id", _) => true
-      case LessThan("event_id", _) => true
+      // Only the literal types prunedRanges can enforce; anything else
+      // stays a Spark-side residual so no filter is silently dropped.
+      case GreaterThanOrEqual("event_id", _: Long) => true
+      case GreaterThanOrEqual("event_id", _: Int) => true
+      case LessThan("event_id", _: Long) => true
+      case LessThan("event_id", _: Int) => true
       case _ => false
     }
     pushed = accepted

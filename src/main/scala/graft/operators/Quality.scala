@@ -204,7 +204,11 @@ object Quality {
           expr("cast(round(noise * 1e6) as bigint)").as("noise_micro"),
           (col("n") * 1000000L
             + expr("cast(round(noise * 1e6) as bigint)")).as("noisy_n_micro"),
-          lit(500000L).as("eps_micro"))
+          lit(500000L).as("eps_claimed_micro"),
+          // Noise is md5-derived and reproducible — NOT a calibrated DP
+          // mechanism. The column makes the output self-describing so a
+          // consumer can't mistake the demo for a formal epsilon.
+          lit("deterministic-demo").as("mechanism"))
         .orderBy("event_type")
     },
     Some("""WITH g AS (
@@ -223,7 +227,8 @@ object Quality {
            |  CAST(round(noise * 1e6) AS BIGINT) AS noise_micro,
            |  n * 1000000 + CAST(round(noise * 1e6) AS BIGINT)
            |    AS noisy_n_micro,
-           |  CAST(500000 AS BIGINT) AS eps_micro
+           |  CAST(500000 AS BIGINT) AS eps_claimed_micro,
+           |  'deterministic-demo' AS mechanism
            |FROM nz ORDER BY event_type""".stripMargin))
 
   // --------------------------------------------------------------- q167

@@ -77,8 +77,9 @@ object Statistics {
       val grid = Tables.events(s, d)
         .select(col("event_type"),
           expr(s"unix_micros(ts) div ${DayUs}L").as("day"),
-          least(expr("cast(round(value * 1000) as bigint) div 50000"),
-            lit(9L)).as("bin"))
+          greatest(least(
+            expr("cast(round(value * 1000) as bigint) div 50000"),
+            lit(9L)), lit(0L)).as("bin"))
         .crossJoin(broadcast(span))
         .withColumn("is_train", col("day") < expr("(d0 + d1 + 1) div 2"))
         .groupBy("event_type", "bin")
@@ -92,7 +93,8 @@ object Statistics {
            |  FROM events),
            |grid AS (
            |  SELECT event_type,
-           |    least(CAST(round(value * 1000) AS BIGINT) // 50000, 9)
+           |    greatest(least(CAST(round(value * 1000) AS BIGINT)
+           |        // 50000, 9), 0)
            |      AS bin,
            |    CAST(sum(CASE WHEN epoch_us(ts) // ${DayUs}
            |        < (d0 + d1 + 1) // 2 THEN 1 ELSE 0 END) AS BIGINT)
@@ -1214,8 +1216,9 @@ object Statistics {
           struct(lit("weekday").as("feature"),
             expr(s"(unix_micros(ts) div ${DayUs}L) % 7").as("y")),
           struct(lit("value_band").as("feature"),
-            least(expr("cast(round(value * 1000) as bigint) div 50000"),
-              lit(9L)).as("y")))).as("f"))
+            greatest(least(
+              expr("cast(round(value * 1000) as bigint) div 50000"),
+              lit(9L)), lit(0L)).as("y")))).as("f"))
       .select(col("x"), col("f.feature").as("feature"), col("f.y").as("y"))
 
   val q169FeatureRelevance = QueryDef(
@@ -1226,7 +1229,8 @@ object Statistics {
     Some(s"""WITH ev AS (
             |  SELECT event_type AS x,
             |    (epoch_us(ts) // ${DayUs}) % 7 AS wd,
-            |    least(CAST(round(value * 1000) AS BIGINT) // 50000, 9) AS vb
+            |    greatest(least(CAST(round(value * 1000) AS BIGINT)
+            |        // 50000, 9), 0) AS vb
             |  FROM events),
             |cells AS (
             |  SELECT 'weekday' AS feature, x, wd AS y,
@@ -2023,32 +2027,32 @@ object Statistics {
     * windows over that domain-bounded grid, a 1-row reduce. Cross
     * products stay BIGINT to ~10⁹ rows per arm (decimal beyond — the
     * q132 note). */
-  val q188KsTest = QueryDef(
-    "q188_ks_test",
-    (s, d) => {
-      val byVm = Window.orderBy("vm")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val full = Window.partitionBy()
-        .rowsBetween(Window.unboundedPreceding,
-          Window.unboundedFollowing)
-      Tables.events(s, d)
-        .filter(col("event_type").isin("purchase", "click"))
-        .select(expr("cast(round(value * 1000) as bigint)").as("vm"),
-          when(col("event_type") === "purchase", 1L).otherwise(0L)
-            .as("isp"))
-        .groupBy("vm")
-        .agg(sum("isp").as("na_c"), sum(lit(1L) - col("isp")).as("nb_c"))
-        .withColumn("cuma", sum("na_c").over(byVm))
-        .withColumn("cumb", sum("nb_c").over(byVm))
-        .withColumn("na", sum("na_c").over(full))
-        .withColumn("nb", sum("nb_c").over(full))
-        .withColumn("num",
-          abs(col("cuma") * col("nb") - col("cumb") * col("na")))
-        .withColumn("mx", max("num").over(full))
-        .groupBy("na", "nb", "mx")
-        .agg(min(when(col("num") === col("mx"), col("vm")))
-          .as("ks_threshold_milli"))
-        .select(col("na").as("n_purchase"), col("nb").as("n_click"),
+  /** q188's histogram → D/λ/p projection, shared with the ksStream
+    * twin (identical code over identical integer counters ⇒
+    * bit-for-bit — the q149Finish precedent). `h` columns: vm
+    * (milli-unit value bin), n1 (purchase count), n2 (click count).
+    * Sentinel / other-event bins arriving as (0, 0) cells are inert:
+    * they repeat the previous bin's cumulative counts, so they can
+    * only tie an existing supremum at a LARGER vm, which the
+    * min-threshold projection never selects. */
+  def q188Finish(h: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val byVm = Window.orderBy("vm")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val full = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+    h.withColumn("cuma", sum("n1").over(byVm))
+      .withColumn("cumb", sum("n2").over(byVm))
+      .withColumn("na", sum("n1").over(full))
+      .withColumn("nb", sum("n2").over(full))
+      .withColumn("num",
+        abs(col("cuma") * col("nb") - col("cumb") * col("na")))
+      .withColumn("mx", max("num").over(full))
+      .groupBy("na", "nb", "mx")
+      .agg(min(when(col("num") === col("mx"), col("vm")))
+        .as("ks_threshold_milli"))
+      .select(col("na").as("n_purchase"), col("nb").as("n_click"),
           col("ks_threshold_milli"),
           r6(col("mx").cast("double") / (col("na") * col("nb")))
             .as("d"),
@@ -2059,7 +2063,18 @@ object Statistics {
             * pow(col("mx").cast("double") / (col("na") * col("nb"))
               * sqrt(col("na").cast("double") * col("nb")
                 / (col("na") + col("nb"))), 2.0))).as("p_asymptotic"))
-    },
+  }
+
+  val q188KsTest = QueryDef(
+    "q188_ks_test",
+    (s, d) =>
+      q188Finish(Tables.events(s, d)
+        .filter(col("event_type").isin("purchase", "click"))
+        .select(expr("cast(round(value * 1000) as bigint)").as("vm"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L)
+            .as("isp"))
+        .groupBy("vm")
+        .agg(sum("isp").as("n1"), sum(lit(1L) - col("isp")).as("n2"))),
     Some("""WITH h AS (
            |  SELECT CAST(round(value * 1000) AS BIGINT) AS vm,
            |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0

@@ -1343,8 +1343,9 @@ object Stateful {
           struct(lit("weekday").as("feature"),
             expr(s"(unix_micros(ts) div ${DayUs}L) % 7").as("y")),
           struct(lit("value_band").as("feature"),
-            least(expr("cast(round(value * 1000) as bigint) div 50000"),
-              lit(9L)).as("y")))).as("f"))
+            greatest(least(
+              expr("cast(round(value * 1000) as bigint) div 50000"),
+              lit(9L)), lit(0L)).as("y")))).as("f"))
       .select(col("f.feature").as("feature"), col("x"), col("f.y").as("y"),
         col("ts"))
       .as[(String, String, Long, java.sql.Timestamp)](
@@ -2265,8 +2266,9 @@ object Stateful {
     val mid = (d0 + d1 + 1) / 2
     val ds = df.withWatermark("ts", slack)
       .select(col("event_type"), col("ts"),
-        least(expr("cast(round(value * 1000) as bigint) div 50000"),
-          lit(9L)).as("bin"))
+        greatest(least(
+          expr("cast(round(value * 1000) as bigint) div 50000"),
+          lit(9L)), lit(0L)).as("bin"))
       .as[(String, java.sql.Timestamp, Long)]
     ds.groupByKey(r => (r._1, r._3))
       .flatMapGroupsWithState(OutputMode.Append,
@@ -2452,6 +2454,24 @@ object Stateful {
           }
       }
   }
+
+  /** Streaming twin of q188's histogram pass — the LIVE two-sample
+    * Kolmogorov–Smirnov monitor. The KS supremum folds over EXACTLY
+    * the state mannWhitneyStream already keeps: two commutative
+    * counters per milli-unit value bin, closed once when the watermark
+    * passes `endDay`. One state store therefore serves BOTH the
+    * location test (rank-sum) and the whole-distribution test (KS) —
+    * at 100 TB the ingest pays for the histogram once and every
+    * readout is a projection over the emitted domain-bounded grid.
+    * The D/λ/p projection runs via operators.Statistics.q188Finish —
+    * identical code to batch, so the twin is bit-for-bit; (0, 0)
+    * sentinel bins are inert (see q188Finish's scaladoc).
+    *
+    * Input columns: vm (BIGINT milli-value bin), grp (1 purchase /
+    * 0 click / anything else ignored), ts. */
+  def ksStream(df: DataFrame, endDay: Long,
+      slack: String = "2 hours"): Dataset[MwBin] =
+    mannWhitneyStream(df, endDay, slack)
 
   /** One closed order's SLA observation (q131's `j` table). */
   final case class SlaGap(o_orderpriority: String, gap_days: Long)

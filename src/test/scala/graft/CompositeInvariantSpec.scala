@@ -321,10 +321,13 @@ class CompositeInvariantSpec extends SparkSpec {
   }
 
   test("q162: noisy count = true count + noise; ledger constant") {
-    val rows = SparkEntry.queries("q162_dp_release")(spark, sf).collect()
+    val raw = SparkEntry.queries("q162_dp_release")(spark, sf).collect()
+    val rows = raw
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4)))
     assert(rows.nonEmpty)
+    // The release must self-describe as a reproducible demo, not real DP
+    raw.foreach(r => assert(r.getString(5) == "deterministic-demo"))
     rows.foreach { case (et, n, noise, noisy, eps) =>
       assert(noisy == n * 1000000L + noise, s"$et additivity broken")
       assert(eps == 500000L)

@@ -1860,4 +1860,34 @@ class OrderedReplaySpec extends SparkSpec {
       s"stream-only: ${streamed.toSet.diff(batch.toSet).take(3)}; " +
         s"batch-only: ${batch.toSet.diff(streamed.toSet).take(3)}")
   }
+
+  test("streaming KS: shared histogram counters == batch q188") {
+    val s = spark
+    import s.implicits._
+    val dmax = Tables.events(s, sf)
+      .select(expr("unix_micros(ts) div 86400000000L").as("day"))
+      .agg(max("day")).head.getLong(0)
+    val out = runStream("ooo_ks")(df =>
+      Stateful.ksStream(df.select(
+        expr("cast(round(value * 1000) as bigint)").as("vm"),
+        when(col("event_type") === "purchase", 1)
+          .when(col("event_type") === "click", 0)
+          .otherwise(-1).as("grp"),
+        col("ts")), dmax))
+    // re-materialize locally (established twin-test pattern); sentinel
+    // and non-purchase/click bins arrive as exact-zero cells that the
+    // q188Finish supremum provably never selects (see its scaladoc)
+    val bins = out.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(bins.nonEmpty)
+    val streamed = operators.Statistics.q188Finish(
+        bins.toSeq.toDF("vm", "n1", "n2")).collect()
+      .map(_.toString).toSeq
+    val batch = SparkEntry.queries("q188_ks_test")(s, sf).collect()
+      .map(_.toString).toSeq
+    // identical supremum/λ/p code over identical integer counters
+    assert(streamed == batch,
+      s"stream-only: ${streamed.toSet.diff(batch.toSet).take(3)}; " +
+        s"batch-only: ${batch.toSet.diff(streamed.toSet).take(3)}")
+  }
 }
