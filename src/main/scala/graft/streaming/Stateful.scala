@@ -2156,6 +2156,112 @@ object Stateful {
         OutputMode.Append())
   }
 
+  /** q100's TWAP machine on Spark 4's `transformWithState` — the
+    * second gap-sensitive twin ported off the fMGWS reorder harness
+    * (after SessionProcessor): twapStream's orderedPerKeyBy must
+    * rewrite its whole pending-row Seq into one state cell every
+    * batch, while state-v2's `ListState.appendValue` absorbs the
+    * out-of-order feed O(1) per row. A `ValueState` carries the open
+    * day's integer accumulators (exact cents, ms-weighted cent-ms
+    * products), and one re-armed event-time timer per key drains rows
+    * strictly below the watermark in (ts, event_id) order: each
+    * drained tick settles the PREVIOUS tick's piecewise-constant
+    * weight; a day closes on drain-order midnight crossover (last
+    * tick runs to day end — the batch lead()-coalesce) or, via the
+    * same timer, when the watermark passes day end with no successor.
+    * Emissions are the same all-integer TwapDay rows as twapStream,
+    * so parity with batch q100 is bit-for-bit. Requires the RocksDB
+    * provider. */
+  class TwapProcessor extends StatefulProcessor[String, Ev, TwapDay] {
+    import org.apache.spark.sql.Encoders
+    private val DayUs = 86400000000L
+    @transient private var buf: ListState[Ev] = _
+    @transient private var open: ValueState[TwapState] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      buf = getHandle.getListState[Ev]("buf",
+        Encoders.tuple(Encoders.scalaLong, Encoders.TIMESTAMP,
+          Encoders.scalaLong, Encoders.STRING, Encoders.scalaDouble),
+        TTLConfig.NONE)
+      open = getHandle.getValueState[TwapState]("open",
+        Encoders.product[TwapState], TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[Ev],
+        timerValues: TimerValues): Iterator[TwapDay] = {
+      rows.foreach(buf.appendValue)
+      getHandle.registerTimer(timerValues.getCurrentWatermarkInMs() + 1L)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: String, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[TwapDay] = {
+      val wm = timerValues.getCurrentWatermarkInMs()
+      val all = buf.get().toSeq
+      // strict <: the orderedPerKey microsecond-boundary caveat
+      val (ready, hold) = all.partition(_._2.getTime < wm)
+      val out = Seq.newBuilder[TwapDay]
+      def centsOf(v: Double): Long =
+        java.math.BigDecimal.valueOf(v * 100)
+          .setScale(0, java.math.RoundingMode.HALF_UP).longValue()
+      def settle(st: TwapState, untilUs: Long): TwapState = {
+        val w = Math.floorDiv(untilUs - st.lastUs, 1000L)
+        st.copy(swv = st.swv + st.lastCents * w, durMs = st.durMs + w)
+      }
+      def close(st: TwapState): Unit =
+        if (st.curDay >= 0L) {
+          val fin = settle(st, (st.curDay + 1L) * DayUs)
+          out += TwapDay(key, fin.curDay, fin.n, fin.durMs, fin.swv,
+            fin.scents)
+        }
+      val empty = TwapState(-1L, 0L, 0L, 0L, 0L, 0L, 0L)
+      var st: TwapState = if (open.exists()) open.get() else empty
+      ready.sortBy(e => (e._2.getTime, e._2.getNanos, e._3)).foreach { e =>
+        val t = microsOf(e._2)
+        val day = Math.floorDiv(t, DayUs)
+        val cents = centsOf(e._5)
+        if (st.curDay == -1L)
+          st = TwapState(day, 1L, 0L, cents, 0L, t, cents)
+        else if (day == st.curDay) {
+          val s2 = settle(st, t)
+          st = s2.copy(n = s2.n + 1L, scents = s2.scents + cents,
+            lastUs = t, lastCents = cents)
+        } else {
+          close(st)
+          st = TwapState(day, 1L, 0L, cents, 0L, t, cents)
+        }
+      }
+      // no successor can precede the watermark anymore: once it passes
+      // day end, the open day's last tick runs to midnight and closes
+      if (st.curDay >= 0L && wm >= (st.curDay + 1L) * 86400000L) {
+        close(st)
+        st = empty
+      }
+      buf.clear()
+      hold.foreach(buf.appendValue)
+      open.update(st)
+      if (hold.nonEmpty || st.curDay >= 0L)
+        getHandle.registerTimer(wm + 1L)
+      out.result().iterator
+    }
+  }
+
+  /** The transformWithState TWAP twin (see TwapProcessor). */
+  def twapTws(df: DataFrame, slack: String = "2 hours")
+      : Dataset[TwapDay] = {
+    import org.apache.spark.sql.Encoders
+    implicit val outEnc: Encoder[TwapDay] = Encoders.product[TwapDay]
+    implicit val keyEnc: Encoder[String] = Encoders.STRING
+    implicit val evEnc: Encoder[Ev] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.TIMESTAMP,
+        Encoders.scalaLong, Encoders.STRING, Encoders.scalaDouble)
+    val ds = df.withWatermark("ts", slack)
+      .select("user_id", "ts", "event_id", "event_type", "value").as[Ev]
+    ds.groupByKey(_._4)
+      .transformWithState(new TwapProcessor, TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
   /** One user's closed time-to-event observation (q143's `durs` row). */
   final case class DurRow(user_id: Long, t: Long, ev: Long)
   final case class SurvState(minSignupUs: Long, minQualUs: Long,

@@ -1710,6 +1710,125 @@ class OrderedReplaySpec extends SparkSpec {
     }
   }
 
+  test("transformWithState twap: ListState buffer == batch q100") {
+    val s = spark
+    import graft.functions.Rounding.r6
+    val prev = s.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val out = runStream("tws_twap")(df => Stateful.twapTws(df))
+      // identical final-division expressions over the streamed integers
+      // as the batch query applies to its aggregates — bit-for-bit
+      val streamed = out.filter("event_type <> 'zz_sentinel'")
+        .select(col("event_type"), col("day"), col("n_events"),
+          col("dur_ms"),
+          r6(col("swv").cast("double") / col("dur_ms") / 100).as("twap"),
+          r6(col("scents").cast("double") / col("n_events") / 100)
+            .as("mean_value"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))
+        .toMap
+      val batch = SparkEntry.queries("q100_twap")(s, sf)
+        .withColumn("day",
+          datediff(col("day"), lit("1970-01-01")).cast("long"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))
+        .toMap
+      assert(streamed.nonEmpty)
+      assert(streamed == batch,
+        s"stream-only: ${streamed.toSet.diff(batch.toSet).take(3)}; " +
+          s"batch-only: ${batch.toSet.diff(streamed.toSet).take(3)}")
+    } finally {
+      if (prev.isEmpty)
+        s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      else s.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    }
+  }
+
+  test("transformWithState twap survives a checkpoint restart") {
+    // the TwapProcessor recovery pin: the ListState buffer, the open
+    // day's integer accumulators, and the re-armed timer must all
+    // round-trip RocksDB — a restart that drops buffered ticks would
+    // mis-weight the day, one that replays them twice would inflate n
+    val s = spark
+    import s.implicits._
+    import graft.functions.Rounding.r6
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+
+    val prev = s.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val (shuffled, sentinelTs) = shuffledEvents()
+      val ck = tmpDir("tws_twap_restart_ck")
+      val got = java.util.concurrent.ConcurrentHashMap
+        .newKeySet[(String, Long, Long, Long, Long, Long)]()
+      val input = MemoryStream[Stateful.Ev]
+      def start() =
+        Stateful.twapTws(
+            input.toDS().toDF("user_id", "ts", "event_id", "event_type",
+              "value"))
+          .writeStream
+          .foreachBatch {
+            (ds: org.apache.spark.sql.Dataset[Stateful.TwapDay],
+                _: Long) =>
+              ds.collect().foreach(r => got.add(
+                (r.event_type, r.day, r.n_events, r.dur_ms, r.swv,
+                  r.scents)))
+          }
+          .option("checkpointLocation", ck)
+          .trigger(Trigger.ProcessingTime(50)).start()
+
+      val q1 = start()
+      val half = shuffled.length / 2
+      input.addData(shuffled.slice(0, half).toSeq)
+      q1.processAllAvailable()
+      q1.stop()
+
+      val q2 = start()
+      input.addData(shuffled.drop(half).toSeq)
+      q2.processAllAvailable()
+      input.addData((-1L, sentinelTs, -1L, "zz_sentinel", 0.0))
+      q2.processAllAvailable()
+      q2.stop()
+
+      import scala.jdk.CollectionConverters._
+      val rows = got.asScala.toSeq.filter(_._1 != "zz_sentinel")
+      assert(rows.nonEmpty)
+      val streamed = rows
+        .toDF("event_type", "day", "n_events", "dur_ms", "swv", "scents")
+        .select(col("event_type"), col("day"), col("n_events"),
+          col("dur_ms"),
+          r6(col("swv").cast("double") / col("dur_ms") / 100).as("twap"),
+          r6(col("scents").cast("double") / col("n_events") / 100)
+            .as("mean_value"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))
+        .toMap
+      val batch = SparkEntry.queries("q100_twap")(s, sf)
+        .withColumn("day",
+          datediff(col("day"), lit("1970-01-01")).cast("long"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3), r.getDouble(4), r.getDouble(5)))
+        .toMap
+      assert(streamed == batch,
+        s"restart broke TwapProcessor recovery: stream-only " +
+          s"${streamed.toSet.diff(batch.toSet).take(3)}; batch-only " +
+          s"${batch.toSet.diff(streamed.toSet).take(3)}")
+    } finally {
+      if (prev.isEmpty)
+        s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      else s.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    }
+  }
+
   test("streaming sequential A/B: interim grid == batch q184") {
     val s = spark
     import s.implicits._
