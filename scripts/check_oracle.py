@@ -9,6 +9,16 @@ import duckdb
 import pandas as pd
 
 sfdir, outdir = sys.argv[1], sys.argv[2]
+# optional third arg: write a CORRECTNESS_r*-shaped JSON artifact so a
+# non-driver run (e.g. the sf0.1 sweep) is mechanically diffable
+json_out = sys.argv[3] if len(sys.argv) > 3 else None
+report = {}
+
+def record(name, rows_match=None, schema_match=None, hash_match=None,
+           spark_rows=None, oracle_rows=None, err=None):
+    report[name] = {"rows_match": rows_match, "schema_match": schema_match,
+                    "hash_match": hash_match, "spark_rows": spark_rows,
+                    "oracle_rows": oracle_rows, "err": err}
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
@@ -30,18 +40,25 @@ fails = 0
 for name in sorted(oracle):
     files = glob.glob(os.path.join(outdir, name, "*.parquet"))
     if not files:
-        print(f"FAIL {name}: no spark output"); fails += 1; continue
+        print(f"FAIL {name}: no spark output"); fails += 1
+        record(name, err="no_spark_output"); continue
     spark_df = canon(pd.concat([pd.read_parquet(f) for f in files]))
     try:
         duck_df = canon(con.sql(oracle[name]).df())
     except Exception as e:
-        print(f"FAIL {name}: oracle error {e}"); fails += 1; continue
+        print(f"FAIL {name}: oracle error {e}"); fails += 1
+        record(name, spark_rows=len(spark_df), err=f"oracle_error: {e}")
+        continue
     if list(spark_df.columns) != list(duck_df.columns):
         print(f"FAIL {name}: cols spark={list(spark_df.columns)} duck={list(duck_df.columns)}")
-        fails += 1; continue
+        fails += 1
+        record(name, schema_match=False, spark_rows=len(spark_df),
+               oracle_rows=len(duck_df)); continue
     if len(spark_df) != len(duck_df):
         print(f"FAIL {name}: rows spark={len(spark_df)} duck={len(duck_df)}")
-        fails += 1; continue
+        fails += 1
+        record(name, rows_match=False, schema_match=True,
+               spark_rows=len(spark_df), oracle_rows=len(duck_df)); continue
     # value compare (exact, like a hash compare would be).
     # The driver hashes TYPED values, so an int64 column on one side vs
     # a float/HUGEINT-widened column on the other must FAIL here too —
@@ -97,8 +114,12 @@ for name in sorted(oracle):
             print("  spark:", spark_df[m][c].head(3).tolist(),
                   " duck:", duck_df[m][c].head(3).tolist())
         fails += 1
+        record(name, rows_match=True, schema_match=True, hash_match=False,
+               spark_rows=len(spark_df), oracle_rows=len(duck_df))
     else:
         print(f"OK   {name} ({len(spark_df)} rows)")
+        record(name, rows_match=True, schema_match=True, hash_match=True,
+               spark_rows=len(spark_df), oracle_rows=len(duck_df))
 
 # rows-only queries (no oracle): just check non-empty
 for p in sorted(glob.glob(os.path.join(outdir, "*"))):
@@ -108,7 +129,12 @@ for p in sorted(glob.glob(os.path.join(outdir, "*"))):
     files = glob.glob(os.path.join(p, "*.parquet"))
     n = sum(len(pd.read_parquet(f)) for f in files) if files else 0
     print(("OK  " if n > 0 else "FAIL") + f" {name} rows-only ({n} rows)")
+    record(name, spark_rows=n, err="no_oracle")
     if n == 0: fails += 1
+
+if json_out:
+    with open(json_out, "w") as f:
+        json.dump(report, f, indent=1, sort_keys=True)
 
 print(f"\n{fails} failures")
 sys.exit(1 if fails else 0)

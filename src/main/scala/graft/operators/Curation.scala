@@ -1057,10 +1057,10 @@ object Curation {
            |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
            |      % 32 AS shard,
            |    n_chars,
-           |    CAST(round((206.835
-           |      - 1.015 * len(regexp_extract_all(text, '\S+'))
+           |    CAST(round((206.835e0
+           |      - 1.015e0 * len(regexp_extract_all(text, '\S+'))
            |        / greatest(1, len(regexp_extract_all(text, '[.!?]+')))
-           |      - 84.6 * len(regexp_extract_all(lower(text), '[aeiouy]+'))
+           |      - 84.6e0 * len(regexp_extract_all(lower(text), '[aeiouy]+'))
            |        / len(regexp_extract_all(text, '\S+'))) * 1000000)
            |      AS BIGINT) AS fl_micro
            |  FROM documents

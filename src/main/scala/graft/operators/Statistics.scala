@@ -1589,7 +1589,7 @@ object Statistics {
            |  max(mad) AS mad_milli,
            |  CAST(sum(CASE WHEN 6745 * dm > 35000 * mad THEN c2 ELSE 0
            |    END) AS BIGINT) AS n_outliers,
-           |  round(0.6745 * max(dm) / max(mad) * 10000) / 10000
+           |  round(0.6745e0 * max(dm) / max(mad) * 10000) / 10000
            |    AS max_abs_z
            |FROM m2 GROUP BY 1 ORDER BY 1""".stripMargin))
 
@@ -1716,7 +1716,7 @@ object Statistics {
            |    END) AS BIGINT) AS n_anomalies,
            |  min(CASE WHEN dm = maxdm THEN day END) AS worst_day,
            |  CASE WHEN max(mad) > 0
-           |    THEN round(0.6745 * max(maxdm) / max(mad) * 10000) / 10000
+           |    THEN round(0.6745e0 * max(maxdm) / max(mad) * 10000) / 10000
            |    END AS worst_z
            |FROM m2 GROUP BY 1 ORDER BY 1""".stripMargin))
 

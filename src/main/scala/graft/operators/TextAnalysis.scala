@@ -953,8 +953,8 @@ object TextAnalysis {
            |  FROM documents),
            |sc AS (
            |  SELECT *,
-           |    round((206.835 - 1.015 * n_words / n_sents
-           |      - 84.6 * n_vgroups / n_words) * 10000) / 10000 AS flesch
+           |    round((206.835e0 - 1.015e0 * n_words / n_sents
+           |      - 84.6e0 * n_vgroups / n_words) * 10000) / 10000 AS flesch
            |  FROM f WHERE n_words > 0)
            |SELECT doc_id, lang, n_words, n_sents, n_vgroups, flesch,
            |  CASE WHEN flesch >= 60 THEN 'easy'

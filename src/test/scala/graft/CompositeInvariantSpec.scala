@@ -672,6 +672,36 @@ class CompositeInvariantSpec extends SparkSpec {
     val a = SparkEntry.queries("q186_assortativity")(spark, sf).head()
     assert(math.abs(a.getLong(1)) <= 1000000L,
       s"assortativity outside [-1,1]: ${a.getLong(1)}")
+    // symmetric-edge self-consistency: the edge list holds (u,v) iff
+    // (v,u), so n_edges must be exactly twice the undirected pair
+    // count (evenness included), and an INDEPENDENT formulation —
+    // Spark's own double-path corr() over the rebuilt symmetric join —
+    // must agree with the integer-exact statistic to rounding
+    val li = Tables.lineitem(spark, sf)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+    val pairs = li.as("a").join(li.as("b"),
+        col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
+      .groupBy(col("a.p").as("u"), col("b.p").as("v"))
+      .agg(countDistinct(col("a.ok")).as("n_ord"))
+      .filter(col("n_ord") >= 2)
+    val edges = pairs.select(col("u").as("src"), col("v").as("dst"))
+      .union(pairs.select(col("v").as("src"), col("u").as("dst")))
+      .persist()
+    val nPairs = pairs.count()
+    assert(a.getLong(0) == 2L * nPairs,
+      s"n_edges ${a.getLong(0)} != 2 x $nPairs undirected pairs")
+    val deg = edges.groupBy(col("src").as("n"))
+      .agg(count(lit(1)).as("deg"))
+    val rCorr = edges
+      .join(deg.select(col("n").as("ns"), col("deg").as("dx")),
+        col("src") === col("ns"))
+      .join(deg.select(col("n").as("nd"), col("deg").as("dy")),
+        col("dst") === col("nd"))
+      .agg(corr(col("dx").cast("double"), col("dy").cast("double")))
+      .head().getDouble(0)
+    edges.unpersist()
+    assert(math.abs(math.round(rCorr * 1e6) - a.getLong(1)) <= 2L,
+      s"corr() ${math.round(rCorr * 1e6)} vs exact ${a.getLong(1)}")
     val rows = SparkEntry.queries("q187_higher_moments")(spark, sf)
       .collect()
       .map(r => (r.getString(0), r.getDouble(3), r.getDouble(4),

@@ -111,4 +111,25 @@ class TextPropertySpec extends SparkSpec {
     assert(Bpe.applyMerges("ababx", rank) == Vector("abab", "x"))
     assert(Bpe.applyMerges("xy", rank) == Vector("x", "y"))
   }
+
+  test("t20_bpe_tokenize: compression bounds over the registered query") {
+    // the rows-only registered query's own gate (the algorithm-level
+    // properties above don't touch the query surface): BPE with 30
+    // merges must compress every source — at least one token per word,
+    // never more tokens than characters — and the report's ratio
+    // columns must equal the exact-count columns they summarize
+    val rows = SparkEntry.queries("t20_bpe_tokenize")(
+      spark, "/root/testdata/sf0.001").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nWords, nToks) = (r.getLong(1), r.getLong(2))
+      val (tpw, cpt) = (r.getDouble(3), r.getDouble(4))
+      assert(nWords > 0L && nToks >= nWords,
+        s"${r.getString(0)}: fewer tokens than words")
+      assert(tpw >= 1.0, s"${r.getString(0)}: tokens/word $tpw < 1")
+      assert(cpt >= 1.0, s"${r.getString(0)}: chars/token $cpt < 1")
+      assert(math.abs(tpw - nToks.toDouble / nWords) < 5e-5,
+        s"${r.getString(0)}: tokens_per_word inconsistent with counts")
+    }
+  }
 }
