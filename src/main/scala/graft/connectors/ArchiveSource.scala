@@ -89,6 +89,69 @@ object ArchiveSource {
     }.toArray
   }
 
+  private def countLe(n: Long, r: Long): Long =
+    if (n < r) 0L else (n - r) / 5L + 1L
+
+  /** Rows matching the (optional) type-residue filter in [s, e). */
+  private def countIn(s: Long, e: Long, res: Option[Long]): Long =
+    res match {
+      case None => math.max(0L, e - s)
+      case Some(r) =>
+        if (e <= s) 0L else countLe(e - 1, r) - countLe(s - 1, r)
+    }
+
+  /** Id of the k-th (1-based) matching row at or after s. */
+  private def kthMatch(s: Long, k: Long, res: Option[Long]): Long =
+    res match {
+      case None => s + k - 1L
+      case Some(r) =>
+        (s + (((r - s) % 5L) + 5L) % 5L) + 5L * (k - 1L)
+    }
+
+  /** Limit/top-N pushdown planning: truncate the ORDERED pruned ranges
+    * to exactly the first (or, `fromEnd`, last) n rows matching the
+    * pushed filters. Matching ids under a type filter form one residue
+    * class mod 5 (see ArchiveAggPartitionReader), so the cut id is
+    * exact arithmetic — the scan then plans only the splits (and the
+    * fraction of the boundary split) the limit actually needs, the
+    * archival analog of a LIMIT stopping at the first parquet
+    * row-groups. */
+  private[connectors] def limitRanges(
+      ranges: Array[ArchiveRangePartition], pushed: Array[Filter],
+      n: Long, fromEnd: Boolean): Array[ArchiveRangePartition] = {
+    val typeEq = pushed.collectFirst {
+      case EqualTo("event_type", v: String) => v
+    }
+    val res: Option[Long] = typeEq match {
+      case None => None
+      case Some(t) =>
+        val idx = types.indexOf(t)
+        if (idx < 0) return Array.empty
+        Some((idx.toLong * 2L) % 5L)
+    }
+    val out =
+      scala.collection.mutable.ArrayBuffer.empty[ArchiveRangePartition]
+    var rem = n
+    val walk = if (fromEnd) ranges.reverse else ranges
+    walk.foreach { rg =>
+      if (rem > 0L) {
+        val c = countIn(rg.start, rg.end, res)
+        if (c <= rem) { out += rg; rem -= c }
+        else {
+          if (fromEnd) {
+            val s2 = kthMatch(rg.start, c - rem + 1L, res)
+            out += ArchiveRangePartition(s2, rg.end)
+          } else {
+            val last = kthMatch(rg.start, rem, res)
+            out += ArchiveRangePartition(rg.start, last + 1L)
+          }
+          rem = 0L
+        }
+      }
+    }
+    (if (fromEnd) out.reverse else out).toArray
+  }
+
   def userOf(id: Long): Long = ((id % 997L) * (2654435761L % 997L)) % 997L
   def typeIdxOf(id: Long): Int = (((id % 5L) * (40503L % 5L)) % 5L).toInt
   def valueMilliOf(id: Long): Long =
@@ -108,10 +171,43 @@ class ArchiveTable(rows: Long, parts: Int) extends Table
 
 class ArchiveScanBuilder(rows: Long, parts: Int) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownAggregates {
+    with SupportsPushDownAggregates with SupportsPushDownLimit
+    with SupportsPushDownTopN {
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = ArchiveSource.schema
   private var aggTokens: Seq[String] = Nil
+  private var limit: Option[Long] = None
+  private var topNAsc: Option[Boolean] = None
+
+  /** LIMIT n with no required order: the ordered-range truncation
+    * yields EXACTLY min(n, matches) rows, so the push is total
+    * (isPartiallyPushed = false) and Spark drops its own limit. */
+  override def pushLimit(l: Int): Boolean =
+    if (aggTokens.nonEmpty) false
+    else { limit = Some(l.toLong); true }
+
+  /** ORDER BY event_id [ASC|DESC] LIMIT n: rows are generated in id
+    * order within each split and splits are planned in id order, so
+    * the global top-N is an exact prefix (or suffix) of the pruned
+    * ranges. Partial push: Spark still merges the ≤n survivors into
+    * its TakeOrdered (cross-partition order is the engine's job). */
+  override def pushTopN(
+      orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
+      l: Int): Boolean = {
+    if (aggTokens.nonEmpty || orders.length != 1) return false
+    val o = orders(0)
+    val onEventId = o.expression() match {
+      case nr: NamedReference => nr.fieldNames().mkString(".") == "event_id"
+      case _ => false
+    }
+    if (!onEventId) return false
+    topNAsc = Some(o.direction() ==
+      org.apache.spark.sql.connector.expressions.SortDirection.ASCENDING)
+    limit = Some(l.toLong)
+    true
+  }
+
+  override def isPartiallyPushed(): Boolean = topNAsc.isDefined
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     val (accepted, rejected) = filters.partition {
@@ -167,22 +263,33 @@ class ArchiveScanBuilder(rows: Long, parts: Int) extends ScanBuilder
   override def build(): Scan =
     if (aggTokens.nonEmpty)
       new ArchiveAggScan(rows, parts, pushed, aggTokens, groupByType)
-    else new ArchiveScan(rows, parts, pushed, required)
+    else new ArchiveScan(rows, parts, pushed, required, limit, topNAsc)
 }
 
 final case class ArchiveRangePartition(start: Long, end: Long)
   extends InputPartition
 
 class ArchiveScan(rows: Long, parts: Int, pushed: Array[Filter],
-    required: StructType) extends Scan with Batch {
+    required: StructType, limit: Option[Long] = None,
+    topNAsc: Option[Boolean] = None) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
-  override def description(): String =
-    s"ArchiveScan pushed=[${pushed.mkString(", ")}]"
+  override def description(): String = {
+    val lim = limit.map(n => topNAsc match {
+      case Some(true) => s" topN=[$n asc event_id]"
+      case Some(false) => s" topN=[$n desc event_id]"
+      case None => s" limit=[$n]"
+    }).getOrElse("")
+    s"ArchiveScan pushed=[${pushed.mkString(", ")}]$lim"
+  }
 
-  override def planInputPartitions(): Array[InputPartition] =
-    ArchiveSource.prunedRanges(rows, parts, pushed)
+  override def planInputPartitions(): Array[InputPartition] = {
+    val pruned = ArchiveSource.prunedRanges(rows, parts, pushed)
+    limit.map(n => ArchiveSource.limitRanges(pruned, pushed, n,
+        fromEnd = topNAsc.contains(false)))
+      .getOrElse(pruned)
       .map(identity[InputPartition])
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ArchiveReaderFactory(pushed, required)

@@ -155,6 +155,79 @@ object Pruning {
            |  min(id) AS min_id, max(id) AS max_id
            |FROM rows_ GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  // --------------------------------------------------------------- q191
+  /** LIMIT pushdown through the custom DSv2 source
+    * (`SupportsPushDownLimit`): the scan truncates its ORDERED pruned
+    * id-ranges to exactly the first 1000 rows matching the pushed
+    * filters — residue arithmetic finds the exact cut id, so the push
+    * is TOTAL (isPartiallyPushed = false, Spark drops its own limit)
+    * and the boundary split plans only the fraction the limit needs.
+    * The archival analog of a LIMIT stopping at the first parquet
+    * row-groups instead of scanning the table. The post-limit
+    * aggregate makes the check order-insensitive while pinning the
+    * exact surviving id SET; ExtensionsSpec pins `limit=[1000]` in the
+    * plan and the ≤1000-row scan output. Oracle: generate_series
+    * replays the formula, ORDER BY id LIMIT 1000 — the full-push
+    * contract (smallest 1000 matching ids) oracle-matched. */
+  val q191ArchiveLimitPushdown = QueryDef(
+    "q191_archive_limit_pushdown",
+    (s, _) => {
+      import org.apache.spark.sql.functions._
+      s.read.format("graft.connectors.ArchiveSource").load()
+        .filter(col("event_type") === "purchase" &&
+          col("event_id") >= 20000L && col("event_id") < 80000L)
+        .limit(1000)
+        .agg(count(lit(1)).as("n_rows"),
+          min("event_id").as("min_id"),
+          max("event_id").as("max_id"),
+          sum(expr("cast(round(value * 1000) as bigint)")).as("vm_sum"))
+    },
+    Some("""WITH ids AS (
+           |  SELECT g AS id FROM generate_series(20000, 79999) t(g)),
+           |rows_ AS (
+           |  SELECT id, (id * 48271) % 1000000 AS vm
+           |  FROM ids
+           |  WHERE ['click','view','purchase','signup','error']
+           |    [CAST((id * 40503) % 5 AS INT) + 1] = 'purchase'
+           |  ORDER BY id LIMIT 1000)
+           |SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           |  min(id) AS min_id, max(id) AS max_id,
+           |  CAST(sum(vm) AS BIGINT) AS vm_sum
+           |FROM rows_""".stripMargin))
+
+  // --------------------------------------------------------------- q192
+  /** Top-N pushdown through the custom DSv2 source
+    * (`SupportsPushDownTopN`): ORDER BY event_id DESC LIMIT 500 walks
+    * the pruned ranges from the END and keeps exactly the 500 largest
+    * matching ids (partial push — Spark still merges the ≤500
+    * survivors in its TakeOrdered, but the scan never reads the other
+    * 99% of the range). Completes the connector's pushdown ladder:
+    * filter, column, partition, aggregate, GROUP BY, limit, top-N.
+    * Oracle: generate_series ORDER BY id DESC LIMIT 500 replays the
+    * same suffix. */
+  val q192ArchiveTopnPushdown = QueryDef(
+    "q192_archive_topn_pushdown",
+    (s, _) => {
+      import org.apache.spark.sql.functions._
+      s.read.format("graft.connectors.ArchiveSource").load()
+        .filter(col("event_type") === "error" &&
+          col("event_id") < 70000L)
+        .orderBy(col("event_id").desc)
+        .limit(500)
+        .select(col("event_id"), col("user_id"), col("day"),
+          expr("cast(round(value * 1000) as bigint)").as("vm"))
+    },
+    Some("""WITH ids AS (
+           |  SELECT g AS id FROM generate_series(0, 69999) t(g)),
+           |rows_ AS (
+           |  SELECT id AS event_id, (id * 2654435761) % 997 AS user_id,
+           |    id % 365 AS day, (id * 48271) % 1000000 AS vm
+           |  FROM ids
+           |  WHERE ['click','view','purchase','signup','error']
+           |    [CAST((id * 40503) % 5 AS INT) + 1] = 'error'
+           |  ORDER BY id DESC LIMIT 500)
+           |SELECT event_id, user_id, day, vm FROM rows_""".stripMargin))
+
   // --------------------------------------------------------------- q150
   /** Partition-strategy planner: score candidate partition keys for the
     * events table from catalog-style stats — the decision every 100 TB
@@ -598,5 +671,6 @@ object Pruning {
   val all: Seq[QueryDef] =
     Seq(q49BloomPruneJoin, q125ArchivePushdown, q142ArchiveAggPushdown,
       q144ArchiveGroupPushdown, q150PartitionPlanner, q151SkippingAudit,
-      q156EncodingAdvisor, q175JoinEstimate, q181TierPlan)
+      q156EncodingAdvisor, q175JoinEstimate, q181TierPlan,
+      q191ArchiveLimitPushdown, q192ArchiveTopnPushdown)
 }

@@ -1805,6 +1805,62 @@ object Relational3 {
            |WHERE value_cents * 10000 > total_cents * 10
            |ORDER BY value_cents DESC, part_key ASC""".stripMargin))
 
+  // --------------------------------------------------------------- q190
+  /** Top supplier (the TPC-H Q15 shape): the supplier(s) achieving the
+    * MAXIMUM revenue over the corpus's opening quarter — the argmax-
+    * against-an-aggregate pattern whose textbook form is a view joined
+    * to its own MAX; ties are INCLUDED (equality against the max, not
+    * a LIMIT 1 — the detail Q15 exists to test). Revenue rounds to
+    * exact cents PER LINE before summing (order/partition-proof), the
+    * quarter anchors at the corpus min ship day (the ingest-catalog-
+    * parameter posture, q90/q104 convention).
+    *
+    * Scale shape: the anchor is a single-column min (one pruned scan),
+    * the max attaches as a 1-row broadcast against the supplier-sized
+    * revenue table, and the name join broadcasts the dim — the only
+    * corpus-sized work is the one map-side-combined revenue hash-agg. */
+  val q190TopSupplier = QueryDef(
+    "q190_top_supplier",
+    (s, d) => {
+      def li0 = Tables.lineitem(s, d)
+        .select(col("l_suppkey"),
+          expr("unix_micros(cast(l_shipdate as timestamp))"
+            + " div 86400000000").as("ship_day"),
+          expr("cast(round(l_extendedprice * (1 - l_discount) * 100)"
+            + " as bigint)").as("rev_cents"))
+      val anchor = li0.agg(min("ship_day").as("d0"))
+      val rev = li0.crossJoin(broadcast(anchor))
+        .filter(col("ship_day") < col("d0") + 90L)
+        .groupBy(col("l_suppkey"))
+        .agg(sum("rev_cents").as("total_rev_cents"))
+      val mx = rev.agg(max("total_rev_cents").as("mx"))
+      rev.crossJoin(broadcast(mx))
+        .filter(col("total_rev_cents") === col("mx"))
+        .join(broadcast(Tables.supplier(s, d)
+          .select("s_suppkey", "s_name")),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("total_rev_cents"))
+        .orderBy("s_suppkey")
+    },
+    Some("""WITH li AS (
+           |  SELECT l_suppkey,
+           |    epoch_us(l_shipdate) // 86400000000 AS ship_day,
+           |    CAST(round(l_extendedprice * (1 - l_discount) * 100)
+           |      AS BIGINT) AS rev_cents
+           |  FROM lineitem),
+           |anchor AS (SELECT min(ship_day) AS d0 FROM li),
+           |rev AS (
+           |  SELECT l_suppkey,
+           |    CAST(sum(rev_cents) AS BIGINT) AS total_rev_cents
+           |  FROM li CROSS JOIN anchor
+           |  WHERE ship_day < d0 + 90 GROUP BY 1),
+           |mx AS (SELECT max(total_rev_cents) AS mx FROM rev)
+           |SELECT s_suppkey, s_name, total_rev_cents
+           |FROM rev CROSS JOIN mx
+           |JOIN supplier ON l_suppkey = s_suppkey
+           |WHERE total_rev_cents = mx
+           |ORDER BY s_suppkey""".stripMargin))
+
   val all: Seq[QueryDef] =
     Seq(q69StarJoin, q70EventDedup, q71ArgExtremes, q72Regression,
       q74VariantExtract, q75HofBattery, q76ZorderLayout, q79ExistsChain,
@@ -1814,5 +1870,5 @@ object Relational3 {
       q133TradeMatrix, q134SalesOpportunity, q135MarketShare,
       q136ReturnRates, q153FifoAllocation, q157FanoutAudit,
       q158LateBlame, q165ProductProfit, q166AbcXyz, q177CustDist,
-      q178LargeOrders, q183ImportantStock)
+      q178LargeOrders, q183ImportantStock, q190TopSupplier)
 }

@@ -164,4 +164,63 @@ class ExtensionsSpec extends SparkSpec {
         (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
     assert(pushedRes == rows, s"grouped pushdown diverges from row scan")
   }
+
+  test("archive DSv2: LIMIT pushes totally — scan emits exactly n rows") {
+    val s = spark
+    val limited = s.read.format("graft.connectors.ArchiveSource").load()
+      .filter(col("event_type") === "purchase" &&
+        col("event_id") >= 20000L && col("event_id") < 80000L)
+      .limit(1000)
+    val p = limited.queryExecution.executedPlan.toString
+    assert(p.contains("limit=[1000]"),
+      s"limit not pushed into the scan:\n${p.take(800)}")
+    // TOTAL push: the source's truncated ranges contain exactly the
+    // 1000 smallest matching ids — provable because the full-push
+    // contract says Spark may drop its own limit
+    val ids = limited.select("event_id").collect().map(_.getLong(0))
+    assert(ids.length == 1000, s"scan emitted ${ids.length} rows")
+    val expected = (20000L until 80000L)
+      .filter(id => ((id % 5L) * 3L) % 5L == 2L).take(1000)
+    assert(ids.sorted.sameElements(expected),
+      "limit pushdown must keep the smallest matching ids")
+    // a limit the data can't fill is NOT an error: all matches survive
+    val tiny = s.read.format("graft.connectors.ArchiveSource").load()
+      .filter(col("event_type") === "purchase" &&
+        col("event_id") >= 20000L && col("event_id") < 20020L)
+      .limit(1000)
+    assert(tiny.count() == 4L)
+  }
+
+  test("archive DSv2: ORDER BY event_id DESC LIMIT pushes as top-N") {
+    val s = spark
+    val top = s.read.format("graft.connectors.ArchiveSource").load()
+      .filter(col("event_type") === "error" && col("event_id") < 70000L)
+      .orderBy(col("event_id").desc)
+      .limit(500)
+    val p = top.queryExecution.executedPlan.toString
+    assert(p.contains("topN=[500 desc event_id]"),
+      s"top-N not pushed into the scan:\n${p.take(800)}")
+    // partial push: Spark's TakeOrdered still runs, but over ≤500 rows
+    val ids = top.select("event_id").collect().map(_.getLong(0))
+    val expected = (0L until 70000L)
+      .filter(id => ((id % 5L) * 3L) % 5L == 4L).takeRight(500).reverse
+    assert(ids.sameElements(expected),
+      "top-N pushdown must keep the largest matching ids, descending")
+    // ascending variant walks the ranges from the front
+    val asc = s.read.format("graft.connectors.ArchiveSource").load()
+      .filter(col("event_type") === "error")
+      .orderBy(col("event_id").asc).limit(100)
+    assert(asc.queryExecution.executedPlan.toString
+      .contains("topN=[100 asc event_id]"))
+    val ascIds = asc.select("event_id").collect().map(_.getLong(0))
+    assert(ascIds.sameElements(
+      (0L until 100000L).filter(id => ((id % 5L) * 3L) % 5L == 4L)
+        .take(100)))
+    // an order the source can't serve (user_id) must fall back cleanly
+    val fb = s.read.format("graft.connectors.ArchiveSource").load()
+      .orderBy(col("user_id").desc).limit(10)
+    assert(!fb.queryExecution.executedPlan.toString.contains("topN=["),
+      "unsupported sort column must not push")
+    assert(fb.collect().length == 10)
+  }
 }
