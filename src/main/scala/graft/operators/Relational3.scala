@@ -1816,8 +1816,10 @@ object Relational3 {
     * parameter posture, q90/q104 convention).
     *
     * Scale shape: the anchor is a single-column min (one pruned scan),
-    * the max attaches as a 1-row broadcast against the supplier-sized
-    * revenue table, and the name join broadcasts the dim — the only
+    * the max attaches as a full-frame window OVER the supplier-sized
+    * revenue table (one pass — a broadcast-max crossJoin would re-run
+    * the revenue lineage and scan the fact twice, the round-7 branchy-
+    * totals lesson), and the name join broadcasts the dim — the only
     * corpus-sized work is the one map-side-combined revenue hash-agg. */
   val q190TopSupplier = QueryDef(
     "q190_top_supplier",
@@ -1829,12 +1831,14 @@ object Relational3 {
           expr("cast(round(l_extendedprice * (1 - l_discount) * 100)"
             + " as bigint)").as("rev_cents"))
       val anchor = li0.agg(min("ship_day").as("d0"))
-      val rev = li0.crossJoin(broadcast(anchor))
+      val full = Window.partitionBy()
+        .rowsBetween(Window.unboundedPreceding,
+          Window.unboundedFollowing)
+      li0.crossJoin(broadcast(anchor))
         .filter(col("ship_day") < col("d0") + 90L)
         .groupBy(col("l_suppkey"))
         .agg(sum("rev_cents").as("total_rev_cents"))
-      val mx = rev.agg(max("total_rev_cents").as("mx"))
-      rev.crossJoin(broadcast(mx))
+        .withColumn("mx", max("total_rev_cents").over(full))
         .filter(col("total_rev_cents") === col("mx"))
         .join(broadcast(Tables.supplier(s, d)
           .select("s_suppkey", "s_name")),

@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions.col
+
 /** Partition-count invariance: on a real cluster the shuffle partition
   * count is a deployment knob (and AQE changes it at runtime), so a
   * correct-at-scale operator must produce IDENTICAL results under any
@@ -345,5 +347,36 @@ class ScaleInvarianceSpec extends SparkSpec {
 
   test("q188 KS statistic invariant to partition count (cross-mult)") {
     invariant("q188_ks_test", sf001)
+  }
+
+  test("q190 top supplier invariant to partition count (exact cents)") {
+    invariant("q190_top_supplier", sf001)
+  }
+
+  test("q191/q192 pushdown limits invariant to SPLIT count") {
+    // the pushdown analog of shuffle-partition invariance: the limit/
+    // top-N truncation must select the same id set under any split
+    // plan, because a real deployment tunes splits per executor count
+    val s = spark
+    for (parts <- Seq(1, 3, 8, 13)) {
+      val ids = s.read.format("graft.connectors.ArchiveSource")
+        .option("parts", parts.toString).load()
+        .filter(col("event_type") === "purchase" &&
+          col("event_id") >= 20000L && col("event_id") < 80000L)
+        .limit(1000)
+        .select("event_id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == (20000L until 80000L)
+        .filter(id => ((id % 5L) * 3L) % 5L == 2L).take(1000).toSeq,
+        s"limit pushdown drifts at parts=$parts")
+      val top = s.read.format("graft.connectors.ArchiveSource")
+        .option("parts", parts.toString).load()
+        .filter(col("event_type") === "error" && col("event_id") < 70000L)
+        .orderBy(col("event_id").desc).limit(500)
+        .select("event_id").collect().map(_.getLong(0)).toSeq
+      assert(top == (0L until 70000L)
+        .filter(id => ((id % 5L) * 3L) % 5L == 4L).takeRight(500)
+        .reverse.toSeq,
+        s"top-N pushdown drifts at parts=$parts")
+    }
   }
 }
