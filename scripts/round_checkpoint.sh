@@ -1,0 +1,50 @@
+#!/bin/bash
+# Round-end checkpoint: run every gate the round must close with, in
+# order, and stop at the first red one. Encodes the checklist that was
+# previously carried in prose so no round can skip a gate by accident:
+#
+#   1. compile
+#   2. full test suite
+#   3. full Verify + DuckDB oracle at sf0.01 (the driver's gate)
+#   4. full Verify + DuckDB oracle at sf0.1  (boundary-value classes —
+#      div bucketing, HUGEINT promotion, decimal-literal arithmetic —
+#      only bite beyond sf0.01; writes CORRECTNESS_SF01_local.json)
+#   5. plan audit regeneration (row count must equal query count)
+#   6. generated coverage ledger (fails on any ungated rows-only query)
+#
+# The sf0.1 bench is run separately (scripts position it on an idle
+# machine — timing under checkpoint load would be weather, not signal).
+set -e
+cd "$(dirname "$0")/.."
+
+echo "=== [1/6] compile"
+sbt -batch compile
+
+echo "=== [2/6] full test suite"
+sbt -batch test
+
+echo "=== [3/6] Verify + oracle @ sf0.01"
+rm -rf /tmp/ckpt_v001
+sbt -batch 'runMain graft.Verify /root/testdata/sf0.01 /tmp/ckpt_v001'
+python3 scripts/check_oracle.py /root/testdata/sf0.01 /tmp/ckpt_v001
+
+echo "=== [4/6] Verify + oracle @ sf0.1"
+rm -rf /tmp/ckpt_v01
+SPARK_GRAFT_CPUS=16 sbt -batch \
+  'runMain graft.Verify /root/testdata/sf0.1 /tmp/ckpt_v01'
+python3 scripts/check_oracle.py /root/testdata/sf0.1 /tmp/ckpt_v01 \
+  CORRECTNESS_SF01_local.json
+
+echo "=== [5/6] plan audit"
+sbt -batch 'runMain graft.PlanAudit /root/testdata/sf0.001'
+audit_rows=$(grep -cE '^\| [a-z]+[0-9]' docs/PLAN_AUDIT.md)
+echo "plan audit rows: $audit_rows"
+
+echo "=== [6/6] coverage ledger"
+python3 scripts/gen_ledger.py CORRECTNESS_SF01_local.json > docs/COVERAGE.md
+if [ "$audit_rows" -ne "$(grep -cE '^\| [a-z]+[0-9]' docs/COVERAGE.md)" ]; then
+  echo "FATAL: plan-audit row count != ledger row count" >&2
+  exit 1
+fi
+
+echo "=== checkpoint green"
