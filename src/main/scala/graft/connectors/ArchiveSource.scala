@@ -152,6 +152,11 @@ object ArchiveSource {
     (if (fromEnd) out.reverse else out).toArray
   }
 
+  /** Test observability hook: split count of the most recent
+    * planInputPartitions (runtime pruning happens after the static
+    * plan is printed, so the effect is only visible at execution). */
+  val lastPlannedSplits = new java.util.concurrent.atomic.AtomicInteger(-1)
+
   def userOf(id: Long): Long = ((id % 997L) * (2654435761L % 997L)) % 997L
   def typeIdxOf(id: Long): Int = (((id % 5L) * (40503L % 5L)) % 5L).toInt
   def valueMilliOf(id: Long): Long =
@@ -271,7 +276,8 @@ final case class ArchiveRangePartition(start: Long, end: Long)
 
 class ArchiveScan(rows: Long, parts: Int, pushed: Array[Filter],
     required: StructType, limit: Option[Long] = None,
-    topNAsc: Option[Boolean] = None) extends Scan with Batch {
+    topNAsc: Option[Boolean] = None) extends Scan with Batch
+    with SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String = {
@@ -280,15 +286,46 @@ class ArchiveScan(rows: Long, parts: Int, pushed: Array[Filter],
       case Some(false) => s" topN=[$n desc event_id]"
       case None => s" limit=[$n]"
     }).getOrElse("")
-    s"ArchiveScan pushed=[${pushed.mkString(", ")}]$lim"
+    s"ArchiveScan pushed=[${pushed.mkString(", ")}]$lim runtimeFilterable=[event_id]"
+  }
+
+  /** Runtime filtering (the DSv2 analog of dynamic partition pruning):
+    * when this scan sits under a join on event_id whose other side is
+    * selective, Spark executes that side first and hands the observed
+    * key set here BEFORE partitions are planned — whole id-range
+    * splits with no candidate key are never read. False positives are
+    * fine (the join re-checks), so only PRUNING uses the set. */
+  private var runtimeKeys: Option[Array[Long]] = None
+  override def filterAttributes(): Array[NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions
+      .column("event_id"))
+  override def filter(filters: Array[Filter]): Unit = {
+    val vals = filters.collectFirst {
+      case org.apache.spark.sql.sources.In("event_id", vs) =>
+        vs.collect { case l: java.lang.Long => l.longValue()
+                     case i: java.lang.Integer => i.longValue() }
+    }
+    runtimeKeys = vals.map(_.sorted)
   }
 
   override def planInputPartitions(): Array[InputPartition] = {
     val pruned = ArchiveSource.prunedRanges(rows, parts, pushed)
-    limit.map(n => ArchiveSource.limitRanges(pruned, pushed, n,
-        fromEnd = topNAsc.contains(false)))
+    val limited = limit.map(n => ArchiveSource.limitRanges(pruned, pushed,
+        n, fromEnd = topNAsc.contains(false)))
       .getOrElse(pruned)
-      .map(identity[InputPartition])
+    val result = runtimeKeys match {
+      case Some(keys) if keys.nonEmpty =>
+        // keep only splits containing at least one runtime key
+        limited.filter { rg =>
+          val i = java.util.Arrays.binarySearch(keys, rg.start)
+          val at = if (i >= 0) i else -i - 1
+          at < keys.length && keys(at) < rg.end
+        }
+      case Some(_) => Array.empty[ArchiveRangePartition]
+      case None => limited
+    }
+    ArchiveSource.lastPlannedSplits.set(result.length)
+    result.map(identity[InputPartition])
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

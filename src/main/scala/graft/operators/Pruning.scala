@@ -228,6 +228,44 @@ object Pruning {
            |  ORDER BY id DESC LIMIT 500)
            |SELECT event_id, user_id, day, vm FROM rows_""".stripMargin))
 
+  // --------------------------------------------------------------- q193
+  /** Runtime filtering through the custom DSv2 source
+    * (`SupportsRuntimeFiltering` — the dynamic-partition-pruning
+    * analog): the selective dim side executes first and Spark hands
+    * the observed event_id set to the scan BEFORE partitions plan, so
+    * id-range splits holding no candidate key are never read (7 of 8
+    * pruned here; ExtensionsSpec pins the dynamic filter in the plan,
+    * the 1-surviving-split execution, and rows-identical behavior with
+    * DPP disabled). The dim is a Range, not a local relation —
+    * ConvertToLocalRelation would fold the filter away and DPP would
+    * see no selective predicate. At 100 TB this is the star-join
+    * fact-scan killer: the fact reads only the partitions the filtered
+    * dimension actually references. */
+  val q193ArchiveRuntimePrune = QueryDef(
+    "q193_archive_runtime_prune",
+    (s, _) => {
+      import org.apache.spark.sql.functions._
+      val dim = s.range(0L, 100000L).select(col("id").as("k"))
+        .filter(col("k") < 10000L && col("k") % 999L === 0L)
+      s.read.format("graft.connectors.ArchiveSource").load()
+        .join(broadcast(dim), col("event_id") === col("k"))
+        .select(col("event_id"), col("event_type"),
+          expr("cast(round(value * 1000) as bigint)").as("vm"))
+        .orderBy("event_id")
+    },
+    Some("""WITH dim AS (
+           |  SELECT g AS k FROM generate_series(0, 9999) t(g)
+           |  WHERE g % 999 = 0),
+           |rows_ AS (
+           |  SELECT g AS event_id,
+           |    ['click','view','purchase','signup','error']
+           |      [CAST((g * 40503) % 5 AS INT) + 1] AS event_type,
+           |    (g * 48271) % 1000000 AS vm
+           |  FROM generate_series(0, 99999) t(g))
+           |SELECT event_id, event_type, vm
+           |FROM rows_ JOIN dim ON event_id = k
+           |ORDER BY event_id""".stripMargin))
+
   // --------------------------------------------------------------- q150
   /** Partition-strategy planner: score candidate partition keys for the
     * events table from catalog-style stats — the decision every 100 TB
@@ -672,5 +710,6 @@ object Pruning {
     Seq(q49BloomPruneJoin, q125ArchivePushdown, q142ArchiveAggPushdown,
       q144ArchiveGroupPushdown, q150PartitionPlanner, q151SkippingAudit,
       q156EncodingAdvisor, q175JoinEstimate, q181TierPlan,
-      q191ArchiveLimitPushdown, q192ArchiveTopnPushdown)
+      q191ArchiveLimitPushdown, q192ArchiveTopnPushdown,
+      q193ArchiveRuntimePrune)
 }

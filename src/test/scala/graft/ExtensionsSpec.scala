@@ -223,4 +223,49 @@ class ExtensionsSpec extends SparkSpec {
       "unsupported sort column must not push")
     assert(fb.collect().length == 10)
   }
+
+  test("archive DSv2: runtime filtering (DPP analog) prunes splits at execution") {
+    // a selective dim joined on event_id: Spark executes the dim first
+    // and hands the observed key set to the scan (SupportsRuntimeFiltering)
+    // BEFORE partitions plan — splits without a candidate key are never
+    // read. The dim must NOT be a LocalRelation (ConvertToLocalRelation
+    // folds the filter away and DPP sees no selective predicate).
+    val s = spark
+    def dim = s.range(0L, 100000L).select(col("id").as("k"))
+      .filter(col("k") < 10000L && col("k") % 999L === 0L)
+    def fact = s.read.format("graft.connectors.ArchiveSource").load()
+
+    val j = fact.join(broadcast(dim), col("event_id") === col("k"))
+    val p = j.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruningexpression(event_id"),
+      s"runtime filter not injected:\n${p.take(900)}")
+
+    graft.connectors.ArchiveSource.lastPlannedSplits.set(-1)
+    val got = j.select("event_id").collect().map(_.getLong(0)).sorted
+    // all 11 keys live in split [0, 12500) — 7 of 8 splits pruned
+    assert(graft.connectors.ArchiveSource.lastPlannedSplits.get() == 1,
+      s"expected 1 surviving split, planned " +
+        s"${graft.connectors.ArchiveSource.lastPlannedSplits.get()}")
+    val expected = (0L until 10000L by 999L).toArray
+    assert(got.sameElements(expected), "pruning changed the join result")
+
+    // pruning is an optimization, never a semantics change: the same
+    // join with runtime filtering disabled returns identical rows and
+    // carries no dynamic filter. (Catalyst may STILL statically prune —
+    // InferFiltersFromConstraints propagates the dim's k < 10000 onto
+    // event_id through the join equality — which is the correct
+    // static-analysis behavior, so split count is not asserted here.)
+    val prev = s.conf.get("spark.sql.optimizer.dynamicPartitionPruning.enabled")
+    try {
+      s.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", "false")
+      val off = fact.join(broadcast(dim), col("event_id") === col("k"))
+      assert(!off.queryExecution.executedPlan.toString
+        .contains("dynamicpruningexpression"),
+        "dynamic filter must not inject when DPP is disabled")
+      val full = off.select("event_id").collect().map(_.getLong(0)).sorted
+      assert(full.sameElements(expected))
+    } finally {
+      s.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", prev)
+    }
+  }
 }
