@@ -2262,6 +2262,90 @@ object Stateful {
         OutputMode.Append())
   }
 
+  /** q83's peak-concurrency sweep on Spark 4's `transformWithState` —
+    * the THIRD state-v2 port, and the one where the migration CHANGES
+    * the state shape instead of transplanting it: the fMGWS twin
+    * (peakStream) holds the open day's whole minute→net map in one
+    * state cell behind a reorder buffer, rewriting both every batch.
+    * But the +1/−1 interval deltas COMMUTE within a day, so state-v2
+    * needs no buffer at all: every row folds on arrival as two
+    * granular `MapState.updateValue` point-writes (global minute →
+    * net) plus a per-day session counter, and one event-time timer per
+    * touched day (the DailyMeanProcessor pattern) sweeps that day's
+    * ≤1440 map entries in minute order when the watermark passes day
+    * end — the identical integer cumsum as batch q83, so parity is
+    * bit-for-bit. State per key is bounded by days-in-flight × 1440
+    * minutes, never by event volume. Requires the RocksDB provider. */
+  class PeakProcessor extends StatefulProcessor[String, Ev, PeakDay] {
+    import org.apache.spark.sql.Encoders
+    @transient private var minuteNet: MapState[Long, Long] = _
+    @transient private var sessions: MapState[Long, Long] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      minuteNet = getHandle.getMapState[Long, Long]("minuteNet",
+        Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+      sessions = getHandle.getMapState[Long, Long]("sessions",
+        Encoders.scalaLong, Encoders.scalaLong, TTLConfig.NONE)
+    }
+
+    override def handleInputRows(key: String, rows: Iterator[Ev],
+        timerValues: TimerValues): Iterator[PeakDay] = {
+      def bump(k: Long, by: Long): Unit = {
+        val cur =
+          if (minuteNet.containsKey(k)) minuteNet.getValue(k) else 0L
+        minuteNet.updateValue(k, cur + by)
+      }
+      rows.foreach { e =>
+        val m = Math.floorDiv(e._2.getTime, 60000L)
+        val day = Math.floorDiv(m, 1440L)
+        val dayEnd = (day + 1L) * 1440L
+        val end = math.min(m + 30L, dayEnd)
+        bump(m, 1L)
+        if (end < dayEnd) bump(end, -1L)
+        val sc =
+          if (sessions.containsKey(day)) sessions.getValue(day) else 0L
+        sessions.updateValue(day, sc + 1L)
+        getHandle.registerTimer((day + 1L) * 86400000L)
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: String, timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[PeakDay] = {
+      val day = expiredTimerInfo.getExpiryTimeInMs / 86400000L - 1L
+      if (!sessions.containsKey(day)) Iterator.empty
+      else {
+        val n = sessions.getValue(day)
+        sessions.removeKey(day)
+        val mins = minuteNet.iterator()
+          .filter { case (m, _) => Math.floorDiv(m, 1440L) == day }
+          .toArray.sortBy(_._1)
+        mins.foreach { case (m, _) => minuteNet.removeKey(m) }
+        var cum = 0L; var peak = Long.MinValue
+        mins.foreach { case (_, net) =>
+          cum += net; if (cum > peak) peak = cum
+        }
+        Iterator.single(PeakDay(key, day, n, peak))
+      }
+    }
+  }
+
+  /** The transformWithState peak-concurrency twin (see PeakProcessor). */
+  def peakTws(df: DataFrame, slack: String = "2 hours")
+      : Dataset[PeakDay] = {
+    import org.apache.spark.sql.Encoders
+    implicit val outEnc: Encoder[PeakDay] = Encoders.product[PeakDay]
+    implicit val keyEnc: Encoder[String] = Encoders.STRING
+    implicit val evEnc: Encoder[Ev] =
+      Encoders.tuple(Encoders.scalaLong, Encoders.TIMESTAMP,
+        Encoders.scalaLong, Encoders.STRING, Encoders.scalaDouble)
+    val ds = df.withWatermark("ts", slack)
+      .select("user_id", "ts", "event_id", "event_type", "value").as[Ev]
+    ds.groupByKey(_._4)
+      .transformWithState(new PeakProcessor, TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
   /** One user's closed time-to-event observation (q143's `durs` row). */
   final case class DurRow(user_id: Long, t: Long, ev: Long)
   final case class SurvState(minSignupUs: Long, minQualUs: Long,

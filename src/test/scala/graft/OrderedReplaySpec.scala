@@ -242,6 +242,98 @@ class OrderedReplaySpec extends SparkSpec {
         s"batch-only: ${batch.toSet.diff(streamed.toSet).take(3)}")
   }
 
+  test("transformWithState peak: MapState minute deltas == batch q83") {
+    val s = spark
+    val prev = s.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      // no reorder buffer: the commutative +1/-1 deltas fold on arrival
+      // as granular MapState point-writes; per-day timers sweep
+      val out = runStream("tws_peak")(df => Stateful.peakTws(df))
+      val streamed = out.filter("event_type <> 'zz_sentinel'").collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3))).toMap
+      val batch = SparkEntry.queries("q83_peak_concurrency")(s, sf)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3))).toMap
+      assert(streamed.nonEmpty)
+      assert(streamed == batch,
+        s"stream-only: ${streamed.toSet.diff(batch.toSet).take(3)}; " +
+          s"batch-only: ${batch.toSet.diff(streamed.toSet).take(3)}")
+    } finally {
+      if (prev.isEmpty)
+        s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      else s.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    }
+  }
+
+  test("transformWithState peak survives a checkpoint restart") {
+    // MapState point-writes + per-day timers must round-trip RocksDB:
+    // a restart that drops map entries understates the peak, one that
+    // replays them double-counts the deltas
+    val s = spark
+    import s.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+
+    val prev = s.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val (shuffled, sentinelTs) = shuffledEvents()
+      val ck = tmpDir("tws_peak_restart_ck")
+      val got = java.util.concurrent.ConcurrentHashMap
+        .newKeySet[(String, Long, Long, Long)]()
+      val input = MemoryStream[Stateful.Ev]
+      def start() =
+        Stateful.peakTws(
+            input.toDS().toDF("user_id", "ts", "event_id", "event_type",
+              "value"))
+          .writeStream
+          .foreachBatch {
+            (ds: org.apache.spark.sql.Dataset[Stateful.PeakDay],
+                _: Long) =>
+              ds.collect().foreach(r => got.add(
+                (r.event_type, r.day, r.n_sessions, r.peak)))
+          }
+          .option("checkpointLocation", ck)
+          .trigger(Trigger.ProcessingTime(50)).start()
+
+      val q1 = start()
+      val half = shuffled.length / 2
+      input.addData(shuffled.slice(0, half).toSeq)
+      q1.processAllAvailable()
+      q1.stop()
+
+      val q2 = start()
+      input.addData(shuffled.drop(half).toSeq)
+      q2.processAllAvailable()
+      input.addData((-1L, sentinelTs, -1L, "zz_sentinel", 0.0))
+      q2.processAllAvailable()
+      q2.stop()
+
+      import scala.jdk.CollectionConverters._
+      val streamed = got.asScala.toSet.filter(_._1 != "zz_sentinel")
+        .map { case (et, d, n, p) => (et, d) -> (n, p) }.toMap
+      val batch = SparkEntry.queries("q83_peak_concurrency")(s, sf)
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3))).toMap
+      assert(streamed.nonEmpty)
+      assert(streamed == batch,
+        s"restart broke PeakProcessor recovery: stream-only " +
+          s"${streamed.toSet.diff(batch.toSet).take(3)}; batch-only " +
+          s"${batch.toSet.diff(streamed.toSet).take(3)}")
+    } finally {
+      if (prev.isEmpty)
+        s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      else s.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    }
+  }
+
   test("streaming twap: closed days == batch q100 exactly") {
     val s = spark
     import graft.functions.Rounding.r6
