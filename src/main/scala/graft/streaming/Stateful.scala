@@ -1986,6 +1986,66 @@ object Stateful {
       }
   }
 
+  /** One type's live quantile snapshot (milli-unit values; n is exact —
+    * the sketch tracks its update count precisely). */
+  final case class QuantileCell(event_type: String, n: Long,
+      p50_milli: Long, p90_milli: Long, p99_milli: Long)
+  final case class KllState(sketch: Array[Byte], done: Boolean)
+
+  /** Live quantile monitor — q86's GK posture carried into streaming
+    * state, and the second sketch-state twin beside hllDistinctStream:
+    * per event_type the state is a serialized KLL doubles sketch
+    * (DataSketches, k=200 ⇒ ~1.7% normalized rank error) folded as
+    * values arrive in ANY order; p50/p90/p99 emit once when the
+    * watermark passes the timeline end. At 100 TB this is the only
+    * way to watch a latency/value distribution live: per-key state is
+    * a few KB regardless of event volume, where an exact percentile
+    * would buffer the stream. Estimates are implementation-defined
+    * (update-order-sensitive internals), so the parity gate is the
+    * q67/q164 tolerance convention: OrderedReplaySpec pins each
+    * estimate's TRUE rank within the sketch's error bound of its
+    * target rank, and n exactly equal to the batch count. */
+  def kllQuantileStream(df: DataFrame, endDayExclusive: Long,
+      slack: String = "2 hours"): Dataset[QuantileCell] = {
+    import org.apache.spark.sql.Encoders
+    import org.apache.datasketches.kll.KllDoublesSketch
+    import org.apache.datasketches.memory.Memory
+    implicit val stEnc: Encoder[KllState] = Encoders.product[KllState]
+    implicit val outEnc: Encoder[QuantileCell] =
+      Encoders.product[QuantileCell]
+    implicit val keyEnc: Encoder[String] = Encoders.STRING
+    val rows = df.withWatermark("ts", slack)
+      .select(col("event_type"), col("ts"),
+        expr("cast(round(value * 1000) as bigint)").as("vm"))
+      .as[(String, java.sql.Timestamp, Long)](
+        Encoders.product[(String, java.sql.Timestamp, Long)])
+    rows.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout) {
+        (key: String, it: Iterator[(String, java.sql.Timestamp, Long)],
+            state: GroupState[KllState]) =>
+          val st0 = state.getOption.getOrElse(
+            KllState(Array.emptyByteArray, done = false))
+          val sk =
+            if (st0.sketch.isEmpty) KllDoublesSketch.newHeapInstance(200)
+            else KllDoublesSketch.heapify(Memory.wrap(st0.sketch))
+          it.foreach(r => sk.update(r._3.toDouble))
+          val wm = state.getCurrentWatermarkMs()
+          if (!st0.done && wm > endDayExclusive * 86400000L + 1L) {
+            state.update(KllState(sk.toByteArray, done = true))
+            if (sk.isEmpty) Iterator.empty
+            else Iterator.single(QuantileCell(key, sk.getN,
+              Math.round(sk.getQuantile(0.5)),
+              Math.round(sk.getQuantile(0.9)),
+              Math.round(sk.getQuantile(0.99))))
+          } else {
+            state.update(KllState(sk.toByteArray, st0.done))
+            if (!st0.done) state.setTimeoutTimestamp(wm + 1L)
+            Iterator.empty
+          }
+      }
+  }
+
   /** One (type, day, minute, kind) concurrency cell (q83's grids —
     * kind "net" carries interval deltas, "start" the session count). */
   final case class ConcCell(event_type: String, day: Long, minute: Long,

@@ -1971,6 +1971,37 @@ class OrderedReplaySpec extends SparkSpec {
     }
   }
 
+  test("streaming KLL quantiles: sketch-state estimates hit target ranks") {
+    val s = spark
+    val endDay = Tables.events(s, sf)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(max("day")).head.getLong(0)
+    val out = runStream("ooo_kll")(df =>
+      Stateful.kllQuantileStream(df, endDay + 1L))
+    val est = out.filter("event_type != 'zz_sentinel'").collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(est.nonEmpty)
+    val exact = Tables.events(s, sf)
+      .select(col("event_type"),
+        expr("cast(round(value * 1000) as bigint)").as("vm"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).sorted }
+    assert(est.keySet == exact.keySet, "type sets diverge")
+    est.foreach { case (t, (n, p50, p90, p99)) =>
+      val vals = exact(t)
+      // n is EXACT (the sketch counts updates precisely)
+      assert(n == vals.length.toLong, s"$t n=$n != ${vals.length}")
+      // estimates are implementation-defined; the guarantee is on RANK:
+      // k=200 gives ~1.7% normalized rank error (99% conf) — gate at 3%
+      for ((q, e) <- Seq(0.5 -> p50, 0.9 -> p90, 0.99 -> p99)) {
+        val rank = vals.count(_ <= e).toDouble / vals.length
+        assert(math.abs(rank - q) <= 0.03,
+          s"$t p$q estimate $e sits at true rank $rank")
+      }
+    }
+  }
+
   test("streaming peak concurrency: delta cells == batch q83") {
     val s = spark
     val endDay = Tables.events(s, sf)
