@@ -2002,6 +2002,73 @@ class OrderedReplaySpec extends SparkSpec {
     }
   }
 
+  test("streaming KLL quantiles survive a checkpoint restart") {
+    // the sketch-bytes-as-state recovery pin: a serialized KLL sketch
+    // must round-trip the state store across a restart — dropped bytes
+    // reset the distribution, replayed rows double-count updates (n is
+    // exact, so either corruption is caught by the n equality alone)
+    val s = spark
+    import s.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+
+    val endDay = Tables.events(s, sf)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(max("day")).head.getLong(0)
+    val (shuffled, sentinelTs) = shuffledEvents()
+    val ck = tmpDir("kll_restart_ck")
+    val got = java.util.concurrent.ConcurrentHashMap
+      .newKeySet[(String, Long, Long, Long, Long)]()
+    val input = MemoryStream[Stateful.Ev]
+    def start() =
+      Stateful.kllQuantileStream(
+          input.toDS().toDF("user_id", "ts", "event_id", "event_type",
+            "value"), endDay + 1L)
+        .writeStream
+        .foreachBatch {
+          (ds: org.apache.spark.sql.Dataset[Stateful.QuantileCell],
+              _: Long) =>
+            ds.collect().foreach(r => got.add(
+              (r.event_type, r.n, r.p50_milli, r.p90_milli, r.p99_milli)))
+        }
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.ProcessingTime(50)).start()
+
+    val q1 = start()
+    val half = shuffled.length / 2
+    input.addData(shuffled.slice(0, half).toSeq)
+    q1.processAllAvailable()
+    q1.stop()
+
+    val q2 = start()
+    input.addData(shuffled.drop(half).toSeq)
+    q2.processAllAvailable()
+    input.addData((-1L, sentinelTs, -1L, "zz_sentinel", 0.0))
+    q2.processAllAvailable()
+    q2.stop()
+
+    import scala.jdk.CollectionConverters._
+    val cells = got.asScala.toSeq.filter(_._1 != "zz_sentinel")
+    assert(cells.nonEmpty)
+    val exact = Tables.events(s, sf)
+      .select(col("event_type"),
+        expr("cast(round(value * 1000) as bigint)").as("vm"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).sorted }
+    assert(cells.map(_._1).toSet == exact.keySet)
+    cells.foreach { case (t, n, p50, p90, p99) =>
+      val vals = exact(t)
+      assert(n == vals.length.toLong,
+        s"$t n=$n != ${vals.length}: restart lost or replayed updates")
+      for ((q, e) <- Seq(0.5 -> p50, 0.9 -> p90, 0.99 -> p99)) {
+        val rank = vals.count(_ <= e).toDouble / vals.length
+        assert(math.abs(rank - q) <= 0.03,
+          s"$t p$q estimate $e sits at true rank $rank after restart")
+      }
+    }
+  }
+
   test("streaming peak concurrency: delta cells == batch q83") {
     val s = spark
     val endDay = Tables.events(s, sf)
