@@ -8,17 +8,28 @@ import sys, json, glob, os
 import duckdb
 import pandas as pd
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from gen_ledger import spec_index, refs_for
+
 sfdir, outdir = sys.argv[1], sys.argv[2]
 # optional third arg: write a CORRECTNESS_r*-shaped JSON artifact so a
 # non-driver run (e.g. the sf0.1 sweep) is mechanically diffable
 json_out = sys.argv[3] if len(sys.argv) > 3 else None
 report = {}
 
+# `err` must unambiguously mean BROKEN (round-8 verdict nit #1): queries
+# that are oracle-less BY DESIGN get status="spec_gated" + their gating
+# spec names instead of an err, so a consumer reading the artifact at
+# face value sees 21 gated estimates, not 21 errors.
+SPEC_FULL, SPEC_SHORT = spec_index()
+
 def record(name, rows_match=None, schema_match=None, hash_match=None,
-           spark_rows=None, oracle_rows=None, err=None):
+           spark_rows=None, oracle_rows=None, err=None, status=None,
+           gate=None):
     report[name] = {"rows_match": rows_match, "schema_match": schema_match,
                     "hash_match": hash_match, "spark_rows": spark_rows,
-                    "oracle_rows": oracle_rows, "err": err}
+                    "oracle_rows": oracle_rows, "err": err,
+                    "status": status, "gate": gate}
 con = duckdb.connect()
 for t in ["region","nation","customer","supplier","part","orders",
           "lineitem","events","documents","embeddings"]:
@@ -41,24 +52,26 @@ for name in sorted(oracle):
     files = glob.glob(os.path.join(outdir, name, "*.parquet"))
     if not files:
         print(f"FAIL {name}: no spark output"); fails += 1
-        record(name, err="no_spark_output"); continue
+        record(name, err="no_spark_output", status="error"); continue
     spark_df = canon(pd.concat([pd.read_parquet(f) for f in files]))
     try:
         duck_df = canon(con.sql(oracle[name]).df())
     except Exception as e:
         print(f"FAIL {name}: oracle error {e}"); fails += 1
-        record(name, spark_rows=len(spark_df), err=f"oracle_error: {e}")
+        record(name, spark_rows=len(spark_df), err=f"oracle_error: {e}",
+               status="error")
         continue
     if list(spark_df.columns) != list(duck_df.columns):
         print(f"FAIL {name}: cols spark={list(spark_df.columns)} duck={list(duck_df.columns)}")
         fails += 1
         record(name, schema_match=False, spark_rows=len(spark_df),
-               oracle_rows=len(duck_df)); continue
+               oracle_rows=len(duck_df), status="schema_mismatch"); continue
     if len(spark_df) != len(duck_df):
         print(f"FAIL {name}: rows spark={len(spark_df)} duck={len(duck_df)}")
         fails += 1
         record(name, rows_match=False, schema_match=True,
-               spark_rows=len(spark_df), oracle_rows=len(duck_df)); continue
+               spark_rows=len(spark_df), oracle_rows=len(duck_df),
+               status="rows_mismatch"); continue
     # value compare (exact, like a hash compare would be).
     # The driver hashes TYPED values, so an int64 column on one side vs
     # a float/HUGEINT-widened column on the other must FAIL here too —
@@ -115,22 +128,33 @@ for name in sorted(oracle):
                   " duck:", duck_df[m][c].head(3).tolist())
         fails += 1
         record(name, rows_match=True, schema_match=True, hash_match=False,
-               spark_rows=len(spark_df), oracle_rows=len(duck_df))
+               spark_rows=len(spark_df), oracle_rows=len(duck_df),
+               status="value_mismatch")
     else:
         print(f"OK   {name} ({len(spark_df)} rows)")
         record(name, rows_match=True, schema_match=True, hash_match=True,
-               spark_rows=len(spark_df), oracle_rows=len(duck_df))
+               spark_rows=len(spark_df), oracle_rows=len(duck_df),
+               status="hash_match")
 
-# rows-only queries (no oracle): just check non-empty
+# oracle-less-by-design queries (sketch/ANN/implementation-defined):
+# non-empty output + a named ScalaTest gate. Zero rows is a FAILURE and
+# recorded with a distinct err so the generated ledger surfaces it
+# (round-8 ADVICE: err="no_oracle" hid a red run as benign rows-only).
 for p in sorted(glob.glob(os.path.join(outdir, "*"))):
     name = os.path.basename(p)
     if not os.path.isdir(p) or name in oracle:
         continue
     files = glob.glob(os.path.join(p, "*.parquet"))
     n = sum(len(pd.read_parquet(f)) for f in files) if files else 0
-    print(("OK  " if n > 0 else "FAIL") + f" {name} rows-only ({n} rows)")
-    record(name, spark_rows=n, err="no_oracle")
-    if n == 0: fails += 1
+    gate = refs_for(name, SPEC_FULL, SPEC_SHORT)
+    print(("OK  " if n > 0 else "FAIL") +
+          f" {name} spec-gated ({n} rows; gate={','.join(gate) or 'NONE'})")
+    if n == 0:
+        record(name, spark_rows=0, err="no_oracle_zero_rows",
+               status="error", gate=gate or None)
+        fails += 1
+    else:
+        record(name, spark_rows=n, status="spec_gated", gate=gate or None)
 
 if json_out:
     with open(json_out, "w") as f:

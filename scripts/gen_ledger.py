@@ -32,18 +32,31 @@ def newest_correctness():
 def spec_index():
     """Map query name or short id -> spec files mentioning it. Queries
     are referenced in specs either by full name ("q137_psi_drift"), by
-    operator symbol (Skew.q86QuantileSketch), or by short id in a test
-    title ("m06 CDC chunking"); index all three, with a boundary that
-    keeps t20 from matching t200."""
+    operator symbol (Skew.q86QuantileSketch — a camelCase call site), or
+    by short id in a test TITLE ("m06 CDC chunking"). Short ids are only
+    counted in those two positions — a mention in a comment or an
+    unrelated code line is NOT a gate (round-8 ADVICE: the old
+    anywhere-in-file match let the UNGATED check pass without any
+    assertion touching the query)."""
     full, short = {}, {}
     for path in glob.glob(os.path.join(ROOT, "src/test/scala/graft/*.scala")):
         base = os.path.basename(path)
         text = open(path, encoding="utf-8").read()
         for name in re.findall(r'"([a-z]+\d+[a-z0-9_]*)"', text):
             full.setdefault(name, set()).add(base)
-        for sid in re.findall(r'\b([a-z]{1,2}\d{2,3})(?=[A-Z_ :.,)"\'/]|$)',
-                              text):
-            short.setdefault(sid, set()).add(base)
+        # short id in a test title, with a boundary that keeps t20 from
+        # matching t200
+        for title in re.findall(r'test\("([^"]*)"', text):
+            for sid in re.findall(r'\b([a-z]{1,2}\d{2,3})(?=[^0-9]|$)',
+                                  title):
+                short.setdefault(sid, set()).add(base)
+        # short id as a camelCase operator symbol (q86QuantileSketch(...))
+        # on a non-comment line — an actual call site, not prose
+        for line in text.splitlines():
+            if line.lstrip().startswith(("//", "*", "/*")):
+                continue
+            for sid in re.findall(r'\b([a-z]{1,2}\d{2,3})(?=[A-Z])', line):
+                short.setdefault(sid, set()).add(base)
     return full, short
 
 
@@ -53,8 +66,18 @@ def refs_for(name, full, short):
 
 
 def status_of(entry):
-    # the driver marks oracle-less (rows-only-by-design) queries with
-    # err="no_oracle"; any other err is a real query failure
+    # round-9 artifacts are self-describing: a `status` field where
+    # "spec_gated" means oracle-less BY DESIGN (with its gate recorded)
+    # and err unambiguously means broken
+    st = entry.get("status")
+    if st == "spec_gated":
+        return "rows-only"
+    if st == "hash_match":
+        return "hash-match"
+    if st == "error" or (st and st.endswith("_mismatch")):
+        return "err" if st == "error" else st.upper()
+    # legacy artifacts (pre-round-9, or the driver's own schema): the
+    # oracle-less-by-design marker rides in the err field
     if entry.get("err") == "no_oracle":
         return "rows-only"
     if entry.get("err"):

@@ -95,6 +95,12 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)
+    // The driver keeps only a bounded TAIL of sbt stdout, so the ~3 kB
+    // per-query line above gets head-truncated past parsing (BENCH_r08
+    // kept ~60 of 290 entries and parsed: null). Repeat the headline in
+    // a compact line AFTER it: the tail always ends with a complete,
+    // parseable total; per-query detail lives in bench_full.json.
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":{},"n_queries":${results.size},"sf":"$sfDir"}""")
     // Also persist the metric JSON next to the repo: the driver parses a
     // bounded tail of sbt stdout (and sbt may prefix lines with [info]),
     // so the perf signal must not depend on that parsing surviving.

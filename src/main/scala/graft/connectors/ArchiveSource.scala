@@ -302,10 +302,17 @@ class ArchiveScan(rows: Long, parts: Int, pushed: Array[Filter],
   override def filter(filters: Array[Filter]): Unit = {
     val vals = filters.collectFirst {
       case org.apache.spark.sql.sources.In("event_id", vs) =>
-        vs.collect { case l: java.lang.Long => l.longValue()
-                     case i: java.lang.Integer => i.longValue() }
+        val decoded =
+          vs.collect { case l: java.lang.Long => l.longValue()
+                       case i: java.lang.Integer => i.longValue() }
+        // A partially-decoded key set would prune splits that hold the
+        // undecoded keys — a false-negative prune, which
+        // SupportsRuntimeFiltering forbids. Only prune when EVERY
+        // value decoded; otherwise skip pruning (always sound: the
+        // join re-checks).
+        if (decoded.length == vs.length) Some(decoded) else None
     }
-    runtimeKeys = vals.map(_.sorted)
+    runtimeKeys = vals.flatten.map(_.sorted)
   }
 
   override def planInputPartitions(): Array[InputPartition] = {

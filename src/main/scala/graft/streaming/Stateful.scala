@@ -1956,7 +1956,14 @@ object Stateful {
       Encoders.product[DistinctCell]
     implicit val keyEnc: Encoder[(String, Long)] =
       Encoders.tuple(Encoders.STRING, Encoders.scalaLong)
+    // Post-timeline rows advance the watermark but never reach state
+    // (see kllQuantileStream): an emitted cell's state is then
+    // RECLAIMED with state.remove() instead of a permanent done
+    // tombstone — the sketch-state family's key domain grows with the
+    // calendar, so tombstones would leak for the life of the query.
     val rows = df.withWatermark("ts", slack)
+      .filter(expr(
+        s"unix_micros(ts) < ${endDayExclusive * 86400000000L}L"))
       .select(col("event_type"), col("ts"), col("user_id"))
       .as[(String, java.sql.Timestamp, Long)](
         Encoders.product[(String, java.sql.Timestamp, Long)])
@@ -1974,13 +1981,13 @@ object Stateful {
             else HllSketch.heapify(st0.sketch)
           it.foreach(r => sk.update(r._3))
           val wm = state.getCurrentWatermarkMs()
-          if (!st0.done && wm > endDayExclusive * 86400000L + 1L) {
-            state.update(HllState(sk.toUpdatableByteArray, done = true))
+          if (wm > endDayExclusive * 86400000L + 1L) {
+            state.remove() // emit-once then reclaim (see pre-filter)
             Iterator.single(DistinctCell(key._1, key._2,
               Math.round(sk.getEstimate)))
           } else {
-            state.update(HllState(sk.toUpdatableByteArray, st0.done))
-            if (!st0.done) state.setTimeoutTimestamp(wm + 1L)
+            state.update(HllState(sk.toUpdatableByteArray, done = false))
+            state.setTimeoutTimestamp(wm + 1L)
             Iterator.empty
           }
       }
@@ -2014,7 +2021,15 @@ object Stateful {
     implicit val outEnc: Encoder[QuantileCell] =
       Encoders.product[QuantileCell]
     implicit val keyEnc: Encoder[String] = Encoders.STRING
+    // Rows past the monitored timeline still advance the watermark
+    // (withWatermark sees them) but must never reach a key's state:
+    // with post-timeline rows excluded and late rows dropped by the
+    // watermark, a key that has emitted can never see another row, so
+    // its state can be REMOVED instead of tombstoned with a done flag —
+    // for a wide key domain the tombstones would be a permanent leak.
     val rows = df.withWatermark("ts", slack)
+      .filter(expr(
+        s"unix_micros(ts) < ${endDayExclusive * 86400000000L}L"))
       .select(col("event_type"), col("ts"),
         expr("cast(round(value * 1000) as bigint)").as("vm"))
       .as[(String, java.sql.Timestamp, Long)](
@@ -2031,16 +2046,18 @@ object Stateful {
             else KllDoublesSketch.heapify(Memory.wrap(st0.sketch))
           it.foreach(r => sk.update(r._3.toDouble))
           val wm = state.getCurrentWatermarkMs()
-          if (!st0.done && wm > endDayExclusive * 86400000L + 1L) {
-            state.update(KllState(sk.toByteArray, done = true))
+          if (wm > endDayExclusive * 86400000L + 1L) {
+            // emit-once then reclaim: no row for this key can arrive
+            // after the pre-filter + watermark, so no done tombstone
+            state.remove()
             if (sk.isEmpty) Iterator.empty
             else Iterator.single(QuantileCell(key, sk.getN,
               Math.round(sk.getQuantile(0.5)),
               Math.round(sk.getQuantile(0.9)),
               Math.round(sk.getQuantile(0.99))))
           } else {
-            state.update(KllState(sk.toByteArray, st0.done))
-            if (!st0.done) state.setTimeoutTimestamp(wm + 1L)
+            state.update(KllState(sk.toByteArray, done = false))
+            state.setTimeoutTimestamp(wm + 1L)
             Iterator.empty
           }
       }
@@ -2680,7 +2697,17 @@ object Stateful {
     implicit val rowEnc: Encoder[(Long, Int, java.sql.Timestamp)] =
       Encoders.tuple(Encoders.scalaLong, Encoders.scalaInt,
         Encoders.TIMESTAMP)
+    // Post-timeline rows (incl. harness sentinels) advance the
+    // watermark but are kept OUT of the keyed state, so an emitted
+    // bin's state can be reclaimed with state.remove() instead of a
+    // permanent done tombstone — this key domain (the value grid) is
+    // wide enough that tombstones would be a real leak at 100 TB.
+    // Their bins simply never form; q149Finish/q188Finish treat a
+    // missing bin and a (0, 0) bin identically (both contribute exact
+    // zeros to every aggregate).
     val ds = df.withWatermark("ts", slack)
+      .filter(expr(
+        s"unix_micros(ts) < ${(endDay + 1L) * 86400000000L}L"))
       .select("vm", "grp", "ts")
       .as[(Long, Int, java.sql.Timestamp)]
     ds.groupByKey(_._1)
@@ -2694,12 +2721,12 @@ object Stateful {
             if (r._2 == 1) n1 += 1L else if (r._2 == 0) n2 += 1L
           }
           val wm = state.getCurrentWatermarkMs()
-          if (!st0.done && wm > endDay * 86400000L + 1L) {
-            state.update(MwState(n1, n2, true))
+          if (wm > endDay * 86400000L + 1L) {
+            state.remove() // emit-once then reclaim (see pre-filter)
             Iterator.single(MwBin(key, n1, n2))
           } else {
-            state.update(MwState(n1, n2, st0.done))
-            if (!st0.done) state.setTimeoutTimestamp(wm + 1L)
+            state.update(MwState(n1, n2, done = false))
+            state.setTimeoutTimestamp(wm + 1L)
             Iterator.empty
           }
       }
