@@ -43,7 +43,8 @@ class ArchiveSource extends TableProvider {
     val rows = Option(properties.get("rows")).map(_.toLong)
       .getOrElse(100000L)
     val parts = Option(properties.get("parts")).map(_.toInt).getOrElse(8)
-    new ArchiveTable(rows, parts)
+    val layout = Option(properties.get("layout")).getOrElse("range")
+    new ArchiveTable(rows, parts, layout)
   }
   override def supportsExternalMetadata(): Boolean = false
 }
@@ -164,17 +165,18 @@ object ArchiveSource {
   def dayOf(id: Long): Long = id % 365L
 }
 
-class ArchiveTable(rows: Long, parts: Int) extends Table
-    with SupportsRead {
+class ArchiveTable(rows: Long, parts: Int, layout: String = "range")
+    extends Table with SupportsRead {
   override def name(): String = s"archive($rows)"
   override def schema(): StructType = ArchiveSource.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap)
-      : ScanBuilder = new ArchiveScanBuilder(rows, parts)
+      : ScanBuilder = new ArchiveScanBuilder(rows, parts, layout)
 }
 
-class ArchiveScanBuilder(rows: Long, parts: Int) extends ScanBuilder
+class ArchiveScanBuilder(rows: Long, parts: Int,
+    layout: String = "range") extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownAggregates with SupportsPushDownLimit
     with SupportsPushDownTopN {
@@ -188,7 +190,7 @@ class ArchiveScanBuilder(rows: Long, parts: Int) extends ScanBuilder
     * yields EXACTLY min(n, matches) rows, so the push is total
     * (isPartiallyPushed = false) and Spark drops its own limit. */
   override def pushLimit(l: Int): Boolean =
-    if (aggTokens.nonEmpty) false
+    if (aggTokens.nonEmpty || layout == "by_type") false
     else { limit = Some(l.toLong); true }
 
   /** ORDER BY event_id [ASC|DESC] LIMIT n: rows are generated in id
@@ -199,7 +201,8 @@ class ArchiveScanBuilder(rows: Long, parts: Int) extends ScanBuilder
   override def pushTopN(
       orders: Array[org.apache.spark.sql.connector.expressions.SortOrder],
       l: Int): Boolean = {
-    if (aggTokens.nonEmpty || orders.length != 1) return false
+    if (aggTokens.nonEmpty || layout == "by_type" ||
+      orders.length != 1) return false
     val o = orders(0)
     val onEventId = o.expression() match {
       case nr: NamedReference => nr.fieldNames().mkString(".") == "event_id"
@@ -246,6 +249,7 @@ class ArchiveScanBuilder(rows: Long, parts: Int) extends ScanBuilder
 
   override def supportCompletePushDown(agg: Aggregation): Boolean = false
   override def pushAggregation(agg: Aggregation): Boolean = {
+    if (layout == "by_type") return false
     val gb = agg.groupByExpressions().toSeq.map(fieldOf)
     val gbOk = gb.isEmpty || gb == Seq(Some("event_type"))
     if (!gbOk) return false
@@ -266,7 +270,8 @@ class ArchiveScanBuilder(rows: Long, parts: Int) extends ScanBuilder
   }
 
   override def build(): Scan =
-    if (aggTokens.nonEmpty)
+    if (layout == "by_type") new ArchiveTypeScan(rows, pushed, required)
+    else if (aggTokens.nonEmpty)
       new ArchiveAggScan(rows, parts, pushed, aggTokens, groupByType)
     else new ArchiveScan(rows, parts, pushed, required, limit, topNAsc)
 }
@@ -277,9 +282,24 @@ final case class ArchiveRangePartition(start: Long, end: Long)
 class ArchiveScan(rows: Long, parts: Int, pushed: Array[Filter],
     required: StructType, limit: Option[Long] = None,
     topNAsc: Option[Boolean] = None) extends Scan with Batch
-    with SupportsRuntimeFiltering {
+    with SupportsRuntimeFiltering with SupportsReportOrdering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
+
+  /** Reported ordering (`SupportsReportOrdering`): each split emits
+    * rows in ascending event_id (the generator walks ids in order), so
+    * a per-partition sort on event_id above this scan is redundant and
+    * Spark elides it — the DSv2 analog of a sorted parquet layout
+    * whose writer recorded the sort columns. */
+  override def outputOrdering()
+      : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+    if (required.fieldNames.contains("event_id"))
+      Array(org.apache.spark.sql.connector.expressions.Expressions.sort(
+        org.apache.spark.sql.connector.expressions.Expressions
+          .column("event_id"),
+        org.apache.spark.sql.connector.expressions.SortDirection
+          .ASCENDING))
+    else Array.empty
   override def description(): String = {
     val lim = limit.map(n => topNAsc match {
       case Some(true) => s" topN=[$n asc event_id]"
@@ -337,6 +357,110 @@ class ArchiveScan(rows: Long, parts: Int, pushed: Array[Filter],
 
   override def createReaderFactory(): PartitionReaderFactory =
     new ArchiveReaderFactory(pushed, required)
+}
+
+/** One by-type split: ALL rows of one event_type (its residue class
+  * mod 5 over [start, end)). Implements `HasPartitionKey` so Spark can
+  * see the clustering — the key value IS the partition identity. */
+final case class ArchiveTypePartition(typeIdx: Int, start: Long,
+    end: Long) extends InputPartition with HasPartitionKey {
+  override def partitionKey(): InternalRow =
+    InternalRow(UTF8String.fromString(ArchiveSource.types(typeIdx)))
+}
+
+/** The `layout=by_type` scan — the last rung of the DSv2 ladder
+  * (`SupportsReportPartitioning`): the archive declares that its
+  * splits are KEY-GROUPED on event_type (one split holds every row of
+  * one type), so a groupBy/join on event_type plans with ZERO exchange
+  * — Spark sees ClusteredDistribution(event_type) already satisfied by
+  * the storage layout. The DSv2 analog of a bucketed table: at 100 TB
+  * this is the difference between re-shuffling the fact table on every
+  * aggregation and reading pre-clustered files straight into the final
+  * aggregate. Requires spark.sql.sources.v2.bucketing.enabled=true
+  * (ExtensionsSpec pins exchange-count 0 vs ≥1 when disabled).
+  *
+  * Filter pushdown still applies: a pushed type equality prunes whole
+  * type-splits at planning time; id-range filters narrow each split's
+  * stepped walk. Matching ids form one residue class mod 5 per type
+  * (see ArchiveAggPartitionReader), so each split reads EXACTLY its
+  * rows — the 5 splits together touch each id once. */
+class ArchiveTypeScan(rows: Long, pushed: Array[Filter],
+    required: StructType) extends Scan with Batch
+    with SupportsReportPartitioning {
+  private val typeEq: Option[String] = pushed.collectFirst {
+    case EqualTo("event_type", v: String) => v
+  }
+  private val (lo, hi): (Long, Long) = {
+    var l = 0L; var h = rows
+    pushed.foreach {
+      case GreaterThanOrEqual("event_id", v: Long) => l = math.max(l, v)
+      case GreaterThanOrEqual("event_id", v: Int) =>
+        l = math.max(l, v.toLong)
+      case LessThan("event_id", v: Long) => h = math.min(h, v)
+      case LessThan("event_id", v: Int) => h = math.min(h, v.toLong)
+      case _ =>
+    }
+    (l, h)
+  }
+  private val surviving: Array[Int] =
+    if (lo >= hi) Array.empty
+    else ArchiveSource.types.indices
+      .filter(i => typeEq.forall(_ == ArchiveSource.types(i))).toArray
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"ArchiveTypeScan keyGrouped=[event_type] " +
+      s"pushed=[${pushed.mkString(", ")}] types=${surviving.length}"
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    new org.apache.spark.sql.connector.read.partitioning
+      .KeyGroupedPartitioning(
+        Array(org.apache.spark.sql.connector.expressions.Expressions
+          .identity("event_type")), surviving.length)
+  override def planInputPartitions(): Array[InputPartition] = {
+    ArchiveSource.lastPlannedSplits.set(surviving.length)
+    surviving.map(i => ArchiveTypePartition(i, lo, hi))
+      .map(identity[InputPartition])
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new ArchiveTypeReaderFactory(required)
+}
+
+class ArchiveTypeReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition)
+      : PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[ArchiveTypePartition]
+    new ArchiveTypePartitionReader(p.typeIdx, p.start, p.end, required)
+  }
+}
+
+/** Stepped reader over one type's residue class: first matching id at
+  * or after `start`, then stride 5 — reads exactly the split's rows,
+  * never filters. */
+class ArchiveTypePartitionReader(typeIdx: Int, start: Long, end: Long,
+    required: StructType) extends PartitionReader[InternalRow] {
+  private val cols: Array[String] = required.fieldNames
+  private val r: Long = (typeIdx.toLong * 2L) % 5L
+  private var id: Long = start + ((r - start) % 5L + 5L) % 5L - 5L
+  private var current: InternalRow = _
+
+  override def next(): Boolean = {
+    id += 5L
+    if (id >= end) return false
+    current = InternalRow.fromSeq(cols.map {
+      case "event_id" => id
+      case "user_id" => ArchiveSource.userOf(id)
+      case "event_type" =>
+        UTF8String.fromString(ArchiveSource.types(typeIdx))
+      case "value" => ArchiveSource.valueMilliOf(id) / 1000.0
+      case "day" => ArchiveSource.dayOf(id)
+    }.toSeq)
+    true
+  }
+  override def get(): InternalRow = current
+  override def close(): Unit = ()
 }
 
 /** Aggregate-pushdown scan: one pre-aggregated row per surviving split,

@@ -266,6 +266,50 @@ object Pruning {
            |FROM rows_ JOIN dim ON event_id = k
            |ORDER BY event_id""".stripMargin))
 
+  // --------------------------------------------------------------- q194
+  /** Key-grouped storage partitioning through the custom DSv2 source
+    * (`SupportsReportPartitioning` — the last rung of the connector
+    * ladder): with `layout=by_type` the archive plans ONE split per
+    * event_type (all rows of a type in one split, declared via
+    * `HasPartitionKey` + `KeyGroupedPartitioning`), so this
+    * groupBy(event_type) aggregation plans with ZERO exchange — Spark
+    * sees the storage clustering already satisfies the aggregation's
+    * distribution and reads straight into the final aggregate. The
+    * DSv2 analog of a bucketed table; at 100 TB it removes the full
+    * fact-table shuffle from every by-key rollup. The summed measure
+    * (vm) is deliberately NOT an agg the source can push (q142/q144
+    * cover that), so a real HashAggregate runs above the scan and the
+    * exchange elision is what's being exercised. ExtensionsSpec pins
+    * exchange-count 0 with the declaration live vs ≥1 with
+    * spark.sql.sources.v2.bucketing.enabled off. Oracle:
+    * generate_series replays the row formula. */
+  val q194ArchiveKeyGrouped = QueryDef(
+    "q194_archive_keygrouped",
+    (s, _) => {
+      import org.apache.spark.sql.functions._
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.read.format("graft.connectors.ArchiveSource")
+        .option("layout", "by_type").load()
+        .filter(col("event_id") >= 10000L && col("event_id") < 90000L)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(expr("cast(round(value * 1000) as bigint)")).as("vm_sum"),
+          min("event_id").as("min_id"),
+          max("event_id").as("max_id"))
+    },
+    Some("""WITH ids AS (
+           |  SELECT g AS id FROM generate_series(10000, 89999) t(g)),
+           |rows_ AS (
+           |  SELECT id,
+           |    ['click','view','purchase','signup','error']
+           |      [CAST((id * 40503) % 5 AS INT) + 1] AS event_type,
+           |    (id * 48271) % 1000000 AS vm
+           |  FROM ids)
+           |SELECT event_type, CAST(count(*) AS BIGINT) AS n_rows,
+           |  CAST(sum(vm) AS BIGINT) AS vm_sum,
+           |  min(id) AS min_id, max(id) AS max_id
+           |FROM rows_ GROUP BY 1""".stripMargin))
+
   // --------------------------------------------------------------- q150
   /** Partition-strategy planner: score candidate partition keys for the
     * events table from catalog-style stats — the decision every 100 TB
@@ -711,5 +755,5 @@ object Pruning {
       q144ArchiveGroupPushdown, q150PartitionPlanner, q151SkippingAudit,
       q156EncodingAdvisor, q175JoinEstimate, q181TierPlan,
       q191ArchiveLimitPushdown, q192ArchiveTopnPushdown,
-      q193ArchiveRuntimePrune)
+      q193ArchiveRuntimePrune, q194ArchiveKeyGrouped)
 }

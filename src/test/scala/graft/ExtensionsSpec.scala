@@ -224,6 +224,88 @@ class ExtensionsSpec extends SparkSpec {
     assert(fb.collect().length == 10)
   }
 
+  test("archive DSv2: key-grouped layout plans the groupBy with zero exchange") {
+    // SupportsReportPartitioning — the last rung of the connector
+    // ladder: layout=by_type plans one split per event_type and
+    // declares the clustering (HasPartitionKey + KeyGroupedPartitioning),
+    // so a groupBy(event_type) aggregation needs NO shuffle at all —
+    // the DSv2 analog of a bucketed table.
+    val s = spark
+    val prev = s.conf.getOption("spark.sql.sources.v2.bucketing.enabled")
+      .getOrElse("false")
+    try {
+      val agg = SparkEntry.queries("q194_archive_keygrouped")(s, "")
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(plan.contains("ArchiveTypeScan"),
+        s"by_type layout not planned:\n${plan.take(600)}")
+      assert(!plan.contains("Exchange hashpartitioning(event_type"),
+        s"key-grouped groupBy must not shuffle:\n${plan.take(1200)}")
+      // declared clustering is REAL: 5 splits, each exactly its type's
+      // rows, together covering each id once
+      val byType = s.read.format("graft.connectors.ArchiveSource")
+        .option("layout", "by_type").load()
+      assert(byType.rdd.getNumPartitions == 5)
+      assert(byType.count() == 100000L)
+      // the elided exchange never changes the answer: same aggregation
+      // through the default range layout (which must shuffle)
+      val viaRange = s.read.format("graft.connectors.ArchiveSource").load()
+        .filter(col("event_id") >= 10000L && col("event_id") < 90000L)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(expr("cast(round(value * 1000) as bigint)")).as("vm_sum"),
+          min("event_id").as("min_id"), max("event_id").as("max_id"))
+      val k = (r: org.apache.spark.sql.Row) => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      assert(agg.collect().map(k).toMap == viaRange.collect().map(k).toMap,
+        "key-grouped aggregation diverges from the shuffled path")
+      // with the bucketing conf OFF the declaration is ignored and the
+      // exchange comes back — pinning that the elision came from the
+      // reported partitioning, not from something else in the plan
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "false")
+      val off = s.read.format("graft.connectors.ArchiveSource")
+        .option("layout", "by_type").load()
+        .groupBy("event_type").agg(
+          sum(expr("cast(round(value * 1000) as bigint)")).as("vm_sum"))
+      assert(off.queryExecution.executedPlan.toString
+        .contains("Exchange hashpartitioning(event_type"),
+        "with v2 bucketing disabled the groupBy must shuffle")
+      // a pushed type filter prunes whole type-splits at planning time
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      val one = s.read.format("graft.connectors.ArchiveSource")
+        .option("layout", "by_type").load()
+        .filter(col("event_type") === "view")
+      assert(one.rdd.getNumPartitions == 1,
+        "type filter must prune to the one matching type-split")
+      assert(one.count() == 20000L)
+    } finally {
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", prev)
+    }
+  }
+
+  test("archive DSv2: reported ordering elides the per-partition sort") {
+    // SupportsReportOrdering: splits emit ascending event_id, so a
+    // sortWithinPartitions("event_id") above the scan is satisfied by
+    // the reported ordering and plans with NO Sort node — the DSv2
+    // analog of parquet files whose writer recorded the sort columns.
+    val s = spark
+    val sorted = s.read.format("graft.connectors.ArchiveSource").load()
+      .sortWithinPartitions("event_id").select("event_id")
+    val plan = sorted.queryExecution.executedPlan.toString
+    assert(!plan.contains("Sort ["),
+      s"reported ordering should elide the sort:\n${plan.take(900)}")
+    // the claim is true: every partition really is ascending
+    val asc = sorted.rdd.mapPartitions { it =>
+      val ids = it.map(_.getLong(0)).toArray
+      Iterator.single(ids.sameElements(ids.sorted))
+    }.collect()
+    assert(asc.forall(identity), "a split emitted out-of-order ids")
+    // an ordering the source does NOT report still plans a real sort
+    val other = s.read.format("graft.connectors.ArchiveSource").load()
+      .sortWithinPartitions("user_id").select("user_id")
+    assert(other.queryExecution.executedPlan.toString.contains("Sort ["),
+      "unreported ordering must keep the sort")
+  }
+
   test("archive DSv2: runtime filtering (DPP analog) prunes splits at execution") {
     // a selective dim joined on event_id: Spark executes the dim first
     // and hands the observed key set to the scan (SupportsRuntimeFiltering)
