@@ -2063,6 +2063,152 @@ object Stateful {
       }
   }
 
+  /** KllQuantileProcessor — the sketch-bytes state family on Spark 4's
+    * `transformWithState`, retiring the fMGWS whole-cell rewrite for
+    * the fourth and last state family (dailyMeans, sessionize, twap,
+    * peak are the other three ports). State per event_type is ONE
+    * `ValueState[Array[Byte]]` holding the serialized KLL doubles
+    * sketch; every batch folds its rows into the sketch and re-arms
+    * the single end-of-timeline event-time timer (idempotent — the
+    * timer registry keys on (key, timestamp)), and `handleExpiredTimer`
+    * emits p50/p90/p99 exactly once, then CLEARS the state — the
+    * reclaim-on-close posture the fMGWS variant (kllQuantileStream,
+    * kept as the spec reference) adopted in round 9. Post-timeline
+    * rows are pre-filtered so a cleared key can never re-open. */
+  class KllQuantileProcessor(endDayExclusive: Long)
+      extends StatefulProcessor[String, (String, java.sql.Timestamp,
+        Long), QuantileCell] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.datasketches.kll.KllDoublesSketch
+    import org.apache.datasketches.memory.Memory
+    @transient private var sketch: ValueState[Array[Byte]] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sketch = getHandle.getValueState[Array[Byte]]("sketch",
+        Encoders.BINARY, TTLConfig.NONE)
+
+    override def handleInputRows(key: String,
+        rows: Iterator[(String, java.sql.Timestamp, Long)],
+        timerValues: TimerValues): Iterator[QuantileCell] = {
+      val bytes =
+        if (sketch.exists()) sketch.get() else Array.emptyByteArray
+      val sk =
+        if (bytes.isEmpty) KllDoublesSketch.newHeapInstance(200)
+        else KllDoublesSketch.heapify(Memory.wrap(bytes))
+      rows.foreach(r => sk.update(r._3.toDouble))
+      sketch.update(sk.toByteArray)
+      getHandle.registerTimer(endDayExclusive * 86400000L + 2L)
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: String,
+        timerValues: TimerValues, expiredTimerInfo: ExpiredTimerInfo)
+        : Iterator[QuantileCell] = {
+      val bytes =
+        if (sketch.exists()) sketch.get() else Array.emptyByteArray
+      sketch.clear()
+      if (bytes.isEmpty) Iterator.empty
+      else {
+        val sk = KllDoublesSketch.heapify(Memory.wrap(bytes))
+        if (sk.isEmpty) Iterator.empty
+        else Iterator.single(QuantileCell(key, sk.getN,
+          Math.round(sk.getQuantile(0.5)),
+          Math.round(sk.getQuantile(0.9)),
+          Math.round(sk.getQuantile(0.99))))
+      }
+    }
+  }
+
+  /** The transformWithState KLL quantile twin (see
+    * KllQuantileProcessor). Input: the standard event columns. */
+  def kllQuantileTws(df: DataFrame, endDayExclusive: Long,
+      slack: String = "2 hours"): Dataset[QuantileCell] = {
+    import org.apache.spark.sql.Encoders
+    implicit val outEnc: Encoder[QuantileCell] =
+      Encoders.product[QuantileCell]
+    implicit val keyEnc: Encoder[String] = Encoders.STRING
+    implicit val rowEnc: Encoder[(String, java.sql.Timestamp, Long)] =
+      Encoders.tuple(Encoders.STRING, Encoders.TIMESTAMP,
+        Encoders.scalaLong)
+    val rows = df.withWatermark("ts", slack)
+      .filter(expr(
+        s"unix_micros(ts) < ${endDayExclusive * 86400000000L}L"))
+      .select(col("event_type"), col("ts"),
+        expr("cast(round(value * 1000) as bigint)").as("vm"))
+      .as[(String, java.sql.Timestamp, Long)]
+    rows.groupByKey(_._1)
+      .transformWithState(new KllQuantileProcessor(endDayExclusive),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
+  /** HllDistinctProcessor — live approximate distinct users per
+    * (type, day) on `transformWithState`, the TRUE live shape of the
+    * sketch family: `MapState[day → serialized HLL registers]` with one
+    * event-time timer PER OPEN DAY (the DailyMeanProcessor timer
+    * discipline), so each day's estimate emits the moment the
+    * watermark crosses the day's end — no end-of-timeline parameter,
+    * days close forever as the calendar advances and their register
+    * bytes are removed on emission. State is bounded by open days per
+    * type (≤ slack horizon / day) × the fixed lgK=14 register array. */
+  class HllDistinctProcessor
+      extends StatefulProcessor[String, (String, java.sql.Timestamp,
+        Long), DistinctCell] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.datasketches.hll.HllSketch
+    @transient private var days: MapState[Long, Array[Byte]] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      days = getHandle.getMapState[Long, Array[Byte]]("days",
+        Encoders.scalaLong, Encoders.BINARY, TTLConfig.NONE)
+
+    override def handleInputRows(key: String,
+        rows: Iterator[(String, java.sql.Timestamp, Long)],
+        timerValues: TimerValues): Iterator[DistinctCell] = {
+      rows.foreach { r =>
+        val day = Math.floorDiv(microsOf(r._2), 86400000000L)
+        val sk =
+          if (days.containsKey(day)) HllSketch.heapify(days.getValue(day))
+          else new HllSketch(14)
+        sk.update(r._3)
+        days.updateValue(day, sk.toUpdatableByteArray)
+        getHandle.registerTimer((day + 1L) * 86400000L)
+      }
+      Iterator.empty
+    }
+
+    override def handleExpiredTimer(key: String,
+        timerValues: TimerValues, expiredTimerInfo: ExpiredTimerInfo)
+        : Iterator[DistinctCell] = {
+      val day = expiredTimerInfo.getExpiryTimeInMs / 86400000L - 1L
+      if (days.containsKey(day)) {
+        val est = Math.round(
+          org.apache.datasketches.hll.HllSketch
+            .heapify(days.getValue(day)).getEstimate)
+        days.removeKey(day)
+        Iterator.single(DistinctCell(key, day, est))
+      } else Iterator.empty
+    }
+  }
+
+  /** The transformWithState HLL distinct twin (see
+    * HllDistinctProcessor). Input: the standard event columns. */
+  def hllDistinctTws(df: DataFrame, slack: String = "2 hours")
+      : Dataset[DistinctCell] = {
+    import org.apache.spark.sql.Encoders
+    implicit val outEnc: Encoder[DistinctCell] =
+      Encoders.product[DistinctCell]
+    implicit val keyEnc: Encoder[String] = Encoders.STRING
+    implicit val rowEnc: Encoder[(String, java.sql.Timestamp, Long)] =
+      Encoders.tuple(Encoders.STRING, Encoders.TIMESTAMP,
+        Encoders.scalaLong)
+    val rows = df.withWatermark("ts", slack)
+      .select(col("event_type"), col("ts"), col("user_id"))
+      .as[(String, java.sql.Timestamp, Long)]
+    rows.groupByKey(_._1)
+      .transformWithState(new HllDistinctProcessor,
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   /** One (type, day, minute, kind) concurrency cell (q83's grids —
     * kind "net" carries interval deltas, "start" the session count). */
   final case class ConcCell(event_type: String, day: Long, minute: Long,

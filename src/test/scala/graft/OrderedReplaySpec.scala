@@ -2069,6 +2069,155 @@ class OrderedReplaySpec extends SparkSpec {
     }
   }
 
+  test("transformWithState KLL: sketch-bytes ValueState hits target ranks") {
+    // the sketch-bytes family's state-v2 port: one ValueState[Array[Byte]]
+    // per type + an idempotent end-of-timeline timer; same rank-error
+    // gate as the fMGWS twin (kept as the spec reference)
+    val s = spark
+    val prev = s.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val endDay = Tables.events(s, sf)
+        .select(expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(max("day")).head.getLong(0)
+      val out = runStream("tws_kll")(df =>
+        Stateful.kllQuantileTws(df, endDay + 1L))
+      val est = out.collect()
+        .map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+      assert(est.nonEmpty)
+      val exact = Tables.events(s, sf)
+        .select(col("event_type"),
+          expr("cast(round(value * 1000) as bigint)").as("vm"))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+        .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).sorted }
+      assert(est.keySet == exact.keySet, "type sets diverge")
+      est.foreach { case (t, (n, p50, p90, p99)) =>
+        val vals = exact(t)
+        assert(n == vals.length.toLong, s"$t n=$n != ${vals.length}")
+        for ((q, e) <- Seq(0.5 -> p50, 0.9 -> p90, 0.99 -> p99)) {
+          val rank = vals.count(_ <= e).toDouble / vals.length
+          assert(math.abs(rank - q) <= 0.03,
+            s"$t p$q estimate $e sits at true rank $rank")
+        }
+      }
+    } finally {
+      if (prev.isEmpty)
+        s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      else s.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    }
+  }
+
+  test("transformWithState KLL survives a checkpoint restart") {
+    // sketch bytes in a ValueState must round-trip RocksDB across a
+    // restart — n is exact, so dropped bytes or replayed rows are both
+    // caught by the n equality alone (the kllQuantileStream pin,
+    // re-proven on the state-v2 store)
+    val s = spark
+    import s.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+
+    val prev = s.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val endDay = Tables.events(s, sf)
+        .select(expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(max("day")).head.getLong(0)
+      val (shuffled, sentinelTs) = shuffledEvents()
+      val ck = tmpDir("tws_kll_restart_ck")
+      val got = java.util.concurrent.ConcurrentHashMap
+        .newKeySet[(String, Long, Long, Long, Long)]()
+      val input = MemoryStream[Stateful.Ev]
+      def start() =
+        Stateful.kllQuantileTws(
+            input.toDS().toDF("user_id", "ts", "event_id", "event_type",
+              "value"), endDay + 1L)
+          .writeStream
+          .foreachBatch {
+            (ds: org.apache.spark.sql.Dataset[Stateful.QuantileCell],
+                _: Long) =>
+              ds.collect().foreach(r => got.add(
+                (r.event_type, r.n, r.p50_milli, r.p90_milli, r.p99_milli)))
+          }
+          .option("checkpointLocation", ck)
+          .trigger(Trigger.ProcessingTime(50)).start()
+
+      val q1 = start()
+      val half = shuffled.length / 2
+      input.addData(shuffled.slice(0, half).toSeq)
+      q1.processAllAvailable()
+      q1.stop()
+
+      val q2 = start()
+      input.addData(shuffled.drop(half).toSeq)
+      q2.processAllAvailable()
+      input.addData((-1L, sentinelTs, -1L, "zz_sentinel", 0.0))
+      q2.processAllAvailable()
+      q2.stop()
+
+      import scala.jdk.CollectionConverters._
+      val cells = got.asScala.toSeq
+      assert(cells.nonEmpty)
+      val exact = Tables.events(s, sf)
+        .select(col("event_type"),
+          expr("cast(round(value * 1000) as bigint)").as("vm"))
+        .collect().map(r => (r.getString(0), r.getLong(1)))
+        .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).sorted }
+      assert(cells.map(_._1).toSet == exact.keySet)
+      cells.foreach { case (t, n, p50, p90, p99) =>
+        val vals = exact(t)
+        assert(n == vals.length.toLong,
+          s"$t n=$n != ${vals.length}: restart lost or replayed updates")
+        for ((q, e) <- Seq(0.5 -> p50, 0.9 -> p90, 0.99 -> p99)) {
+          val rank = vals.count(_ <= e).toDouble / vals.length
+          assert(math.abs(rank - q) <= 0.03,
+            s"$t p$q estimate $e sits at true rank $rank after restart")
+        }
+      }
+    } finally {
+      if (prev.isEmpty)
+        s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      else s.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    }
+  }
+
+  test("transformWithState HLL: per-day MapState sketches track exact counts") {
+    // the TRUE live shape of the sketch family: MapState[day → HLL
+    // registers] + one timer per open day, so each day emits as the
+    // watermark crosses it and its bytes are removed — no
+    // end-of-timeline parameter at all
+    val s = spark
+    val prev = s.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val out = runStream("tws_hll")(df => Stateful.hllDistinctTws(df))
+      val est = out.filter("event_type != 'zz_sentinel'").collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(est.nonEmpty)
+      val exact = Tables.events(s, sf)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(countDistinct(col("user_id")).as("n"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(est.keySet == exact.keySet, "cell sets diverge")
+      est.foreach { case (k, e) =>
+        val x = exact(k).toDouble
+        assert(math.abs(e - x) / x <= 0.02,
+          s"cell $k estimate $e far from exact ${exact(k)}")
+      }
+    } finally {
+      if (prev.isEmpty)
+        s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      else s.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    }
+  }
+
   test("streaming peak concurrency: delta cells == batch q83") {
     val s = spark
     val endDay = Tables.events(s, sf)
