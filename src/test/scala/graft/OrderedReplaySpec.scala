@@ -61,9 +61,15 @@ class OrderedReplaySpec extends SparkSpec {
     }
     input.addData(sentinelsOf(sentinelTs))
     q.processAllAvailable()
+    lastProgress = q.recentProgress.toSeq
     q.stop()
     s.table(name)
   }
+
+  /** StreamingQueryProgress rows of the most recent runStream, for
+    * state-bound assertions (stateOperators.numRowsTotal etc.). */
+  @volatile private var lastProgress
+      : Seq[org.apache.spark.sql.streaming.StreamingQueryProgress] = Nil
 
   test("ooo scd2: shuffled-within-horizon feed == batch q48 closed periods") {
     val s = spark
@@ -2211,6 +2217,84 @@ class OrderedReplaySpec extends SparkSpec {
         assert(math.abs(e - x) / x <= 0.02,
           s"cell $k estimate $e far from exact ${exact(k)}")
       }
+    } finally {
+      if (prev.isEmpty)
+        s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      else s.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    }
+  }
+
+  test("measured state bounds: stateOperators metrics stay within documented limits") {
+    // The 100 TB state claims, MEASURED instead of design-asserted:
+    // for one twin per state family, harvest numRowsTotal /
+    // memoryUsedBytes from StreamingQueryProgress.stateOperators and
+    // pin each against the bound its scaladoc documents. Bounds are
+    // computed from the batch side (stats-at-ingest), never hard-coded
+    // row counts.
+    val s = spark
+    import s.implicits._
+    def ops() = lastProgress.flatMap(_.stateOperators.toSeq)
+    def peakRows() = ops().map(_.numRowsTotal).max
+    def finalRows() = lastProgress.reverse
+      .find(_.stateOperators.nonEmpty)
+      .map(_.stateOperators.map(_.numRowsTotal).sum).getOrElse(-1L)
+
+    val endDay = Tables.events(s, sf)
+      .select(expr("unix_micros(ts) div 86400000000").as("day"))
+      .agg(max("day")).head.getLong(0)
+
+    // family: sketch-bytes, reclaim-on-close (kllQuantileStream) —
+    // state rows never exceed the key domain (5 event types; the
+    // sentinel is pre-filtered), and after the timeline closes the
+    // store is EMPTY (round 9's state.remove), not tombstoned
+    runStream("sb_kll")(df => Stateful.kllQuantileStream(df, endDay + 1L))
+    val kllPeak = peakRows(); val kllFinal = finalRows()
+    val kllMem = ops().map(_.memoryUsedBytes).max
+    info(s"kll sketch-state peak=$kllPeak final=$kllFinal mem=$kllMem")
+    assert(kllPeak <= 5L,
+      s"sketch state rows $kllPeak exceed the 5-type key domain")
+    assert(kllFinal == 0L,
+      s"closed sketch state must be reclaimed, found $kllFinal rows")
+
+    // family: commutative grid counters (dailyRevenueStream) — state
+    // is exactly the (type, day) calendar grid + the sentinel's cell,
+    // REGARDLESS of row volume
+    val gridCells = Tables.events(s, sf)
+      .select(col("event_type"),
+        expr("unix_micros(ts) div 86400000000").as("day"))
+      .distinct().count()
+    runStream("sb_grid")(df =>
+      Stateful.dailyRevenueStream(df.select(
+        col("event_type"), col("ts"),
+        expr("cast(round(value * 100) as bigint)").as("cents")), endDay))
+    val gridPeak = peakRows(); val gridFinal = finalRows()
+    info(s"grid state peak=$gridPeak final=$gridFinal bound=${gridCells + 1}")
+    assert(gridPeak <= gridCells + 1L,
+      s"grid state rows $gridPeak exceed the ${gridCells + 1} calendar cells")
+
+    // family: reorder buffer (scd2StreamOoo) — state rows are the KEY
+    // set (one buffered machine per user + the sentinel user), bounded
+    // by entity cardinality, not event volume
+    val users = Tables.events(s, sf).select("user_id").distinct().count()
+    runStream("sb_scd2")(df => Stateful.scd2StreamOoo(df, "2 hours"))
+    val bufPeak = peakRows()
+    info(s"reorder-buffer state peak=$bufPeak bound=${users + 1}")
+    assert(bufPeak <= users + 1L,
+      s"reorder-buffer state rows $bufPeak exceed ${users + 1} users")
+
+    // family: MapState + per-day timers (dailyMeansTws, state-v2 on
+    // RocksDB) — open cells are bounded by the calendar grid + the
+    // sentinel's cell; days close (and are removed) as the watermark
+    // sweeps, so the store can never exceed the grid
+    val prev = s.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      runStream("sb_tws")(df => Stateful.dailyMeansTws(df))
+      val twsPeak = peakRows()
+      info(s"tws MapState peak=$twsPeak bound=${gridCells + 1}")
+      assert(twsPeak <= gridCells + 1L,
+        s"tws state rows $twsPeak exceed the ${gridCells + 1} grid cells")
     } finally {
       if (prev.isEmpty)
         s.conf.unset("spark.sql.streaming.stateStore.providerClass")
