@@ -9,38 +9,44 @@
 #   4. full Verify + DuckDB oracle at sf0.1  (boundary-value classes —
 #      div bucketing, HUGEINT promotion, decimal-literal arithmetic —
 #      only bite beyond sf0.01; writes CORRECTNESS_SF01_local.json)
-#   5. plan audit regeneration (row count must equal query count)
-#   6. generated coverage ledger (fails on any ungated rows-only query)
+#   5. decimal-literal lint (the t23 class: bare decimal literals in
+#      oracle SQL whose Spark twin computes in DOUBLE — semantic
+#      original-vs-CAST-to-DOUBLE compare at sf0.1 + swept-safe ratchet)
+#   6. plan audit regeneration (row count must equal query count)
+#   7. generated coverage ledger (fails on any ungated rows-only query)
 #
 # The sf0.1 bench is run separately (scripts position it on an idle
 # machine — timing under checkpoint load would be weather, not signal).
 set -e
 cd "$(dirname "$0")/.."
 
-echo "=== [1/6] compile"
+echo "=== [1/7] compile"
 sbt -batch compile
 
-echo "=== [2/6] full test suite"
+echo "=== [2/7] full test suite"
 sbt -batch test
 
-echo "=== [3/6] Verify + oracle @ sf0.01"
+echo "=== [3/7] Verify + oracle @ sf0.01"
 rm -rf /tmp/ckpt_v001
 sbt -batch 'runMain graft.Verify /root/testdata/sf0.01 /tmp/ckpt_v001'
 python3 scripts/check_oracle.py /root/testdata/sf0.01 /tmp/ckpt_v001
 
-echo "=== [4/6] Verify + oracle @ sf0.1"
+echo "=== [4/7] Verify + oracle @ sf0.1"
 rm -rf /tmp/ckpt_v01
 SPARK_GRAFT_CPUS=16 sbt -batch \
   'runMain graft.Verify /root/testdata/sf0.1 /tmp/ckpt_v01'
 python3 scripts/check_oracle.py /root/testdata/sf0.1 /tmp/ckpt_v01 \
   CORRECTNESS_SF01_local.json
 
-echo "=== [5/6] plan audit"
+echo "=== [5/7] decimal-literal lint @ sf0.1"
+python3 scripts/lint_decimals.py /root/testdata/sf0.1 /tmp/ckpt_v01
+
+echo "=== [6/7] plan audit"
 sbt -batch 'runMain graft.PlanAudit /root/testdata/sf0.001'
 audit_rows=$(grep -cE '^\| [a-z]+[0-9]' docs/PLAN_AUDIT.md)
 echo "plan audit rows: $audit_rows"
 
-echo "=== [6/6] coverage ledger"
+echo "=== [7/7] coverage ledger"
 python3 scripts/gen_ledger.py CORRECTNESS_SF01_local.json > docs/COVERAGE.md
 if [ "$audit_rows" -ne "$(grep -cE '^\| [a-z]+[0-9]' docs/COVERAGE.md)" ]; then
   echo "FATAL: plan-audit row count != ledger row count" >&2
