@@ -1865,6 +1865,79 @@ object Relational3 {
            |WHERE total_rev_cents = mx
            |ORDER BY s_suppkey""".stripMargin))
 
+  // --------------------------------------------------------------- q195
+  /** Volume-dominant suppliers (the TPC-H Q20 shape): suppliers from
+    * one nation who shipped MORE THAN TWICE a part's fair share (their
+    * quantity × the part's supplier count > 2 × the part's total) —
+    * the two-level nested subquery Q20 exists to test: an IN/semi-join
+    * whose inner query carries a HAVING against correlated aggregates
+    * over a second scan (here TWO of them: the part's total AND its
+    * supplier count). Fair-share-relative dominance is scale-stable
+    * where Q20's fixed 50% is not (shares dilute as parts gain
+    * suppliers with volume). The oracle runs the textbook nested form
+    * (IN + correlated scalar subqueries in HAVING) so DuckDB proves
+    * the reformulation below is semantics-preserving.
+    *
+    * Scale shape: the naive form rescans the fact once per (supplier,
+    * part) group for the correlated aggregates — quadratic at 100 TB.
+    * Here the fact is scanned ONCE into the (part, supplier) quantity
+    * grid, the per-part totals and supplier counts are an aggregate OF
+    * that aggregate (grid-sized work, no second fact scan), the
+    * dominance test is an equi-join back on p_key, and the supplier
+    * dim (with its nation filter) broadcasts. Quantities are
+    * integer-valued doubles cast to BIGINT so the dominance inequality
+    * is exact in both engines. PlanSpec pins the single fact scan. */
+  val q195VolumeDominantSupplier = QueryDef(
+    "q195_volume_dominant_supplier",
+    (s, d) => {
+      val grid = Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey"),
+          col("l_quantity").cast("long").as("qty"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(sum("qty").as("supp_qty"))
+      // per-part totals attach as a window OVER the grid — deriving
+      // them as a second aggregate of a twice-referenced `grid` val
+      // re-runs the grid's lineage and scans the fact twice (the q190
+      // branchy-totals lesson, plan-pinned here)
+      val perPart = Window.partitionBy("l_partkey")
+      val natSupp = broadcast(Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)
+            .filter(col("n_name") === "NATION_1").select("n_nationkey")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_suppkey", "s_name"))
+      grid
+        .withColumn("part_qty", sum("supp_qty").over(perPart))
+        .withColumn("n_supp", count(lit(1)).over(perPart))
+        .filter(col("supp_qty") * col("n_supp") > col("part_qty") * 2L)
+        .join(natSupp, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_suppkey"), col("s_name"))
+        .agg(count(lit(1)).as("n_dominated_parts"),
+          sum("supp_qty").as("dominated_qty"))
+        .orderBy(col("n_dominated_parts").desc, col("s_suppkey"))
+    },
+    Some("""SELECT s_suppkey, s_name,
+           |  CAST(count(*) AS BIGINT) AS n_dominated_parts,
+           |  CAST(sum(supp_qty) AS BIGINT) AS dominated_qty
+           |FROM (
+           |  SELECT l1.l_partkey, l1.l_suppkey,
+           |    CAST(sum(CAST(l1.l_quantity AS BIGINT)) AS BIGINT)
+           |      AS supp_qty
+           |  FROM lineitem l1
+           |  GROUP BY 1, 2
+           |  HAVING sum(CAST(l1.l_quantity AS BIGINT)) *
+           |    (SELECT count(DISTINCT l3.l_suppkey)
+           |     FROM lineitem l3 WHERE l3.l_partkey = l1.l_partkey) >
+           |    2 * (SELECT sum(CAST(l2.l_quantity AS BIGINT))
+           |     FROM lineitem l2 WHERE l2.l_partkey = l1.l_partkey)
+           |) g
+           |JOIN supplier ON l_suppkey = s_suppkey
+           |WHERE s_suppkey IN (
+           |  SELECT s2.s_suppkey FROM supplier s2
+           |  JOIN nation ON s2.s_nationkey = n_nationkey
+           |  WHERE n_name = 'NATION_1')
+           |GROUP BY 1, 2
+           |ORDER BY n_dominated_parts DESC, s_suppkey""".stripMargin))
+
   val all: Seq[QueryDef] =
     Seq(q69StarJoin, q70EventDedup, q71ArgExtremes, q72Regression,
       q74VariantExtract, q75HofBattery, q76ZorderLayout, q79ExistsChain,
@@ -1874,5 +1947,6 @@ object Relational3 {
       q133TradeMatrix, q134SalesOpportunity, q135MarketShare,
       q136ReturnRates, q153FifoAllocation, q157FanoutAudit,
       q158LateBlame, q165ProductProfit, q166AbcXyz, q177CustDist,
-      q178LargeOrders, q183ImportantStock, q190TopSupplier)
+      q178LargeOrders, q183ImportantStock, q190TopSupplier,
+      q195VolumeDominantSupplier)
 }

@@ -487,4 +487,16 @@ class PlanSpec extends SparkSpec {
     assert("events\\.parquet".r.findAllIn(p).length <= 1,
       "train/test branches must share the one transition scan")
   }
+
+  test("q195: the Q20 shape scans the fact once — totals are an agg of the grid") {
+    val p = plan("q195_volume_dominant_supplier")
+    // the textbook nested form rescans lineitem per (part, supplier)
+    // group for the correlated total/count; the reformulation must
+    // derive per-part totals from the (part, supplier) grid itself
+    assert("lineitem\\.parquet".r.findAllIn(p).length <= 1,
+      "per-part totals must aggregate the grid, not re-scan the fact")
+    assert(p.contains("BroadcastHashJoin"),
+      "the nation-filtered supplier dim must broadcast")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
