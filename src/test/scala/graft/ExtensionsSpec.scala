@@ -350,4 +350,40 @@ class ExtensionsSpec extends SparkSpec {
       s.conf.set("spark.sql.optimizer.dynamicPartitionPruning.enabled", prev)
     }
   }
+
+  test("archive DSv2: a partially-decoded runtime In-set disables pruning") {
+    // If any In-value fails to decode to a Long key, pruning on the
+    // decoded subset could drop splits holding the undecoded keys — a
+    // false-negative prune SupportsRuntimeFiltering forbids. The scan
+    // must fall back to NO pruning (always sound: the join re-checks).
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val schema = StructType(Seq(StructField("event_id", LongType)))
+    def scan() = new graft.connectors.ArchiveScan(
+      100000L, 8, Array.empty, schema)
+    val baseline = scan().planInputPartitions().length
+    assert(baseline == 8, s"expected 8 unpruned splits, got $baseline")
+
+    val clean = scan()
+    clean.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("event_id",
+        Array[Any](java.lang.Long.valueOf(5L)))))
+    assert(clean.planInputPartitions().length == 1,
+      "a fully-decoded single-key set must prune to its one split")
+
+    val mixed = scan()
+    mixed.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("event_id",
+        Array[Any](java.lang.Long.valueOf(5L), "not-a-key"))))
+    assert(mixed.planInputPartitions().length == baseline,
+      "a partially-decoded key set must disable pruning, not prune " +
+        "on the decoded subset")
+
+    // an empty decodable set is also a full-decode: empty In = no rows
+    // can match, pruning everything is sound and expected
+    val empty = scan()
+    empty.filter(Array[org.apache.spark.sql.sources.Filter](
+      org.apache.spark.sql.sources.In("event_id", Array[Any]())))
+    assert(empty.planInputPartitions().length <= 1,
+      "an empty In-set may prune everything (no key can match)")
+  }
 }
