@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+import graft.streaming.Stateful
+
+/** Generative proof of the watermark-ordered replay harness
+  * (Stateful.orderedPerKeyBy), the abstraction ~50 streaming twins ride:
+  * for ANY displacement pattern strictly inside the watermark slack and
+  * ANY micro-batch chunking, the replay converges to exactly the batch
+  * result. OrderedReplaySpec pins parity at one fixed jitter (30 min
+  * hash jitter, equal thirds); this spec samples the contract space —
+  * jitter magnitude 0..119 min against the 2 h slack, different odd
+  * hash multipliers (different permutations within the horizon), and
+  * uneven chunk boundaries including single-batch and per-sample cuts.
+  *
+  * The machine under test is out-of-order SCD2 — the most order-
+  * sensitive twin (period boundaries, version numbers, and per-period
+  * event counts all change if ANY two same-user rows swap) — so parity
+  * here is parity of the full drain order, not of an order-insensitive
+  * aggregate. */
+class ReplayPropertySpec extends SparkSpec {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  private lazy val events: Array[Stateful.Ev] = {
+    val s = spark
+    import s.implicits._
+    Tables.events(s, sf)
+      .select("user_id", "ts", "event_id", "event_type", "value")
+      .as[Stateful.Ev].collect()
+  }
+
+  private lazy val batchClosed: Set[(Long, String, Long, Long, Int, Long)] = {
+    val s = spark
+    SparkEntry.queries("q48_scd2")(s, sf)
+      .filter("is_current = 0").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2).getTime,
+        r.getTimestamp(3).getTime, r.getInt(4), r.getLong(6))).toSet
+  }
+
+  private val runCounter = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Feed the log displaced by hash jitter (strictly < slack) in the
+    * given chunk fractions; return the streamed closed-period set. */
+  private def replay(jitterMaxMs: Long, multiplier: Long,
+      cuts: Seq[Double]): Set[(Long, String, Long, Long, Int, Long)] = {
+    val s = spark
+    import s.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+
+    val shuffled =
+      if (jitterMaxMs <= 0L) events.sortBy(e => (e._2.getTime, e._3))
+      else events.sortBy { e =>
+        val jitter = Math.floorMod(e._3 * multiplier, jitterMaxMs)
+        (e._2.getTime + jitter, e._3)
+      }
+    val sentinelTs = new java.sql.Timestamp(
+      events.map(_._2.getTime).max + 30L * 86400 * 1000)
+
+    val name = s"replay_prop_${runCounter.incrementAndGet()}"
+    val input = MemoryStream[Stateful.Ev]
+    val q = Stateful.scd2StreamOoo(
+        input.toDS().toDF("user_id", "ts", "event_id", "event_type", "value"),
+        "2 hours")
+      .writeStream.format("memory").queryName(name)
+      .trigger(Trigger.ProcessingTime(50)).start()
+    val bounds = (cuts.map(c => (c * shuffled.length).toInt).distinct.sorted
+      :+ shuffled.length).distinct
+    var start = 0
+    bounds.foreach { end =>
+      if (end > start) {
+        input.addData(shuffled.slice(start, end).toSeq)
+        q.processAllAvailable()
+        start = end
+      }
+    }
+    input.addData(Seq((-1L, sentinelTs, -1L, "zz_sentinel", 0.0)))
+    q.processAllAvailable()
+    q.stop()
+    val out = s.table(name)
+      .select("user_id", "event_type", "valid_from", "valid_to", "version",
+        "n_events")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2).getTime,
+        r.getTimestamp(3).getTime, r.getInt(4), r.getLong(5))).toSet
+    s.catalog.dropTempView(name)
+    out
+  }
+
+  test("property: any jitter < slack + any chunking replays to batch scd2") {
+    assert(batchClosed.nonEmpty)
+    // jitter magnitude: in-order, 1 s, and up to 119 min (the slack is
+    // 2 h; displacement must stay strictly inside it)
+    val jitterGen = Gen.oneOf(0L, 1000L, 60000L, 1800000L, 7140000L)
+    // odd multipliers give distinct permutations of equal-jitter rows
+    val multGen = Gen.oneOf(2654435761L, 0x9E3779B97F4A7C15L, 7919L, 3L)
+    // 0..4 random cut points -> 1..5 uneven micro-batches
+    val cutsGen = Gen.listOfN(4, Gen.choose(0.0, 1.0)).map(_.take(4))
+      .flatMap(c => Gen.choose(0, 4).map(n => c.take(n)))
+    val prop = Prop.forAll(jitterGen, multGen, cutsGen) {
+      (jit: Long, mult: Long, cuts: List[Double]) =>
+        replay(jit, mult, cuts) == batchClosed
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+    assert(res.passed, res.status.toString)
+  }
+}
