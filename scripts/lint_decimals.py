@@ -47,9 +47,26 @@ import pandas as pd
 
 sfdir, src = sys.argv[1], sys.argv[2]
 update = "--update" in sys.argv[3:]
-if os.path.isdir(src):
-    src = os.path.join(src, "oracle_sql.json")
-oracle = json.load(open(src))
+selftest = src == "--selftest"
+if selftest:
+    # the lint linting itself: the t23 class MUST flag (an unknown
+    # oracle with a bare decimal literal trips the ratchet; the same
+    # SQL written with e0 passes) — guards the lint against regex or
+    # ratchet rot without touching the real whitelist
+    oracle = {
+        "selftest_bad_flesch":
+            "SELECT doc_id, round((206.835 - 1.015 * n_tokens) * 10000)"
+            " / 10000 AS score FROM (SELECT doc_id, length(text) // 5"
+            " AS n_tokens FROM documents) t",
+        "selftest_good_flesch":
+            "SELECT doc_id, round((206.835e0 - 1.015e0 * n_tokens) *"
+            " 10000) / 10000 AS score FROM (SELECT doc_id, length(text)"
+            " // 5 AS n_tokens FROM documents) t",
+    }
+else:
+    if os.path.isdir(src):
+        src = os.path.join(src, "oracle_sql.json")
+    oracle = json.load(open(src))
 WL_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                        "decimal_whitelist.json")
 whitelist = json.load(open(WL_PATH)) if os.path.exists(WL_PATH) else {}
@@ -154,4 +171,9 @@ elif update:
     print("whitelist NOT refreshed — semantic tier flagged entries")
 print(f"\n{len(oracle)} oracles, {checked} with bare decimal literals, "
       f"{len(flagged)} flagged")
+if selftest:
+    ok = ([n for n, _ in flagged] == ["selftest_bad_flesch"])
+    print("selftest " + ("PASS" if ok else
+          "FAIL: expected exactly selftest_bad_flesch flagged"))
+    sys.exit(0 if ok else 1)
 sys.exit(1 if flagged else 0)

@@ -39,6 +39,7 @@ python3 scripts/check_oracle.py /root/testdata/sf0.1 /tmp/ckpt_v01 \
   CORRECTNESS_SF01_local.json
 
 echo "=== [5/7] decimal-literal lint @ sf0.1"
+python3 scripts/lint_decimals.py /root/testdata/sf0.001 --selftest
 python3 scripts/lint_decimals.py /root/testdata/sf0.1 /tmp/ckpt_v01
 
 echo "=== [6/7] plan audit"
