@@ -45,7 +45,8 @@ class ReplayPropertySpec extends SparkSpec {
   /** Feed the log displaced by hash jitter (strictly < slack) in the
     * given chunk fractions; return the streamed closed-period set. */
   private def replay(jitterMaxMs: Long, multiplier: Long,
-      cuts: Seq[Double]): Set[(Long, String, Long, Long, Int, Long)] = {
+      cuts: Seq[Double], slack: String = "2 hours")
+      : Set[(Long, String, Long, Long, Int, Long)] = {
     val s = spark
     import s.implicits._
     implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
@@ -65,7 +66,7 @@ class ReplayPropertySpec extends SparkSpec {
     val input = MemoryStream[Stateful.Ev]
     val q = Stateful.scd2StreamOoo(
         input.toDS().toDF("user_id", "ts", "event_id", "event_type", "value"),
-        "2 hours")
+        slack)
       .writeStream.format("memory").queryName(name)
       .trigger(Trigger.ProcessingTime(50)).start()
     val bounds = (cuts.map(c => (c * shuffled.length).toInt).distinct.sorted
@@ -93,20 +94,26 @@ class ReplayPropertySpec extends SparkSpec {
 
   test("property: any jitter < slack + any chunking replays to batch scd2") {
     assert(batchClosed.nonEmpty)
-    // jitter magnitude: in-order, 1 s, and up to 119 min (the slack is
-    // 2 h; displacement must stay strictly inside it)
-    val jitterGen = Gen.oneOf(0L, 1000L, 60000L, 1800000L, 7140000L)
+    // (slack, jitter-bound) pairs: the contract is jitter STRICTLY
+    // inside the watermark delay, at any delay — not just the 2 h the
+    // fixed-feed tests use. Jitter up to slack minus one minute.
+    val slackGen = Gen.oneOf(
+      ("30 minutes", 1740000L), ("1 hour", 3540000L),
+      ("2 hours", 7140000L))
+    val jitterGen = Gen.oneOf(0.0, 0.001, 0.25, 0.5, 1.0)
     // odd multipliers give distinct permutations of equal-jitter rows
     val multGen = Gen.oneOf(2654435761L, 0x9E3779B97F4A7C15L, 7919L, 3L)
     // 0..4 random cut points -> 1..5 uneven micro-batches
     val cutsGen = Gen.listOfN(4, Gen.choose(0.0, 1.0)).map(_.take(4))
       .flatMap(c => Gen.choose(0, 4).map(n => c.take(n)))
-    val prop = Prop.forAll(jitterGen, multGen, cutsGen) {
-      (jit: Long, mult: Long, cuts: List[Double]) =>
-        replay(jit, mult, cuts) == batchClosed
+    val prop = Prop.forAll(slackGen, jitterGen, multGen, cutsGen) {
+      (sl: (String, Long), jitFrac: Double, mult: Long,
+       cuts: List[Double]) =>
+        val (slack, jitCap) = sl
+        replay((jitCap * jitFrac).toLong, mult, cuts, slack) == batchClosed
     }
     val res = SCTest.check(
-      SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
+      SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
     assert(res.passed, res.status.toString)
   }
 }
