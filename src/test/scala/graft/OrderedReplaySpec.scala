@@ -2224,6 +2224,79 @@ class OrderedReplaySpec extends SparkSpec {
     }
   }
 
+  test("transformWithState HLL survives a checkpoint restart mid-stream") {
+    // the map-of-sketches recovery shape: MapState[day → HLL register
+    // bytes] + one timer per open day. A restart that drops a day's
+    // registers undercounts that cell past the 2% gate; a restart that
+    // replays rows is absorbed (HLL inserts are idempotent) — so the
+    // gate proves bytes AND timers both recover, per open day.
+    val s = spark
+    import s.implicits._
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.Trigger
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    val prev = s.conf.get("spark.sql.streaming.stateStore.providerClass", "")
+    s.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val (shuffled, sentinelTs) = shuffledEvents()
+      val ck = tmpDir("tws_hll_restart_ck")
+      val got = java.util.concurrent.ConcurrentHashMap
+        .newKeySet[(String, Long, Long)]()
+      val input = MemoryStream[Stateful.Ev]
+      def start() =
+        Stateful.hllDistinctTws(
+            input.toDS().toDF("user_id", "ts", "event_id", "event_type",
+              "value"))
+          .writeStream
+          .foreachBatch {
+            (ds: org.apache.spark.sql.Dataset[Stateful.DistinctCell],
+                _: Long) =>
+              ds.collect().foreach(r =>
+                got.add((r.event_type, r.day, r.est_users)))
+          }
+          .option("checkpointLocation", ck)
+          .trigger(Trigger.ProcessingTime(50)).start()
+
+      val q1 = start()
+      val half = shuffled.length / 2
+      input.addData(shuffled.slice(0, half).toSeq)
+      q1.processAllAvailable()
+      q1.stop()
+
+      val q2 = start()
+      input.addData(shuffled.drop(half).toSeq)
+      q2.processAllAvailable()
+      input.addData((-1L, sentinelTs, -1L, "zz_sentinel", 0.0))
+      q2.processAllAvailable()
+      q2.stop()
+
+      import scala.jdk.CollectionConverters._
+      val est = got.asScala.toSeq
+        .filter(_._1 != "zz_sentinel")
+        .map(c => (c._1, c._2) -> c._3).toMap
+      assert(est.nonEmpty)
+      val exact = Tables.events(s, sf)
+        .groupBy(col("event_type"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .agg(countDistinct(col("user_id")).as("n"))
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(est.keySet == exact.keySet,
+        s"restart lost cells: ${exact.keySet.diff(est.keySet).take(3)}; " +
+          s"invented: ${est.keySet.diff(exact.keySet).take(3)}")
+      est.foreach { case (k, e) =>
+        val x = exact(k).toDouble
+        assert(math.abs(e - x) / x <= 0.02,
+          s"cell $k estimate $e far from exact ${exact(k)} after restart")
+      }
+    } finally {
+      if (prev.isEmpty)
+        s.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      else s.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+    }
+  }
+
   test("measured state bounds: stateOperators metrics stay within documented limits") {
     // The 100 TB state claims, MEASURED instead of design-asserted:
     // for one twin per state family, harvest numRowsTotal /
