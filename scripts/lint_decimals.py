@@ -46,8 +46,10 @@ import duckdb
 import pandas as pd
 
 sfdir, src = sys.argv[1], sys.argv[2]
-update = "--update" in sys.argv[3:]
 selftest = src == "--selftest"
+# --update never combines with --selftest: the refresh path must only
+# ever see the real oracle set, not the synthetic selftest entries
+update = "--update" in sys.argv[3:] and not selftest
 if selftest:
     # the lint linting itself: the t23 class MUST flag (an unknown
     # oracle with a bare decimal literal trips the ratchet; the same
