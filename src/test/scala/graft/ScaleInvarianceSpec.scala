@@ -379,4 +379,10 @@ class ScaleInvarianceSpec extends SparkSpec {
         s"top-N pushdown drifts at parts=$parts")
     }
   }
+  test("q195 fair-share dominance invariant to partition count (exact BIGINT)") {
+    // the window-over-grid totals are integer sums of integer-cast
+    // quantities, so any drift under a different partitioning is a
+    // distribution bug in the grid/window plumbing, not float noise
+    invariant("q195_volume_dominant_supplier", sf01)
+  }
 }
