@@ -43,10 +43,12 @@ class ReplayPropertySpec extends SparkSpec {
   private val runCounter = new java.util.concurrent.atomic.AtomicInteger(0)
 
   /** Feed the log displaced by hash jitter (strictly < slack) in the
-    * given chunk fractions; return the streamed closed-period set. */
-  private def replay(jitterMaxMs: Long, multiplier: Long,
-      cuts: Seq[Double], slack: String = "2 hours")
-      : Set[(Long, String, Long, Long, Int, Long)] = {
+    * given chunk fractions through `op`; return the memory-sink rows
+    * projected by `proj`. */
+  private def replay[T](jitterMaxMs: Long, multiplier: Long,
+      cuts: Seq[Double], op: org.apache.spark.sql.DataFrame =>
+        org.apache.spark.sql.Dataset[_])(
+      proj: org.apache.spark.sql.DataFrame => Set[T]): Set[T] = {
     val s = spark
     import s.implicits._
     implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
@@ -64,9 +66,8 @@ class ReplayPropertySpec extends SparkSpec {
 
     val name = s"replay_prop_${runCounter.incrementAndGet()}"
     val input = MemoryStream[Stateful.Ev]
-    val q = Stateful.scd2StreamOoo(
-        input.toDS().toDF("user_id", "ts", "event_id", "event_type", "value"),
-        slack)
+    val q = op(input.toDS()
+        .toDF("user_id", "ts", "event_id", "event_type", "value"))
       .writeStream.format("memory").queryName(name)
       .trigger(Trigger.ProcessingTime(50)).start()
     val bounds = (cuts.map(c => (c * shuffled.length).toInt).distinct.sorted
@@ -82,15 +83,22 @@ class ReplayPropertySpec extends SparkSpec {
     input.addData(Seq((-1L, sentinelTs, -1L, "zz_sentinel", 0.0)))
     q.processAllAvailable()
     q.stop()
-    val out = s.table(name)
-      .select("user_id", "event_type", "valid_from", "valid_to", "version",
-        "n_events")
-      .collect()
-      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2).getTime,
-        r.getTimestamp(3).getTime, r.getInt(4), r.getLong(5))).toSet
+    val out = proj(s.table(name))
     s.catalog.dropTempView(name)
     out
   }
+
+  private def replayScd2(jitterMaxMs: Long, multiplier: Long,
+      cuts: Seq[Double], slack: String = "2 hours")
+      : Set[(Long, String, Long, Long, Int, Long)] =
+    replay(jitterMaxMs, multiplier, cuts,
+      df => Stateful.scd2StreamOoo(df, slack)) { t =>
+      t.select("user_id", "event_type", "valid_from", "valid_to",
+          "version", "n_events")
+        .collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2).getTime,
+          r.getTimestamp(3).getTime, r.getInt(4), r.getLong(5))).toSet
+    }
 
   test("property: any jitter < slack + any chunking replays to batch scd2") {
     assert(batchClosed.nonEmpty)
@@ -110,10 +118,49 @@ class ReplayPropertySpec extends SparkSpec {
       (sl: (String, Long), jitFrac: Double, mult: Long,
        cuts: List[Double]) =>
         val (slack, jitCap) = sl
-        replay((jitCap * jitFrac).toLong, mult, cuts, slack) == batchClosed
+        replayScd2((jitCap * jitFrac).toLong, mult, cuts,
+          slack) == batchClosed
     }
     val res = SCTest.check(
       SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("property: the watermark-close (timer) path replays to the batch grid") {
+    // the OTHER half of the harness contract: machines whose emission is
+    // driven by onWatermark/timeout (a day closes because TIME passed,
+    // not because a successor row arrived). The daily-revenue grid emits
+    // exact integer cents per (type, day) cell at watermark close, so
+    // parity is bit-for-bit regardless of jitter or chunking.
+    val s = spark
+    val dmax = Tables.events(s, sf)
+      .select(expr("unix_micros(ts) div 86400000000L").as("day"))
+      .agg(max("day")).head.getLong(0)
+    val batchGrid = Tables.events(s, sf)
+      .groupBy(col("event_type"),
+        expr("unix_micros(ts) div 86400000000L").as("day"))
+      .agg(sum(expr("cast(round(value * 100) as bigint)")).as("c"))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(batchGrid.nonEmpty)
+    def run(jit: Long, mult: Long, cuts: List[Double]) =
+      replay(jit, mult, cuts, df =>
+        Stateful.dailyRevenueStream(df.select(col("event_type"), col("ts"),
+          expr("cast(round(value * 100) as bigint)").as("cents")),
+          dmax)) { t =>
+        t.filter("event_type != 'zz_sentinel'").collect()
+          .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      }
+    val jitterGen = Gen.oneOf(0L, 1000L, 1800000L, 7140000L)
+    val multGen = Gen.oneOf(2654435761L, 7919L, 3L)
+    val cutsGen = Gen.listOfN(4, Gen.choose(0.0, 1.0))
+      .flatMap(c => Gen.choose(0, 4).map(n => c.take(n)))
+    val prop = Prop.forAll(jitterGen, multGen, cutsGen) {
+      (jit: Long, mult: Long, cuts: List[Double]) =>
+        run(jit, mult, cuts) == batchGrid
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(8), prop)
     assert(res.passed, res.status.toString)
   }
 }
