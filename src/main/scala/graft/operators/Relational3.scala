@@ -1938,6 +1938,60 @@ object Relational3 {
            |GROUP BY 1, 2
            |ORDER BY n_dominated_parts DESC, s_suppkey""".stripMargin))
 
+  // --------------------------------------------------------------- q196
+  /** Disjunctive-predicate join (the TPC-H Q19 shape): revenue from
+    * lineitems matching an OR-of-ANDs over brand × quantity-band ×
+    * size — the pattern Q19 exists to test, because a disjunction in
+    * the join condition defeats naive join-key extraction and a naive
+    * planner degrades to a nested-loop/cartesian scan of the fact per
+    * dim row. The engine must instead extract the conjunct common to
+    * every disjunct — the p_partkey equi-key — plan a single hash join
+    * on it, and carry the OR as a post-join residual (Catalyst does
+    * exactly this; PlanSpec pins no-BNLJ/no-Cartesian + the broadcast
+    * hash join).
+    *
+    * Scale shape: one fact scan, the part dim broadcasts, revenue
+    * rounds to exact cents per line before the per-brand sum
+    * (order/partition-proof); the size/brand halves of each disjunct
+    * are dim-only predicates, so the residual evaluates on the joined
+    * row without a second scan. */
+  val q196DisjunctiveJoin = QueryDef(
+    "q196_disjunctive_join",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+          expr("cast(round(l_extendedprice * (1 - l_discount) * 100)"
+            + " as bigint)").as("rev_cents"))
+      val part = broadcast(Tables.part(s, d)
+        .select("p_partkey", "p_brand", "p_size"))
+      val disj =
+        (col("p_brand") === "Brand#1" && col("qty").between(1L, 11L) &&
+          col("p_size") <= 5) ||
+        (col("p_brand") === "Brand#2" && col("qty").between(10L, 20L) &&
+          col("p_size") <= 10) ||
+        (col("p_brand") === "Brand#3" && col("qty").between(20L, 30L) &&
+          col("p_size") <= 15)
+      li.join(part, col("l_partkey") === col("p_partkey") && disj)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum("rev_cents").as("revenue_cents"))
+        .orderBy("p_brand")
+    },
+    Some("""SELECT p_brand, CAST(count(*) AS BIGINT) AS n_lines,
+           |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount)
+           |    * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+           |FROM lineitem JOIN part ON l_partkey = p_partkey
+           |WHERE (p_brand = 'Brand#1'
+           |       AND CAST(l_quantity AS BIGINT) BETWEEN 1 AND 11
+           |       AND p_size <= 5)
+           |   OR (p_brand = 'Brand#2'
+           |       AND CAST(l_quantity AS BIGINT) BETWEEN 10 AND 20
+           |       AND p_size <= 10)
+           |   OR (p_brand = 'Brand#3'
+           |       AND CAST(l_quantity AS BIGINT) BETWEEN 20 AND 30
+           |       AND p_size <= 15)
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
   val all: Seq[QueryDef] =
     Seq(q69StarJoin, q70EventDedup, q71ArgExtremes, q72Regression,
       q74VariantExtract, q75HofBattery, q76ZorderLayout, q79ExistsChain,
@@ -1948,5 +2002,5 @@ object Relational3 {
       q136ReturnRates, q153FifoAllocation, q157FanoutAudit,
       q158LateBlame, q165ProductProfit, q166AbcXyz, q177CustDist,
       q178LargeOrders, q183ImportantStock, q190TopSupplier,
-      q195VolumeDominantSupplier)
+      q195VolumeDominantSupplier, q196DisjunctiveJoin)
 }

@@ -488,6 +488,20 @@ class PlanSpec extends SparkSpec {
       "train/test branches must share the one transition scan")
   }
 
+  test("q196: the Q19 disjunction stays a hash join on the extracted equi-key") {
+    val p = plan("q196_disjunctive_join")
+    // the OR-of-ANDs must NOT defeat join-key extraction: Catalyst
+    // extracts the p_partkey conjunct common to every disjunct, plans
+    // one broadcast hash join, and evaluates the disjunction as a
+    // post-join residual — never a nested-loop scan of the fact
+    assert(p.contains("BroadcastHashJoin"),
+      s"expected a hash join on the extracted equi-key:\n${p.take(600)}")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "the disjunction degraded the join to a nested loop")
+    assert(!p.contains("CartesianProduct"))
+    assert("lineitem\\.parquet".r.findAllIn(p).length <= 1)
+  }
+
   test("q195: the Q20 shape scans the fact once — totals are an agg of the grid") {
     val p = plan("q195_volume_dominant_supplier")
     // the textbook nested form rescans lineitem per (part, supplier)
