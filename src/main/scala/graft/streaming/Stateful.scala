@@ -1249,7 +1249,7 @@ object Stateful {
             cells.get((e._4, hod)).foreach { w => n += 1L; sm += w }
           }
           val wm = state.getCurrentWatermarkMs()
-          if (!st0.done && wm > endDay * 86400000L + 1L) {
+          if (!st0.done && wm > (endDay + 1L) * 86400000L + 1L) {
             state.update(RarityState(n, sm, true))
             if (n == 0L) Iterator.empty
             else Iterator.single(RarityRow(user, n, sm))
@@ -1693,7 +1693,7 @@ object Stateful {
             }
           }
           val wm = state.getCurrentWatermarkMs()
-          if (!st0.done && wm > endDay * 86400000L + 1L) {
+          if (!st0.done && wm > (endDay + 1L) * 86400000L + 1L) {
             state.update(AbState(minView, Nil, true))
             if (minView == Long.MaxValue) Iterator.empty
             else {
@@ -2748,7 +2748,7 @@ object Stateful {
           var n = st0.n
           rows.foreach(_ => n += 1L)
           val wm = state.getCurrentWatermarkMs()
-          if (!st0.done && wm > endDay * 86400000L + 1L) {
+          if (!st0.done && wm > (endDay + 1L) * 86400000L + 1L) {
             state.update(CellState(n, true))
             Iterator.single(ContingencyCell(key._1, key._2, n))
           } else {
@@ -2802,7 +2802,7 @@ object Stateful {
           var c = st0.c
           rows.foreach(c += _._3)
           val wm = state.getCurrentWatermarkMs()
-          if (!st0.done && wm > endDay * 86400000L + 1L) {
+          if (!st0.done && wm > (endDay + 1L) * 86400000L + 1L) {
             state.update(DayRevState(c, true))
             Iterator.single(DayRevCell(key._1, key._2, c))
           } else {
@@ -2867,7 +2867,7 @@ object Stateful {
             if (r._2 == 1) n1 += 1L else if (r._2 == 0) n2 += 1L
           }
           val wm = state.getCurrentWatermarkMs()
-          if (wm > endDay * 86400000L + 1L) {
+          if (wm > (endDay + 1L) * 86400000L + 1L) {
             state.remove() // emit-once then reclaim (see pre-filter)
             Iterator.single(MwBin(key, n1, n2))
           } else {
@@ -2944,7 +2944,7 @@ object Stateful {
             else if (t > last) last = t
           }
           val wm = state.getCurrentWatermarkMs()
-          if (!st0.done && wm > endDay * 86400000L + 1L) {
+          if (!st0.done && wm > (endDay + 1L) * 86400000L + 1L) {
             state.update(SlaState(open, pri, last, true))
             if (open != Long.MinValue && last != Long.MinValue)
               Iterator.single(SlaGap(pri, (last - open) / DayUs))
@@ -3002,7 +3002,7 @@ object Stateful {
             if (r._3 == 1L) { ret += 1L; retCents += r._4 }
           }
           val wm = state.getCurrentWatermarkMs()
-          if (!st0.done && wm > endDay * 86400000L + 1L) {
+          if (!st0.done && wm > (endDay + 1L) * 86400000L + 1L) {
             state.update(BrandState(n, ret, cents, retCents, true))
             Iterator.single(BrandCounts(brand, n, ret, cents, retCents))
           } else {
@@ -3058,7 +3058,7 @@ object Stateful {
             freq += 1L; cents += r._3
           }
           val wm = state.getCurrentWatermarkMs()
-          if (!st0.done && wm > endDay * 86400000L + 1L) {
+          if (!st0.done && wm > (endDay + 1L) * 86400000L + 1L) {
             state.update(RfmState(lastDay, freq, cents, true))
             Iterator.single(RfmRow(cust, endDay - lastDay, freq, cents))
           } else {
@@ -3120,7 +3120,7 @@ object Stateful {
           val months = acc.iterator.map(kv => (kv._1, kv._2._1, kv._2._2))
             .toSeq
           val wm = state.getCurrentWatermarkMs()
-          if (!st0.done && wm > endDay * 86400000L + 1L) {
+          if (!st0.done && wm > (endDay + 1L) * 86400000L + 1L) {
             state.update(CohortState(months, true))
             val cm = months.iterator.map(_._1).min
             months.iterator
@@ -3165,7 +3165,7 @@ object Stateful {
             if (microsOf(e._2) / DayUs < splitDay) c1 += 1L else c2 += 1L
           }
           val wm = state.getCurrentWatermarkMs()
-          if (!st0.done && wm > endDay * 86400000L + 1L) {
+          if (!st0.done && wm > (endDay + 1L) * 86400000L + 1L) {
             state.update(HalfState(c1, c2, true))
             Iterator.single(HalfCounts(user, c1, c2))
           } else {
@@ -3271,7 +3271,7 @@ object Stateful {
             else if (yr == y2) { q2 += r._3; c2 += r._4 }
           }
           val wm = state.getCurrentWatermarkMs()
-          if (!st0.done && wm > endDay * 86400000L + 1L) {
+          if (!st0.done && wm > (endDay + 1L) * 86400000L + 1L) {
             state.update(BridgeState(q1, c1, q2, c2, true))
             Iterator.single(BridgeRow(brand, q1, c1, q2, c2))
           } else {
@@ -3330,7 +3330,7 @@ object Stateful {
             else if (r._1 == "ship" && us > maxShipUs) maxShipUs = us
           }
           val wm = state.getCurrentWatermarkMs()
-          if (!st0.done && wm > endDay * 86400000L + 1L) {
+          if (!st0.done && wm > (endDay + 1L) * 86400000L + 1L) {
             state.update(OrderLifeState(openUs, maxShipUs, true))
             Iterator.single(OrderLife(okey, openUs / DayUs,
               if (maxShipUs == Long.MinValue) None

@@ -114,7 +114,7 @@ class ReplayPropertySpec extends SparkSpec {
     // 0..4 random cut points -> 1..5 uneven micro-batches
     val cutsGen = Gen.listOfN(4, Gen.choose(0.0, 1.0)).map(_.take(4))
       .flatMap(c => Gen.choose(0, 4).map(n => c.take(n)))
-    val prop = Prop.forAll(slackGen, jitterGen, multGen, cutsGen) {
+    val prop = Prop.forAllNoShrink(slackGen, jitterGen, multGen, cutsGen) {
       (sl: (String, Long), jitFrac: Double, mult: Long,
        cuts: List[Double]) =>
         val (slack, jitCap) = sl
@@ -151,11 +151,20 @@ class ReplayPropertySpec extends SparkSpec {
         t.filter("event_type != 'zz_sentinel'").collect()
           .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
       }
+    // pinned adversarial case (round 9): a chunk boundary at 99.5%
+    // lands inside the final day minus the slack, so the intermediate
+    // no-data batch's watermark passes the LAST DAY'S START — the
+    // boundary that exposed the premature-emission gate (cells gated on
+    // endDay*86400000 emitted before their final-chunk rows arrived,
+    // then absorbed them silently; fixed to gate on the day's END
+    // across all twelve endDay-gated machines)
+    assert(run(1800000L, 2654435761L, List(0.995)) == batchGrid,
+      "a 99.5% chunk boundary must not trigger premature cell emission")
     val jitterGen = Gen.oneOf(0L, 1000L, 1800000L, 7140000L)
     val multGen = Gen.oneOf(2654435761L, 7919L, 3L)
     val cutsGen = Gen.listOfN(4, Gen.choose(0.0, 1.0))
       .flatMap(c => Gen.choose(0, 4).map(n => c.take(n)))
-    val prop = Prop.forAll(jitterGen, multGen, cutsGen) {
+    val prop = Prop.forAllNoShrink(jitterGen, multGen, cutsGen) {
       (jit: Long, mult: Long, cuts: List[Double]) =>
         run(jit, mult, cuts) == batchGrid
     }
