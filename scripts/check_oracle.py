@@ -11,10 +11,16 @@ import pandas as pd
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from gen_ledger import spec_index, refs_for
 
-sfdir, outdir = sys.argv[1], sys.argv[2]
+# --partial: the dump dir holds a targeted (prefix) Verify run, so only
+# check queries that were actually dumped. WITHOUT the flag a missing
+# dump is a FAILURE — that default is the protection against a query
+# silently vanishing from a full sweep; never use --partial on one.
+argv = [a for a in sys.argv[1:] if a != "--partial"]
+partial = "--partial" in sys.argv
+sfdir, outdir = argv[0], argv[1]
 # optional third arg: write a CORRECTNESS_r*-shaped JSON artifact so a
 # non-driver run (e.g. the sf0.1 sweep) is mechanically diffable
-json_out = sys.argv[3] if len(sys.argv) > 3 else None
+json_out = argv[2] if len(argv) > 2 else None
 report = {}
 
 # `err` must unambiguously mean BROKEN (round-8 verdict nit #1): queries
@@ -49,6 +55,8 @@ def canon(df):
 
 fails = 0
 for name in sorted(oracle):
+    if partial and not os.path.isdir(os.path.join(outdir, name)):
+        continue
     files = glob.glob(os.path.join(outdir, name, "*.parquet"))
     if not files:
         print(f"FAIL {name}: no spark output"); fails += 1

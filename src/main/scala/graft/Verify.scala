@@ -50,7 +50,12 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql.filter(kv => wanted(kv._1))
+    // Always dump the FULL oracle map, even on a targeted (prefix) run:
+    // targeted runs usually refresh a couple of query dumps inside a dir
+    // holding a full sweep, and a truncated oracle map silently degrades
+    // every other query in that dir to a rows-only check on the next
+    // whole-dir check_oracle pass.
+    val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     // Machine-readable failure summary alongside oracle_sql.json.

@@ -1992,6 +1992,132 @@ object Relational3 {
            |       AND p_size <= 15)
            |GROUP BY 1 ORDER BY 1""".stripMargin))
 
+  // --------------------------------------------------------------- q197
+  /** Small-order revenue (the TPC-H Q17 shape): revenue from lineitems
+    * whose quantity is below 20% of their part's average order
+    * quantity, for a handful of brands — the correlated scalar
+    * subquery Q17 exists to test (`l_quantity < 0.2 * (SELECT avg ...
+    * WHERE same part)`). The oracle runs the textbook correlated form
+    * so DuckDB proves the reformulation: because the brand filter is
+    * PART-level, every retained part keeps ALL its lineitems, so the
+    * per-part average is computable as a window over the already-
+    * joined rows — ONE fact scan and ONE shuffle (by l_partkey),
+    * where the naive decorrelation (aggregate the fact per part, join
+    * back to the fact) scans or shuffles the fact twice.
+    *
+    * Scale shape: brand dim broadcasts; the 0.2·avg threshold is
+    * evaluated as exact integer cross-multiplication
+    * (5·n·qty < Σqty ⟺ qty < 0.2·(Σqty/n), n > 0) so no
+    * decimal-vs-double arithmetic reaches the compare in either
+    * engine; revenue rounds to exact cents per line. */
+  val q197SmallOrderRevenue = QueryDef(
+    "q197_small_order_revenue",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_quantity").cast("long").as("qty"),
+          expr("cast(round(l_extendedprice * 100) as bigint)")
+            .as("price_cents"))
+      val brandParts = broadcast(Tables.part(s, d)
+        .filter(col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"))
+        .select("p_partkey", "p_brand"))
+      val perPart = Window.partitionBy("l_partkey")
+      li.join(brandParts, col("l_partkey") === col("p_partkey"))
+        .withColumn("part_n", count(lit(1)).over(perPart))
+        .withColumn("part_qty", sum("qty").over(perPart))
+        .filter(col("qty") * lit(5L) * col("part_n") < col("part_qty"))
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_small_lines"),
+          sum("price_cents").as("revenue_cents"))
+        .orderBy("p_brand")
+    },
+    Some("""SELECT p.p_brand, CAST(count(*) AS BIGINT) AS n_small_lines,
+           |  CAST(sum(CAST(round(l1.l_extendedprice * 100) AS BIGINT))
+           |    AS BIGINT) AS revenue_cents
+           |FROM lineitem l1 JOIN part p ON l1.l_partkey = p.p_partkey
+           |WHERE p.p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+           |  AND CAST(l1.l_quantity AS BIGINT) * 5 *
+           |    (SELECT count(*) FROM lineitem l2
+           |     WHERE l2.l_partkey = p.p_partkey) <
+           |    (SELECT sum(CAST(l3.l_quantity AS BIGINT)) FROM lineitem l3
+           |     WHERE l3.l_partkey = p.p_partkey)
+           |GROUP BY 1 ORDER BY 1""".stripMargin))
+
+  // --------------------------------------------------------------- q198
+  /** Cheapest regional supplier per part (the TPC-H Q2 shape): for
+    * each small part, the supplier from one region offering it at the
+    * lowest price — Q2's correlated-min subquery (`cost = (SELECT
+    * min(cost) ... WHERE same part AND supplier in region)`), with
+    * ties broken deterministically to the lowest supplier key. The
+    * testdata has no partsupp table, so the offer grid derives from
+    * shipment history: min observed line price per (part, supplier).
+    * The oracle runs the textbook correlated-min form against the
+    * same grid CTE (MATERIALIZED — it is referenced twice).
+    *
+    * Scale shape: region→nation→supplier chain collapses to one
+    * broadcast semi-filter applied BEFORE the grid aggregate (prunes
+    * fact rows early), the part-size filter broadcasts likewise; the
+    * fact is scanned once into the (part, supplier) min-price grid;
+    * the per-part min attaches as a window OVER the grid (grid-sized
+    * work — a correlated probe per part would rescan, and a second
+    * aggregate of the twice-referenced grid val would re-run its
+    * lineage, the q190/q195 lesson); the name join-back touches only
+    * the winner rows against a broadcast dim. */
+  val q198CheapestSupplier = QueryDef(
+    "q198_cheapest_supplier",
+    (s, d) => {
+      val regionSupp = broadcast(Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)
+            .join(broadcast(Tables.region(s, d)
+                .filter(col("r_name") === "EUROPE").select("r_regionkey")),
+              col("n_regionkey") === col("r_regionkey"))
+            .select("n_nationkey")),
+          col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey").as("rs_suppkey")))
+      val smallParts = broadcast(Tables.part(s, d)
+        .filter(col("p_size") <= 15).select("p_partkey"))
+      val grid = Tables.lineitem(s, d)
+        .select(col("l_partkey"), col("l_suppkey"),
+          expr("cast(round(l_extendedprice * 100) as bigint)")
+            .as("line_cents"))
+        .join(regionSupp, col("l_suppkey") === col("rs_suppkey"))
+        .join(smallParts, col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_partkey"), col("l_suppkey"))
+        .agg(min("line_cents").as("cost_cents"))
+      val perPart = Window.partitionBy("l_partkey")
+      grid
+        .withColumn("min_cost", min("cost_cents").over(perPart))
+        .filter(col("cost_cents") === col("min_cost"))
+        .groupBy(col("l_partkey").as("p_partkey"), col("cost_cents"))
+        .agg(min("l_suppkey").as("best_suppkey"))
+        .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_name")),
+          col("best_suppkey") === col("s_suppkey"))
+        .select("p_partkey", "best_suppkey", "s_name", "cost_cents")
+        .orderBy("p_partkey")
+    },
+    Some("""WITH grid AS MATERIALIZED (
+           |  SELECT l_partkey, l_suppkey,
+           |    CAST(min(CAST(round(l_extendedprice * 100) AS BIGINT))
+           |      AS BIGINT) AS cost_cents
+           |  FROM lineitem
+           |  WHERE l_suppkey IN (
+           |      SELECT s_suppkey FROM supplier
+           |      JOIN nation ON s_nationkey = n_nationkey
+           |      JOIN region ON n_regionkey = r_regionkey
+           |      WHERE r_name = 'EUROPE')
+           |    AND l_partkey IN (
+           |      SELECT p_partkey FROM part WHERE p_size <= 15)
+           |  GROUP BY 1, 2)
+           |SELECT w.p_partkey, w.best_suppkey, s_name, w.cost_cents
+           |FROM (
+           |  SELECT g.l_partkey AS p_partkey, g.cost_cents,
+           |    min(g.l_suppkey) AS best_suppkey
+           |  FROM grid g
+           |  WHERE g.cost_cents = (SELECT min(g2.cost_cents) FROM grid g2
+           |                        WHERE g2.l_partkey = g.l_partkey)
+           |  GROUP BY 1, 2) w
+           |JOIN supplier ON w.best_suppkey = s_suppkey
+           |ORDER BY w.p_partkey""".stripMargin))
+
   val all: Seq[QueryDef] =
     Seq(q69StarJoin, q70EventDedup, q71ArgExtremes, q72Regression,
       q74VariantExtract, q75HofBattery, q76ZorderLayout, q79ExistsChain,
@@ -2002,5 +2128,6 @@ object Relational3 {
       q136ReturnRates, q153FifoAllocation, q157FanoutAudit,
       q158LateBlame, q165ProductProfit, q166AbcXyz, q177CustDist,
       q178LargeOrders, q183ImportantStock, q190TopSupplier,
-      q195VolumeDominantSupplier, q196DisjunctiveJoin)
+      q195VolumeDominantSupplier, q196DisjunctiveJoin,
+      q197SmallOrderRevenue, q198CheapestSupplier)
 }

@@ -513,4 +513,34 @@ class PlanSpec extends SparkSpec {
       "the nation-filtered supplier dim must broadcast")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("q197: the Q17 threshold is a window over the join — one fact scan") {
+    val p = plan("q197_small_order_revenue")
+    // the textbook correlated form probes lineitem per part for the
+    // average; the naive decorrelation aggregates the fact per part
+    // and joins BACK to the fact (two scans / two shuffles). Because
+    // the brand filter is part-level, every kept part keeps all its
+    // lineitems, so the per-part average is a window over the joined
+    // rows — one scan, one shuffle
+    assert("lineitem\\.parquet".r.findAllIn(p).length <= 1,
+      "the per-part average must be a window, not a fact self-join")
+    assert(p.contains("BroadcastHashJoin"),
+      "the brand-filtered part dim must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "no shuffle join — the only exchange is the window partitioning")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q198: the Q2 argmin stays grid-sized — one fact scan, dims broadcast") {
+    val p = plan("q198_cheapest_supplier")
+    // the correlated-min probe and the winner name join-back must both
+    // ride the (part, supplier) grid, never re-scan shipment history
+    assert("lineitem\\.parquet".r.findAllIn(p).length <= 1,
+      "per-part min must attach as a window over the offer grid")
+    assert(p.contains("BroadcastHashJoin"),
+      "region-supplier semi-filter and the name join must broadcast")
+    assert(!p.contains("SortMergeJoin"),
+      "no shuffle join — dims broadcast, the grid shuffles once by key")
+    assert(!p.contains("CartesianProduct"))
+  }
 }
