@@ -2118,6 +2118,131 @@ object Relational3 {
            |JOIN supplier ON w.best_suppkey = s_suppkey
            |ORDER BY w.p_partkey""".stripMargin))
 
+  // --------------------------------------------------------------- q199
+  /** Returned-item ranking (the TPC-H Q10 shape): the top 20 customers
+    * by revenue lost to returned items in one quarter, with their
+    * nation. Q10 joins all four tables and then groups; here the fact
+    * is aggregated to customer grain FIRST (lineitem×orders is the
+    * only at-scale join; returnflag and the quarter prune it), and the
+    * customer/nation dims broadcast onto the already-small per-customer
+    * grid — at 100 TB the grid is |customers|, not |lineitems|. The
+    * top-20 plans as TakeOrderedAndProject (bounded take, no global
+    * sort); ties at the cut break deterministically on c_custkey.
+    * Revenue rounds to exact cents per line before the sum. */
+  val q199ReturnedItemRanking = QueryDef(
+    "q199_returned_item_ranking",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"),
+          expr("cast(round(l_extendedprice * (1 - l_discount) * 100)"
+            + " as bigint)").as("rev_cents"))
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp")
+          && col("o_orderdate") < lit("1996-04-01").cast("timestamp"))
+        .select("o_orderkey", "o_custkey")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_custkey"))
+        .agg(sum("rev_cents").as("revenue_cents"))
+        .join(broadcast(Tables.customer(s, d)
+          .select("c_custkey", "c_name", "c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)
+          .select("n_nationkey", "n_name")),
+          col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("c_name"), col("n_name"),
+          col("revenue_cents"))
+        .orderBy(col("revenue_cents").desc, col("c_custkey"))
+        .limit(20)
+    },
+    Some("""SELECT c.c_custkey, c.c_name, n.n_name,
+           |  CAST(sum(CAST(round(l.l_extendedprice * (1 - l.l_discount)
+           |    * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+           |FROM lineitem l
+           |JOIN orders o ON l.l_orderkey = o.o_orderkey
+           |JOIN customer c ON o.o_custkey = c.c_custkey
+           |JOIN nation n ON c.c_nationkey = n.n_nationkey
+           |WHERE l.l_returnflag = 'R'
+           |  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+           |  AND o.o_orderdate < TIMESTAMP '1996-04-01'
+           |GROUP BY 1, 2, 3
+           |ORDER BY revenue_cents DESC, c_custkey
+           |LIMIT 20""".stripMargin))
+
+  // --------------------------------------------------------------- q200
+  /** Promotion revenue share (the TPC-H Q14 shape): what fraction of
+    * one month's revenue came from PROMO-type parts — the conditional-
+    * numerator / unconditional-denominator ratio Q14 exists to test.
+    * One fact scan with the month pruned at the parquet scan, the part
+    * dim broadcasts, both sums are exact BIGINT cents (the hash anchor)
+    * and the ratio is the r4 of their double quotient — the one
+    * rounding convention bit-compatible with DuckDB. */
+  val q200PromoRevenue = QueryDef(
+    "q200_promo_revenue",
+    (s, d) => {
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-03-01").cast("timestamp")
+          && col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+        .select(col("l_partkey"),
+          expr("cast(round(l_extendedprice * (1 - l_discount) * 100)"
+            + " as bigint)").as("rev_cents"))
+      li.join(broadcast(Tables.part(s, d).select("p_partkey", "p_type")),
+          col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", col("rev_cents"))
+            .otherwise(0L)).as("promo_cents"),
+          sum("rev_cents").as("total_cents"))
+        .select(col("promo_cents"), col("total_cents"),
+          r4(col("promo_cents").cast("double") / col("total_cents"))
+            .as("promo_ratio"))
+    },
+    Some("""SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN rc ELSE 0
+           |    END) AS BIGINT) AS promo_cents,
+           |  CAST(sum(rc) AS BIGINT) AS total_cents,
+           |  round(CAST(sum(CASE WHEN p_type = 'PROMO' THEN rc ELSE 0
+           |    END) AS DOUBLE) / sum(rc) * 10000) / 10000 AS promo_ratio
+           |FROM (SELECT CAST(round(l_extendedprice * (1 - l_discount)
+           |    * 100) AS BIGINT) AS rc, p_type
+           |  FROM lineitem JOIN part ON l_partkey = p_partkey
+           |  WHERE l_shipdate >= TIMESTAMP '1996-03-01'
+           |    AND l_shipdate < TIMESTAMP '1996-04-01') t""".stripMargin))
+
+  // --------------------------------------------------------------- q201
+  /** Supplier diversity per part class (the TPC-H Q16 shape): distinct
+    * suppliers who shipped each (brand, size) class, excluding one
+    * brand and a NOT-IN-subquery supplier blocklist (Q16's complaint
+    * filter, here low-balance suppliers under a fixed literal — a raw
+    * column-vs-literal compare, no cross-engine arithmetic). The
+    * blocklist is a broadcast anti-join (s_suppkey is non-null, so
+    * NOT IN == anti-join; q51 covers the null-aware divergence), the
+    * part dim broadcasts its filter, and the distinct count is the
+    * standard two-phase expand — only (class, suppkey) pairs shuffle. */
+  val q201SupplierDiversity = QueryDef(
+    "q201_supplier_diversity",
+    (s, d) => {
+      val badSupp = broadcast(Tables.supplier(s, d)
+        .filter(col("s_acctbal") < 2000)
+        .select(col("s_suppkey").as("bad_suppkey")))
+      val parts = broadcast(Tables.part(s, d)
+        .filter(col("p_brand") =!= "Brand#1" && col("p_size") <= 25)
+        .select("p_partkey", "p_brand", "p_size"))
+      Tables.lineitem(s, d).select("l_partkey", "l_suppkey")
+        .join(parts, col("l_partkey") === col("p_partkey"))
+        .join(badSupp, col("l_suppkey") === col("bad_suppkey"),
+          "left_anti")
+        .groupBy(col("p_brand"), col("p_size"))
+        .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+    },
+    Some("""SELECT p_brand, p_size,
+           |  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+           |FROM lineitem JOIN part ON l_partkey = p_partkey
+           |WHERE p_brand <> 'Brand#1' AND p_size <= 25
+           |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+           |                        WHERE s_acctbal < 2000)
+           |GROUP BY 1, 2
+           |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin))
+
   val all: Seq[QueryDef] =
     Seq(q69StarJoin, q70EventDedup, q71ArgExtremes, q72Regression,
       q74VariantExtract, q75HofBattery, q76ZorderLayout, q79ExistsChain,
@@ -2129,5 +2254,6 @@ object Relational3 {
       q158LateBlame, q165ProductProfit, q166AbcXyz, q177CustDist,
       q178LargeOrders, q183ImportantStock, q190TopSupplier,
       q195VolumeDominantSupplier, q196DisjunctiveJoin,
-      q197SmallOrderRevenue, q198CheapestSupplier)
+      q197SmallOrderRevenue, q198CheapestSupplier,
+      q199ReturnedItemRanking, q200PromoRevenue, q201SupplierDiversity)
 }

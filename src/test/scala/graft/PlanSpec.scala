@@ -531,6 +531,30 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q199: the Q10 top-20 is a bounded take over the customer grid") {
+    val p = plan("q199_returned_item_ranking")
+    // aggregate to customer grain BEFORE the dim joins: the broadcast
+    // customer/nation joins touch the |customers| grid, not the fact
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-20 must plan as a bounded take, not a global sort")
+    assert("BroadcastHashJoin".r.findAllIn(p).length >= 2,
+      "customer and nation dims must broadcast onto the grid")
+    assert("lineitem\\.parquet".r.findAllIn(p).length <= 1)
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("q201: the Q16 blocklist is a broadcast anti-join, dims broadcast") {
+    val p = plan("q201_supplier_diversity")
+    assert(p.contains("BroadcastHashJoin"),
+      "the filtered part dim must broadcast")
+    assert(p.contains("LeftAnti"),
+      "the supplier blocklist must plan as an anti-join")
+    assert(!p.contains("SortMergeJoin"),
+      "no shuffle join — only (class, suppkey) pairs may shuffle")
+    assert("lineitem\\.parquet".r.findAllIn(p).length <= 1)
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q198: the Q2 argmin stays grid-sized — one fact scan, dims broadcast") {
     val p = plan("q198_cheapest_supplier")
     // the correlated-min probe and the winner name join-back must both
