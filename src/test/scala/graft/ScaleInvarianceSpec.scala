@@ -385,4 +385,15 @@ class ScaleInvarianceSpec extends SparkSpec {
     // distribution bug in the grid/window plumbing, not float noise
     invariant("q195_volume_dominant_supplier", sf01)
   }
+
+  test("q196-q201 TPC-H shapes invariant to partition count (exact cents)") {
+    // all six round off to exact integer cents (or integer counts)
+    // BEFORE aggregating, so their disjunctive residuals, window
+    // thresholds, argmin ties, top-N cuts, ratio anchors, and distinct
+    // counts must be bit-identical under any shuffle partitioning
+    for (q <- Seq("q196_disjunctive_join", "q197_small_order_revenue",
+        "q198_cheapest_supplier", "q199_returned_item_ranking",
+        "q200_promo_revenue", "q201_supplier_diversity"))
+      invariant(q, sf01)
+  }
 }
