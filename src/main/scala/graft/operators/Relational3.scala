@@ -1113,7 +1113,11 @@ object Relational3 {
     * Scale shape: lineitem⋈orders shuffles once on the order key (year
     * from the order header), supplier/nation/region are broadcast
     * lookups, ONE hash-agg onto the (year, nation) grid with the
-    * year-region totals derived from the same aggregate. */
+    * year-region totals attached as a window OVER the grid — a totals
+    * branch aggregating the `cells` val would re-run its lineage and
+    * scan the fact twice (the q190/q195 lesson; this was the one
+    * remaining twice-referenced grid, hidden in the plan audit until
+    * the AQE empty-relation fallback exposed it at sf0.001). */
   val q135MarketShare = QueryDef(
     "q135_market_share",
     (s, d) => {
@@ -1133,9 +1137,9 @@ object Relational3 {
         .select(col("yr"), col("n_name"),
           expr("cast(round(l_extendedprice * 100) as bigint)").as("cc"))
         .groupBy("yr", "n_name").agg(sum("cc").as("cents"))
-      val yearTotals = cells.groupBy("yr").agg(sum("cents").as("tot"))
-        .withColumnRenamed("yr", "yr_t")
-      cells.join(broadcast(yearTotals), col("yr") === col("yr_t"))
+      cells
+        .withColumn("tot",
+          sum("cents").over(Window.partitionBy("yr")))
         .filter(col("n_name") === "NATION_2")
         .select(col("yr"),
           r2(col("cents").cast("double") / 100.0).as("nation_revenue"),

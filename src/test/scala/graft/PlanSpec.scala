@@ -531,6 +531,17 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q135: the Q8 year totals are a window over the grid — one fact scan") {
+    val p = plan("q135_market_share")
+    // a totals branch re-referencing the cells val re-runs its whole
+    // lineage (lineitem x2, hidden in the audit while AQE collapsed the
+    // empty-at-sf0.001 final plan); the region totals must attach as a
+    // window over the (year, nation) grid
+    assert("lineitem\\.parquet".r.findAllIn(p).length <= 1,
+      "year-region totals must be a window over the grid, not a branch")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("q199: the Q10 top-20 is a bounded take over the customer grid") {
     val p = plan("q199_returned_item_ranking")
     // aggregate to customer grain BEFORE the dim joins: the broadcast
