@@ -47,6 +47,9 @@ sbt -batch 'runMain graft.PlanAudit /root/testdata/sf0.001'
 audit_rows=$(grep -cE '^\| [a-z]+[0-9]' docs/PLAN_AUDIT.md)
 echo "plan audit rows: $audit_rows"
 
+echo "=== [6.5/7] multi-scan ratchet"
+python3 scripts/check_scans.py
+
 echo "=== [7/7] coverage ledger"
 python3 scripts/gen_ledger.py CORRECTNESS_SF01_local.json > docs/COVERAGE.md
 if [ "$audit_rows" -ne "$(grep -cE '^\| [a-z]+[0-9]' docs/COVERAGE.md)" ]; then
