@@ -6,6 +6,11 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // storage-partitioned planning for DSv2 sources that report a
+      // KeyGroupedPartitioning (only the ArchiveSource by_type layout,
+      // q194); a session-builder default so no query mutates the
+      // shared session mid-sweep
+      .config("spark.sql.sources.v2.bucketing.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -93,14 +98,18 @@ object Bench {
       "\"" + (if (unique) keys(k) else k) + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // pre/post calibration drift rides the HEADLINE (round-9 verdict
+    // housekeeping): a reader of BENCH_r*.json alone can normalize the
+    // total for host load without digging into bench_full.json
+    val calib = f""""calib_sec":{"before":$calibBefore%.3f,"after":$calibAfter%.3f}"""
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec",$calib,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // The driver keeps only a bounded TAIL of sbt stdout, so the ~3 kB
     // per-query line above gets head-truncated past parsing (BENCH_r08
     // kept ~60 of 290 entries and parsed: null). Repeat the headline in
     // a compact line AFTER it: the tail always ends with a complete,
     // parseable total; per-query detail lives in bench_full.json.
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":{},"n_queries":${results.size},"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec",$calib,"queries":{},"n_queries":${results.size},"sf":"$sfDir"}""")
     // Also persist the metric JSON next to the repo: the driver parses a
     // bounded tail of sbt stdout (and sbt may prefix lines with [info]),
     // so the perf signal must not depend on that parsing surviving.

@@ -414,10 +414,18 @@ class ArchiveTypeScan(rows: Long, pushed: Array[Filter],
       s"pushed=[${pushed.mkString(", ")}] types=${surviving.length}"
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
-    new org.apache.spark.sql.connector.read.partitioning
-      .KeyGroupedPartitioning(
-        Array(org.apache.spark.sql.connector.expressions.Expressions
-          .identity("event_type")), surviving.length)
+    // an all-pruned scan (type filter matches nothing, or the id range
+    // is empty) must NOT declare a zero-partition KeyGroupedPartitioning
+    // — some planner paths divide by numPartitions; an empty scan has
+    // no clustering worth declaring anyway
+    if (surviving.isEmpty)
+      new org.apache.spark.sql.connector.read.partitioning
+        .UnknownPartitioning(0)
+    else
+      new org.apache.spark.sql.connector.read.partitioning
+        .KeyGroupedPartitioning(
+          Array(org.apache.spark.sql.connector.expressions.Expressions
+            .identity("event_type")), surviving.length)
   override def planInputPartitions(): Array[InputPartition] = {
     ArchiveSource.lastPlannedSplits.set(surviving.length)
     surviving.map(i => ArchiveTypePartition(i, lo, hi))

@@ -281,13 +281,18 @@ object Pruning {
     * cover that), so a real HashAggregate runs above the scan and the
     * exchange elision is what's being exercised. ExtensionsSpec pins
     * exchange-count 0 with the declaration live vs ≥1 with
-    * spark.sql.sources.v2.bucketing.enabled off. Oracle:
+    * spark.sql.sources.v2.bucketing.enabled off (the conf is a
+    * session-builder default in every harness, not a query-time
+    * mutation). Oracle:
     * generate_series replays the row formula. */
   val q194ArchiveKeyGrouped = QueryDef(
     "q194_archive_keygrouped",
     (s, _) => {
       import org.apache.spark.sql.functions._
-      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      // spark.sql.sources.v2.bucketing.enabled is set session-wide by
+      // every harness builder (Bench/Verify/PlanAudit/SparkSpec) — the
+      // query def must not mutate the shared session, or the conf
+      // would leak into every query that runs after it in a sweep
       s.read.format("graft.connectors.ArchiveSource")
         .option("layout", "by_type").load()
         .filter(col("event_id") >= 10000L && col("event_id") < 90000L)

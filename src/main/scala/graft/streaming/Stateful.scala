@@ -2164,15 +2164,21 @@ object Stateful {
     override def handleInputRows(key: String,
         rows: Iterator[(String, java.sql.Timestamp, Long)],
         timerValues: TimerValues): Iterator[DistinctCell] = {
-      rows.foreach { r =>
-        val day = Math.floorDiv(microsOf(r._2), 86400000000L)
-        val sk =
-          if (days.containsKey(day)) HllSketch.heapify(days.getValue(day))
-          else new HllSketch(14)
-        sk.update(r._3)
-        days.updateValue(day, sk.toUpdatableByteArray)
-        getHandle.registerTimer((day + 1L) * 86400000L)
-      }
+      // fold the batch day-locally FIRST: one heapify + one serialized
+      // write-back + one timer registration per TOUCHED DAY, not per
+      // row — a batch of N same-day rows would otherwise pay
+      // O(N × sketch-size) serialization churn
+      rows.toSeq
+        .groupBy(r => Math.floorDiv(microsOf(r._2), 86400000000L))
+        .foreach { case (day, dayRows) =>
+          val sk =
+            if (days.containsKey(day))
+              HllSketch.heapify(days.getValue(day))
+            else new HllSketch(14)
+          dayRows.foreach(r => sk.update(r._3))
+          days.updateValue(day, sk.toUpdatableByteArray)
+          getHandle.registerTimer((day + 1L) * 86400000L)
+        }
       Iterator.empty
     }
 

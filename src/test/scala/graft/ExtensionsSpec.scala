@@ -277,6 +277,23 @@ class ExtensionsSpec extends SparkSpec {
       assert(one.rdd.getNumPartitions == 1,
         "type filter must prune to the one matching type-split")
       assert(one.count() == 20000L)
+      // the all-pruned edge (round-9 ADVICE): a type filter matching
+      // NO type, or an empty id range, must not declare a
+      // zero-partition KeyGroupedPartitioning — the scan reports
+      // UnknownPartitioning(0) instead, and grouping over it still
+      // plans and returns empty
+      val none = s.read.format("graft.connectors.ArchiveSource")
+        .option("layout", "by_type").load()
+        .filter(col("event_type") === "no_such_type")
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+      assert(none.collect().isEmpty,
+        "all-pruned type scan must aggregate to zero rows")
+      val emptyRange = s.read.format("graft.connectors.ArchiveSource")
+        .option("layout", "by_type").load()
+        .filter(col("event_id") >= 90000L && col("event_id") < 10000L)
+        .groupBy("event_type").agg(count(lit(1)).as("n"))
+      assert(emptyRange.collect().isEmpty,
+        "empty-id-range type scan must aggregate to zero rows")
     } finally {
       s.conf.set("spark.sql.sources.v2.bucketing.enabled", prev)
     }
