@@ -311,4 +311,108 @@ class SinkConformanceSpec extends SparkSpec {
     assert(CollectingSink.rows("tpc_spec").size == 2,
       "failed publish must not clobber the committed table")
   }
+
+  test("streaming DSv2 write: per-epoch 2PC, exactly-once across mid-stream kill + replayed epoch") {
+    // The ack-after-durable-write contract (types.go:104-113,
+    // batcher.go:377-381) through the DSv2 StreamingWrite path — NOT
+    // foreachBatch. Kill the query after the sink committed an epoch
+    // but BEFORE the engine recorded it in the commit log (simulated
+    // by deleting the last commits/ entry): on restart the engine
+    // re-runs that epoch, the sink sees commit(epoch) a second time,
+    // and the ledger absorbs it idempotently — every input row
+    // published exactly once.
+    import graft.connectors.CollectingSink
+    val s = spark
+    import s.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    CollectingSink.clear("sw_eo")
+    val ck = tmpDir("sw_eo_ck")
+
+    val in1 = MemoryStream[Long]
+    val q1 = in1.toDF().toDF("v").writeStream
+      .format("graft.connectors.CollectingSink")
+      .option("table", "sw_eo").option("checkpointLocation", ck)
+      .outputMode("append").start()
+    in1.addData(1L to 400L); q1.processAllAvailable()
+    in1.addData(401L to 700L); q1.processAllAvailable()
+    q1.stop()
+    val committed1 = CollectingSink.epochs("sw_eo").map(_._1)
+    assert(committed1.size >= 2, s"expected ≥2 epochs, got $committed1")
+
+    // crash window: the engine's record of the LAST epoch is lost,
+    // the sink's commit of it already happened
+    val commits = new java.io.File(s"$ck/commits").listFiles()
+      .filter(_.getName.forall(_.isDigit)).sortBy(_.getName.toLong)
+    assert(commits.last.delete(), "failed to drop last commit record")
+    // drop the local-FS checksum sibling too — a stale .N.crc would
+    // fail the re-written record's rename, which a real crash (where
+    // neither file was ever written) can't produce
+    new java.io.File(commits.last.getParent,
+      s".${commits.last.getName}.crc").delete()
+
+    // restart: a replayable source offers the history again (the
+    // MemoryStream analog of a durable log), plus new data
+    val in2 = MemoryStream[Long]
+    in2.addData(1L to 400L); in2.addData(401L to 700L)
+    val q2 = in2.toDF().toDF("v").writeStream
+      .format("graft.connectors.CollectingSink")
+      .option("table", "sw_eo").option("checkpointLocation", ck)
+      .outputMode("append").start()
+    in2.addData(701L to 1000L); q2.processAllAvailable()
+    q2.stop()
+
+    val got = CollectingSink.streamRows("sw_eo")
+      .map(_.head.asInstanceOf[Long])
+    assert(got.size == 1000,
+      s"exactly-once violated: ${got.size} rows (dupes or loss)")
+    assert(got.toSet == (1L to 1000L).toSet, "published set diverged")
+    // the replayed epoch id appears ONCE in the ledger
+    val eids = CollectingSink.epochs("sw_eo").map(_._1)
+    assert(eids.distinct == eids, s"ledger holds a duplicate epoch: $eids")
+  }
+
+  test("streaming DSv2 write: a poisoned epoch publishes NOTHING") {
+    // per-epoch atomic visibility: epoch 0 commits, epoch 1's writers
+    // all fail — the query dies and the ledger holds epoch 0 intact
+    // with no trace of epoch 1
+    import graft.connectors.CollectingSink
+    val s = spark
+    import s.implicits._
+    implicit val sql: org.apache.spark.sql.SQLContext = s.sqlContext
+    CollectingSink.clear("sw_poison")
+    val ck = tmpDir("sw_poison_ck")
+    val in = MemoryStream[Long]
+    val q = in.toDF().toDF("v").writeStream
+      .format("graft.connectors.CollectingSink")
+      .option("table", "sw_poison").option("poisonEpoch", "1")
+      .option("checkpointLocation", ck)
+      .outputMode("append").start()
+    in.addData(1L to 100L); q.processAllAvailable()
+    assert(CollectingSink.streamRows("sw_poison").size == 100)
+    in.addData(101L to 200L)
+    intercept[StreamingQueryException] { q.processAllAvailable() }
+    val eids = CollectingSink.epochs("sw_poison").map(_._1)
+    assert(eids == Seq(0L),
+      s"poisoned epoch leaked into the ledger: $eids")
+    assert(CollectingSink.streamRows("sw_poison").size == 100,
+      "poisoned epoch leaked rows")
+  }
+
+  test("streaming DSv2 write: replayed epoch absorbed idempotently (ledger unit)") {
+    import graft.connectors.{CollectingSink, EpochCommitMessage}
+    import scala.collection.mutable.ArrayBuffer
+    CollectingSink.clear("sw_unit")
+    CollectingSink.stageEpoch("sw_unit", epoch = 5L, partition = 0,
+      task = 1L, attempt = 0, ArrayBuffer(Seq(10L), Seq(11L)))
+    assert(CollectingSink.publishEpoch("sw_unit", 5L,
+      Seq(EpochCommitMessage(5L, 0, 1L, 0, 2L))), "first commit wins")
+    // the replay: same epoch re-staged by re-executed tasks, commit
+    // called again — absorbed, staging dropped, ledger unchanged
+    CollectingSink.stageEpoch("sw_unit", epoch = 5L, partition = 0,
+      task = 9L, attempt = 0, ArrayBuffer(Seq(10L), Seq(11L)))
+    assert(!CollectingSink.publishEpoch("sw_unit", 5L,
+      Seq(EpochCommitMessage(5L, 0, 9L, 0, 2L))), "replay must absorb")
+    assert(CollectingSink.streamRows("sw_unit") ==
+      Seq(Seq(10L), Seq(11L)))
+  }
 }
