@@ -96,4 +96,72 @@ class MqttLikeSourceSpec extends SparkSpec {
     assert(maxSeen.get() <= 30, s"epoch exceeded FlushLength: ${maxSeen.get()}")
     assert(nBatches.get() >= 4, s"expected >=4 capped epochs, got ${nBatches.get()}")
   }
+
+  test("multi-query concurrency: 3 independent queries drain one topic, offset isolation across one query's restart") {
+    // The FlushParallelism>1 analog (batcher.go:139): the reference
+    // fans one destination's flushes across N workers; Spark's native
+    // rendition is N concurrent StreamingQueries over the same broker
+    // log, each with its OWN checkpoint (subscriber group) and its own
+    // per-epoch-committed sink. Pinned here: (a) the queries run
+    // CONCURRENTLY against one shared topic and each drains everything
+    // exactly once through the DSv2 StreamingWrite 2PC path; (b)
+    // offsets are per-query — killing and restarting query 2 mid-run
+    // neither disturbs queries 1/3 nor makes query 2 skip or re-publish
+    // anything (it resumes from ITS checkpoint, not the others').
+    import graft.connectors.CollectingSink
+    val s = spark
+    MessageBus.reset("mq_multi")
+    val cks = (0 until 3).map(i => tmpDir(s"mq_multi_ck$i"))
+    (0 until 3).foreach(i => CollectingSink.clear(s"mq_multi_$i"))
+
+    def startQ(i: Int) = read("mq_multi")
+      .selectExpr("key", "CAST(value AS STRING) AS payload")
+      .writeStream.format("graft.connectors.CollectingSink")
+      .option("table", s"mq_multi_$i")
+      .option("checkpointLocation", cks(i))
+      .outputMode("append").start()
+
+    def keysOf(i: Int): Seq[String] =
+      CollectingSink.streamRows(s"mq_multi_$i")
+        .map(_.head.asInstanceOf[String])
+
+    // tranche 1 → all three live subscribers see it
+    (1 to 300).foreach(k =>
+      MessageBus.publish("mq_multi", s"k$k", s"p$k".getBytes))
+    val qs = scala.collection.mutable.ArrayBuffer(
+      startQ(0), startQ(1), startQ(2))
+    qs.foreach(_.processAllAvailable())
+    assert((0 until 3).forall(keysOf(_).size == 300),
+      s"tranche 1 fan-out: ${(0 until 3).map(keysOf(_).size)}")
+
+    // query 2 goes down (simulated redeploy); tranche 2 lands while
+    // it's out — queries 0/1 keep draining, unaffected
+    qs(2).stop()
+    (301 to 600).foreach(k =>
+      MessageBus.publish("mq_multi", s"k$k", s"p$k".getBytes))
+    qs(0).processAllAvailable(); qs(1).processAllAvailable()
+    assert(keysOf(0).size == 600 && keysOf(1).size == 600,
+      "live queries stalled by the dead one")
+    assert(keysOf(2).size == 300, "stopped query must not advance")
+
+    // restart query 2 from ITS checkpoint: catches up on exactly the
+    // missed tranche (offset isolation — it does not inherit the other
+    // queries' positions), then tranche 3 reaches all three
+    qs(2) = startQ(2)
+    qs(2).processAllAvailable()
+    assert(keysOf(2).size == 600,
+      s"restarted query missed/duplicated rows: ${keysOf(2).size}")
+    (601 to 900).foreach(k =>
+      MessageBus.publish("mq_multi", s"k$k", s"p$k".getBytes))
+    qs.foreach(_.processAllAvailable())
+    qs.foreach(_.stop())
+
+    val want = (1 to 900).map(k => s"k$k").toSet
+    (0 until 3).foreach { i =>
+      val got = keysOf(i)
+      assert(got.size == 900,
+        s"query $i delivered ${got.size} rows (loss or duplication)")
+      assert(got.toSet == want, s"query $i key set diverged")
+    }
+  }
 }
