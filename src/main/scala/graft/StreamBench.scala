@@ -17,24 +17,38 @@ import graft.streaming.Stateful
   *  - per-micro-batch latency (p50/max of durationMs.triggerExecution),
   *  - measured state bounds (peak/final stateOperators.numRowsTotal,
   *    peak memoryUsedBytes) against each family's DOCUMENTED bound,
-  *    computed from the batch side (stats-at-ingest, never hard-coded).
+  *    computed from the batch side (stats-at-ingest, never hard-coded),
+  *  - a THROUGHPUT CURVE per state family: the same feed replayed at
+  *    production batch sizes (4 chunks of 25k rows, 1 chunk of 100k at
+  *    sf0.1) so "per-epoch overhead amortizes with batch size" is a
+  *    measured rows/s-vs-chunk-size curve, not an argument.
   *
-  * Output: one JSON line on stdout (headline = total rows/s), a durable
-  * `stream_bench.json`, and the generated `docs/STATE.md` table beside
-  * SCALING.md. All four families run on the RocksDB state store — the
-  * production backend. */
+  * A measured state peak above its documented bound FAILS the run
+  * immediately after the offending twin (fail-fast), and the artifacts
+  * are written with everything measured so far BEFORE the failure is
+  * raised, so a violating run still leaves `stream_bench.json` +
+  * `docs/STATE.md` behind for diagnosis.
+  *
+  * Output: one JSON line on stdout (headline = total rows/s at the
+  * default chunking), a durable `stream_bench.json`, and the generated
+  * `docs/STATE.md` table beside SCALING.md. All runs use the RocksDB
+  * state store — the production backend. */
 object StreamBench {
 
   final case class TwinResult(name: String, family: String,
       stateShape: String, boundDesc: String, bound: Long, rows: Long,
       wallSec: Double, batches: Int, p50Ms: Long, maxMs: Long,
       peakStateRows: Long, finalStateRows: Long, peakStateBytes: Long,
-      outputRows: Long)
+      outputRows: Long, chunks: Int)
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
       "/root/testdata/sf0.1")
     val chunks = sys.env.getOrElse("SPARK_GRAFT_STREAM_CHUNKS", "20").toInt
+    // production-batch-size chunkings for the throughput curve; at
+    // sf0.1 (100k events) this is 4×25k and 1×100k rows per epoch
+    val curveChunks = sys.env.getOrElse("SPARK_GRAFT_STREAM_CURVE", "4,1")
+      .split(",").filter(_.nonEmpty).map(_.trim.toInt).toSeq
     val spark = Bench.session()
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
@@ -63,8 +77,15 @@ object StreamBench {
     val users = Tables.events(spark, sfDir)
       .select("user_id").distinct().count()
 
+    // everything measured so far — artifacts render from this buffer,
+    // and are written BEFORE any bound-violation failure is raised
+    val mainResults =
+      scala.collection.mutable.ArrayBuffer.empty[TwinResult]
+    val curveResults =
+      scala.collection.mutable.ArrayBuffer.empty[TwinResult]
+
     def run(name: String, family: String, stateShape: String,
-        boundDesc: String, bound: Long)(
+        boundDesc: String, bound: Long, nChunks: Int)(
         op: DataFrame => Dataset[_]): TwinResult = {
       implicit val sql: org.apache.spark.sql.SQLContext = spark.sqlContext
       import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
@@ -74,7 +95,7 @@ object StreamBench {
           .toDF("user_id", "ts", "event_id", "event_type", "value"))
         .writeStream.format("noop")
         .trigger(Trigger.ProcessingTime(10)).start()
-      val per = math.max(1, shuffled.length / chunks)
+      val per = math.max(1, shuffled.length / nChunks)
       val t0 = System.nanoTime()
       shuffled.grouped(per).foreach { chunk =>
         input.addData(chunk.toSeq); q.processAllAvailable()
@@ -99,122 +120,194 @@ object StreamBench {
         finalRows,
         if (ops.isEmpty) 0L else ops.map(_.memoryUsedBytes).max,
         progress.map(p => Option(p.sink).map(_.numOutputRows)
-          .getOrElse(0L)).filter(_ > 0).sum)
+          .getOrElse(0L)).filter(_ > 0).sum,
+        nChunks)
+    }
+
+    def writeArtifacts(): Unit = {
+      val results = mainResults.toSeq
+      val totalRows = results.map(_.rows).sum
+      val totalWall = math.max(results.map(_.wallSec).sum, 1e-9)
+      val rps = totalRows / totalWall
+
+      def js(r: TwinResult): String =
+        f"""    "${r.name}": {"family": "${r.family}", "rows": ${r.rows},
+           |      "wall_sec": ${r.wallSec}%.3f, "rows_per_sec": ${
+            r.rows / r.wallSec}%.0f,
+           |      "batches": ${r.batches}, "batch_ms_p50": ${r.p50Ms},
+           |      "batch_ms_max": ${r.maxMs},
+           |      "state_rows_peak": ${r.peakStateRows},
+           |      "state_rows_final": ${r.finalStateRows},
+           |      "state_bytes_peak": ${r.peakStateBytes},
+           |      "state_bound": ${r.bound},
+           |      "state_bound_desc": "${r.boundDesc}",
+           |      "state_shape": "${r.stateShape}",
+           |      "output_rows": ${r.outputRows}}""".stripMargin
+      // curve: twin → chunking → rows/s (the default chunking's point
+      // comes from the main run; extra points from the curve sweep)
+      val byTwin = (results ++ curveResults.toSeq).groupBy(_.name)
+        .filter(_._1 != "warmup")
+      def curveJs(name: String, rs: Seq[TwinResult]): String = {
+        val pts = rs.sortBy(_.chunks).reverse.map { r =>
+          val perChunk = r.rows / r.chunks
+          f""""${r.chunks}": {"rows_per_chunk": $perChunk, "rows_per_sec": ${
+              r.rows / r.wallSec}%.0f, "batch_ms_p50": ${r.p50Ms}, "batch_ms_max": ${r.maxMs}}"""
+        }
+        s"""    "$name": {${pts.mkString(", ")}}"""
+      }
+      val full =
+        f"""{
+           |  "metric": "stream_rows_per_sec", "value": $rps%.0f,
+           |  "unit": "rows/s", "sf": "$sfDir",
+           |  "cpus": "${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}",
+           |  "chunks": $chunks,
+           |  "note": "headline rows/s is epoch-overhead-bound by design: $chunks watermark-advancing micro-batches of ~${shuffled.length / chunks} rows each pay a fixed ~0.5s planning+RocksDB-commit cost. throughput_curve replays the same feed per family at production batch sizes (${curveChunks.mkString("/")} chunks) — the measured amortization curve.",
+           |  "state_store": "rocksdb",
+           |  "generated_at": "${java.time.Instant.now()}",
+           |  "twins": {
+           |${results.filter(_.name != "warmup").map(js).mkString(",\n")}
+           |  },
+           |  "throughput_curve": {
+           |${byTwin.toSeq.sortBy(_._1)
+              .map { case (n, rs) => curveJs(n, rs.toSeq) }
+              .mkString(",\n")}
+           |  }
+           |}
+           |""".stripMargin
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("stream_bench.json"),
+        full.getBytes("UTF-8"))
+
+      val md = new StringBuilder
+      md ++= "# Measured streaming state bounds (generated)\n\n"
+      md ++= s"Generated by `graft.StreamBench` at `$sfDir` "
+      md ++= s"(${shuffled.length} events per twin, $chunks-chunk "
+      md ++= "shuffled-within-horizon feed, RocksDB state store). "
+      md ++= "Regenerate with\n`SPARK_GRAFT_SF_DIR=... sbt 'runMain "
+      md ++= "graft.StreamBench'`. The documented bound column is\n"
+      md ++= "computed from catalog-style batch stats at run time — the "
+      md ++= "stats-at-ingest posture —\nand `StreamBench` FAILS "
+      md ++= "(immediately after the offending twin, with this artifact "
+      md ++= "already\nwritten) if any measured peak exceeds its bound. "
+      md ++= "OrderedReplaySpec\n"
+      md ++= "(`measured state bounds` test) pins the same invariants "
+      md ++= "in CI at sf0.001.\n\n"
+      md ++= "| twin | state family | state shape | rows | rows/s | "
+      md ++= "batches | batch ms p50/max | state rows peak/final | "
+      md ++= "peak bytes | documented bound |\n"
+      md ++= "|---|---|---|---|---|---|---|---|---|---|\n"
+      results.filter(_.name != "warmup").foreach { r =>
+        md ++= f"| ${r.name} | ${r.family} | ${r.stateShape} | ${r.rows} "
+        md ++= f"| ${r.rows / r.wallSec}%.0f | ${r.batches} "
+        md ++= f"| ${r.p50Ms}/${r.maxMs} "
+        md ++= f"| ${r.peakStateRows}/${r.finalStateRows} "
+        md ++= f"| ${r.peakStateBytes} "
+        md ++= f"| ${r.bound} (${r.boundDesc}) |\n"
+      }
+      md ++= "\nReading the table: state rows track the DOCUMENTED "
+      md ++= "domain (grid cells, entity keys,\nsketch key set), never "
+      md ++= "event volume — the only shapes that survive a 100 TB "
+      md ++= "stream.\nkllQuantileStream's final=0 row is the "
+      md ++= "reclaim-on-close proof (round 9): closed-key\nsketch state "
+      md ++= "is removed, not tombstoned.\n"
+      if (curveResults.nonEmpty) {
+        md ++= "\n## Throughput vs batch size (measured curve)\n\n"
+        md ++= "The same shuffled-within-horizon feed replayed per "
+        md ++= "family at production batch\nsizes. Each epoch pays a "
+        md ++= "fixed planning + RocksDB-commit cost, so rows/s rises\n"
+        md ++= "as rows-per-epoch grows — this table IS the "
+        md ++= "amortization claim, measured:\n\n"
+        md ++= "| twin | chunks | rows/epoch | rows/s | "
+        md ++= "batch ms p50/max |\n|---|---|---|---|---|\n"
+        (results ++ curveResults.toSeq)
+          .filter(_.name != "warmup")
+          .sortBy(r => (r.name, -r.chunks)).foreach { r =>
+            md ++= f"| ${r.name} | ${r.chunks} | ${r.rows / r.chunks} "
+            md ++= f"| ${r.rows / r.wallSec}%.0f "
+            md ++= f"| ${r.p50Ms}/${r.maxMs} |\n"
+          }
+        md ++= "\nPer-row pipe cost with the state machinery out of "
+        md ++= "the loop is what\nThroughputBench measures (1.19M "
+        md ++= "rows/s typed / 1.74M columnar through the DSv2\nbus "
+        md ++= "source); the curve above keeps watermarks, timers and "
+        md ++= "RocksDB commits in\nthe measured path.\n"
+      }
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get("docs/STATE.md"),
+        md.toString.getBytes("UTF-8"))
+    }
+
+    // fail-fast bound check: runs right after each twin completes, so a
+    // violation in twin 1 does not burn the remaining twins' wall-clock
+    // — and the artifacts are persisted first, so the diagnosing run
+    // still gets stream_bench.json / STATE.md with the measurements
+    def checked(r: TwinResult): TwinResult = {
+      mainResults += r
+      if (r.peakStateRows > r.bound) {
+        writeArtifacts()
+        throw new IllegalStateException(
+          s"${r.name}: measured state ${r.peakStateRows} exceeds " +
+            s"documented bound ${r.bound} (artifacts written)")
+      }
+      r
     }
 
     // warm the streaming machinery so twin 1 doesn't pay session init
-    run("warmup", "-", "-", "-", Long.MaxValue)(df =>
+    run("warmup", "-", "-", "-", Long.MaxValue, chunks)(df =>
       Stateful.dailyRevenueStream(df.select(col("event_type"), col("ts"),
         expr("cast(round(value * 100) as bigint)").as("cents")), endDay))
 
-    val results = Seq(
-      run("dailyRevenueStream", "commutative-grid",
+    final case class TwinDef(name: String, family: String,
+        stateShape: String, boundDesc: String, bound: Long,
+        op: DataFrame => Dataset[_])
+    val twins = Seq(
+      TwinDef("dailyRevenueStream", "commutative-grid",
         "one exact-cents counter per (type, day) cell",
-        "calendar grid cells + sentinel cell", gridCells + 1L)(df =>
-        Stateful.dailyRevenueStream(df.select(col("event_type"),
+        "calendar grid cells + sentinel cell", gridCells + 1L,
+        df => Stateful.dailyRevenueStream(df.select(col("event_type"),
           col("ts"),
           expr("cast(round(value * 100) as bigint)").as("cents")),
           endDay)),
-      run("scd2StreamOoo", "reorder-buffer",
+      TwinDef("scd2StreamOoo", "reorder-buffer",
         "slack-bounded replay buffer per user key",
-        "distinct users + sentinel user", users + 1L)(df =>
-        Stateful.scd2StreamOoo(df, "2 hours")),
-      run("kllQuantileStream", "sketch-bytes",
+        "distinct users + sentinel user", users + 1L,
+        df => Stateful.scd2StreamOoo(df, "2 hours")),
+      TwinDef("kllQuantileStream", "sketch-bytes",
         "serialized KLL(200) doubles sketch per type, reclaimed on close",
-        "event-type key domain", 5L)(df =>
-        Stateful.kllQuantileStream(df, endDay + 1L)),
-      run("dailyMeansTws", "mapstate-timers (state v2)",
+        "event-type key domain", 5L,
+        df => Stateful.kllQuantileStream(df, endDay + 1L)),
+      TwinDef("dailyMeansTws", "mapstate-timers (state v2)",
         "MapState[day -> (n, sum)] + per-day event-time timers",
-        "calendar grid cells + sentinel cell", gridCells + 1L)(df =>
-        Stateful.dailyMeansTws(df)))
+        "calendar grid cells + sentinel cell", gridCells + 1L,
+        df => Stateful.dailyMeansTws(df)))
 
-    results.foreach { r =>
-      require(r.peakStateRows <= r.bound,
-        s"${r.name}: measured state ${r.peakStateRows} exceeds " +
-          s"documented bound ${r.bound}")
+    twins.foreach { t =>
+      checked(run(t.name, t.family, t.stateShape, t.boundDesc, t.bound,
+        chunks)(t.op))
     }
 
-    val totalRows = results.map(_.rows).sum
-    val totalWall = results.map(_.wallSec).sum
+    // throughput curve: same feed, production batch sizes, per family;
+    // bounds still enforced (state peaks are chunking-independent —
+    // they track the key domain, not the epoch size)
+    for (t <- twins; c <- curveChunks) {
+      val r = run(t.name, t.family, t.stateShape, t.boundDesc, t.bound,
+        c)(t.op)
+      curveResults += r
+      if (r.peakStateRows > r.bound) {
+        writeArtifacts()
+        throw new IllegalStateException(
+          s"${t.name}@chunks=$c: measured state ${r.peakStateRows} " +
+            s"exceeds documented bound ${r.bound} (artifacts written)")
+      }
+    }
+
+    writeArtifacts()
+
+    val totalRows = mainResults.filter(_.name != "warmup").map(_.rows).sum
+    val totalWall =
+      mainResults.filter(_.name != "warmup").map(_.wallSec).sum
     val rps = totalRows / totalWall
-
-    def js(r: TwinResult): String =
-      f"""    "${r.name}": {"family": "${r.family}", "rows": ${r.rows},
-         |      "wall_sec": ${r.wallSec}%.3f, "rows_per_sec": ${
-          r.rows / r.wallSec}%.0f,
-         |      "batches": ${r.batches}, "batch_ms_p50": ${r.p50Ms},
-         |      "batch_ms_max": ${r.maxMs},
-         |      "state_rows_peak": ${r.peakStateRows},
-         |      "state_rows_final": ${r.finalStateRows},
-         |      "state_bytes_peak": ${r.peakStateBytes},
-         |      "state_bound": ${r.bound},
-         |      "state_bound_desc": "${r.boundDesc}",
-         |      "state_shape": "${r.stateShape}",
-         |      "output_rows": ${r.outputRows}}""".stripMargin
-    val full =
-      f"""{
-         |  "metric": "stream_rows_per_sec", "value": $rps%.0f,
-         |  "unit": "rows/s", "sf": "$sfDir",
-         |  "cpus": "${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}",
-         |  "chunks": $chunks,
-         |  "note": "rows/s is epoch-overhead-bound by design: $chunks watermark-advancing micro-batches of ~${shuffled.length / chunks} rows each pay a fixed ~0.5s planning+RocksDB-commit cost; per-row pipe throughput at production batch sizes is ThroughputBench's 1.19M rows/s typed. Signal here = epoch latency p50/max + measured state bounds.",
-         |  "state_store": "rocksdb",
-         |  "generated_at": "${java.time.Instant.now()}",
-         |  "twins": {
-         |${results.map(js).mkString(",\n")}
-         |  }
-         |}
-         |""".stripMargin
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get("stream_bench.json"),
-      full.getBytes("UTF-8"))
-
-    val md = new StringBuilder
-    md ++= "# Measured streaming state bounds (generated)\n\n"
-    md ++= s"Generated by `graft.StreamBench` at `$sfDir` "
-    md ++= s"(${shuffled.length} events per twin, $chunks-chunk "
-    md ++= "shuffled-within-horizon feed, RocksDB state store). "
-    md ++= "Regenerate with\n`SPARK_GRAFT_SF_DIR=... sbt 'runMain "
-    md ++= "graft.StreamBench'`. The documented bound column is\n"
-    md ++= "computed from catalog-style batch stats at run time — the "
-    md ++= "stats-at-ingest posture —\nand `StreamBench` FAILS if any "
-    md ++= "measured peak exceeds its bound. OrderedReplaySpec\n"
-    md ++= "(`measured state bounds` test) pins the same invariants "
-    md ++= "in CI at sf0.001.\n\n"
-    md ++= "| twin | state family | state shape | rows | rows/s | "
-    md ++= "batches | batch ms p50/max | state rows peak/final | "
-    md ++= "peak bytes | documented bound |\n"
-    md ++= "|---|---|---|---|---|---|---|---|---|---|\n"
-    results.foreach { r =>
-      md ++= f"| ${r.name} | ${r.family} | ${r.stateShape} | ${r.rows} "
-      md ++= f"| ${r.rows / r.wallSec}%.0f | ${r.batches} "
-      md ++= f"| ${r.p50Ms}/${r.maxMs} "
-      md ++= f"| ${r.peakStateRows}/${r.finalStateRows} "
-      md ++= f"| ${r.peakStateBytes} "
-      md ++= f"| ${r.bound} (${r.boundDesc}) |\n"
-    }
-    md ++= "\nReading the table: state rows track the DOCUMENTED "
-    md ++= "domain (grid cells, entity keys,\nsketch key set), never "
-    md ++= "event volume — the only shapes that survive a 100 TB "
-    md ++= "stream.\nkllQuantileStream's final=0 row is the "
-    md ++= "reclaim-on-close proof (round 9): closed-key\nsketch state "
-    md ++= "is removed, not tombstoned.\n\n"
-    md ++= "Reading rows/s: the feed is deliberately chunked "
-    md ++= s"(${chunks} watermark-advancing\nmicro-batches of ~"
-    md ++= s"${shuffled.length / chunks} rows) so the run exercises "
-    md ++= "watermark progression, timer\nfiring, and per-epoch RocksDB "
-    md ++= "commits — each micro-batch pays a ~0.5 s fixed\n"
-    md ++= "planning+commit cost that dominates at this batch size. "
-    md ++= "Per-row pipe cost at\nproduction batch sizes is what "
-    md ++= "ThroughputBench measures (1.19M rows/s typed /\n1.74M "
-    md ++= "columnar through the DSv2 bus source); this artifact's "
-    md ++= "signal is the\np50/max epoch latency and the state-bound "
-    md ++= "columns.\n"
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get("docs/STATE.md"),
-      md.toString.getBytes("UTF-8"))
-
-    println(f"""{"metric":"stream_rows_per_sec","value":$rps%.0f,"unit":"rows/s","sf":"$sfDir","twins":${results.size}}""")
+    println(f"""{"metric":"stream_rows_per_sec","value":$rps%.0f,"unit":"rows/s","sf":"$sfDir","twins":${twins.size},"curve_chunkings":${curveChunks.size}}""")
     spark.stop()
   }
 }
