@@ -1,0 +1,176 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.streaming.{PipelineConfig, ProcessorMetrics, QualityMetrics}
+import graft.streaming.PipelineConfig.{PipelineConf, SinkConf, SourceConf}
+
+/** End-to-end daemon soak — the reference's README pipeline shape
+  * (README.md:149-163: a syslog source, a handler, a batched
+  * time-partitioned object sink) run as one config-driven pipeline at
+  * `SPARK_GRAFT_SF_DIR` volume, with the two observability channels
+  * the library ships harvested into a durable artifact:
+  *
+  *  - the wire is RFC 5424 rendered from the events table (with a
+  *    deliberate ~0.5% malformed tail — the parser's valid=false path
+  *    must absorb garbage, never fail rows);
+  *  - the handler parses, counts violations through the
+  *    `QualityMetrics.observed` channel (metrics ride the job — no
+  *    second scan), valid-gates, and shapes NDJSON;
+  *  - the sink is the daemon's `s3` kind: gzip NDJSON objects under
+  *    time-partitioned keys (file:// here, s3a:// in prod — same
+  *    code path);
+  *  - the `ProcessorMetrics` listener captures the reference's span
+  *    names per epoch (processor.go:91-120).
+  *
+  * Output: `soak.json` (rows in/valid/out, epochs, p50/max epoch
+  * latency, violation counts, output objects/bytes) + one stdout JSON
+  * line. PipelineConfigSpec drives the same `run` at sf0.001 and gates
+  * the invariants (out == valid-in, violations == planted malformed). */
+object Soak {
+
+  final case class SoakResult(rowsIn: Long, malformedIn: Long,
+      rowsOut: Long, epochs: Int, p50Ms: Long, maxMs: Long,
+      nullTs: Long, negValue: Long, badUser: Long,
+      objects: Int, bytesOut: Long, wallSec: Double)
+
+  /** Render the daemon wire: one RFC 5424 line per event; every 200th
+    * line is replaced by non-syslog garbage. */
+  private def renderLines(spark: SparkSession, sfDir: String)
+      : Array[String] = {
+    import spark.implicits._
+    val lines = Tables.events(spark, sfDir)
+      .select(concat(
+        lit("<134>1 "),
+        date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss.SSS'Z'"),
+        lit(" host-"), pmod(col("user_id"), lit(32L)),
+        lit(" "), col("event_type"),
+        lit(" "), col("event_id"),
+        lit(" EV - user="), col("user_id"),
+        lit(" vm="), expr("cast(round(value * 1000000) as bigint)"))
+        .as("line"))
+      .as[String].collect()
+    lines.zipWithIndex.map { case (l, i) =>
+      if (i % 200 == 199) s"@@corrupt frame $i not syslog@@" else l
+    }
+  }
+
+  def run(spark: SparkSession, sfDir: String, workDir: String,
+      tranches: Int): SoakResult = {
+    val inDir = s"$workDir/in"
+    val outPrefix = s"$workDir/out"
+    val ck = s"$workDir/ck"
+    new java.io.File(inDir).mkdirs()
+
+    val lines = renderLines(spark, sfDir)
+    val malformed = lines.count(_.startsWith("@@")).toLong
+
+    val metrics = ProcessorMetrics.attach(spark)
+    val srcConf = SourceConf("syslog", Map(
+      "path" -> inDir, "contentType" -> "rfc5424", "topic" -> "syslog"))
+    val src = PipelineConfig.source(spark, srcConf)
+
+    // the handler: parse → observe violations → valid-gate → NDJSON.
+    // The observation sits BEFORE the valid filter so malformed frames
+    // are COUNTED (null ts / null user), not silently dropped.
+    val parsed = src.select(col("syslog.*"))
+      .select(col("ts"),
+        expr("cast(regexp_extract(msg, 'user=(-?\\\\d+)', 1) as bigint)")
+          .as("user_id"),
+        (expr("cast(regexp_extract(msg, 'vm=(-?\\\\d+)', 1) as bigint)")
+          .cast("double") / 1e6).as("value"),
+        col("app").as("event_type"), col("host"), col("valid"))
+    val out = QualityMetrics.observed(parsed)
+      .filter(col("valid"))
+      .select(to_json(struct(col("ts"), col("event_type"),
+        col("user_id"), col("value"), col("host"))).as("value"))
+
+    val q = PipelineConfig.start(spark,
+      PipelineConf(srcConf, SinkConf("s3", Map("prefix" -> outPrefix)),
+        checkpoint = ck, triggerMs = 100L), out)
+
+    // feed tranche files progressively — each lands as (at least) one
+    // discovered-files micro-batch, like a tailing agent rotating logs
+    val per = math.max(1, lines.length / tranches)
+    val t0 = System.nanoTime()
+    lines.grouped(per).zipWithIndex.foreach { case (chunk, i) =>
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(f"$inDir/tranche_$i%04d.log"),
+        chunk.mkString("\n").getBytes("UTF-8"))
+      q.processAllAvailable()
+    }
+    val wall = (System.nanoTime() - t0) / 1e9
+    val progress = q.recentProgress.toSeq
+    q.stop()
+    spark.streams.removeListener(metrics)
+
+    // channel 1: the listener's per-epoch spans (processor.go names)
+    val spans = metrics.spans.filter(_.srcRecvRows > 0)
+    val durs = spans.map(_.fullMs).sorted
+    // channel 2: the observed-metrics rows riding each epoch
+    val qual = progress
+      .flatMap(p => Option(p.observedMetrics.get("graft_quality")))
+    def qsum(col: String): Long =
+      qual.map(r => r.getLong(r.fieldIndex(col))).sum
+
+    val outFiles = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).toSeq.flatMap(walk)
+        else Seq(f)
+      walk(new java.io.File(outPrefix)).filter(_.getName.endsWith(".gz"))
+    }
+    val rowsOut = spark.read
+      .option("recursiveFileLookup", "true").text(outPrefix).count()
+
+    SoakResult(
+      rowsIn = lines.length.toLong, malformedIn = malformed,
+      rowsOut = rowsOut, epochs = spans.size,
+      p50Ms = if (durs.isEmpty) 0L else durs(durs.length / 2),
+      maxMs = if (durs.isEmpty) 0L else durs.last,
+      nullTs = qsum("n_null_ts"), negValue = qsum("n_neg_value"),
+      badUser = qsum("n_bad_user"),
+      objects = outFiles.size, bytesOut = outFiles.map(_.length()).sum,
+      wallSec = wall)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR",
+      "/root/testdata/sf0.1")
+    val tranches = sys.env.getOrElse("SPARK_GRAFT_SOAK_TRANCHES", "20").toInt
+    val spark = Bench.session()
+    val workDir = java.nio.file.Files
+      .createTempDirectory("graft_soak").toString
+    val r = run(spark, sfDir, workDir, tranches)
+
+    require(r.rowsOut == r.rowsIn - r.malformedIn,
+      s"soak lost/duplicated rows: out=${r.rowsOut} " +
+        s"valid-in=${r.rowsIn - r.malformedIn}")
+    require(r.nullTs == r.malformedIn,
+      s"violation channel mismatch: n_null_ts=${r.nullTs} " +
+        s"planted=${r.malformedIn}")
+
+    val js =
+      f"""{
+         |  "metric": "soak_rows_per_sec",
+         |  "value": ${r.rowsOut / r.wallSec}%.0f,
+         |  "unit": "rows/s", "sf": "$sfDir", "tranches": $tranches,
+         |  "pipeline": "syslog(rfc5424) -> handler(observe+valid-gate+json) -> s3(gzip time-partitioned)",
+         |  "rows_in": ${r.rowsIn}, "rows_malformed": ${r.malformedIn},
+         |  "rows_out": ${r.rowsOut},
+         |  "epochs": ${r.epochs},
+         |  "epoch_ms_p50": ${r.p50Ms}, "epoch_ms_max": ${r.maxMs},
+         |  "violations": {"n_null_ts": ${r.nullTs},
+         |    "n_neg_value": ${r.negValue}, "n_bad_user": ${r.badUser}},
+         |  "output_objects": ${r.objects}, "output_bytes": ${r.bytesOut},
+         |  "wall_sec": ${r.wallSec}%.3f,
+         |  "generated_at": "${java.time.Instant.now()}"
+         |}
+         |""".stripMargin
+    java.nio.file.Files.write(java.nio.file.Paths.get("soak.json"),
+      js.getBytes("UTF-8"))
+    println(f"""{"metric":"soak_rows_per_sec","value":${r.rowsOut / r.wallSec}%.0f,"unit":"rows/s","rows_out":${r.rowsOut},"epochs":${r.epochs}}""")
+    spark.stop()
+  }
+}

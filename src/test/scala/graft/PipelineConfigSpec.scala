@@ -217,4 +217,41 @@ class PipelineConfigSpec extends SparkSpec {
       .collect().map(_.getString(0)).sorted
     assert(back.toSeq == Seq("EVT1", "EVT3"), s"gzip objects content: ${back.toSeq}")
   }
+
+  test("daemon soak: rfc5424 -> handler -> gzip sink end-to-end with harvested metrics (graft.Soak)") {
+    // the same code path graft.Soak's main drives at sf0.1 — the
+    // README daemon shape with both observability channels live
+    val work = tmpDir("soak_work")
+    val r = graft.Soak.run(spark, "/root/testdata/sf0.001",
+      work, tranches = 4)
+    assert(r.rowsIn == 1000, s"rendered ${r.rowsIn} wire lines")
+    assert(r.malformedIn == 5, s"planted ${r.malformedIn} corrupt frames")
+    // the pipeline delivers every valid frame exactly once, and the
+    // malformed tail is COUNTED through the observe channel (null ts
+    // and null user on unparsed frames), never a row failure
+    assert(r.rowsOut == r.rowsIn - r.malformedIn,
+      s"out=${r.rowsOut} valid-in=${r.rowsIn - r.malformedIn}")
+    assert(r.nullTs == r.malformedIn,
+      s"n_null_ts=${r.nullTs} != planted ${r.malformedIn}")
+    assert(r.badUser == r.malformedIn,
+      s"n_bad_user=${r.badUser} != planted ${r.malformedIn}")
+    assert(r.epochs >= 4, s"expected >=1 epoch per tranche, got ${r.epochs}")
+    assert(r.objects > 0 && r.bytesOut > 0, "no gzip objects written")
+    // delivered payload is real NDJSON carrying the parsed fields, and
+    // the parse round-trips: per-type counts through the whole wire →
+    // parser → handler → gzip path equal the batch table's
+    val back = spark.read.option("recursiveFileLookup", "true")
+      .json(s"$work/out")
+    assert(back.columns.toSet ==
+      Set("ts", "event_type", "user_id", "value", "host"))
+    val gotByType = back.groupBy("event_type").count()
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    val wantByType = graft.Tables.events(spark, "/root/testdata/sf0.001")
+      .groupBy("event_type").count()
+      .collect().map(x => x.getString(0) -> x.getLong(1)).toMap
+    // 5 corrupt frames were planted on top of these counts; the gap
+    // between want and got must be exactly those 5 rows
+    assert(wantByType.values.sum - gotByType.values.sum == 5,
+      s"per-type totals: want=${wantByType.values.sum} got=${gotByType.values.sum}")
+  }
 }
