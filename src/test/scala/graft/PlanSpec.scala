@@ -531,6 +531,33 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("q197: the window-over-join precondition — every pre-window filter is part-level") {
+    // The one-scan reformulation is VALID only because the filter
+    // below the window is PART-level: a kept part keeps ALL its
+    // lineitems, so count/sum over the joined rows equal the per-part
+    // aggregates over the whole fact. A future edit adding a
+    // lineitem-level predicate before the window would silently change
+    // the correlated average — this pin makes it fail loudly instead.
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Window}
+    val opt = SparkEntry.queries("q197_small_order_revenue")(spark, sf)
+      .queryExecution.optimizedPlan
+    val windows = opt.collect { case w: Window => w }
+    assert(windows.nonEmpty, "q197 must compute the threshold as a window")
+    val partCols = Set("p_partkey", "p_brand")
+    windows.foreach { w =>
+      w.child.collect { case f: Filter => f }.foreach { f =>
+        val refs = f.condition.references.map(_.name).toSet
+        val dataRefs = refs.filterNot(partCols)
+        // the only lineitem-side predicate allowed below the window is
+        // the join key's null guard — never a data column like qty
+        assert(dataRefs.subsetOf(Set("l_partkey")),
+          s"pre-window filter touches non-part columns $dataRefs — " +
+            "the window-over-join equivalence no longer holds: " +
+            f.condition.sql)
+      }
+    }
+  }
+
   test("q135: the Q8 year totals are a window over the grid — one fact scan") {
     val p = plan("q135_market_share")
     // a totals branch re-referencing the cells val re-runs its whole
