@@ -38,6 +38,19 @@ def main():
         return sum(c) / len(c) if isinstance(c, list) else float(c)
     weather = cal(cn) / cal(co)
 
+    # Round-11 captures carry per-query norm_sec (each trial divided by
+    # its g-position-interpolated calibration probe — Bench.scala's
+    # interleaved series). When BOTH captures have it, compare those
+    # directly: per-query load correction beats one global weather
+    # factor, which is exactly the round-10 verdict's complaint.
+    def norms(cap):
+        qs = cap["queries"]
+        if all("norm_sec" in v for v in qs.values()):
+            return {k: v["norm_sec"] for k, v in qs.items()}
+        return None
+    no, nn = norms(old), norms(new)
+    per_query_norm = no is not None and nn is not None
+
     ratios = sorted(qn[n] / qo[n] for n in names if qo[n] > 0)
     med = ratios[len(ratios) // 2]
     print(f"queries compared: {len(names)} "
@@ -45,8 +58,13 @@ def main():
           f"new only: {len(set(qn) - set(qo))})")
     print(f"calibration: old={cal(co):.3f}s new={cal(cn):.3f}s "
           f"-> host-weather factor {weather:.2f}x")
-    print(f"median ratio: raw {med:.2f}x, "
-          f"calibration-normalized {med / weather:.2f}x")
+    if per_query_norm:
+        nrat = sorted(nn[n] / no[n] for n in names if no[n] > 0)
+        print(f"median ratio: raw {med:.2f}x, per-query-probe-normalized "
+              f"{nrat[len(nrat) // 2]:.2f}x (norm_sec from both captures)")
+    else:
+        print(f"median ratio: raw {med:.2f}x, "
+              f"calibration-normalized {med / weather:.2f}x")
     print(f"total: old={sum(qo[n] for n in names):.1f}s "
           f"new={sum(qn[n] for n in names):.1f}s")
 
@@ -54,7 +72,10 @@ def main():
     for n in names:
         if qo[n] <= 0:
             continue
-        norm = qn[n] / qo[n] / weather
+        if per_query_norm and no[n] > 0:
+            norm = nn[n] / no[n]
+        else:
+            norm = qn[n] / qo[n] / weather
         rows.append((norm, qn[n] - qo[n], n, qo[n], qn[n]))
     rows.sort(reverse=True)
     print("\nworst normalized ratios:")

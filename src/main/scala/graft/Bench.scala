@@ -17,6 +17,18 @@ object Bench {
     spark
   }
 
+  /** The probe's reference time: normalized seconds are "seconds at
+    * probe == 1 s load". An arbitrary-but-FIXED unit — cross-round
+    * comparisons only need the constant to never change, not to match
+    * any particular host. (Idle steady-state on the round-9/10 bench
+    * hosts measured ~0.7-1.3 s, so the unit is near physical seconds.) */
+  private val ProbeRefSec = 1.0
+
+  /** Re-time the probe every N timed queries — the round-10 verdict's
+    * finding was that two endpoint probes cannot integrate load over a
+    * ~19-minute sweep; ~12 interior points can. */
+  private val ProbeEvery = 25
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = session()
@@ -54,11 +66,14 @@ object Bench {
       System.gc()
       if (ok) dt else -1.0
     }
-    // Calibration probe: a fixed CPU+shuffle-shaped synthetic timed before
-    // and after the sweep. Its drift is a pure host-load signal (the probe
-    // never changes round-to-round), letting a reader normalize totals
-    // when the machine is busy instead of mis-reading weather as
-    // regressions (the q73 lesson: 7.3s→14.6s from concurrent load alone).
+    // Calibration probe: a fixed CPU+shuffle-shaped synthetic whose drift
+    // is a pure host-load signal (the probe never changes round to
+    // round). Round 10 ran it only at the endpoints, which couldn't
+    // explain a 30 s total swing (verdict nit #1); it now ALSO runs
+    // every ProbeEvery timed queries, and each query's seconds are
+    // normalized by its g-position-interpolated local probe — so a
+    // reader (and diff_bench.py) can separate host weather from code
+    // mechanically at per-query granularity.
     def calibrate(): Double = {
       val t0 = System.nanoTime()
       spark.range(50000000L).selectExpr("id % 1000 as k", "id as v")
@@ -67,8 +82,34 @@ object Bench {
       System.gc()
       (System.nanoTime() - t0) / 1e9
     }
-    val calibBefore = calibrate()
-    val firstPass = wanted.map { case (name, fn) => name -> time1(name, fn) }
+    // (timed-queries-completed, probe seconds) series across BOTH passes
+    val calibSeries = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
+    var timed = 0
+    def probeNow(): Unit = calibSeries += ((timed, calibrate()))
+    def timeAt(name: String, fn: (SparkSession, String) => DataFrame)
+        : (Double, Int) = {
+      if (timed % ProbeEvery == 0) probeNow()
+      val t = time1(name, fn)
+      timed += 1
+      (t, timed)
+    }
+    // local probe estimate at a timing's g-position: linear interpolation
+    // between the bracketing probe points (clamped at the ends)
+    def probeAt(g: Int): Double = {
+      val s = calibSeries
+      if (s.isEmpty) ProbeRefSec
+      else if (g <= s.head._1) s.head._2
+      else if (g >= s.last._1) s.last._2
+      else {
+        val i = s.lastIndexWhere(_._1 <= g)
+        val (g0, p0) = s(i); val (g1, p1) = s(i + 1)
+        if (g1 == g0) p0 else p0 + (p1 - p0) * (g - g0).toDouble / (g1 - g0)
+      }
+    }
+
+    val firstPass = wanted.map { case (name, fn) =>
+      val (t, g) = timeAt(name, fn); (name, t, g)
+    }
     // One-off spikes (a full-GC pause, driver-machine contention, a cold
     // page cache) can inflate a single query 10-20×; re-time outliers once
     // and keep the min so the bench reflects the plan, not the weather.
@@ -78,30 +119,41 @@ object Bench {
     // of them get a second trial; min-of-2 pins the reported number to the
     // plan's cost rather than the run's. (Sub-second queries are dominated
     // by fixed job-scheduling overhead and stay single-trial.)
-    val trials = firstPass.map { case (name, t) =>
-      if (t > 1.0 || t > math.max(2.0, 3 * median))
-        (name, t, time1(name, wanted.toMap.apply(name)))
-      else (name, t, -1.0)
+    val trials = firstPass.map { case (name, t1, g1) =>
+      if (t1 > 1.0 || t1 > math.max(2.0, 3 * median)) {
+        val (t2, g2) = timeAt(name, wanted.toMap.apply(name))
+        (name, t1, g1, t2, g2)
+      } else (name, t1, g1, -1.0, -1)
     }
-    val results = trials.map { case (name, t1, t2) =>
-      name -> (if (t2 >= 0) math.min(t1, t2) else t1)
+    probeNow() // close the series
+    // raw best = min of trials; normalized best = min of the
+    // load-corrected trials (each trial divided by ITS local probe ratio)
+    def norm(t: Double, g: Int): Double =
+      if (t < 0) -1.0 else t * ProbeRefSec / probeAt(g)
+    val results = trials.map { case (name, t1, g1, t2, g2) =>
+      val best = if (t2 >= 0) math.min(t1, t2) else t1
+      val nbest =
+        if (t2 >= 0) math.min(norm(t1, g1), norm(t2, g2)) else norm(t1, g1)
+      (name, best, nbest)
     }
-    val calibAfter = calibrate()
+    val calibBefore = calibSeries.head._2
+    val calibAfter = calibSeries.last._2
     // The reporting line must stay SHORT: the driver keeps only a tail of
     // the sbt output, and a ~2.7 kB line gets head-truncated past parsing.
     // Short keys = the unique prefix before the first '_' (q01, d03, t04…);
     // full names live in CORRECTNESS_r*.json / SparkEntry.queries.
     def shortKey(n: String): String = n.takeWhile(_ != '_')
-    val keys = results.map { case (n, _) => n -> shortKey(n) }.toMap
+    val keys = results.map { case (n, _, _) => n -> shortKey(n) }.toMap
     val unique = keys.values.toSet.size == keys.size
-    val qs = results.map { case (k, v) =>
+    val qs = results.map { case (k, v, _) =>
       "\"" + (if (unique) keys(k) else k) + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    // pre/post calibration drift rides the HEADLINE (round-9 verdict
-    // housekeeping): a reader of BENCH_r*.json alone can normalize the
-    // total for host load without digging into bench_full.json
-    val calib = f""""calib_sec":{"before":$calibBefore%.3f,"after":$calibAfter%.3f}"""
+    val normTotal = results.map(_._3).filter(_ >= 0).sum
+    // pre/post calibration drift + the probe-normalized total ride the
+    // HEADLINE: a reader of BENCH_r*.json alone can separate host load
+    // from code without digging into bench_full.json
+    val calib = f""""calib_sec":{"before":$calibBefore%.3f,"after":$calibAfter%.3f},"norm_value":$normTotal%.3f"""
     val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec",$calib,"queries":$qs,"sf":"$sfDir"}"""
     println(line)
     // The driver keeps only a bounded TAIL of sbt stdout, so the ~3 kB
@@ -119,23 +171,29 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] could not write bench_last.json: ${e.getMessage}") }
     // Durable FULL artifact: every query under its full name with both
-    // trials, so a later round can diff per-query times mechanically
-    // without depending on the driver's bounded stdout-tail capture
-    // (BENCH_r07.json lost 129 of 286 entries to that truncation).
+    // trials, the probe series, and per-query normalized seconds, so a
+    // later round can diff per-query times mechanically — and separate
+    // host from code — without depending on the driver's bounded
+    // stdout-tail capture (BENCH_r07.json lost 129 of 286 entries to it).
     try {
       val ts = java.time.Instant.now().toString
-      val entries = trials.map { case (name, t1, t2) =>
-        val best = if (t2 >= 0) math.min(t1, t2) else t1
-        f"""    "$name": {"sec": $best%.3f, "t1": $t1%.3f, "t2": ${
+      val entries = trials.map { case (name, t1, _, t2, _) =>
+        val (_, best, nbest) = results.find(_._1 == name).get
+        f"""    "$name": {"sec": $best%.3f, "norm_sec": $nbest%.3f, "t1": $t1%.3f, "t2": ${
           if (t2 >= 0) f"$t2%.3f" else "null"}}"""
       }.mkString(",\n")
+      val series = calibSeries
+        .map { case (g, p) => f"""{"at": $g, "sec": $p%.3f}""" }
+        .mkString("[", ", ", "]")
       val full =
         f"""{
            |  "metric": "total", "value": $total%.3f, "unit": "sec",
+           |  "norm_value": $normTotal%.3f, "probe_ref_sec": $ProbeRefSec%.1f,
            |  "sf": "$sfDir", "cpus": "${sys.env.getOrElse(
             "SPARK_GRAFT_CPUS", "4")}", "generated_at": "$ts",
            |  "n_queries": ${results.size},
            |  "calibration_sec": {"before": $calibBefore%.3f, "after": $calibAfter%.3f},
+           |  "calibration_series": $series,
            |  "queries": {
            |$entries
            |  }

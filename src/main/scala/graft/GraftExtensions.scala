@@ -5,7 +5,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expression, ExpressionInfo}
 import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
-import graft.expressions.{CosineSimilarity, DotProduct, PqAdc}
+import graft.expressions.{CosineSimilarity, DotProduct, PqAdcInt}
 
 /** SparkSessionExtensions entry point: makes the native vector expressions
   * available to pure-SQL users as `cosine_similarity(a, b)` and
@@ -69,10 +69,10 @@ object GraftExtensions {
       new ExpressionInfo(classOf[BloomFilterMightContain].getName, "might_contain"),
       twoArg("might_contain", BloomFilterMightContain(_, _))),
     ("pq_adc",
-      new ExpressionInfo(classOf[PqAdc].getName, "pq_adc"),
+      new ExpressionInfo(classOf[PqAdcInt].getName, "pq_adc"),
       {
         case Seq(a, b, k) if k.foldable =>
-          PqAdc(a, b, k.eval(null).asInstanceOf[Number].intValue())
+          PqAdcInt(a, b, k.eval(null).asInstanceOf[Number].intValue())
         case other => throw new IllegalArgumentException(
           s"pq_adc expects (codes, lut, <literal k>), got ${other.size} args")
       }))

@@ -22,18 +22,26 @@ import graft.streaming.PipelineConfig.{PipelineConf, SinkConf, SourceConf}
   *    time-partitioned keys (file:// here, s3a:// in prod — same
   *    code path);
   *  - the `ProcessorMetrics` listener captures the reference's span
-  *    names per epoch (processor.go:91-120).
+  *    names per epoch (processor.go:91-120);
+  *  - (round 11) the query is HARD-KILLED mid-tranche — stop() with
+  *    unprocessed data pending, no drain — and restarted from the
+  *    checkpoint: the daemon's crash-recovery story (batcher.go:283-304
+  *    drain/cancel semantics) as a durable artifact, not only a spec.
+  *    soak.json reports restarts + lost/duplicated (must be 0/0 —
+  *    replayable source offsets + the idempotent two-phase gzip flush).
   *
   * Output: `soak.json` (rows in/valid/out, epochs, p50/max epoch
-  * latency, violation counts, output objects/bytes) + one stdout JSON
-  * line. PipelineConfigSpec drives the same `run` at sf0.001 and gates
-  * the invariants (out == valid-in, violations == planted malformed). */
+  * latency, violation counts, output objects/bytes, restart accounting)
+  * + one stdout JSON line. PipelineConfigSpec drives the same `run` at
+  * sf0.001 and gates the invariants (out == valid-in, violations ==
+  * planted malformed, lost == duplicated == 0 across the kill). */
 object Soak {
 
   final case class SoakResult(rowsIn: Long, malformedIn: Long,
       rowsOut: Long, epochs: Int, p50Ms: Long, maxMs: Long,
       nullTs: Long, negValue: Long, badUser: Long,
-      objects: Int, bytesOut: Long, wallSec: Double)
+      objects: Int, bytesOut: Long, wallSec: Double,
+      restarts: Int, lost: Long, duplicated: Long)
 
   /** Render the daemon wire: one RFC 5424 line per event; every 200th
     * line is replaced by non-syslog garbage. */
@@ -56,8 +64,12 @@ object Soak {
     }
   }
 
+  /** @param killAtTranche hard-kill the query right after feeding this
+    *   (0-based) tranche — no processAllAvailable, so the stop lands with
+    *   data pending (and races any in-flight epoch) — then restart from
+    *   the checkpoint and keep feeding. */
   def run(spark: SparkSession, sfDir: String, workDir: String,
-      tranches: Int): SoakResult = {
+      tranches: Int, killAtTranche: Option[Int] = None): SoakResult = {
     val inDir = s"$workDir/in"
     val outPrefix = s"$workDir/out"
     val ck = s"$workDir/ck"
@@ -69,26 +81,33 @@ object Soak {
     val metrics = ProcessorMetrics.attach(spark)
     val srcConf = SourceConf("syslog", Map(
       "path" -> inDir, "contentType" -> "rfc5424", "topic" -> "syslog"))
-    val src = PipelineConfig.source(spark, srcConf)
+    val conf = PipelineConf(srcConf,
+      SinkConf("s3", Map("prefix" -> outPrefix)),
+      checkpoint = ck, triggerMs = 100L)
 
     // the handler: parse → observe violations → valid-gate → NDJSON.
     // The observation sits BEFORE the valid filter so malformed frames
     // are COUNTED (null ts / null user), not silently dropped.
-    val parsed = src.select(col("syslog.*"))
-      .select(col("ts"),
-        expr("cast(regexp_extract(msg, 'user=(-?\\\\d+)', 1) as bigint)")
-          .as("user_id"),
-        (expr("cast(regexp_extract(msg, 'vm=(-?\\\\d+)', 1) as bigint)")
-          .cast("double") / 1e6).as("value"),
-        col("app").as("event_type"), col("host"), col("valid"))
-    val out = QualityMetrics.observed(parsed)
-      .filter(col("valid"))
-      .select(to_json(struct(col("ts"), col("event_type"),
-        col("user_id"), col("value"), col("host"))).as("value"))
+    def handler(): org.apache.spark.sql.DataFrame = {
+      val src = PipelineConfig.source(spark, srcConf)
+      val parsed = src.select(col("syslog.*"))
+        .select(col("ts"),
+          expr("cast(regexp_extract(msg, 'user=(-?\\\\d+)', 1) as bigint)")
+            .as("user_id"),
+          (expr("cast(regexp_extract(msg, 'vm=(-?\\\\d+)', 1) as bigint)")
+            .cast("double") / 1e6).as("value"),
+          col("app").as("event_type"), col("host"), col("valid"))
+      QualityMetrics.observed(parsed)
+        .filter(col("valid"))
+        .select(to_json(struct(col("ts"), col("event_type"),
+          col("user_id"), col("value"), col("host"))).as("value"))
+    }
 
-    val q = PipelineConfig.start(spark,
-      PipelineConf(srcConf, SinkConf("s3", Map("prefix" -> outPrefix)),
-        checkpoint = ck, triggerMs = 100L), out)
+    var q = PipelineConfig.start(spark, conf, handler())
+    var restarts = 0
+    val progress =
+      scala.collection.mutable.ArrayBuffer.empty[
+        org.apache.spark.sql.streaming.StreamingQueryProgress]
 
     // feed tranche files progressively — each lands as (at least) one
     // discovered-files micro-batch, like a tailing agent rotating logs
@@ -98,18 +117,30 @@ object Soak {
       java.nio.file.Files.write(
         java.nio.file.Paths.get(f"$inDir/tranche_$i%04d.log"),
         chunk.mkString("\n").getBytes("UTF-8"))
+      if (killAtTranche.contains(i)) {
+        // HARD stop: data just landed, nothing drained — any in-flight
+        // epoch is abandoned uncommitted (the kill -9 analog Spark's
+        // single-JVM harness can express), then resume from checkpoint
+        q.stop()
+        progress ++= q.recentProgress
+        restarts += 1
+        q = PipelineConfig.start(spark, conf, handler())
+      }
       q.processAllAvailable()
     }
     val wall = (System.nanoTime() - t0) / 1e9
-    val progress = q.recentProgress.toSeq
+    progress ++= q.recentProgress
     q.stop()
     spark.streams.removeListener(metrics)
 
     // channel 1: the listener's per-epoch spans (processor.go names)
     val spans = metrics.spans.filter(_.srcRecvRows > 0)
     val durs = spans.map(_.fullMs).sorted
-    // channel 2: the observed-metrics rows riding each epoch
+    // channel 2: the observed-metrics rows riding each epoch — deduped
+    // by batchId (a replayed epoch re-observes its rows; the channel
+    // must count each epoch once, like the sink publishes each once)
     val qual = progress
+      .groupBy(_.batchId).map(_._2.last).toSeq
       .flatMap(p => Option(p.observedMetrics.get("graft_quality")))
     def qsum(col: String): Long =
       qual.map(r => r.getLong(r.fieldIndex(col))).sum
@@ -121,8 +152,12 @@ object Soak {
         else Seq(f)
       walk(new java.io.File(outPrefix)).filter(_.getName.endsWith(".gz"))
     }
-    val rowsOut = spark.read
-      .option("recursiveFileLookup", "true").text(outPrefix).count()
+    val outAgg = spark.read
+      .option("recursiveFileLookup", "true").text(outPrefix)
+      .agg(count(lit(1)), count_distinct(col("value"))).head
+    val rowsOut = outAgg.getLong(0)
+    val distinctOut = outAgg.getLong(1)
+    val expected = lines.length.toLong - malformed
 
     SoakResult(
       rowsIn = lines.length.toLong, malformedIn = malformed,
@@ -132,7 +167,13 @@ object Soak {
       nullTs = qsum("n_null_ts"), negValue = qsum("n_neg_value"),
       badUser = qsum("n_bad_user"),
       objects = outFiles.size, bytesOut = outFiles.map(_.length()).sum,
-      wallSec = wall)
+      wallSec = wall,
+      restarts = restarts,
+      // every wire line is unique (ts+user+value), so loss and
+      // duplication separate exactly: dup = total - distinct,
+      // lost = expected - distinct
+      lost = expected - distinctOut,
+      duplicated = rowsOut - distinctOut)
   }
 
   def main(args: Array[String]): Unit = {
@@ -142,11 +183,16 @@ object Soak {
     val spark = Bench.session()
     val workDir = java.nio.file.Files
       .createTempDirectory("graft_soak").toString
-    val r = run(spark, sfDir, workDir, tranches)
+    // kill the daemon halfway through the feed — crash recovery is part
+    // of the measured run, not a separate scenario
+    val r = run(spark, sfDir, workDir, tranches,
+      killAtTranche = Some(tranches / 2))
 
     require(r.rowsOut == r.rowsIn - r.malformedIn,
       s"soak lost/duplicated rows: out=${r.rowsOut} " +
         s"valid-in=${r.rowsIn - r.malformedIn}")
+    require(r.lost == 0 && r.duplicated == 0,
+      s"crash recovery broke delivery: lost=${r.lost} dup=${r.duplicated}")
     require(r.nullTs == r.malformedIn,
       s"violation channel mismatch: n_null_ts=${r.nullTs} " +
         s"planted=${r.malformedIn}")
@@ -159,6 +205,7 @@ object Soak {
          |  "pipeline": "syslog(rfc5424) -> handler(observe+valid-gate+json) -> s3(gzip time-partitioned)",
          |  "rows_in": ${r.rowsIn}, "rows_malformed": ${r.malformedIn},
          |  "rows_out": ${r.rowsOut},
+         |  "restarts": ${r.restarts}, "lost": ${r.lost}, "duplicated": ${r.duplicated},
          |  "epochs": ${r.epochs},
          |  "epoch_ms_p50": ${r.p50Ms}, "epoch_ms_max": ${r.maxMs},
          |  "violations": {"n_null_ts": ${r.nullTs},
@@ -170,7 +217,7 @@ object Soak {
          |""".stripMargin
     java.nio.file.Files.write(java.nio.file.Paths.get("soak.json"),
       js.getBytes("UTF-8"))
-    println(f"""{"metric":"soak_rows_per_sec","value":${r.rowsOut / r.wallSec}%.0f,"unit":"rows/s","rows_out":${r.rowsOut},"epochs":${r.epochs}}""")
+    println(f"""{"metric":"soak_rows_per_sec","value":${r.rowsOut / r.wallSec}%.0f,"unit":"rows/s","rows_out":${r.rowsOut},"epochs":${r.epochs},"restarts":${r.restarts},"lost":${r.lost},"duplicated":${r.duplicated}}""")
     spark.stop()
   }
 }

@@ -45,7 +45,7 @@ object SparkEntry {
     * computes the clustering fresh — its benched time measures label
     * propagation, not a cache hit. */
   def prepare(spark: SparkSession, sfDir: String): Unit = {
-    graft.operators.Similarity.ivfModel(spark, sfDir)
+    graft.operators.Similarity.ivfCentroids(spark, sfDir)
     graft.operators.Similarity.pqCodebook(spark, sfDir)
     graft.operators.Dedup.minhashClustersCached(spark, sfDir)
   }

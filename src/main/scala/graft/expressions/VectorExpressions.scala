@@ -224,47 +224,59 @@ case class SrpBands(child: Expression, planes: Seq[Seq[Double]],
     copy(child = newChild)
 }
 
-/** Product-quantization encode: split the vector into `m` contiguous
-  * subvectors of `subDim` dims and emit, per subvector, the index of the
-  * nearest (L2) of its `k` codebook centroids — the 4-bit/8-bit code
-  * word every PQ-based vector index stores instead of the raw floats.
+/** Product-quantization encode on the micro-unit integer grid: quantize
+  * the vector to exact integers (floor(x*scale + 0.5) per dimension, the
+  * engine-wide fixed-point convention shared with `IntKMeans`), split it
+  * into `m` contiguous subvectors of `subDim` dims, and emit per
+  * subvector the index of the nearest (integer L2-squared) of its `k`
+  * codebook centroids, ties to the lowest index.
+  *
+  * All distance arithmetic is exact BIGINT math — no float-sum order
+  * dependence — so the codes are reproducible at any partitioning AND
+  * replayable by the DuckDB oracle as plain integer SQL (the round-11
+  * flip that moved s04/s13 from spec-gated to hash-matched; same
+  * fixed-point trick as x15/t17/q73). Integer ADC is also the
+  * production layout: int8/int16 LUT scans are what SIMD PQ kernels
+  * (FAISS) run, not float math.
   *
   * At 100 TB this runs ONCE at ingest: the persisted code table is
-  * m bytes/vector vs 4·dim for the floats (32× smaller at m=8, dim=64),
+  * m bytes/vector vs 4*dim for the floats (32x smaller at m=8, dim=64),
   * which is what makes exhaustive candidate scans affordable. The
   * codebook rides along as one codegen reference object (same reasoning
   * as SrpBands — O(1) plan size). */
-case class PqEncode(child: Expression, codebook: Seq[Seq[Double]],
-    m: Int, k: Int, subDim: Int)
+case class PqEncodeInt(child: Expression, codebook: Seq[Seq[Long]],
+    m: Int, k: Int, subDim: Int, scale: Long)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
-  @transient private lazy val cb: Array[Array[Double]] =
+  @transient private lazy val cb: Array[Array[Long]] =
     codebook.map(_.toArray).toArray
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(DoubleType, _) =>
       if (codebook.length == m * k) TypeCheckResult.TypeCheckSuccess
       else TypeCheckResult.TypeCheckFailure(
-        s"pq_encode needs ${m * k} codebook rows, got ${codebook.length}")
+        s"pq_encode_int needs ${m * k} codebook rows, got ${codebook.length}")
     case other => TypeCheckResult.TypeCheckFailure(
-      s"pq_encode expects array<double> input, got ${other.simpleString}")
+      s"pq_encode_int expects array<double> input, got ${other.simpleString}")
   }
   override def dataType: DataType =
     ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
-  override def prettyName: String = "pq_encode"
+  override def prettyName: String = "pq_encode_int"
 
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val out = new Array[Int](m)
     var mi = 0
     while (mi < m) {
-      var best = 0; var bestD = Double.MaxValue
+      var best = 0; var bestD = Long.MaxValue
       var ki = 0
       while (ki < k) {
         val c = cb(mi * k + ki)
-        var dist = 0.0; var i = 0
+        var dist = 0L; var i = 0
         while (i < subDim) {
-          val diff = x.getDouble(mi * subDim + i) - c(i)
+          val q = math.floor(x.getDouble(mi * subDim + i) * scale.toDouble
+            + 0.5).toLong
+          val diff = q - c(i)
           dist += diff * diff; i += 1
         }
         if (dist < bestD) { bestD = dist; best = ki }
@@ -277,7 +289,7 @@ case class PqEncode(child: Expression, codebook: Seq[Seq[Double]],
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
-      val c = ctx.addReferenceObj("pqCodebook", cb, "double[][]")
+      val c = ctx.addReferenceObj("pqCodebookInt", cb, "long[][]")
       val out = ctx.freshName("out")
       val mi = ctx.freshName("mi")
       val ki = ctx.freshName("ki")
@@ -285,17 +297,20 @@ case class PqEncode(child: Expression, codebook: Seq[Seq[Double]],
       val bestD = ctx.freshName("bestD")
       val cent = ctx.freshName("cent")
       val dist = ctx.freshName("dist")
+      val q = ctx.freshName("q")
       val diff = ctx.freshName("diff")
       val i = ctx.freshName("i")
       s"""
          |int[] $out = new int[$m];
          |for (int $mi = 0; $mi < $m; $mi++) {
-         |  int $best = 0; double $bestD = Double.MAX_VALUE;
+         |  int $best = 0; long $bestD = Long.MAX_VALUE;
          |  for (int $ki = 0; $ki < $k; $ki++) {
-         |    double[] $cent = $c[$mi * $k + $ki];
-         |    double $dist = 0.0;
+         |    long[] $cent = $c[$mi * $k + $ki];
+         |    long $dist = 0L;
          |    for (int $i = 0; $i < $subDim; $i++) {
-         |      double $diff = $a.getDouble($mi * $subDim + $i) - $cent[$i];
+         |      long $q = (long) java.lang.Math.floor(
+         |        $a.getDouble($mi * $subDim + $i) * (double) ${scale}L + 0.5);
+         |      long $diff = $q - $cent[$i];
          |      $dist += $diff * $diff;
          |    }
          |    if ($dist < $bestD) { $bestD = $dist; $best = $ki; }
@@ -306,44 +321,50 @@ case class PqEncode(child: Expression, codebook: Seq[Seq[Double]],
        """.stripMargin
     })
 
-  override protected def withNewChildInternal(newChild: Expression): PqEncode =
+  override protected def withNewChildInternal(newChild: Expression): PqEncodeInt =
     copy(child = newChild)
 }
 
-/** Per-query ADC lookup table: L2² distance from each of the query's
-  * subvectors to every codebook centroid, flattened as array<double> of
-  * length m·k (entry mi·k + ki). Computed once per QUERY row — the whole
-  * point of asymmetric distance computation: the per-candidate cost
-  * collapses to `m` table lookups (PqAdc) instead of `dim` multiplies. */
-case class PqLut(child: Expression, codebook: Seq[Seq[Double]],
-    m: Int, k: Int, subDim: Int)
+/** Per-query ADC lookup table on the integer grid: exact BIGINT
+  * L2-squared distance from each of the query's quantized subvectors to
+  * every codebook centroid, flattened as array<long> of length m*k
+  * (entry mi*k + ki). Computed once per QUERY row — the whole point of
+  * asymmetric distance computation: the per-candidate cost collapses to
+  * `m` array lookups (PqAdcInt) instead of `dim` multiplies. Exact
+  * integer entries make the downstream ADC ranking order-proof and
+  * oracle-replayable. */
+case class PqLutInt(child: Expression, codebook: Seq[Seq[Long]],
+    m: Int, k: Int, subDim: Int, scale: Long)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
 
-  @transient private lazy val cb: Array[Array[Double]] =
+  @transient private lazy val cb: Array[Array[Long]] =
     codebook.map(_.toArray).toArray
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case ArrayType(DoubleType, _) =>
       if (codebook.length == m * k) TypeCheckResult.TypeCheckSuccess
       else TypeCheckResult.TypeCheckFailure(
-        s"pq_lut needs ${m * k} codebook rows, got ${codebook.length}")
+        s"pq_lut_int needs ${m * k} codebook rows, got ${codebook.length}")
     case other => TypeCheckResult.TypeCheckFailure(
-      s"pq_lut expects array<double> input, got ${other.simpleString}")
+      s"pq_lut_int expects array<double> input, got ${other.simpleString}")
   }
-  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
-  override def prettyName: String = "pq_lut"
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.LongType, containsNull = false)
+  override def prettyName: String = "pq_lut_int"
 
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
-    val out = new Array[Double](m * k)
+    val out = new Array[Long](m * k)
     var mi = 0
     while (mi < m) {
       var ki = 0
       while (ki < k) {
         val c = cb(mi * k + ki)
-        var dist = 0.0; var i = 0
+        var dist = 0L; var i = 0
         while (i < subDim) {
-          val diff = x.getDouble(mi * subDim + i) - c(i)
+          val q = math.floor(x.getDouble(mi * subDim + i) * scale.toDouble
+            + 0.5).toLong
+          val diff = q - c(i)
           dist += diff * diff; i += 1
         }
         out(mi * k + ki) = dist; ki += 1
@@ -355,22 +376,25 @@ case class PqLut(child: Expression, codebook: Seq[Seq[Double]],
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
-      val c = ctx.addReferenceObj("pqCodebook", cb, "double[][]")
+      val c = ctx.addReferenceObj("pqCodebookInt", cb, "long[][]")
       val out = ctx.freshName("out")
       val mi = ctx.freshName("mi")
       val ki = ctx.freshName("ki")
       val cent = ctx.freshName("cent")
       val dist = ctx.freshName("dist")
+      val q = ctx.freshName("q")
       val diff = ctx.freshName("diff")
       val i = ctx.freshName("i")
       s"""
-         |double[] $out = new double[$m * $k];
+         |long[] $out = new long[$m * $k];
          |for (int $mi = 0; $mi < $m; $mi++) {
          |  for (int $ki = 0; $ki < $k; $ki++) {
-         |    double[] $cent = $c[$mi * $k + $ki];
-         |    double $dist = 0.0;
+         |    long[] $cent = $c[$mi * $k + $ki];
+         |    long $dist = 0L;
          |    for (int $i = 0; $i < $subDim; $i++) {
-         |      double $diff = $a.getDouble($mi * $subDim + $i) - $cent[$i];
+         |      long $q = (long) java.lang.Math.floor(
+         |        $a.getDouble($mi * $subDim + $i) * (double) ${scale}L + 0.5);
+         |      long $diff = $q - $cent[$i];
          |      $dist += $diff * $diff;
          |    }
          |    $out[$mi * $k + $ki] = $dist;
@@ -380,34 +404,38 @@ case class PqLut(child: Expression, codebook: Seq[Seq[Double]],
        """.stripMargin
     })
 
-  override protected def withNewChildInternal(newChild: Expression): PqLut =
+  override protected def withNewChildInternal(newChild: Expression): PqLutInt =
     copy(child = newChild)
 }
 
-/** Asymmetric-distance scan step: approximate L2² between a query (via
-  * its LUT) and a PQ-coded vector = Σ_mi lut[mi·k + codes[mi]] — `m`
-  * array lookups per candidate, no floating-point vector math at all.
-  * This is the inner loop of every PQ index scan. */
-case class PqAdc(left: Expression, right: Expression, k: Int)
+/** Asymmetric-distance scan step: approximate integer L2-squared between
+  * a query (via its LUT) and a PQ-coded vector = sum over mi of
+  * lut[mi*k + codes[mi]] — `m` array lookups per candidate, no vector
+  * math at all. Exact BIGINT addition (commutative, order-proof), so
+  * the candidate ordering is deterministic and the DuckDB oracle can
+  * replay it as a plain integer SUM. This is the inner loop of every
+  * PQ index scan. */
+case class PqAdcInt(left: Expression, right: Expression, k: Int)
     extends BinaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
       case (ArrayType(org.apache.spark.sql.types.IntegerType, _),
-            ArrayType(DoubleType, _)) => TypeCheckResult.TypeCheckSuccess
+            ArrayType(org.apache.spark.sql.types.LongType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
       case (l, r) => TypeCheckResult.TypeCheckFailure(
-        s"pq_adc expects (array<int> codes, array<double> lut), " +
+        s"pq_adc_int expects (array<int> codes, array<long> lut), " +
           s"got (${l.simpleString}, ${r.simpleString})")
     }
-  override def dataType: DataType = DoubleType
-  override def prettyName: String = "pq_adc"
+  override def dataType: DataType = org.apache.spark.sql.types.LongType
+  override def prettyName: String = "pq_adc_int"
 
   override def nullSafeEval(a: Any, b: Any): Any = {
     val codes = a.asInstanceOf[ArrayData]
     val lut = b.asInstanceOf[ArrayData]
-    var acc = 0.0; var mi = 0
+    var acc = 0L; var mi = 0
     val m = codes.numElements()
-    while (mi < m) { acc += lut.getDouble(mi * k + codes.getInt(mi)); mi += 1 }
+    while (mi < m) { acc += lut.getLong(mi * k + codes.getInt(mi)); mi += 1 }
     acc
   }
 
@@ -417,17 +445,17 @@ case class PqAdc(left: Expression, right: Expression, k: Int)
       val mi = ctx.freshName("mi")
       val m = ctx.freshName("m")
       s"""
-         |double $acc = 0.0;
+         |long $acc = 0L;
          |int $m = $a.numElements();
          |for (int $mi = 0; $mi < $m; $mi++) {
-         |  $acc += $b.getDouble($mi * $k + $a.getInt($mi));
+         |  $acc += $b.getLong($mi * $k + $a.getInt($mi));
          |}
          |${ev.value} = $acc;
        """.stripMargin
     })
 
   override protected def withNewChildrenInternal(
-      newLeft: Expression, newRight: Expression): PqAdc =
+      newLeft: Expression, newRight: Expression): PqAdcInt =
     copy(left = newLeft, right = newRight)
 }
 
@@ -452,20 +480,23 @@ object VectorExpressions {
     Bridge.column(SrpBands(
       Bridge.expression(emb.cast("array<double>")), planes, nTables, bits))
 
-  /** Column API for PQ encoding: array<int> of m codebook indices. */
-  def pqEncode(emb: Column, codebook: Seq[Seq[Double]],
-      m: Int, k: Int, subDim: Int): Column =
-    Bridge.column(PqEncode(
-      Bridge.expression(emb.cast("array<double>")), codebook, m, k, subDim))
+  /** Column API for integer-grid PQ encoding: array<int> of m codebook
+    * indices (codebook in micro-units — see IntKMeans.Scale). */
+  def pqEncodeInt(emb: Column, codebook: Seq[Seq[Long]],
+      m: Int, k: Int, subDim: Int, scale: Long): Column =
+    Bridge.column(PqEncodeInt(
+      Bridge.expression(emb.cast("array<double>")), codebook, m, k, subDim,
+      scale))
 
-  /** Column API for the per-query ADC lookup table (array<double>, m·k). */
-  def pqLut(emb: Column, codebook: Seq[Seq[Double]],
-      m: Int, k: Int, subDim: Int): Column =
-    Bridge.column(PqLut(
-      Bridge.expression(emb.cast("array<double>")), codebook, m, k, subDim))
+  /** Column API for the integer ADC lookup table (array<long>, m*k). */
+  def pqLutInt(emb: Column, codebook: Seq[Seq[Long]],
+      m: Int, k: Int, subDim: Int, scale: Long): Column =
+    Bridge.column(PqLutInt(
+      Bridge.expression(emb.cast("array<double>")), codebook, m, k, subDim,
+      scale))
 
-  /** Column API for the ADC distance: Σ lut[mi·k + codes[mi]]. */
-  def pqAdc(codes: Column, lut: Column, k: Int): Column =
-    Bridge.column(PqAdc(
+  /** Column API for the integer ADC distance: sum of lut[mi*k + codes[mi]]. */
+  def pqAdcInt(codes: Column, lut: Column, k: Int): Column =
+    Bridge.column(PqAdcInt(
       Bridge.expression(codes), Bridge.expression(lut), k))
 }

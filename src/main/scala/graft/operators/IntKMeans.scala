@@ -1,0 +1,215 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.expressions.VectorExpressions
+
+/** Deterministic k-means on the micro-unit integer grid — the fit behind
+  * the IVF coarse quantizer (s03/s13/s15) and the PQ codebooks (s04/s13).
+  *
+  * Why not `org.apache.spark.ml.clustering.KMeans`: its k-means|| init is
+  * seeded-random and its Lloyd updates are float sums, whose value depends
+  * on partition order — the fit is stable only per (seed, partitioning),
+  * which is why rounds 1-10 had to leave the four ANN queries spec-gated.
+  * This fit removes BOTH sources of engine-specificity:
+  *
+  *  - vectors are quantized ONCE to exact integers (floor(x·Scale + 0.5)
+  *    per dim — the x15/t17/q73 fixed-point trick),
+  *  - init is Gonzalez's farthest-point traversal (seed = lowest vec_id,
+  *    argmax ties to lowest vec_id) — the s22 coreset recursion, already
+  *    proven SQL-unrollable,
+  *  - Lloyd assignment compares exact BIGINT distances (ties to the
+  *    lowest cell), and centroid updates are exact integer sums rounded
+  *    half-up back onto the grid (floorDiv(2·sum + n, 2·n)) — commutative
+  *    arithmetic, so the result is identical at ANY partitioning,
+  *
+  * which makes the whole fit a pure function of the data — replayable by
+  * the DuckDB oracle as unrolled CTEs (`fitCtes` below generates them),
+  * the round-11 flip that moved s03/s04/s13/s15 from spec-gated to
+  * hash-matched.
+  *
+  * Scale shape (the fit is an INGEST-TIME artifact, memoized per data
+  * dir): Gonzalez is k-1 rounds of one corpus-linear map + a
+  * TakeOrdered(1) argmax (the adjudicated s22/t20 bounded-argmax idiom);
+  * each Lloyd round is one map (codegen'd integer argmin over the
+  * broadcast codebook) + a partial-aggregating groupBy that collects only
+  * k·dim centroid sums — the corpus itself never moves to the driver.
+  * All subspaces of a PQ fit ride the SAME jobs (the subspace id is just
+  * a grouping key), so fitting 8 codebooks costs the same number of
+  * passes as fitting one. */
+object IntKMeans {
+
+  /** Micro-units per 1.0 — quantization is floor(x·Scale + 0.5), computed
+    * on the float→double widened value identically in Spark codegen,
+    * Spark's builtin floor, and DuckDB's floor (same IEEE ops). */
+  val Scale = 1000000L
+
+  /** Quantize an array<double> column to micro-unit array<long>. */
+  def quantize(e: Column): Column =
+    transform(e, x => floor(x * lit(Scale.toDouble) + lit(0.5)))
+
+  private def floorDiv2(s: Long, n: Long): Long =
+    Math.floorDiv(2 * s + n, 2 * n)
+
+  /** Fit `nSub` independent k-means (one per subspace) in lockstep over a
+    * frame of (vec_id: long, m: int, e: array<double> of `dim`).
+    * Returns centroids in micro-units, indexed [m][cell][dim] — flattened
+    * row m·k + cell matches the PqEncodeInt/PqLutInt codebook layout. */
+  def fit(sub: DataFrame, nSub: Int, k: Int, rounds: Int, dim: Int)
+      : IndexedSeq[IndexedSeq[Array[Long]]] = {
+    val q = sub.select(col("vec_id"), col("m"), col("e"),
+        quantize(col("e")).as("ei"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // --- Gonzalez init: seed = lowest vec_id per subspace
+      val wSeed = Window.partitionBy("m").orderBy("vec_id")
+      val seed = q.withColumn("rn", row_number().over(wSeed))
+        .filter(col("rn") === 1).select("m", "vec_id", "ei").collect()
+      var cents: IndexedSeq[scala.collection.mutable.ArrayBuffer[Array[Long]]] =
+        IndexedSeq.fill(nSub)(scala.collection.mutable.ArrayBuffer.empty[Array[Long]])
+      val picked: IndexedSeq[scala.collection.mutable.ArrayBuffer[Long]] =
+        IndexedSeq.fill(nSub)(scala.collection.mutable.ArrayBuffer.empty[Long])
+      seed.foreach { r =>
+        val m = r.getInt(0)
+        cents(m) += r.getSeq[Long](2).toArray
+        picked(m) += r.getLong(1)
+      }
+      val spark = sub.sparkSession
+      import spark.implicits._
+      // mind = exact integer distance to the nearest pick so far — an
+      // array_min over the codebook-so-far LUT (k grows per round; the
+      // per-m codebooks ride as one reference object each)
+      def mindCol: Column = {
+        val branches = (0 until nSub).map { m =>
+          (m, array_min(VectorExpressions.pqLutInt(col("e"),
+            cents(m).toSeq.map(_.toSeq), 1, cents(m).length, dim, Scale)))
+        }
+        branches.tail.foldLeft(
+          when(col("m") === branches.head._1, branches.head._2)) {
+          case (acc, (m, c)) => acc.when(col("m") === m, c)
+        }
+      }
+      val wMax = Window.partitionBy("m")
+        .orderBy(col("mind").desc, col("vec_id").asc)
+      for (_ <- 2 to k) {
+        val pickedDf = picked.zipWithIndex
+          .flatMap { case (ids, m) => ids.map(id => (m, id)) }
+          .toDF("m", "vec_id")
+        val next = q.join(broadcast(pickedDf), Seq("m", "vec_id"), "left_anti")
+          .withColumn("mind", mindCol)
+          .withColumn("rn", row_number().over(wMax))
+          .filter(col("rn") === 1)
+          .select("m", "vec_id", "ei").collect()
+        next.foreach { r =>
+          val m = r.getInt(0)
+          cents(m) += r.getSeq[Long](2).toArray
+          picked(m) += r.getLong(1)
+        }
+      }
+      // --- Lloyd rounds: integer argmin assign, exact-integer mean update
+      def assignCol: Column = {
+        val branches = (0 until nSub).map { m =>
+          (m, element_at(VectorExpressions.pqEncodeInt(col("e"),
+            cents(m).toSeq.map(_.toSeq), 1, k, dim, Scale), 1))
+        }
+        branches.tail.foldLeft(
+          when(col("m") === branches.head._1, branches.head._2)) {
+          case (acc, (m, c)) => acc.when(col("m") === m, c)
+        }
+      }
+      for (_ <- 1 to rounds) {
+        val sums = q.withColumn("cell", assignCol)
+          .select(col("m"), col("cell"), posexplode(col("ei")))
+          .groupBy("m", "cell", "pos")
+          .agg(sum("col").as("s"), count(lit(1)).as("n"))
+          .collect()
+        val next: IndexedSeq[scala.collection.mutable.ArrayBuffer[Array[Long]]] =
+          cents.map(_.map(_.clone()))
+        sums.groupBy(r => (r.getInt(0), r.getInt(1))).foreach {
+          case ((m, cell), rs) =>
+            val c = new Array[Long](dim)
+            rs.foreach { r =>
+              c(r.getInt(2)) = floorDiv2(r.getLong(3), r.getLong(4))
+            }
+            next(m)(cell) = c
+        }
+        cents = next
+      }
+      cents.map(_.toIndexedSeq)
+    } finally { q.unpersist(); () }
+  }
+
+  // ------------------------------------------------------------ oracle
+  /** Exact integer L2² between two BIGINT lists — the DuckDB rendition of
+    * the PqLutInt distance loop. */
+  private def sqlDist(a: String, b: String): String =
+    s"list_sum(list_transform(list_zip($a, $b), p -> (p[1]-p[2])*(p[1]-p[2])))"
+
+  /** DuckDB rendition of `quantize`. */
+  val sqlQuant: String = s"x -> CAST(floor(x * $Scale + 0.5e0) AS BIGINT)"
+
+  /** Generate the CTE chain that replays `fit` in DuckDB: `srcCte` must
+    * provide (vec_id, m, e BIGINT[dim]); the chain ends with
+    * `${p}cb` (m, cell, e) — the fitted codebook — and `${p}cells`
+    * (m, vec_id, cell) — the final assignment. Same unrolled-greedy
+    * technique as the s22 Gonzalez replay (docs/ORACLES.md §3), with the
+    * subspace id as a grouping key so one chain replays all `nSub`
+    * codebooks of a PQ fit at once. */
+  def fitCtes(p: String, srcCte: String, k: Int, rounds: Int, dim: Int)
+      : Seq[String] = {
+    val c = scala.collection.mutable.ArrayBuffer.empty[String]
+    c += s"${p}g1 AS MATERIALIZED (SELECT m, vec_id, e FROM (SELECT m, " +
+      s"vec_id, e, row_number() OVER (PARTITION BY m ORDER BY vec_id) " +
+      s"AS rn FROM $srcCte) WHERE rn = 1)"
+    c += s"${p}md1 AS MATERIALIZED (SELECT c.m, c.vec_id, c.e, " +
+      s"${sqlDist("c.e", "g.e")} AS mind FROM $srcCte c JOIN ${p}g1 g " +
+      s"ON g.m = c.m)"
+    c += s"${p}acc1 AS MATERIALIZED (SELECT m, vec_id FROM ${p}g1)"
+    for (t <- 2 to k) {
+      c += s"${p}g$t AS MATERIALIZED (SELECT m, vec_id, e FROM (SELECT " +
+        s"d.m, d.vec_id, d.e, row_number() OVER (PARTITION BY d.m ORDER " +
+        s"BY d.mind DESC, d.vec_id) AS rn FROM ${p}md${t - 1} d WHERE " +
+        s"NOT EXISTS (SELECT 1 FROM ${p}acc${t - 1} a WHERE a.m = d.m " +
+        s"AND a.vec_id = d.vec_id)) WHERE rn = 1)"
+      if (t < k) {
+        c += s"${p}md$t AS MATERIALIZED (SELECT d.m, d.vec_id, d.e, " +
+          s"least(d.mind, ${sqlDist("d.e", "g.e")}) AS mind FROM " +
+          s"${p}md${t - 1} d JOIN ${p}g$t g ON g.m = d.m)"
+        c += s"${p}acc$t AS MATERIALIZED (SELECT m, vec_id FROM " +
+          s"${p}acc${t - 1} UNION ALL SELECT m, vec_id FROM ${p}g$t)"
+      }
+    }
+    val init = (1 to k)
+      .map(i => s"SELECT m, ${i - 1} AS cell, e FROM ${p}g$i")
+      .mkString(" UNION ALL ")
+    c += s"${p}cb0 AS MATERIALIZED ($init)"
+    var prev = s"${p}cb0"
+    for (r <- 1 to rounds) {
+      c += s"${p}asg$r AS MATERIALIZED (SELECT m, vec_id, e, cell FROM " +
+        s"(SELECT v.m, v.vec_id, v.e, c.cell, row_number() OVER " +
+        s"(PARTITION BY v.m, v.vec_id ORDER BY " +
+        s"${sqlDist("v.e", "c.e")}, c.cell) AS rn FROM $srcCte v JOIN " +
+        s"$prev c ON c.m = v.m) WHERE rn = 1)"
+      c += s"${p}sum$r AS MATERIALIZED (SELECT m, cell, i, sum(e[i]) " +
+        s"AS s, count(*) AS n FROM ${p}asg$r, generate_series(1, $dim) " +
+        s"t(i) GROUP BY m, cell, i)"
+      // round-half-up integer mean via an exact floorDiv: truncating `//`
+      // on the residue-subtracted numerator == floor division; empty
+      // cells keep the previous centroid (coalesce)
+      c += s"${p}cb$r AS MATERIALIZED (SELECT p0.m, p0.cell, " +
+        s"coalesce(u.e, p0.e) AS e FROM $prev p0 LEFT JOIN (SELECT m, " +
+        s"cell, list((2*s + n - (((2*s + n) % (2*n) + 2*n) % (2*n))) " +
+        s"// (2*n) ORDER BY i) AS e FROM ${p}sum$r GROUP BY m, cell) u " +
+        s"ON u.m = p0.m AND u.cell = p0.cell)"
+      prev = s"${p}cb$r"
+    }
+    c += s"${p}cb AS MATERIALIZED (SELECT m, cell, e FROM $prev)"
+    c += s"${p}cells AS MATERIALIZED (SELECT m, vec_id, cell FROM " +
+      s"(SELECT v.m, v.vec_id, c.cell, row_number() OVER (PARTITION BY " +
+      s"v.m, v.vec_id ORDER BY ${sqlDist("v.e", "c.e")}, c.cell) AS rn " +
+      s"FROM $srcCte v JOIN ${p}cb c ON c.m = v.m) WHERE rn = 1)"
+    c.toSeq
+  }
+}

@@ -311,10 +311,17 @@ object Multimodal {
     * Scale shape: the chunker is a typed flatMap (the m02 batched-
     * decoder convention — per-row byte scan, embarrassingly parallel),
     * followed by one map-side-combined hash-agg on (source, chunk md5)
-    * and one per-source rollup. Rows-only (the chunk boundary function
-    * is the operator's own); the CDC locality property — planted shared
-    * regions dedupe, an insertion resyncs — is pinned in
-    * AnalyticsInvariantSpec. */
+    * and one per-source rollup.
+    *
+    * FULLY ORACLE-CHECKED (round 11, the last multimodal flip): the cut
+    * condition `(h & 63) == 0` only reads the rolling hash's low 6 bits,
+    * and 257 ≡ 1 (mod 64), so the whole wrapping-2^64 polynomial
+    * collapses mod 64 to a windowed BYTE SUM — the DuckDB oracle replays
+    * the chunker as a per-byte recursive CTE over that sum (blobs are
+    * ≤ 577 bytes), cuts chunks with the same [16, 256] bounds, and
+    * md5's the same substrings. The CDC locality property — planted
+    * shared regions dedupe, an insertion resyncs — stays pinned in
+    * AnalyticsInvariantSpec as the quality gate. */
   final case class Chunk(source: String, doc_id: Long, md5: String, len: Int)
 
   /** Cut points via polynomial rolling hash over a 16-byte window. */
@@ -371,7 +378,62 @@ object Multimodal {
           r4(col("dup_bytes").cast("double") / col("total_bytes")))
         .orderBy("source")
     },
-    None)
+    // the per-byte chunker recursion, replayed: state (start, h mod 64)
+    // advances one byte per recursive step across all docs at once; a
+    // step whose post-update hash hits 0 past the 16-byte minimum (or
+    // that reaches the 256-byte cap) marks a cut and resets. Chunk
+    // spans come from lag(start) over the cut rows; tails close at EOF.
+    // Documents are ASCII (verified at all SFs), so VARCHAR positions
+    // are byte positions and md5(substr(...)) hashes the same bytes as
+    // the Spark side's MessageDigest over the blob slice.
+    Some("""WITH RECURSIVE docs AS (
+           |  SELECT source, doc_id, text, length(text) AS L FROM documents),
+           |steps AS (
+           |  SELECT source, doc_id, text, L, 0 AS i, 0 AS start,
+           |    0 AS h, FALSE AS cut
+           |  FROM docs
+           |  UNION ALL
+           |  SELECT source, doc_id, text, L, i + 1 AS i,
+           |    CASE WHEN cut2 THEN i + 1 ELSE start END AS start,
+           |    CASE WHEN cut2 THEN 0 ELSE h2 END AS h,
+           |    cut2 AS cut
+           |  FROM (
+           |    SELECT source, doc_id, text, L, i, start,
+           |      ((h + ord(substr(text, i + 1, 1))
+           |        - CASE WHEN i + 1 - start >= 16
+           |               THEN ord(substr(text, i + 1 - 15, 1))
+           |               ELSE 0 END) % 64 + 64) % 64 AS h2,
+           |      ((i + 1 - start >= 16 AND ((h + ord(substr(text, i + 1, 1))
+           |        - CASE WHEN i + 1 - start >= 16
+           |               THEN ord(substr(text, i + 1 - 15, 1))
+           |               ELSE 0 END) % 64 + 64) % 64 = 0)
+           |       OR i + 1 - start >= 256) AS cut2
+           |    FROM steps WHERE i < L) s
+           |),
+           |cuts AS (
+           |  SELECT source, doc_id, substr(text, start + 1, i - start) AS chunk
+           |  FROM (SELECT source, doc_id, text, i, lag(start) OVER w AS start
+           |        FROM steps WHERE cut OR i = 0
+           |        WINDOW w AS (PARTITION BY doc_id ORDER BY i)) t
+           |  WHERE start IS NOT NULL
+           |),
+           |tails AS (
+           |  SELECT source, doc_id, substr(text, start + 1, L - start) AS chunk
+           |  FROM steps WHERE i = L AND start < L
+           |),
+           |chunks AS (
+           |  SELECT source, doc_id, md5(chunk) AS md5, length(chunk) AS len
+           |  FROM (SELECT * FROM cuts UNION ALL SELECT * FROM tails)
+           |),
+           |per AS (SELECT source, md5, count(*) AS n_occ, first(len) AS len
+           |        FROM chunks GROUP BY source, md5)
+           |SELECT source, CAST(sum(n_occ) AS BIGINT) AS n_chunks,
+           |  count(*) AS n_distinct,
+           |  CAST(sum(n_occ * len) AS BIGINT) AS total_bytes,
+           |  CAST(sum((n_occ - 1) * len) AS BIGINT) AS dup_bytes,
+           |  round(CAST(sum((n_occ - 1) * len) AS DOUBLE)
+           |    / sum(n_occ * len), 4) AS dedup_ratio
+           |FROM per GROUP BY source ORDER BY source""".stripMargin))
 
   // ---------------------------------------------------------------- m07
   /** Interleaved vision+text sequence assembly (the MMC4/OBELICS

@@ -26,14 +26,48 @@ object Sinks {
     * writing gzip text; `prefix` can be any Hadoop-FS URI (s3a:// in prod,
     * file:// in tests — same code path).
     *
+    * Crash-replay idempotence (the reference's ack-after-durable-write
+    * contract, types.go:104-113, at the object-store level): foreachBatch
+    * is at-least-once, and the hour key comes from the WALL CLOCK — a
+    * batch that wrote its objects but died before the checkpoint commit
+    * would be replayed into a possibly-different hour directory,
+    * duplicating every row. The flush is therefore two-phase per epoch:
+    *  1. write `_epochs/<id>.intent` naming the target directory,
+    *  2. write the gzip objects (mode overwrite — same-path replays
+    *     self-clean),
+    *  3. write `_epochs/<id>.commit` — the publication point.
+    * A replayed epoch with a commit marker is absorbed (skip); one with
+    * only an intent marker first deletes the half-written directory it
+    * names, then rewrites. Marker files live under `_epochs/`, which
+    * Spark's file index hides from downstream reads (underscore prefix).
+    * Soak's kill-and-resume drives this path end to end and reports
+    * lost/duplicated = 0/0; SinkConformanceSpec pins the same contract
+    * for the DSv2 streaming sink.
+    *
     * Uniqueness/sortability of the reference's `<ksuid>_<unix>.gz` object
     * names is provided by Spark's task-attempt file naming + batchId. */
   def gzipTimePartitioned(df: DataFrame, prefix: String, batchId: Long): Unit = {
+    val hadoopConf = df.sparkSession.sessionState.newHadoopConf()
+    val epochsDir = new org.apache.hadoop.fs.Path(s"$prefix/_epochs")
+    val fs = epochsDir.getFileSystem(hadoopConf)
+    val commit = new org.apache.hadoop.fs.Path(epochsDir, s"$batchId.commit")
+    if (fs.exists(commit)) return // replayed epoch: already published
+    val intent = new org.apache.hadoop.fs.Path(epochsDir, s"$batchId.intent")
+    if (fs.exists(intent)) { // crashed attempt: drop its partial objects
+      val in = fs.open(intent)
+      val prior = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      if (prior.nonEmpty) fs.delete(new org.apache.hadoop.fs.Path(prior), true)
+    }
     val hourPath = java.time.format.DateTimeFormatter.ofPattern("yyyy/MM/dd/HH")
       .withZone(java.time.ZoneOffset.UTC).format(java.time.Instant.now())
+    val target = s"$prefix/$hourPath/batch_$batchId"
+    val out = fs.create(intent, true)
+    try out.write(target.getBytes("UTF-8")) finally out.close()
     df.select(col("value").cast("string"))
-      .write.mode("append").option("compression", "gzip")
-      .text(s"$prefix/$hourPath/batch_$batchId")
+      .write.mode("overwrite").option("compression", "gzip")
+      .text(target)
+    fs.create(commit, true).close()
   }
 
   /** Batcher semantics (batcher.go:58-400) as a micro-batch writer:

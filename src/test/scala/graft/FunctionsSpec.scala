@@ -82,33 +82,48 @@ class FunctionsSpec extends SparkSpec {
       .agg(max(abs(col("d")))).as[Double].collect().head
     assert(diff == 0.0, s"expected bitwise-equal cosine, max diff $diff")
   }
-  test("pq encode/lut/adc invariants") {
+  test("pq encode/lut/adc invariants (integer grid)") {
     val s = spark
     import s.implicits._
     val E = graft.expressions.VectorExpressions
     val m = 4; val k = 4; val subDim = 2 // 8-dim vectors
+    val scale = graft.operators.IntKMeans.Scale
     val rnd = new scala.util.Random(11)
-    val codebook: Seq[Seq[Double]] = Seq.fill(m * k)(Seq.fill(subDim)(rnd.nextDouble() - 0.5))
+    // codebook in micro-units, like an IntKMeans fit would produce
+    val codebook: Seq[Seq[Long]] = Seq.fill(m * k)(Seq.fill(subDim)(
+      math.floor((rnd.nextDouble() - 0.5) * scale + 0.5).toLong))
     val vecs = Seq.fill(40)(Seq.fill(8)(rnd.nextFloat() - 0.5f))
     val df = vecs.toDF("e")
     val out = df.select(
-      E.pqEncode(col("e"), codebook, m, k, subDim).as("codes"),
-      E.pqLut(col("e"), codebook, m, k, subDim).as("lut"))
-      .withColumn("adc", E.pqAdc(col("codes"), col("lut"), k))
+      E.pqEncodeInt(col("e"), codebook, m, k, subDim, scale).as("codes"),
+      E.pqLutInt(col("e"), codebook, m, k, subDim, scale).as("lut"))
+      .withColumn("adc", E.pqAdcInt(col("codes"), col("lut"), k))
       .collect()
-    out.foreach { r =>
+    out.zip(vecs).foreach { case (r, v) =>
       val codes = r.getSeq[Int](0)
-      val lut = r.getSeq[Double](1)
+      val lut = r.getSeq[Long](1)
       assert(codes.length == m && codes.forall(c => c >= 0 && c < k))
-      assert(lut.length == m * k && lut.forall(_ >= 0.0))
-      // encode picks the argmin of the vector's OWN lut per subspace
+      assert(lut.length == m * k && lut.forall(_ >= 0L))
+      // encode picks the argmin of the vector's OWN lut per subspace,
+      // ties to the LOWEST code (the oracle-replay contract)
       (0 until m).foreach { mi =>
         val sub = lut.slice(mi * k, (mi + 1) * k)
-        assert(sub(codes(mi)) == sub.min)
+        assert(codes(mi) == sub.indexOf(sub.min))
       }
-      // self-ADC = sum of per-subspace minimal distances
+      // self-ADC = sum of per-subspace minimal distances, exactly
       val want = (0 until m).map(mi => lut.slice(mi * k, (mi + 1) * k).min).sum
-      assert(math.abs(r.getDouble(2) - want) < 1e-12)
+      assert(r.getLong(2) == want)
+      // lut entries equal an independent integer recomputation
+      val q = v.map(x => math.floor(x.toDouble * scale + 0.5).toLong)
+      (0 until m).foreach { mi =>
+        (0 until k).foreach { ki =>
+          val c = codebook(mi * k + ki)
+          val d = (0 until subDim).map { i =>
+            val diff = q(mi * subDim + i) - c(i); diff * diff
+          }.sum
+          assert(lut(mi * k + ki) == d)
+        }
+      }
     }
   }
 
@@ -116,9 +131,9 @@ class FunctionsSpec extends SparkSpec {
     val s = spark
     GraftExtensions.register(s)
     val got = s.sql(
-      "SELECT pq_adc(array(1, 0), CAST(array(10.0, 20.0, 5.0, 7.0) AS ARRAY<DOUBLE>), 2)")
-      .collect().head.getDouble(0)
-    assert(got == 25.0) // lut[0*2+1] + lut[1*2+0] = 20 + 5
+      "SELECT pq_adc(array(1, 0), CAST(array(10, 20, 5, 7) AS ARRAY<BIGINT>), 2)")
+      .collect().head.getLong(0)
+    assert(got == 25L) // lut[0*2+1] + lut[1*2+0] = 20 + 5
   }
 
   test("scalar udf: registered, callable from SQL, equals the builtin") {

@@ -220,12 +220,19 @@ class PipelineConfigSpec extends SparkSpec {
 
   test("daemon soak: rfc5424 -> handler -> gzip sink end-to-end with harvested metrics (graft.Soak)") {
     // the same code path graft.Soak's main drives at sf0.1 — the
-    // README daemon shape with both observability channels live
+    // README daemon shape with both observability channels live, INCL.
+    // the mid-feed hard kill + checkpoint resume (crash recovery is
+    // part of the soak, not a separate scenario)
     val work = tmpDir("soak_work")
     val r = graft.Soak.run(spark, "/root/testdata/sf0.001",
-      work, tranches = 4)
+      work, tranches = 4, killAtTranche = Some(2))
     assert(r.rowsIn == 1000, s"rendered ${r.rowsIn} wire lines")
     assert(r.malformedIn == 5, s"planted ${r.malformedIn} corrupt frames")
+    // the kill happened, and recovery delivered every row exactly once:
+    // no loss, no duplication through the two-phase gzip flush
+    assert(r.restarts == 1, s"expected 1 restart, got ${r.restarts}")
+    assert(r.lost == 0 && r.duplicated == 0,
+      s"crash recovery broke delivery: lost=${r.lost} dup=${r.duplicated}")
     // the pipeline delivers every valid frame exactly once, and the
     // malformed tail is COUNTED through the observe channel (null ts
     // and null user on unparsed frames), never a row failure
