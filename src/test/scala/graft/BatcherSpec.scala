@@ -94,4 +94,46 @@ class BatcherSpec extends SparkSpec {
     val back = s.read.option("compression", "gzip").text(out + "/*/*/*/*/batch_7")
     assert(back.collect().map(_.getString(0)).sorted.toSeq == Seq("r1", "r2", "r3"))
   }
+
+  test("gzip sink two-phase flush: committed replays absorbed, crashed attempts cleaned (ack-after-durable-write)") {
+    val s = spark
+    import s.implicits._
+    def rows(prefix: String): Seq[String] =
+      s.read.option("recursiveFileLookup", "true").text(prefix)
+        .collect().map(_.getString(0)).toSeq
+
+    // 1. replay AFTER commit: foreachBatch is at-least-once — the same
+    // (epoch, data) delivered twice must publish once (types.go:104-113:
+    // ack fired means durable; a replayed ack'd epoch is a no-op)
+    val out1 = tmpDir("gz2pc_replay")
+    Sinks.gzipTimePartitioned(Seq("a", "b").toDF("value"), out1, 3L)
+    Sinks.gzipTimePartitioned(Seq("a", "b").toDF("value"), out1, 3L)
+    assert(rows(out1).sorted == Seq("a", "b"),
+      s"replayed committed epoch duplicated rows: ${rows(out1)}")
+
+    // 2. replay after a CRASH between data write and commit (intent
+    // marker present, commit absent — the half-written-object state):
+    // the retry must delete the orphaned directory the intent names,
+    // then publish exactly once, even when the wall-clock hour moved
+    // and the rewrite lands under a different key
+    val out2 = tmpDir("gz2pc_crash")
+    val stale = s"$out2/1970/01/01/00/batch_9"
+    Seq("stale1", "stale2").toDF("value").write
+      .option("compression", "gzip").text(stale)
+    val epochs = new java.io.File(s"$out2/_epochs"); epochs.mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$out2/_epochs/9.intent"),
+      stale.getBytes("UTF-8"))
+    Sinks.gzipTimePartitioned(Seq("fresh").toDF("value"), out2, 9L)
+    assert(rows(out2) == Seq("fresh"),
+      s"crashed attempt's partial objects survived the retry: ${rows(out2)}")
+    assert(!new java.io.File(stale).exists(), "orphaned directory not deleted")
+    assert(new java.io.File(s"$out2/_epochs/9.commit").exists(),
+      "retry did not publish its commit marker")
+
+    // 3. marker files are invisible to downstream readers (underscore
+    // prefix = hidden to Spark's file index) — rows() above already
+    // proves it, but pin the directory explicitly
+    assert(new java.io.File(s"$out2/_epochs").listFiles().nonEmpty)
+  }
 }
