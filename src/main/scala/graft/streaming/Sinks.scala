@@ -75,8 +75,12 @@ object Sinks {
     * limit (maxFilesPerTrigger/maxOffsetsPerTrigger, set on the source);
     * error policy Raise → exception propagates and fails the query;
     * ErrDontAck → batch not committed, retried from checkpoint (Spark's
-    * native behavior). FlushParallelism>1 has no micro-batch equivalent —
-    * epochs are sequential by design (SURVEY.md §4). */
+    * native behavior). FlushParallelism>1 has no SINGLE-query micro-batch
+    * equivalent — epochs are sequential by design (SURVEY.md §4); the
+    * Spark-native analog is N concurrent queries over one source with
+    * independent checkpoints, pinned in MqttLikeSourceSpec and measured
+    * as StreamBench's concurrency_curve (aggregate drain ~N×, per-query
+    * rate flat). */
   def batched(df: DataFrame, checkpoint: String, flushFrequencyMs: Long)(
       flush: (DataFrame, Long) => Unit): DataStreamWriter[org.apache.spark.sql.Row] =
     df.writeStream
