@@ -61,4 +61,83 @@ class IntKMeansSpec extends SparkSpec {
     assert(cents(0)(0).toSeq == emb,
       "cell 0 with zero Lloyd rounds must be the seed data point")
   }
+
+  // ------------------------------------------------ generative proof
+  // Plain-Scala model of the documented fit semantics — written from
+  // the contract (quantize floor(x·1e6+0.5); Gonzalez seed = lowest id,
+  // farthest-first with ties to lowest id, excluded BY ID so duplicate
+  // coordinates can seed distinct cells; Lloyd argmin ties to lowest
+  // cell; centroid = floorDiv(2·sum+n, 2·n) per dim; empty cell keeps
+  // its previous centroid), sharing no Spark machinery with the
+  // implementation. This is the same independent-referee pattern as
+  // JoinPropertySpec/MisraGriesSpec: the DuckDB oracle replays these
+  // semantics too, so a divergence surfaces HERE by name instead of as
+  // a cryptic s03/s04 hash mismatch.
+  private def modelFit(vecs: Seq[(Long, Seq[Double])], k: Int,
+      rounds: Int, dim: Int): IndexedSeq[Seq[Long]] = {
+    val q: Map[Long, IndexedSeq[Long]] = vecs.map { case (id, e) =>
+      id -> e.map(x => math.floor(x * 1e6 + 0.5).toLong).toIndexedSeq
+    }.toMap
+    def d2(a: IndexedSeq[Long], b: IndexedSeq[Long]): Long =
+      (0 until dim).map { i => val d = a(i) - b(i); d * d }.sum
+    var cents = Vector(q(q.keys.min))
+    var picked = Set(q.keys.min)
+    for (_ <- 2 to k) {
+      val next = q.filterNot(kv => picked(kv._1))
+        .map { case (id, e) => (cents.map(c => d2(e, c)).min, id) }
+        .toSeq.sortBy { case (md, id) => (-md, id) }.head._2
+      cents :+= q(next); picked += next
+    }
+    for (_ <- 1 to rounds) {
+      val assign = q.map { case (id, e) =>
+        id -> (0 until k).minBy(j => (d2(e, cents(j)), j))
+      }
+      cents = Vector.tabulate(k) { j =>
+        val mem = assign.collect { case (id, c) if c == j => q(id) }.toSeq
+        if (mem.isEmpty) cents(j)
+        else IndexedSeq.tabulate(dim) { i =>
+          val sum = mem.map(_(i)).sum
+          Math.floorDiv(2 * sum + mem.size, 2L * mem.size)
+        }
+      }
+    }
+    cents.map(_.toSeq)
+  }
+
+  test("property: distributed fit == plain-Scala model on random corpora") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val s = spark
+    import s.implicits._
+    val dim = 4
+    // coordinates snapped to half-micro-units stress the floor(x+0.5)
+    // boundary; duplicated rows stress the by-id exclusion and the
+    // lowest-cell/lowest-id tie-breaks
+    val vecGen = Gen.listOfN(dim,
+      Gen.chooseNum(-1200000, 1200000).map(_ / 2e6))
+    val corpusGen = for {
+      n <- Gen.chooseNum(12, 40)
+      vs <- Gen.listOfN(n, vecGen)
+      dups <- Gen.chooseNum(0, 5)
+    } yield {
+      val base = vs.zipWithIndex.map { case (v, i) => (i.toLong, v: Seq[Double]) }
+      val duped = base ++ (0 until math.min(dups, base.size)).map(i =>
+        (base.size + i).toLong -> base(i)._2)
+      duped
+    }
+    val prop = Prop.forAllNoShrink(corpusGen, Gen.chooseNum(2, 5),
+      Gen.chooseNum(0, 3), Gen.chooseNum(1, 7)) { (vecs, k, rounds, parts) =>
+      val df = vecs.toDF("vec_id", "e")
+        .select(col("vec_id"), lit(0).as("m"), col("e"))
+        .repartition(parts)
+      val got = IntKMeans.fit(df, 1, k, rounds, dim)(0).map(_.toSeq)
+      val want = modelFit(vecs, k, rounds, dim)
+      if (got != want)
+        println(s"intkmeans mismatch k=$k rounds=$rounds parts=$parts\n" +
+          s"  got:  $got\n  want: $want\n  vecs: ${vecs.take(6)}")
+      got == want
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, res.status.toString)
+  }
 }
