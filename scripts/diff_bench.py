@@ -69,8 +69,15 @@ def main():
           f"new={sum(qn[n] for n in names):.1f}s")
 
     rows = []
+    failures = []  # ran before, failed now (sec/norm_sec == -1)
     for n in names:
         if qo[n] <= 0:
+            continue
+        # a query that FAILED only in the new capture records -1: a
+        # negative ratio would sort to the bottom and sail past the
+        # gate — a regression-to-failure must be an automatic entry
+        if qn[n] < 0 or (per_query_norm and no[n] > 0 and nn[n] < 0):
+            failures.append(n)
             continue
         if per_query_norm and no[n] > 0:
             norm = nn[n] / no[n]
@@ -85,12 +92,14 @@ def main():
 
     bad = [(n, norm, delta) for norm, delta, n, a, b in rows
            if norm > 1.5 and delta > 1.0]
+    if failures:
+        print(f"\nREGRESSED TO FAILURE (ran in old, -1 in new): {failures}")
     if bad:
         print(f"\nREGRESSIONS (normalized >1.5x AND >1.0s): {bad}")
-    else:
+    elif not failures:
         print("\nno regressions past the 1.5x-normalized + 1.0s-absolute "
               "double gate")
-    sys.exit(1 if bad else 0)
+    sys.exit(1 if bad or failures else 0)
 
 
 if __name__ == "__main__":

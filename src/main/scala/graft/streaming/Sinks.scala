@@ -38,8 +38,16 @@ object Sinks {
     *  3. write `_epochs/<id>.commit` — the publication point.
     * A replayed epoch with a commit marker is absorbed (skip); one with
     * only an intent marker first deletes the half-written directory it
-    * names, then rewrites. Marker files live under `_epochs/`, which
-    * Spark's file index hides from downstream reads (underscore prefix).
+    * names, then rewrites. The recovered path is VALIDATED before the
+    * recursive delete: the intent file is itself written non-atomically
+    * (step 1 can crash mid-write), so a truncated marker could name an
+    * ancestor (e.g. the hour directory) holding other epochs' committed
+    * objects. Only a path of the exact shape this epoch would have
+    * written — `$prefix/…/batch_$batchId` — is deleted; anything else is
+    * skipped (safe: objects go out in mode overwrite, so a same-path
+    * replay self-cleans without the delete). Marker files live under
+    * `_epochs/`, which Spark's file index hides from downstream reads
+    * (underscore prefix).
     * Soak's kill-and-resume drives this path end to end and reports
     * lost/duplicated = 0/0; SinkConformanceSpec pins the same contract
     * for the DSv2 streaming sink.
@@ -57,7 +65,8 @@ object Sinks {
       val in = fs.open(intent)
       val prior = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
         finally in.close()
-      if (prior.nonEmpty) fs.delete(new org.apache.hadoop.fs.Path(prior), true)
+      if (prior.startsWith(s"$prefix/") && prior.endsWith(s"/batch_$batchId"))
+        fs.delete(new org.apache.hadoop.fs.Path(prior), true)
     }
     val hourPath = java.time.format.DateTimeFormatter.ofPattern("yyyy/MM/dd/HH")
       .withZone(java.time.ZoneOffset.UTC).format(java.time.Instant.now())

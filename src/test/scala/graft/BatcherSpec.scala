@@ -135,5 +135,25 @@ class BatcherSpec extends SparkSpec {
     // prefix = hidden to Spark's file index) — rows() above already
     // proves it, but pin the directory explicitly
     assert(new java.io.File(s"$out2/_epochs").listFiles().nonEmpty)
+
+    // 4. a TRUNCATED intent (step 1 itself can crash mid-write) naming an
+    // ancestor — here the hour directory holding ANOTHER epoch's committed
+    // objects — must NOT be recursively deleted on replay: only a path of
+    // the exact `$prefix/…/batch_$batchId` shape this epoch would have
+    // written is eligible (Sinks.scala recovery validation)
+    val out3 = tmpDir("gz2pc_trunc")
+    val committed = s"$out3/1970/01/01/00/batch_5"
+    Seq("keep1", "keep2").toDF("value").write
+      .option("compression", "gzip").text(committed)
+    new java.io.File(s"$out3/_epochs").mkdirs()
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$out3/_epochs/5.commit"), Array.empty[Byte])
+    // epoch 9's intent crashed mid-write: names the HOUR directory
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$out3/_epochs/9.intent"),
+      s"$out3/1970/01/01/00".getBytes("UTF-8"))
+    Sinks.gzipTimePartitioned(Seq("fresh9").toDF("value"), out3, 9L)
+    assert(rows(out3).sorted == Seq("fresh9", "keep1", "keep2"),
+      s"truncated intent recovery deleted another epoch's committed objects: ${rows(out3)}")
   }
 }
