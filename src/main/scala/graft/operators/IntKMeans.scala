@@ -31,8 +31,9 @@ import graft.expressions.VectorExpressions
   * hash-matched.
   *
   * Scale shape (the fit is an INGEST-TIME artifact, memoized per data
-  * dir): Gonzalez is k-1 rounds of one corpus-linear map + a
-  * TakeOrdered(1) argmax (the adjudicated s22/t20 bounded-argmax idiom);
+  * dir): Gonzalez is k-1 rounds of one corpus-linear map + a bounded
+  * per-partition-heap argmax (`gonzalezArgmax` — the rank-predicate
+  * pattern Catalyst plans as WindowGroupLimit, PlanSpec-pinned);
   * each Lloyd round is one map (codegen'd integer argmin over the
   * broadcast codebook) + a partial-aggregating groupBy that collects only
   * k·dim centroid sums — the corpus itself never moves to the driver.
@@ -52,6 +53,30 @@ object IntKMeans {
 
   private def floorDiv2(s: Long, n: Long): Long =
     Math.floorDiv(2 * s + n, 2 * n)
+
+  /** One Gonzalez round's farthest-point argmax over (vec_id, m, ei,
+    * mind): the already-picked rows are anti-joined away (broadcast — the
+    * picked set is ≤ k rows), then the per-subspace argmax is expressed
+    * as the RANK-PREDICATE PATTERN — `row_number() over (partition by m
+    * order by mind desc, vec_id)` filtered to `rn === 1` — NOT as a sort.
+    * The pattern is load-bearing at scale: Catalyst rewrites it into a
+    * bounded heap — per-partition WindowGroupLimit (the q08/q52 idiom)
+    * when m is a data-born column (the PQ fit), or a global
+    * TakeOrderedAndProject(1) when the single-subspace caller passes a
+    * constant m that folds out of the partition spec (the IVF fit) — so
+    * each of the k-1 init rounds costs one corpus-linear pass + an
+    * O(1)-state heap per task, never a full per-subspace sort inside
+    * every ingest fit. PlanSpec pins both shapes on this exact stage. */
+  private[graft] def gonzalezArgmax(q: DataFrame, pickedDf: DataFrame,
+      mind: Column): DataFrame = {
+    val wMax = Window.partitionBy("m")
+      .orderBy(col("mind").desc, col("vec_id").asc)
+    q.join(broadcast(pickedDf), Seq("m", "vec_id"), "left_anti")
+      .withColumn("mind", mind)
+      .withColumn("rn", row_number().over(wMax))
+      .filter(col("rn") === 1)
+      .select("m", "vec_id", "ei")
+  }
 
   /** Fit `nSub` independent k-means (one per subspace) in lockstep over a
     * frame of (vec_id: long, m: int, e: array<double> of `dim`).
@@ -91,17 +116,11 @@ object IntKMeans {
           case (acc, (m, c)) => acc.when(col("m") === m, c)
         }
       }
-      val wMax = Window.partitionBy("m")
-        .orderBy(col("mind").desc, col("vec_id").asc)
       for (_ <- 2 to k) {
         val pickedDf = picked.zipWithIndex
           .flatMap { case (ids, m) => ids.map(id => (m, id)) }
           .toDF("m", "vec_id")
-        val next = q.join(broadcast(pickedDf), Seq("m", "vec_id"), "left_anti")
-          .withColumn("mind", mindCol)
-          .withColumn("rn", row_number().over(wMax))
-          .filter(col("rn") === 1)
-          .select("m", "vec_id", "ei").collect()
+        val next = gonzalezArgmax(q, pickedDf, mindCol).collect()
         next.foreach { r =>
           val m = r.getInt(0)
           cents(m) += r.getSeq[Long](2).toArray

@@ -605,4 +605,57 @@ class PlanSpec extends SparkSpec {
       "no shuffle join — dims broadcast, the grid shuffles once by key")
     assert(!p.contains("CartesianProduct"))
   }
+
+  test("IntKMeans: Gonzalez argmax plans as a bounded heap, never a full sort") {
+    // The ingest fit's farthest-point argmax is written in the
+    // rank-predicate pattern (row_number over (m) + rn === 1) and is
+    // scale-safe ONLY because Catalyst rewrites it into a bounded heap —
+    // the same property pinned for q08/q52. Two shapes, both pinned
+    // against the fit's exact construction:
+    //  - the IVF fit (nSub=1) builds m as lit(0): the constant partition
+    //    key folds away and the rank-1 filter plans as a GLOBAL
+    //    TakeOrderedAndProject(limit=1);
+    //  - the PQ fit (nSub=8) has a data-born m: InferWindowGroupLimit
+    //    plans a per-partition WindowGroupLimit heap.
+    // A refactor that breaks the pattern (e.g. ranking on a derived
+    // column) would silently plan a full per-subspace sort inside every
+    // one of the k-1 init rounds of every ingest fit.
+    import org.apache.spark.sql.functions._
+    import graft.operators.IntKMeans
+    val E = graft.expressions.VectorExpressions
+    val s = spark
+    import s.implicits._
+    val base = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("e"))
+    val picked = Seq((0, 0L), (1, 1L)).toDF("m", "vec_id")
+    // mind exactly as fit's mindCol builds it: array_min over the
+    // codebook-so-far integer LUT
+    val mind = array_min(E.pqLutInt(col("e"),
+      Seq(Seq.fill(64)(0L)), 1, 1, 64, IntKMeans.Scale))
+
+    // IVF shape: m constant-folds, the argmax is a global bounded take
+    val ivfQ = base.withColumn("m", lit(0))
+      .withColumn("ei", IntKMeans.quantize(col("e")))
+    val pIvf = IntKMeans.gonzalezArgmax(ivfQ, picked, mind)
+      .queryExecution.executedPlan.toString
+    assert(pIvf.contains("TakeOrderedAndProject") ||
+      pIvf.contains("WindowGroupLimit"),
+      "the IVF Gonzalez argmax lost the bounded-heap shape — every init " +
+        "round would full-sort the corpus: " + pIvf.take(1200))
+
+    // PQ shape: data-born m, per-subspace WindowGroupLimit heap
+    val pqQ = base.withColumn("m", pmod(col("vec_id"), lit(2)).cast("int"))
+      .withColumn("ei", IntKMeans.quantize(col("e")))
+    val pPq = IntKMeans.gonzalezArgmax(pqQ, picked, mind)
+      .queryExecution.executedPlan.toString
+    assert(pPq.contains("WindowGroupLimit"),
+      "the PQ Gonzalez argmax lost the partial top-1 pushdown — every " +
+        "init round would full-sort each subspace: " + pPq.take(1200))
+    assert(pIvf.contains("BroadcastHashJoin") &&
+      pPq.contains("BroadcastHashJoin"),
+      "the picked-set anti-join must broadcast (≤ k rows)")
+    // the scale-killer shape must be absent from both
+    assert(!pIvf.contains("CartesianProduct") &&
+      !pPq.contains("CartesianProduct"))
+  }
 }
