@@ -274,4 +274,39 @@ class RecallSpec extends SparkSpec {
     assert(greedy <= rand,
       f"greedy k-center ($greedy%.4f) lost to random picks ($rand%.4f)")
   }
+
+  test("ANN fits are persisted parquet ingest artifacts (read-back == pure re-fit)") {
+    // Round-12 posture (the d03-labels precedent): the IVF centroids and
+    // PQ codebooks are tiny parquet tables written once per corpus and
+    // READ by the query path — the TrieMap memo is only a per-JVM cache,
+    // so a second session (or second driver on a cluster) finds the
+    // table instead of re-fitting. Pin: (1) the artifact exists on disk
+    // after the fit is requested, (2) the memoized value IS the table's
+    // content, (3) the table equals an independent re-fit — the
+    // pure-function property that makes artifact and re-fit
+    // interchangeable (and lets the DuckDB oracle replay the fit).
+    import graft.operators.{IntKMeans, Similarity}
+    val cents = Similarity.ivfCentroids(spark, sf)
+    Similarity.pqCodebook(spark, sf) // materialize the PQ artifact too
+    val root = sys.env.getOrElse("SPARK_GRAFT_ARTIFACTS",
+      s"${System.getProperty("java.io.tmpdir")}/graft-artifacts")
+    val dir = s"$root/${sf.replaceAll("[^A-Za-z0-9._-]", "_")}"
+    val ivfPath = s"$dir/ivf_k16_r3.parquet"
+    assert(new java.io.File(ivfPath, "_SUCCESS").exists(),
+      s"IVF fit artifact missing at $ivfPath")
+    assert(new java.io.File(s"$dir/pq_m8_k16_r3.parquet", "_SUCCESS")
+      .exists(), "PQ codebook artifact missing")
+    val fromDisk = spark.read.parquet(ivfPath).orderBy("cell")
+      .collect().map(_.getSeq[Long](1).toSeq).toIndexedSeq
+    assert(fromDisk == cents,
+      "memoized centroids diverge from the persisted artifact")
+    val sub = Tables.embeddings(spark, sf)
+      .select(col("vec_id"), lit(0).as("m"),
+        col("embedding").cast("array<double>").as("e"))
+    val refit = IntKMeans.fit(sub, nSub = 1, k = 16, rounds = 3, dim = 64)(0)
+      .map(_.toSeq)
+    assert(refit == cents,
+      "persisted artifact diverges from an independent re-fit — the fit " +
+        "is no longer a pure function of the data")
+  }
 }
