@@ -1,11 +1,21 @@
 package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
+  /** Streaming progress-history retention for bench/soak sessions. The
+    * Spark default (100) silently truncates `recentProgress`, and the
+    * stream artifacts (delivered rows, epoch latencies, observed-quality
+    * sums) are computed FROM that history — an undercount reads as data
+    * loss. Raised far above any real epoch count; every consumer asserts
+    * its epoch count stays under whatever cap its session carries. */
+  val ProgressCap = 100000
+
   def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.streaming.numRecentProgressUpdates",
+        ProgressCap.toString)
       // storage-partitioned planning for DSv2 sources that report a
       // KeyGroupedPartitioning (only the ArchiveSource by_type layout,
       // q194); a session-builder default so no query mutates the
@@ -28,6 +38,13 @@ object Bench {
     * finding was that two endpoint probes cannot integrate load over a
     * ~19-minute sweep; ~12 interior points can. */
   private val ProbeEvery = 25
+
+  /** Queries slower than this also get the probe timed IMMEDIATELY
+    * after them (and before their second trial) — the round-11 verdict's
+    * finding: the ProbeEvery cadence cannot see a load burst inside a
+    * 13-second query, so the long graph queries' norm_sec was
+    * interpolated from probes minutes away. */
+  private val SlowProbeSec = 5.0
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -86,11 +103,22 @@ object Bench {
     val calibSeries = scala.collection.mutable.ArrayBuffer.empty[(Int, Double)]
     var timed = 0
     def probeNow(): Unit = calibSeries += ((timed, calibrate()))
+    // probe unless the series already has a point at this position
+    // (tight brackets + the ProbeEvery cadence can otherwise double up)
+    def probeTight(): Unit =
+      if (calibSeries.lastOption.forall(_._1 != timed)) probeNow()
     def timeAt(name: String, fn: (SparkSession, String) => DataFrame)
         : (Double, Int) = {
-      if (timed % ProbeEvery == 0) probeNow()
+      if (timed % ProbeEvery == 0) probeTight()
       val t = time1(name, fn)
       timed += 1
+      // The ProbeEvery cadence integrates load ACROSS queries but is
+      // blind to a burst INSIDE one long query (the round-11 graph-family
+      // residual: a 13 s query between probes 25 positions apart). Any
+      // query slower than SlowProbeSec gets the probe re-timed
+      // immediately after it — its norm_sec then divides by a probe
+      // taken seconds, not minutes, from the measurement.
+      if (t > SlowProbeSec) probeTight()
       (t, timed)
     }
     // local probe estimate at a timing's g-position: linear interpolation
@@ -121,6 +149,9 @@ object Bench {
     // by fixed job-scheduling overhead and stay single-trial.)
     val trials = firstPass.map { case (name, t1, g1) =>
       if (t1 > 1.0 || t1 > math.max(2.0, 3 * median)) {
+        // slow queries get a tight BEFORE-probe too: their second trial
+        // is then bracketed by probes seconds apart on both sides
+        if (t1 > SlowProbeSec) probeTight()
         val (t2, g2) = timeAt(name, wanted.toMap.apply(name))
         (name, t1, g1, t2, g2)
       } else (name, t1, g1, -1.0, -1)

@@ -3,6 +3,11 @@ package graft
 /** Times the named queries only (`runMain graft.BenchOne d08... q01...`) —
   * the single-operator feedback loop used while iterating on a plan, with
   * the same session config and noop-sink materialization as Bench.
+  *
+  * The pseudo-name `_fit_ivf` times the ingest-time IVF k-means fit
+  * ITSELF (IntKMeans.fit, bypassing the artifact/memo caches): normal
+  * query timings exclude `prepare`, so the fit's own corpus-linear cost
+  * claim needs this dedicated row (docs/SCALE_PROBE.md).
   */
 object BenchOne {
   def main(args: Array[String]): Unit = {
@@ -10,11 +15,24 @@ object BenchOne {
     val spark = Bench.session()
     spark.range(1000000).selectExpr("sum(id)").collect()
     SparkEntry.prepare(spark, sfDir)
-    args.foreach { name =>
-      val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, sfDir)
-        .write.format("noop").mode("overwrite").save()
-      println(f"[benchone] $name ${(System.nanoTime() - t0) / 1e9}%.2fs")
+    args.foreach {
+      case "_fit_ivf" =>
+        // the s03/s13/s15 coarse-quantizer fit (k=16, Gonzalez init = 15
+        // bounded argmaxes + 3 exact-integer Lloyd rounds over the full
+        // corpus) — timed fresh, not through the persisted artifact
+        import org.apache.spark.sql.functions._
+        val t0 = System.nanoTime()
+        val sub = Tables.embeddings(spark, sfDir)
+          .select(col("vec_id"), lit(0).as("m"),
+            col("embedding").cast("array<double>").as("e"))
+        graft.operators.IntKMeans.fit(sub, nSub = 1, k = 16, rounds = 3,
+          dim = 64)
+        println(f"[benchone] _fit_ivf ${(System.nanoTime() - t0) / 1e9}%.2fs")
+      case name =>
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        println(f"[benchone] $name ${(System.nanoTime() - t0) / 1e9}%.2fs")
     }
     spark.stop()
   }

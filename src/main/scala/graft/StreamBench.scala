@@ -56,6 +56,11 @@ object StreamBench {
     val spark = Bench.session()
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // delivered-rows accounting reads each query's progress history;
+    // Bench.session() raises the retention cap (default 100 drops epochs
+    // silently on larger feeds / smaller triggers) and the concurrency
+    // loop below ASSERTS each query's epoch count stays under it
+    val progressCap = Bench.ProgressCap
     import spark.implicits._
 
     // the shuffled-within-horizon feed: every row displaced < 30 min
@@ -364,6 +369,10 @@ object StreamBench {
       }
       val ckBase = java.nio.file.Files
         .createTempDirectory(s"conc_${n}_ck").toString
+      // wall clock starts BEFORE the first query starts: subscribers
+      // begin draining as soon as they start, so a post-start t0 would
+      // omit that work and overstate agg_rows_per_sec
+      val t0 = System.nanoTime()
       val qs = (0 until n).map { qi =>
         spark.readStream.format("graft.connectors.MqttLikeSource")
           .option("topic", topic)
@@ -373,10 +382,14 @@ object StreamBench {
           .trigger(org.apache.spark.sql.streaming.Trigger.ProcessingTime(10))
           .start()
       }
-      val t0 = System.nanoTime()
       qs.foreach(_.processAllAvailable())
       val wall = (System.nanoTime() - t0) / 1e9
       val progress = qs.flatMap(_.recentProgress.toSeq)
+      qs.foreach { q =>
+        require(q.recentProgress.length < progressCap,
+          s"conc_$n: progress history hit the $progressCap retention cap " +
+            "— delivered-row counts would be silently undercounted")
+      }
       qs.foreach(_.stop())
       MessageBus.reset(topic)
       val durs = progress

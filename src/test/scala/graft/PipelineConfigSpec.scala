@@ -261,4 +261,23 @@ class PipelineConfigSpec extends SparkSpec {
     assert(wantByType.values.sum - gotByType.values.sum == 5,
       s"per-type totals: want=${wantByType.values.sum} got=${gotByType.values.sum}")
   }
+
+  test("concurrent daemon soak: 2 subscribers over one bus topic survive a mid-feed kill (graft.Soak.runConcurrent)") {
+    // the FlushParallelism shape end to end: one wire published to the
+    // bus, two pipelines draining with independent checkpoints/prefixes,
+    // BOTH hard-killed with data pending and resumed — delivery must
+    // hold per query (lost = duplicated = 0 for each subscriber)
+    val work = tmpDir("soak_conc_work")
+    val c = graft.Soak.runConcurrent(spark, "/root/testdata/sf0.001",
+      work, tranches = 4, n = 2, killAtTranche = Some(2))
+    assert(c.rowsIn == 1000 && c.malformedIn == 5,
+      s"wire: rows=${c.rowsIn} malformed=${c.malformedIn}")
+    assert(c.restarts == 1, s"expected 1 restart, got ${c.restarts}")
+    assert(c.rowsOutPerQuery == Seq(995L, 995L),
+      s"each subscriber must deliver every valid frame: ${c.rowsOutPerQuery}")
+    assert(c.lostPerQuery.forall(_ == 0) &&
+      c.duplicatedPerQuery.forall(_ == 0),
+      s"per-query delivery broke across the kill: lost=${c.lostPerQuery} " +
+        s"dup=${c.duplicatedPerQuery}")
+  }
 }
