@@ -285,16 +285,14 @@ class RecallSpec extends SparkSpec {
     // content, (3) the table equals an independent re-fit — the
     // pure-function property that makes artifact and re-fit
     // interchangeable (and lets the DuckDB oracle replay the fit).
-    import graft.operators.{IntKMeans, Similarity}
+    import graft.operators.{IngestArtifacts, IntKMeans, Similarity}
     val cents = Similarity.ivfCentroids(spark, sf)
     Similarity.pqCodebook(spark, sf) // materialize the PQ artifact too
-    val root = sys.env.getOrElse("SPARK_GRAFT_ARTIFACTS",
-      s"${System.getProperty("java.io.tmpdir")}/graft-artifacts")
-    val dir = s"$root/${sf.replaceAll("[^A-Za-z0-9._-]", "_")}"
-    val ivfPath = s"$dir/ivf_k16_r3.parquet"
+    val ivfPath = IngestArtifacts.path(sf, "ivf_k16_r3.parquet")
     assert(new java.io.File(ivfPath, "_SUCCESS").exists(),
       s"IVF fit artifact missing at $ivfPath")
-    assert(new java.io.File(s"$dir/pq_m8_k16_r3.parquet", "_SUCCESS")
+    assert(new java.io.File(
+      IngestArtifacts.path(sf, "pq_m8_k16_r3.parquet"), "_SUCCESS")
       .exists(), "PQ codebook artifact missing")
     val fromDisk = spark.read.parquet(ivfPath).orderBy("cell")
       .collect().map(_.getSeq[Long](1).toSeq).toIndexedSeq
