@@ -1,6 +1,8 @@
 package graft
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+import java.util.concurrent.atomic.{AtomicInteger, AtomicLong}
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerTaskEnd}
 
 /** Host-profile decomposition probe — the diagnosis instrument for the
   * graph-family bench residual (rounds 10-12: q73/q81/q82/q96/q120/q163
@@ -23,10 +25,21 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkList
   *    throughput, the axis that reads flat),
   *  - localCheckpoint I/O: 2M rows materialized to local block storage
   *    (the q73 lineage-cut cost),
-  *  - the measured JOB COUNT of one representative iterative query
-  *    (q96 connected components) at SPARK_GRAFT_SF_DIR, so
-  *    (job count × per-job floor) bounds the pure-overhead share of its
-  *    wall time.
+  *  - the measured JOB COUNT and LISTENER-DECOMPOSED overhead of one
+  *    representative iterative query (q96 connected components) at
+  *    SPARK_GRAFT_SF_DIR.
+  *
+  * The q96 overhead attribution (round 13, replacing the vacuous
+  * serialized product jobs × ms/job that EXCEEDED the wall it claimed
+  * to bound): per (stage, attempt), the listener keeps the MAX task
+  * (run + deserialize + result-serialize) time — the compute on that
+  * stage's critical path. `q96_compute_critical_sec` is their sum;
+  * `q96_sched_overhead_sec = wall − compute_critical` (clamped to
+  * [0, wall], so floor ≤ wall holds BY CONSTRUCTION) is everything
+  * that is not critical-path compute — scheduler dispatch, task
+  * launch, result fetch, inter-job driver work — i.e. exactly the
+  * job-count-multiplied axis the diagnosis attributes the residual to.
+  * `q96_overhead_share` is its fraction of the wall.
   *
   * Output: one JSON line + sched_probe.json. */
 object SchedProbe {
@@ -61,28 +74,59 @@ object SchedProbe {
       df.count(); df.unpersist()
     }
 
-    // job count + wall of one representative iterative operator
-    var jobs = 0
-    var jobMs = 0L
+    // job count + wall + per-stage critical-path compute of one
+    // representative iterative operator. Counters are atomics and the
+    // listener bus is drained before they are read: listener callbacks
+    // run on the bus thread, and removeSparkListener neither flushes
+    // queued events nor establishes happens-before with this thread.
+    val jobs = new AtomicInteger(0)
+    val jobMs = new AtomicLong(0L)
+    val tasks = new AtomicInteger(0)
+    val taskRunMs = new AtomicLong(0L)
     val starts = scala.collection.concurrent.TrieMap.empty[Int, Long]
+    // (stageId, attempt) → max per-task (run + deser + resultSer) ms —
+    // mutated only on the single listener-bus thread
+    val stageCritMs = scala.collection.concurrent.TrieMap.empty[(Int, Int), Long]
     val l = new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit =
         starts.put(j.jobId, j.time)
       override def onJobEnd(j: SparkListenerJobEnd): Unit = {
-        jobs += 1
-        starts.remove(j.jobId).foreach(t0 => jobMs += j.time - t0)
+        jobs.incrementAndGet()
+        starts.remove(j.jobId).foreach(t0 => jobMs.addAndGet(j.time - t0))
       }
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
+        Option(t.taskMetrics).foreach { m =>
+          val compute = m.executorRunTime + m.executorDeserializeTime +
+            m.resultSerializationTime
+          tasks.incrementAndGet()
+          taskRunMs.addAndGet(m.executorRunTime)
+          val key = (t.stageId, t.stageAttemptId)
+          stageCritMs.put(key, math.max(stageCritMs.getOrElse(key, 0L), compute))
+        }
     }
     spark.sparkContext.addSparkListener(l)
     val q96 = sec {
       SparkEntry.queries("q96_connected_components")(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
     }
+    // drain: the bus delivers asynchronously; poll until the counters
+    // stabilize for 300 ms (bounded at 5 s — typical drain is instant)
+    val deadline = System.nanoTime() + 5000000000L
+    var stable = 0
+    var last = -1L
+    while (stable < 3 && System.nanoTime() < deadline) {
+      val now = jobs.get().toLong * 1000000 + tasks.get()
+      if (now == last) stable += 1 else { stable = 0; last = now }
+      Thread.sleep(100)
+    }
     spark.sparkContext.removeSparkListener(l)
 
+    val computeCritSec = stageCritMs.values.sum / 1000.0
+    val overheadSec = math.min(math.max(q96 - computeCritSec, 0.0), q96)
+    val share = if (q96 > 0) overheadSec / q96 else 0.0
     val msTiny = tiny * 1000 / tinyN
     val msShuf = shuf * 1000 / shufN
-    val js = f"""{"metric":"sched_probe","tiny_job_ms":$msTiny%.1f,"small_shuffle_job_ms":$msShuf%.1f,"calib_sec":$calib%.3f,"local_checkpoint_sec":$ckpt%.3f,"q96_sec":$q96%.3f,"q96_jobs":$jobs,"q96_job_wall_ms":$jobMs,"q96_sched_floor_sec":${jobs * msShuf / 1000}%.2f,"sf":"$sfDir","generated_at":"${java.time.Instant.now()}"}"""
+    val js = f"""{"metric":"sched_probe","tiny_job_ms":$msTiny%.1f,"small_shuffle_job_ms":$msShuf%.1f,"calib_sec":$calib%.3f,"local_checkpoint_sec":$ckpt%.3f,"q96_sec":$q96%.3f,"q96_jobs":${jobs.get()},"q96_job_wall_ms":${jobMs.get()},"q96_tasks":${tasks.get()},"q96_task_run_ms":${taskRunMs.get()},"q96_compute_critical_sec":$computeCritSec%.3f,"q96_sched_overhead_sec":$overheadSec%.3f,"q96_overhead_share":$share%.3f,"sf":"$sfDir","generated_at":"${java.time.Instant.now()}"}"""
     println(js)
     java.nio.file.Files.write(
       java.nio.file.Paths.get("sched_probe.json"), (js + "\n").getBytes("UTF-8"))
