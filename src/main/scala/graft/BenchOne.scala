@@ -17,16 +17,19 @@ object BenchOne {
     SparkEntry.prepare(spark, sfDir)
     args.foreach {
       case "_fit_ivf" =>
-        // the s03/s13/s15 coarse-quantizer fit (k=16, Gonzalez init = 15
-        // bounded argmaxes + 3 exact-integer Lloyd rounds over the full
-        // corpus) — timed fresh, not through the persisted artifact
+        // the s03/s13/s15 coarse-quantizer fit (Gonzalez init = k-1
+        // bounded argmaxes + exact-integer Lloyd rounds over the full
+        // corpus) — timed fresh, not through the persisted artifact.
+        // The configuration is read FROM Similarity's constants so the
+        // probe always times the shipped fit, not a stale copy.
         import org.apache.spark.sql.functions._
+        import graft.operators.Similarity.{Dim, LloydRounds, NList}
         val t0 = System.nanoTime()
         val sub = Tables.embeddings(spark, sfDir)
           .select(col("vec_id"), lit(0).as("m"),
             col("embedding").cast("array<double>").as("e"))
-        graft.operators.IntKMeans.fit(sub, nSub = 1, k = 16, rounds = 3,
-          dim = 64)
+        graft.operators.IntKMeans.fit(sub, nSub = 1, k = NList,
+          rounds = LloydRounds, dim = Dim)
         println(f"[benchone] _fit_ivf ${(System.nanoTime() - t0) / 1e9}%.2fs")
       case name =>
         val t0 = System.nanoTime()
