@@ -31,15 +31,19 @@ import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkList
   *
   * The q96 overhead attribution (round 13, replacing the vacuous
   * serialized product jobs × ms/job that EXCEEDED the wall it claimed
-  * to bound): per (stage, attempt), the listener keeps the MAX task
-  * (run + deserialize + result-serialize) time — the compute on that
-  * stage's critical path. `q96_compute_critical_sec` is their sum;
-  * `q96_sched_overhead_sec = wall − compute_critical` (clamped to
-  * [0, wall], so floor ≤ wall holds BY CONSTRUCTION) is everything
-  * that is not critical-path compute — scheduler dispatch, task
-  * launch, result fetch, inter-job driver work — i.e. exactly the
-  * job-count-multiplied axis the diagnosis attributes the residual to.
-  * `q96_overhead_share` is its fraction of the wall.
+  * to bound — and a first per-stage-critical-path attempt that
+  * OVERSHOT it the other way, because concurrent stages double-count):
+  * the listener records every task's [launch, finish] interval; their
+  * merged UNION is the wall-clock time at least one task was running.
+  * `q96_task_coverage_sec` is that union; `q96_sched_gap_sec = wall −
+  * coverage` is the time the 32-core executor sat with ZERO tasks
+  * running inside the query window — pure driver/scheduler time (job
+  * planning, stage submission, result handling between the 121 jobs),
+  * the job-count-multiplied axis the diagnosis attributes the residual
+  * to. Gap ≤ wall holds BY CONSTRUCTION (a union of sub-intervals
+  * cannot exceed the window), and it is a conservative FLOOR: dispatch
+  * latency inside a task's own span (deserialize, result fetch) is
+  * counted as coverage, not gap. `q96_gap_share` is gap/wall.
   *
   * Output: one JSON line + sched_probe.json. */
 object SchedProbe {
@@ -84,9 +88,9 @@ object SchedProbe {
     val tasks = new AtomicInteger(0)
     val taskRunMs = new AtomicLong(0L)
     val starts = scala.collection.concurrent.TrieMap.empty[Int, Long]
-    // (stageId, attempt) → max per-task (run + deser + resultSer) ms —
-    // mutated only on the single listener-bus thread
-    val stageCritMs = scala.collection.concurrent.TrieMap.empty[(Int, Int), Long]
+    // per-task [launch, finish] wall intervals — appended only on the
+    // single listener-bus thread, read after the drain below
+    val spans = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
     val l = new SparkListener {
       override def onJobStart(j: SparkListenerJobStart): Unit =
         starts.put(j.jobId, j.time)
@@ -94,21 +98,21 @@ object SchedProbe {
         jobs.incrementAndGet()
         starts.remove(j.jobId).foreach(t0 => jobMs.addAndGet(j.time - t0))
       }
-      override def onTaskEnd(t: SparkListenerTaskEnd): Unit =
-        Option(t.taskMetrics).foreach { m =>
-          val compute = m.executorRunTime + m.executorDeserializeTime +
-            m.resultSerializationTime
-          tasks.incrementAndGet()
-          taskRunMs.addAndGet(m.executorRunTime)
-          val key = (t.stageId, t.stageAttemptId)
-          stageCritMs.put(key, math.max(stageCritMs.getOrElse(key, 0L), compute))
-        }
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        tasks.incrementAndGet()
+        Option(t.taskMetrics).foreach(m => taskRunMs.addAndGet(m.executorRunTime))
+        val info = t.taskInfo
+        if (info != null && info.finishTime > 0)
+          spans.synchronized { spans += ((info.launchTime, info.finishTime)) }
+      }
     }
     spark.sparkContext.addSparkListener(l)
+    val w0 = System.currentTimeMillis()
     val q96 = sec {
       SparkEntry.queries("q96_connected_components")(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
     }
+    val w1 = System.currentTimeMillis()
     // drain: the bus delivers asynchronously; poll until the counters
     // stabilize for 300 ms (bounded at 5 s — typical drain is instant)
     val deadline = System.nanoTime() + 5000000000L
@@ -121,12 +125,25 @@ object SchedProbe {
     }
     spark.sparkContext.removeSparkListener(l)
 
-    val computeCritSec = stageCritMs.values.sum / 1000.0
-    val overheadSec = math.min(math.max(q96 - computeCritSec, 0.0), q96)
-    val share = if (q96 > 0) overheadSec / q96 else 0.0
+    // merged union of task intervals, clamped to the query window
+    val merged = spans.synchronized { spans.toVector }
+      .map { case (a, b) => (math.max(a, w0), math.min(b, w1)) }
+      .filter { case (a, b) => b > a }.sortBy(_._1)
+    var coveredMs = 0L
+    var curA = 0L; var curB = -1L // empty current interval
+    merged.foreach { case (a, b) =>
+      if (a > curB) { // disjoint: flush the current interval
+        if (curB > curA) coveredMs += curB - curA
+        curA = a; curB = b
+      } else curB = math.max(curB, b)
+    }
+    if (curB > curA) coveredMs += curB - curA
+    val coverageSec = coveredMs / 1000.0
+    val gapSec = math.max((w1 - w0) / 1000.0 - coverageSec, 0.0)
+    val share = if (q96 > 0) gapSec / q96 else 0.0
     val msTiny = tiny * 1000 / tinyN
     val msShuf = shuf * 1000 / shufN
-    val js = f"""{"metric":"sched_probe","tiny_job_ms":$msTiny%.1f,"small_shuffle_job_ms":$msShuf%.1f,"calib_sec":$calib%.3f,"local_checkpoint_sec":$ckpt%.3f,"q96_sec":$q96%.3f,"q96_jobs":${jobs.get()},"q96_job_wall_ms":${jobMs.get()},"q96_tasks":${tasks.get()},"q96_task_run_ms":${taskRunMs.get()},"q96_compute_critical_sec":$computeCritSec%.3f,"q96_sched_overhead_sec":$overheadSec%.3f,"q96_overhead_share":$share%.3f,"sf":"$sfDir","generated_at":"${java.time.Instant.now()}"}"""
+    val js = f"""{"metric":"sched_probe","tiny_job_ms":$msTiny%.1f,"small_shuffle_job_ms":$msShuf%.1f,"calib_sec":$calib%.3f,"local_checkpoint_sec":$ckpt%.3f,"q96_sec":$q96%.3f,"q96_jobs":${jobs.get()},"q96_job_wall_ms":${jobMs.get()},"q96_tasks":${tasks.get()},"q96_task_run_ms":${taskRunMs.get()},"q96_task_coverage_sec":$coverageSec%.3f,"q96_sched_gap_sec":$gapSec%.3f,"q96_gap_share":$share%.3f,"sf":"$sfDir","generated_at":"${java.time.Instant.now()}"}"""
     println(js)
     java.nio.file.Files.write(
       java.nio.file.Paths.get("sched_probe.json"), (js + "\n").getBytes("UTF-8"))
