@@ -28,6 +28,7 @@ re-timed live via `sbt runMain graft.BenchOne` (q01/q03 lead-in absorbs
 JIT warmup) as a last adjudication. Only reproduced regressions exit 1.
 """
 import json
+import os
 import subprocess
 import sys
 
@@ -38,6 +39,8 @@ def main():
     i = 0
     while i < len(args):
         if args[i] == "--confirm":
+            if i + 1 >= len(args):
+                sys.exit(__doc__)
             confirms.append(args[i + 1]); i += 2
         elif args[i] == "--rerun":
             rerun = True; i += 1
@@ -117,16 +120,15 @@ def main():
     # ---- reproducibility adjudication: confirm captures, then rerun ----
     def confirm_ratio(n, cap):
         """Gate ratio/delta of n in a confirm capture vs old; None if
-        the capture lacks the query or it failed there."""
+        the capture lacks the query or it failed there. Norm units are
+        only compared when BOTH sides carry norm_sec — a raw second must
+        never divide a normalized one."""
         v = cap["queries"].get(n)
-        if v is None:
+        if v is None or v["sec"] < 0:
             return None
-        t = v.get("norm_sec", v["sec"])
-        if t < 0:
-            return None
-        base = no[n] if (per_query_norm and no.get(n, 0) > 0) else None
-        if base is not None:
-            return (t / base, v["sec"] - qo[n])
+        if (per_query_norm and no.get(n, 0) > 0
+                and v.get("norm_sec", -1.0) >= 0):
+            return (v["norm_sec"] / no[n], v["sec"] - qo[n])
         cw = cal(cap["calibration_sec"]) / cal(co)
         return (v["sec"] / qo[n] / cw, v["sec"] - qo[n])
 
@@ -151,18 +153,29 @@ def main():
     if rerun and reproduced:
         names = [n for n, *_ in reproduced]
         print(f"\nre-timing {names} via BenchOne (q01/q03 lead-in)...")
+        # the rerun must execute at the SF/threads the captures were
+        # taken at, and be normalized by a LIVE calibration probe — the
+        # capture-time weather factor is stale by rerun time
+        env = dict(os.environ)
+        env["SPARK_GRAFT_SF_DIR"] = new.get("sf", env.get(
+            "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+        if new.get("cpus"):
+            env["SPARK_GRAFT_CPUS"] = str(new["cpus"])
         out = subprocess.run(
             ["sbt", "-batch", "runMain graft.BenchOne q01_pricing_summary "
-             "q03_join_agg " + " ".join(names)],
-            capture_output=True, text=True).stdout
+             "q03_join_agg _calib " + " ".join(names)],
+            capture_output=True, text=True, env=env).stdout
     else:
         out = ""
+    calib_line = [l for l in out.splitlines() if "[benchone] _calib " in l]
+    live_weather = (float(calib_line[-1].split()[-1].rstrip("s")) / cal(co)
+                    if calib_line else weather)
     still = []
     for n, norm, delta, had_confirm in reproduced:
         line = [l for l in out.splitlines() if f"[benchone] {n} " in l]
         if line:
             t = float(line[-1].split()[-1].rstrip("s"))
-            ratio = t / qo[n] / weather
+            ratio = t / qo[n] / live_weather
             if ratio <= 1.5 or t - qo[n] <= 1.0:
                 flukes.append((n, norm, ratio))
                 continue

@@ -16,6 +16,15 @@ object BenchOne {
     spark.range(1000000).selectExpr("sum(id)").collect()
     SparkEntry.prepare(spark, sfDir)
     args.foreach {
+      case "_calib" =>
+        // the Bench calibration probe timed LIVE, so diff_bench --rerun
+        // can normalize a re-timed query by the host load at rerun time
+        // instead of the stale capture-time weather factor
+        val t0 = System.nanoTime()
+        spark.range(50000000L).selectExpr("id % 1000 as k", "id as v")
+          .groupBy("k").agg(org.apache.spark.sql.functions.sum("v"))
+          .write.format("noop").mode("overwrite").save()
+        println(f"[benchone] _calib ${(System.nanoTime() - t0) / 1e9}%.2fs")
       case "_fit_ivf" =>
         // the s03/s13/s15 coarse-quantizer fit (Gonzalez init = k-1
         // bounded argmaxes + exact-integer Lloyd rounds over the full
