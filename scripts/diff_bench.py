@@ -133,29 +133,35 @@ def main():
         return (v["sec"] / qo[n] / cw, v["sec"] - qo[n])
 
     caps = [json.load(open(p)) for p in confirms]
-    flukes, reproduced = [], []
+    flukes, reproduced = [], []  # fluke: (name, flagged_desc, cleared_desc)
     for n, norm, delta in bad:
         verdicts = [r for r in (confirm_ratio(n, c) for c in caps)
                     if r is not None]
         cleared = [(r, d) for r, d in verdicts if r <= 1.5 or d <= 1.0]
         if cleared:
-            flukes.append((n, norm, cleared[0][0]))
+            flukes.append((n, f"flagged {norm:.2f}x",
+                           f"confirm capture ran it at {cleared[0][0]:.2f}x"))
         else:
             reproduced.append((n, norm, delta, bool(verdicts)))
-    # failures clear only if a confirm capture ran the query clean
+    # failures clear only if a confirm capture ran the query clean — and
+    # the report must carry that capture's ACTUAL ratio, not a placeholder
     real_failures = []
     for n in failures:
-        ok = any(r is not None and r[0] <= 1.5
-                 for r in (confirm_ratio(n, c) for c in caps))
-        (flukes.append((n, float("inf"), 1.0)) if ok
-         else real_failures.append(n))
+        clean = [r for r in (confirm_ratio(n, c) for c in caps)
+                 if r is not None and (r[0] <= 1.5 or r[1] <= 1.0)]
+        (flukes.append((n, "failed (-1) in new capture",
+                        f"ran clean at {clean[0][0]:.2f}x in confirm"))
+         if clean else real_failures.append(n))
 
     if rerun and reproduced:
         names = [n for n, *_ in reproduced]
-        print(f"\nre-timing {names} via BenchOne (q01/q03 lead-in)...")
+        print(f"\nre-timing {names} x2 via BenchOne (q01/q03 lead-in)...")
         # the rerun must execute at the SF/threads the captures were
         # taken at, and be normalized by a LIVE calibration probe — the
-        # capture-time weather factor is stale by rerun time
+        # capture-time weather factor is stale by rerun time. Each query
+        # is timed TWICE and judged on the min: a single trial can clear
+        # a real, multiply-confirmed regression on one lucky schedule
+        # (the gate must not weaken in the pass direction on one sample).
         env = dict(os.environ)
         env["SPARK_GRAFT_SF_DIR"] = new.get("sf", env.get(
             "SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
@@ -163,23 +169,27 @@ def main():
             env["SPARK_GRAFT_CPUS"] = str(new["cpus"])
         out = subprocess.run(
             ["sbt", "-batch", "runMain graft.BenchOne q01_pricing_summary "
-             "q03_join_agg _calib " + " ".join(names)],
+             "q03_join_agg _calib " + " ".join(names) + " _calib "
+             + " ".join(names)],
             capture_output=True, text=True, env=env).stdout
     else:
         out = ""
     calib_line = [l for l in out.splitlines() if "[benchone] _calib " in l]
-    live_weather = (float(calib_line[-1].split()[-1].rstrip("s")) / cal(co)
-                    if calib_line else weather)
+    live_weather = (min(float(l.split()[-1].rstrip("s")) for l in calib_line)
+                    / cal(co) if calib_line else weather)
     still = []
     for n, norm, delta, had_confirm in reproduced:
-        line = [l for l in out.splitlines() if f"[benchone] {n} " in l]
-        if line:
-            t = float(line[-1].split()[-1].rstrip("s"))
+        lines = [l for l in out.splitlines() if f"[benchone] {n} " in l]
+        if lines:
+            trials = [float(l.split()[-1].rstrip("s")) for l in lines]
+            t = min(trials)
             ratio = t / qo[n] / live_weather
             if ratio <= 1.5 or t - qo[n] <= 1.0:
-                flukes.append((n, norm, ratio))
+                flukes.append((n, f"flagged {norm:.2f}x",
+                               f"min of {len(trials)} reruns at {ratio:.2f}x"))
                 continue
-            still.append((n, norm, delta, f"rerun {ratio:.2f}x"))
+            still.append((n, norm, delta,
+                          f"min of {len(trials)} reruns {ratio:.2f}x"))
         else:
             src = ("confirm captures agree" if had_confirm
                    else "unconfirmed (no --confirm capture had it; "
@@ -189,8 +199,8 @@ def main():
     if flukes:
         print("\nSINGLE-CAPTURE FLUKES (tripped the gate, cleared by a "
               "confirm capture or rerun):")
-        for n, norm, r in flukes:
-            print(f"  {n}: flagged {norm:.2f}x, confirmed at {r:.2f}x")
+        for n, flagged, clearedby in flukes:
+            print(f"  {n}: {flagged}, {clearedby}")
     if real_failures:
         print(f"\nREGRESSED TO FAILURE (ran in old, -1 in new, "
               f"no confirm capture clears it): {real_failures}")

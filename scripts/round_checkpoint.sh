@@ -14,6 +14,12 @@
 #      original-vs-CAST-to-DOUBLE compare at sf0.1 + swept-safe ratchet)
 #   6. plan audit regeneration (row count must equal query count)
 #   7. generated coverage ledger (fails on any ungated rows-only query)
+#   8. bench adjudication (round 14 — so the honest-measurement
+#      machinery cannot be skipped by habit): when GRAFT_ROUND=N is set
+#      and this round's canonical capture BENCH_FULL_rN.json exists,
+#      run diff_bench against the previous round WITH every same-round
+#      sibling capture as --confirm, then the cumulative trend gate
+#      (gen_trend.py). Skipped with a visible notice otherwise.
 #
 # The sf0.1 bench is run separately (scripts position it on an idle
 # machine — timing under checkpoint load would be weather, not signal).
@@ -55,6 +61,27 @@ python3 scripts/gen_ledger.py CORRECTNESS_SF01_local.json > docs/COVERAGE.md
 if [ "$audit_rows" -ne "$(grep -cE '^\| [a-z]+[0-9]' docs/COVERAGE.md)" ]; then
   echo "FATAL: plan-audit row count != ledger row count" >&2
   exit 1
+fi
+
+echo "=== [8/8] bench adjudication (diff vs last round + cumulative trend)"
+if [ -n "${GRAFT_ROUND:-}" ] && [ -f "BENCH_FULL_r${GRAFT_ROUND}.json" ]; then
+  prev=$((GRAFT_ROUND - 1))
+  while [ $prev -gt 0 ] && [ ! -f "BENCH_FULL_r${prev}.json" ]; do
+    prev=$((prev - 1))
+  done
+  confirms=""
+  for sib in BENCH_FULL_r${GRAFT_ROUND}[a-z].json; do
+    [ -f "$sib" ] && confirms="$confirms --confirm $sib"
+  done
+  # shellcheck disable=SC2086
+  python3 scripts/diff_bench.py "BENCH_FULL_r${prev}.json" \
+    "BENCH_FULL_r${GRAFT_ROUND}.json" $confirms
+  python3 scripts/gen_trend.py > docs/TREND.md
+  tail -1 docs/TREND.md
+else
+  echo "SKIPPED: set GRAFT_ROUND=N and stamp BENCH_FULL_rN.json first"
+  echo "(the bench gates did NOT run — the checkpoint is only green"
+  echo " for code; rerun with the round's captures before closing)"
 fi
 
 echo "=== checkpoint green"
