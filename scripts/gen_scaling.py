@@ -173,9 +173,9 @@ def main():
     # ---- override ledger: an override that repeats in consecutive
     # rounds is no longer capture variance, it is an unadjudicated
     # drift — fail generation (the doc above is already fully written)
-    m = re.search(r"r(\d+)", slots[2])
-    if m:
-        rnd = int(m.group(1))
+    rounds = [int(x) for x in re.findall(r"r(\d+)", slots[2])]
+    if rounds:
+        rnd = max(rounds)  # slots may mix prior-round sibling captures
         try:
             ledger = json.load(open(LEDGER))
         except (FileNotFoundError, json.JSONDecodeError):
