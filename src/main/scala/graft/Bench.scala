@@ -21,6 +21,15 @@ object Bench {
       // q194); a session-builder default so no query mutates the
       // shared session mid-sweep
       .config("spark.sql.sources.v2.bucketing.enabled", "true")
+      // Let AQE re-optimize (coalesce) the materialization of CACHED
+      // plans (r14, guide §2.2): the iterative graph family persists its
+      // edge/rank tables each round, and with this off (the default)
+      // every cache pins the pre-AQE shuffle partition count, so each
+      // loop stage over cached data runs one task per shuffle partition
+      // regardless of size. Scale-adaptive on any corpus: partition
+      // counts derive from AQE's advisory byte size, not a constant.
+      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+        "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -25,6 +25,7 @@ object Graph {
     out
   }
 
+
   // ---------------------------------------------------------------- q73
   /** PageRank over the co-purchase graph, in FIXED-POINT integer
     * arithmetic: ranks are BIGINT micro-units (1e12 = mass 1.0), every
@@ -36,13 +37,14 @@ object Graph {
     * conserved — the documented trade for determinism.
     *
     * Scale shape: d03's iterated-propagation pattern applied to rank
-    * mass — the edge list is built with a single map-side-combined
-    * exchange, cached hash-partitioned on src, and never re-shuffled:
-    * each round shuffled-hash-joins the O(V) rank table against the
-    * in-place edges and hash-aggs contributions on dst (partial agg
-    * map-side), so per-round traffic is O(V), not O(E) — the
-    * Pregel/GraphX message-passing shape in DataFrame form. Rounds are
-    * a fixed constant (8).
+    * mass — the edge list is built with two map-side-combined exchanges
+    * (order-key sets, then src-keyed array batches), cached
+    * hash-partitioned on src, and never re-shuffled: each round
+    * shuffled-hash-joins the O(V) rank table against the in-place edges
+    * and hash-aggs contributions on dst (partial agg map-side), so
+    * per-round traffic is O(V), not O(E) — the Pregel/GraphX
+    * message-passing shape in DataFrame form. Rounds are a fixed
+    * constant (8).
     * N comes from one count() — a catalog stat at ingest in production
     * (the d08 precedent). The classic GraphX/Pregel formulation maps
     * 1:1 onto this loop if a corpus ever needs vertex-cut partitioning. */
@@ -51,17 +53,25 @@ object Graph {
     (s, d) => {
       val li = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-      // Adjacency-set aggregation: ONE exchange (map-side-combined
-      // collect_set) gives dedup AND out-degree, and the exploded edge
-      // list comes out hash-partitioned on src — the loop's join key —
-      // so the cached e is never re-shuffled by the iterations. (For
-      // hub-heavy graphs where a single adjacency set would not fit a
-      // task, the two-shuffle distinct + count-over-Window(src) form is
-      // the drop-in; co-purchase degree is order-fanout-bounded.)
-      val e = li.as("a").join(li.as("b"),
-          col("a.ok") === col("b.ok") && col("a.p") =!= col("b.p"))
-        .select(col("a.p").as("src"), col("b.p").as("dst0"))
-        .groupBy("src").agg(collect_set(col("dst0")).as("nbrs"))
+      // Adjacency aggregation in two batched exchanges (r14, guide §2.3):
+      // one exchange on the order key collapses lineitem to per-order
+      // part SETS (map-side-combined collect_set over the
+      // parquet-clustered key), each order then emits (member, others[])
+      // rows row-locally, and the src-keyed aggregation collects whole
+      // arrays (collect_list of ~|order| items, not one row per
+      // co-occurrence) deduped row-local by array_distinct. Identical
+      // edge set + out-degree as the former lineitem self-join +
+      // per-element collect_set, but the object agg ingests |lineitem|
+      // array items instead of |Σ order-fanout²| single elements —
+      // measured 1.33 s vs 2.6 s at sf0.1 (plans/r14). The exploded edge
+      // list still comes out hash-partitioned on src — the loop's join
+      // key — so the cached e is never re-shuffled by the iterations.
+      val e = li.groupBy("ok").agg(collect_set(col("p")).as("ps"))
+        .select(explode(expr("transform(ps, x -> struct(x as src, " +
+          "filter(ps, y -> y != x) as others))")).as("pr"))
+        .select(col("pr.src").as("src"), col("pr.others").as("others"))
+        .groupBy("src").agg(collect_list(col("others")).as("ls"))
+        .select(col("src"), array_distinct(flatten(col("ls"))).as("nbrs"))
         .select(col("src"), explode(col("nbrs")).as("dst"),
           size(col("nbrs")).cast("long").as("deg"))
         .persist()
@@ -84,15 +94,22 @@ object Graph {
         // re-shuffles the cached edges every round. Hinted, e streams
         // in place (its cached HashPartitioning(src) satisfies the
         // join) and only the O(V) rank table moves — the Pregel shape.
+        // Dangling/teleport handling by UNION + one agg instead of a
+        // left join against a per-round broadcast of the O(V) contrib
+        // table (r14): zero-contribution rows for every node ride the
+        // same map-side-combined sum, so sum(c) == coalesce(in_sum, 0)
+        // row-for-row while the round drops its driver collect +
+        // broadcast build job AND the O(V)-broadcast scale hazard.
+        // Measured 4.8 s vs 6.3 s for the 8-round loop at sf0.1.
         val contrib = e.join(ranks.hint("shuffle_hash"),
             col("src") === col("node"))
           .select(col("dst"), expr("r div deg").as("c"))
+        val next = contrib
+          .unionByName(nodes.select(col("node").as("dst"), lit(0L).as("c")))
           .groupBy("dst").agg(sum("c").as("in_sum"))
-        val next = nodes.join(contrib.hint("broadcast"),
-            col("node") === col("dst"), "left")
-          .select(col("node"),
+          .select(col("dst").as("node"),
             (lit(150000000000L / n) +
-              expr("(85 * coalesce(in_sum, 0L)) div 100")).as("r"))
+              expr("(85 * in_sum) div 100")).as("r"))
         // materialize every SECOND round: plan depth stays ≤ 2 rounds
         // (analysis is fine there) while the per-round action count —
         // the dominant cost of a small-graph iteration — halves.
@@ -166,9 +183,13 @@ object Graph {
       val deg = und.select(col("u").as("n"))
         .union(und.select(col("v").as("n")))
         .groupBy("n").agg(count(lit(1)).cast("long").as("dg"))
+      // |V|-bounded degree table BROADCASTS onto the edge list (the q186
+      // posture) instead of re-exchanging the E-sized pair set twice
       val keyed = und
-        .join(deg.select(col("n").as("u"), col("dg").as("du")), Seq("u"))
-        .join(deg.select(col("n").as("v"), col("dg").as("dv")), Seq("v"))
+        .join(broadcast(deg.select(col("n").as("u"), col("dg").as("du"))),
+          Seq("u"))
+        .join(broadcast(deg.select(col("n").as("v"), col("dg").as("dv"))),
+          Seq("v"))
       // lexicographic (deg, id) orientation; dst doubles as the id half
       // of the order key, so arcs only need the dst endpoint's degree
       val uLower = col("du") < col("dv") ||
@@ -194,10 +215,31 @@ object Graph {
                 col("e1.dst") < col("e2.dst"))))
         .select(col("e1.src").as("x"), col("e1.dst").as("y"),
           col("e2.dst").as("z"))
+      // Bloom pre-filter (r14, guide §3.2): ~95% of wedges never close
+      // (1.88M triangles from ~40M wedges at sf0.1), yet every wedge
+      // previously crossed the closing semi-join's exchange. A Bloom
+      // filter over the E-sized arc key set (fpp 0.3% ≈ 12 bits/arc,
+      // sized from the measured arc count so it scales with E, broadcast
+      // once) drops definitely-unclosed wedges BEFORE the exchange; the
+      // semi-join below still verifies exactly, so false positives cost
+      // only their shuffle bytes and the result is bit-identical. The
+      // probe key is a codegen xxhash64; only the O(1) bloom lookup is a
+      // (deterministic) lambda. At corpus scales where 12 bits/arc
+      // exceeds the broadcast budget, the bits-per-arc constant shrinks
+      // (higher fpp = more survivors, same answer) — the filter degrades
+      // gracefully, never wrongly.
+      val nArcs = math.max(arcs.count(), 1024L)
+      val arcBloom = arcs.select(xxhash64(col("src"), col("dst")).as("k"))
+        .stat.bloomFilter("k", nArcs, 0.003)
+      val arcBloomB = s.sparkContext.broadcast(arcBloom)
+      val mightClose = udf((k: Long) => arcBloomB.value.mightContainLong(k))
+      val openWedges = wedges
+        .filter(mightClose(xxhash64(col("y"), col("z"))))
+        .select("x", "y", "z")
       // shuffle_hash on the arc side: the probe stream is the O(Σdeg²)
       // wedge set — sort-merge would SORT it; hashing the E-sized arc
       // table instead keeps the wedge side sort-free and pipelined.
-      val tris = wedges.join(
+      val tris = openWedges.join(
           arcs.select(col("src").as("y"), col("dst").as("z"))
             .hint("shuffle_hash"),
           Seq("y", "z"), "left_semi")
@@ -337,47 +379,65 @@ object Graph {
       def star(e: org.apache.spark.sql.DataFrame, large: Boolean) = {
         val n = e.select(col("lo").as("u"), col("hi").as("v"))
           .union(e.select(col("hi").as("u"), col("lo").as("v")))
-        val mTbl = n.groupBy("u").agg(least(min("v"), col("u")).as("m"))
-        val moved = n.join(mTbl, "u")
+        // neighborhood-min via ONE window exchange on the gather key
+        // (r14) — the former groupBy + join-back was two exchanges plus
+        // a join per star; the small-star self rows (m, u) dedup in the
+        // closing distinct, so the separate DISTINCT mTbl branch is
+        // unnecessary
+        val w = org.apache.spark.sql.expressions.Window.partitionBy("u")
+        val n2 = n.withColumn("m", least(min(col("v")).over(w), col("u")))
+        val moved = n2
           .filter(if (large) col("v") > col("u") else col("v") <= col("u"))
           .select(col("m").as("lo"), col("v").as("hi"))
         val base = if (large) moved
-          else moved.union(
-            mTbl.select(col("m").as("lo"), col("u").as("hi")))
+          else moved.union(n2.select(col("m").as("lo"), col("u").as("hi")))
         base.filter(col("lo") =!= col("hi")).distinct()
       }
-      def sig(e: org.apache.spark.sql.DataFrame): (Long, Long) = {
-        val r = e.agg(count(lit(1)), expr("bit_xor(xxhash64(lo, hi))"))
+      // ONE action per round both fills the round's cache and returns
+      // the fixpoint signature (count + order-invariant xor) — the
+      // former count()-then-collect pair was two jobs per round (r14)
+      def matWithSig(df: org.apache.spark.sql.DataFrame)
+          : (org.apache.spark.sql.DataFrame, (Long, Long)) = {
+        val out = s.createDataFrame(df.rdd, df.schema).persist()
+        val r = out.agg(count(lit(1)), expr("bit_xor(xxhash64(lo, hi))"))
           .collect()(0)
-        (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+        (out, (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1)))
       }
-      var edges = materialize(s,
-        pairs.select(col("u").as("lo"), col("v").as("hi")))
-      var lastMat = edges
-      var prevSig = sig(edges)
-      var converged = false
-      var it = 0
-      while (!converged && it < 12) {
-        val next = materialize(s, star(star(edges, large = true), large = false))
-        val nextSig = sig(next)
-        converged = nextSig == prevSig
-        prevSig = nextSig
+      // NOTE (r14): wrapping this loop in an AQE-off scope was measured
+      // 4-8× SLOWER (34-80 s vs 9.4 s) — AQE's partition coalescing on
+      // the tiny per-round exchanges is worth far more than the
+      // query-stage job submissions cost. Loop stays AQE-on.
+      locally {
+        var state = matWithSig(
+          pairs.select(col("u").as("lo"), col("v").as("hi")))
+        var edges = state._1
+        var lastMat = edges
+        var prevSig = state._2
+        var converged = false
+        var it = 0
+        while (!converged && it < 12) {
+          state = matWithSig(star(star(edges, large = true), large = false))
+          val next = state._1
+          val nextSig = state._2
+          converged = nextSig == prevSig
+          prevSig = nextSig
+          lastMat.unpersist()
+          lastMat = next
+          edges = next
+          it += 1
+        }
+        // at the fixpoint every edge is (root, member)
+        val lbl = edges.select(col("hi").as("node"), col("lo").as("root"))
+          .union(edges.select(col("lo").as("node"), col("lo").as("root"))
+            .distinct())
+        val out = lbl.distinct().groupBy("root")
+          .agg(count(lit(1)).as("n_nodes"))
+          .orderBy(col("n_nodes").desc, col("root"))
+          .limit(20)
+          .localCheckpoint(true)
         lastMat.unpersist()
-        lastMat = next
-        edges = next
-        it += 1
+        out
       }
-      // at the fixpoint every edge is (root, member)
-      val lbl = edges.select(col("hi").as("node"), col("lo").as("root"))
-        .union(edges.select(col("lo").as("node"), col("lo").as("root"))
-          .distinct())
-      val out = lbl.distinct().groupBy("root")
-        .agg(count(lit(1)).as("n_nodes"))
-        .orderBy(col("n_nodes").desc, col("root"))
-        .limit(20)
-        .localCheckpoint(true)
-      lastMat.unpersist()
-      out
     },
     Some("""WITH RECURSIVE
            |li AS (SELECT l_orderkey AS ok, l_partkey AS p FROM lineitem),
@@ -545,8 +605,12 @@ object Graph {
         .agg(count(lit(1)).cast("long").as("common_neighbors"),
           sum("aa_w").as("aa_micro"))
         .join(pairs, Seq("u", "v"), "left_anti")
-        .join(deg.select(col("n").as("u"), col("dg").as("du")), "u")
-        .join(deg.select(col("n").as("v"), col("dg").as("dv")), "v")
+        // |V|-bounded degree table broadcasts (q186 posture) instead of
+        // re-exchanging the scored pair set twice (r14)
+        .join(broadcast(deg.select(col("n").as("u"), col("dg").as("du"))),
+          "u")
+        .join(broadcast(deg.select(col("n").as("v"), col("dg").as("dv"))),
+          "v")
         .select(col("u"), col("v"), col("common_neighbors"), col("aa_micro"),
           r6(col("common_neighbors").cast("double") /
             (col("du") + col("dv") - col("common_neighbors"))).as("jaccard"))
@@ -602,25 +666,35 @@ object Graph {
     (s, d) => {
       val li = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-      // directed pair counts (both directions in one pass via the
-      // a≠b join — symmetric, so each unordered pair appears twice)
-      val counts = li.as("a").join(li.hint("shuffle_hash").as("b"),
-          col("a.ok") === col("b.ok") && col("a.p") =!= col("b.p"))
+      // Pair counts once per UNORDERED pair (u < v), mirrored from cache
+      // (r14): the former a≠b join emitted every co-occurrence twice
+      // into the countDistinct's two exchanges; counting half and
+      // unioning the flipped copy halves the aggregated bytes — the
+      // counts are symmetric by construction.
+      val cnt = li.as("a").join(li.hint("shuffle_hash").as("b"),
+          col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
         .groupBy(col("a.p").as("u"), col("b.p").as("v"))
         .agg(countDistinct(col("a.ok")).as("n_ord"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("u").orderBy(col("n_ord").desc, col("v"))
-      val best = counts
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("u"), col("v").as("best"), col("n_ord"))
-      best.as("x").join(best.as("y"),
+        .persist()
+      val counts = cnt.unionByName(
+        cnt.select(col("v").as("u"), col("u").as("v"), col("n_ord")))
+      // top-1 partner via min-of-struct argmax — both agg levels combine
+      // map-side, no per-partition sort (the q152 plurality pattern,
+      // replacing the row_number window + its sort exchange)
+      val best = counts.groupBy("u")
+        .agg(min(struct((-col("n_ord")).as("nn"), col("v").as("vv")))
+          .as("m"))
+        .select(col("u"), col("m.vv").as("best"), (-col("m.nn")).as("n_ord"))
+      val out = best.as("x").join(best.as("y"),
           col("x.u") === col("y.best") && col("x.best") === col("y.u") &&
             col("x.u") < col("y.u"))
         .select(col("x.u").as("part_a"), col("x.best").as("part_b"),
           col("x.n_ord").as("n_shared_orders"))
         .orderBy(col("n_shared_orders").desc, col("part_a"))
         .limit(50)
+        .localCheckpoint(true) // materialize, then free the cached counts
+      cnt.unpersist()
+      out
     },
     Some("""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS p FROM lineitem),
            |counts AS (
@@ -671,26 +745,33 @@ object Graph {
         .agg(countDistinct(col("a.ok")).as("n_ord"))
         .filter(col("n_ord") >= 2)
         .select("u", "v")
-      val edges0 = materialize(s, pairs)
+      // materialize + edge count in ONE action per step (the former
+      // materialize-then-recount pair was two jobs per peel round, r14)
+      def matCounted(df: org.apache.spark.sql.DataFrame)
+          : (org.apache.spark.sql.DataFrame, Long) = {
+        val out = s.createDataFrame(df.rdd, df.schema).persist()
+        (out, out.count())
+      }
+      val (edges0, nEdges0) = matCounted(pairs)
       val rows = Seq(2, 3).map { k =>
         var edges = edges0
         var lastMat: org.apache.spark.sql.DataFrame = null
         var prevEdges = -1L
-        var nEdges = edges.count()
+        var nEdges = nEdges0
         var it = 0
         while (nEdges != prevEdges && it < KCoreRounds) {
           val deg = edges.select(col("u").as("node"))
             .union(edges.select(col("v").as("node")))
             .groupBy("node").agg(count(lit(1)).as("deg"))
           val keep = deg.filter(col("deg") >= k).select("node")
-          val next = materialize(s,
+          val (next, nNext) = matCounted(
             edges.join(keep, edges("u") === keep("node"), "left_semi")
               .join(keep, edges("v") === keep("node"), "left_semi"))
           if (lastMat != null) lastMat.unpersist()
           lastMat = next
           edges = next
           prevEdges = nEdges
-          nEdges = edges.count()
+          nEdges = nNext
           it += 1
         }
         val nNodes = edges.select(col("u").as("node"))
