@@ -11,26 +11,11 @@ object Bench {
 
   def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+    // shared posture lives in Sessions.builder (r15): bench, verify,
+    // tests and plan dumps must all run the configuration Verify proved
+    val spark = Sessions.builder(s"local[$cpus]", cpus)
       .config("spark.sql.streaming.numRecentProgressUpdates",
         ProgressCap.toString)
-      // storage-partitioned planning for DSv2 sources that report a
-      // KeyGroupedPartitioning (only the ArchiveSource by_type layout,
-      // q194); a session-builder default so no query mutates the
-      // shared session mid-sweep
-      .config("spark.sql.sources.v2.bucketing.enabled", "true")
-      // Let AQE re-optimize (coalesce) the materialization of CACHED
-      // plans (r14, guide §2.2): the iterative graph family persists its
-      // edge/rank tables each round, and with this off (the default)
-      // every cache pins the pre-AQE shuffle partition count, so each
-      // loop stage over cached data runs one task per shuffle partition
-      // regardless of size. Scale-adaptive on any corpus: partition
-      // counts derive from AQE's advisory byte size, not a constant.
-      .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
-        "true")
-      .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     spark
@@ -210,18 +195,17 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val normTotal = results.map(_._3).filter(_ >= 0).sum
-    // pre/post calibration drift + the probe-normalized total ride the
-    // HEADLINE: a reader of BENCH_r*.json alone can separate host load
-    // from code without digging into bench_full.json
-    val calib = f""""calib_sec":{"before":$calibBefore%.3f,"after":$calibAfter%.3f},"norm_value":$normTotal%.3f"""
-    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec",$calib,"queries":$qs,"sf":"$sfDir"}"""
+    // Calibration drift + the probe-normalized total go on their OWN
+    // line, BEFORE the contract line: r10-r14 injected them (plus an
+    // empty queries map) into the final {"metric":"total"...} line and
+    // the driver's parser rejected that shape every round — PERF_r1x
+    // carried `parsed: null` / an empty per_query map for five rounds
+    // (r14 verdict item 2). The FINAL stdout line is now EXACTLY the
+    // driver-contract form — metric/value/unit/queries/sf, no extra
+    // fields — with the full short-key per-query map.
+    println(f"""{"calib_sec":{"before":$calibBefore%.3f,"after":$calibAfter%.3f},"norm_value":$normTotal%.3f,"n_queries":${results.size}}""")
+    val line = f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     println(line)
-    // The driver keeps only a bounded TAIL of sbt stdout, so the ~3 kB
-    // per-query line above gets head-truncated past parsing (BENCH_r08
-    // kept ~60 of 290 entries and parsed: null). Repeat the headline in
-    // a compact line AFTER it: the tail always ends with a complete,
-    // parseable total; per-query detail lives in bench_full.json.
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec",$calib,"queries":{},"n_queries":${results.size},"sf":"$sfDir"}""")
     // Also persist the metric JSON next to the repo: the driver parses a
     // bounded tail of sbt stdout (and sbt may prefix lines with [info]),
     // so the perf signal must not depend on that parsing surviving.

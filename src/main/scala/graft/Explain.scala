@@ -12,18 +12,23 @@ object Explain {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val names = if (args.length > 1) args.drop(1).toSeq
       else SparkEntry.queries.keys.toSeq.sorted
-    val spark = SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.sources.v2.bucketing.enabled", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val spark = Sessions.builder("local[4]", "4").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     names.foreach { n =>
       println(s"\n=============== $n ===============")
-      try println(SparkEntry.queries(n)(spark, sfDir).queryExecution.explainString(
-        org.apache.spark.sql.execution.FormattedMode))
+      // graph queries end in localCheckpoint — their own plan is a
+      // checkpoint scan; dump the pre-checkpoint INTERIOR plan instead
+      // so the dump shows the shipped pipeline (r15)
+      try operators.Graph.interiors.get(n) match {
+        case Some(build) =>
+          val (df, free) = build(spark, sfDir)
+          println(df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode))
+          free()
+        case None =>
+          println(SparkEntry.queries(n)(spark, sfDir).queryExecution
+            .explainString(org.apache.spark.sql.execution.FormattedMode))
+      }
       catch { case e: Throwable => println(s"explain failed: ${e.getMessage}") }
     }
     spark.stop()

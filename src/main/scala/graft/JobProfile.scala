@@ -31,10 +31,13 @@ object JobProfile {
         jobs.incrementAndGet(); jobStarts.put(j.jobId, j.time)
       }
       override def onJobEnd(j: SparkListenerJobEnd): Unit = {
-        val t0 = jobStarts.remove(j.jobId)
-        if (t0 != 0L) jobMillis.addAndGet(j.time - t0)
-        if (verbose && t0 != 0L && j.time - t0 > 100)
-          println(f"[jobprofile]   job ${j.jobId} ${(j.time - t0) / 1e3}%.2fs")
+        // explicit Option: remove() returns null for an unseen jobId and
+        // the former code leaned on Scala unboxing null to 0L (ADVICE r14)
+        Option(jobStarts.remove(j.jobId)).map(_.longValue).foreach { t0 =>
+          jobMillis.addAndGet(j.time - t0)
+          if (verbose && j.time - t0 > 100)
+            println(f"[jobprofile]   job ${j.jobId} ${(j.time - t0) / 1e3}%.2fs")
+        }
       }
       override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
         stages.incrementAndGet()
@@ -63,7 +66,18 @@ object JobProfile {
       SparkEntry.queries(name)(spark, sfDir)
         .write.format("noop").mode("overwrite").save()
       val dt = (System.nanoTime() - t0) / 1e9
-      Thread.sleep(300) // let the listener bus drain before reading tallies
+      // drain by stabilization — the fixed 300 ms sleep raced the
+      // listener bus on loaded hosts and could undercount tallies
+      // (ADVICE r14; SparkContext.listenerBus is private[spark], so poll
+      // the tallies until they stop moving instead)
+      var snap = (-1, -1, -1L)
+      var same = 0
+      var waited = 0
+      while (same < 2 && waited < 5000) {
+        Thread.sleep(100); waited += 100
+        val cur = (jobs.get, tasks.get, taskNanos.get)
+        if (cur == snap) same += 1 else { same = 0; snap = cur }
+      }
       println(f"[jobprofile] $name wall=$dt%.2fs jobs=${jobs.get} " +
         f"stages=${stages.get} tasks=${tasks.get} " +
         f"taskTime=${taskNanos.get / 1e9}%.2fs cpu=${cpuNanos.get / 1e9}%.2fs " +

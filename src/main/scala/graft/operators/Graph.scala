@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.{QueryDef, Tables}
 import graft.functions.Rounding.r6
@@ -25,6 +26,41 @@ object Graph {
     out
   }
 
+  /** Pre-checkpoint "interior" builders (r15). Every graph query ends in
+    * `.localCheckpoint(true)` so its cached state can be freed once the
+    * 20-50-row answer is materialized — but that makes the query's OWN
+    * executed plan a 5-line `Scan ExistingRDD`, which made the r14 plan
+    * pins vacuous and the plans/r14 after-dumps unauditable (verdict
+    * items 1/2). Each builder returns the full pipeline UP TO the final
+    * checkpoint plus a thunk that frees the cached graph state; the
+    * QueryDefs below are exactly `interior → localCheckpoint → free`,
+    * so what PlanSpec pins and Explain dumps IS the shipped plan. */
+  private[graft] val interiors
+      : Map[String, (SparkSession, String) => (DataFrame, () => Unit)] = Map(
+    "q73_copurchase_rank" -> (q73Interior _),
+    "q81_triangles" -> (q81Interior _),
+    "q82_bfs_levels" -> (q82Interior _),
+    "q96_connected_components" -> (q96Interior _),
+    "q98_link_prediction" -> (q98Interior _),
+    "q105_mutual_top_partner" -> (q105Interior _),
+    "q152_label_communities" -> (q152Interior _),
+    "q163_two_hop" -> (q163Interior _),
+    "q164_anf_sketch" -> (q164Interior _),
+    "q180_harmonic_centrality" -> (q180Interior _),
+    "q186_assortativity" -> (q186Interior _))
+
+  private def checkpointed(interior: (SparkSession, String)
+      => (DataFrame, () => Unit)): (SparkSession, String) => DataFrame =
+    (s, d) => {
+      val (res, free) = interior(s, d)
+      // materialize the bounded answer, then free ALL cached state — a
+      // persist left alive after the query returns taxes every LATER
+      // query in the session (the d03-artifact lesson)
+      val out = res.localCheckpoint(true)
+      free()
+      out
+    }
+
 
   // ---------------------------------------------------------------- q73
   /** PageRank over the co-purchase graph, in FIXED-POINT integer
@@ -48,9 +84,8 @@ object Graph {
     * N comes from one count() — a catalog stat at ingest in production
     * (the d08 precedent). The classic GraphX/Pregel formulation maps
     * 1:1 onto this loop if a corpus ever needs vertex-cut partitioning. */
-  val q73CopurchaseRank = QueryDef(
-    "q73_copurchase_rank",
-    (s, d) => {
+  private[graft] def q73Interior(s: SparkSession, d: String)
+      : (DataFrame, () => Unit) = {
       val li = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
       // Adjacency aggregation in two batched exchanges (r14, guide §2.3):
@@ -119,14 +154,16 @@ object Graph {
           lastMat = ranks
         } else ranks = next
       }
-      val out = ranks.select(col("node").as("part"),
+      val res = ranks.select(col("node").as("part"),
           col("r").as("rank_micro"), r6(col("r") / 1e12).as("rank"))
         .orderBy("part")
-        .localCheckpoint(true) // materialize, then free ALL cached state
-      lastMat.unpersist()
-      e.unpersist(); nodes.unpersist()
-      out
-    },
+      val fin = lastMat
+      (res, () => { fin.unpersist(); e.unpersist(); nodes.unpersist() })
+  }
+
+  val q73CopurchaseRank = QueryDef(
+    "q73_copurchase_rank",
+    checkpointed(q73Interior),
     Some("""WITH RECURSIVE
            |li AS (SELECT l_orderkey AS ok, l_partkey AS p FROM lineitem),
            |edges AS (SELECT DISTINCT a.p AS src, b.p AS dst
@@ -170,9 +207,8 @@ object Graph {
     * an explicit two-column comparison, not a packed deg·K+id BIGINT,
     * which would stop being a total order (and silently drop wedges)
     * once ids reach K. */
-  val q81Triangles = QueryDef(
-    "q81_triangles",
-    (s, d) => {
+  private[graft] def q81Interior(s: SparkSession, d: String)
+      : (DataFrame, () => Unit) = {
       val li = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
       val und = li.as("a").join(li.hint("shuffle_hash").as("b"),
@@ -248,14 +284,12 @@ object Graph {
         .groupBy("part").agg(count(lit(1)).as("n_triangles"))
         .orderBy(col("n_triangles").desc, col("part"))
         .limit(20)
-      // Materialize the 20-row answer, then free the cached graph —
-      // a persist left alive after the query returns taxes every LATER
-      // query in the session (the d03-artifact lesson).
-      val out = top.localCheckpoint(true)
-      arcs.unpersist()
-      und.unpersist()
-      out
-    },
+      (top, () => { arcs.unpersist(); und.unpersist() })
+  }
+
+  val q81Triangles = QueryDef(
+    "q81_triangles",
+    checkpointed(q81Interior),
     Some("""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS p FROM lineitem),
            |und AS (SELECT DISTINCT a.p AS u, b.p AS v
            |  FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p),
@@ -294,9 +328,8 @@ object Graph {
     * the O(V) level table against it, hash-aggs min(level) on node
     * (partial agg map-side), and re-roots the plan on a materialized
     * RDD (q73's lineage-cut contract). Per-round traffic is O(V). */
-  val q82BfsLevels = QueryDef(
-    "q82_bfs_levels",
-    (s, d) => {
+  private[graft] def q82Interior(s: SparkSession, d: String)
+      : (DataFrame, () => Unit) = {
       val li = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
       // ≥2 shared orders: count distinct co-occurrences per pair, then
@@ -324,15 +357,15 @@ object Graph {
         lastMat.unpersist()
         lastMat = levels
       }
-      // Materialize the answer and free every cached intermediate (the
-      // q81/d03 lesson: a persist outliving the query taxes the session).
-      val out = levels.select(col("node").as("part"), col("lvl").as("level"))
+      val res = levels.select(col("node").as("part"), col("lvl").as("level"))
         .orderBy("part")
-        .localCheckpoint(true)
-      lastMat.unpersist()
-      edges.unpersist()
-      out
-    },
+      val fin = lastMat
+      (res, () => { fin.unpersist(); edges.unpersist() })
+  }
+
+  val q82BfsLevels = QueryDef(
+    "q82_bfs_levels",
+    checkpointed(q82Interior),
     Some("""WITH RECURSIVE
            |li AS (SELECT l_orderkey AS ok, l_partkey AS p FROM lineitem),
            |pairs AS (SELECT a.p AS u, b.p AS v
@@ -366,9 +399,8 @@ object Graph {
     * map-side-combined min-agg on the gather key + one equi-join —
     * d03/q73/q82's iterated-exchange pattern with materialize()
     * lineage cuts; nothing driver-sized ever collects. */
-  val q96ConnectedComponents = QueryDef(
-    "q96_connected_components",
-    (s, d) => {
+  private[graft] def q96Interior(s: SparkSession, d: String)
+      : (DataFrame, () => Unit) = {
       val li = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
       val pairs = li.as("a").join(li.hint("shuffle_hash").as("b"),
@@ -430,15 +462,18 @@ object Graph {
         val lbl = edges.select(col("hi").as("node"), col("lo").as("root"))
           .union(edges.select(col("lo").as("node"), col("lo").as("root"))
             .distinct())
-        val out = lbl.distinct().groupBy("root")
+        val res = lbl.distinct().groupBy("root")
           .agg(count(lit(1)).as("n_nodes"))
           .orderBy(col("n_nodes").desc, col("root"))
           .limit(20)
-          .localCheckpoint(true)
-        lastMat.unpersist()
-        out
+        val fin = lastMat
+        (res, () => fin.unpersist())
       }
-    },
+  }
+
+  val q96ConnectedComponents = QueryDef(
+    "q96_connected_components",
+    checkpointed(q96Interior),
     Some("""WITH RECURSIVE
            |li AS (SELECT l_orderkey AS ok, l_partkey AS p FROM lineitem),
            |pairs AS (SELECT a.p AS u, b.p AS v
@@ -476,10 +511,8 @@ object Graph {
     * row_number-window form it replaced). d03/q82's iterated-exchange
     * pattern with materialize() lineage cuts; labels move as
     * (node, label) pairs; nothing driver-sized ever collects. */
-  val q152LabelCommunities = QueryDef(
-    "q152_label_communities",
-    (s, d) => {
-      import org.apache.spark.sql.expressions.Window
+  private[graft] def q152Interior(s: SparkSession, d: String)
+      : (DataFrame, () => Unit) = {
       val li = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
       val pairs = li.as("a").join(li.hint("shuffle_hash").as("b"),
@@ -510,15 +543,17 @@ object Graph {
       }
       val sizes = labels.groupBy(col("lab").as("lab2"))
         .agg(count(lit(1)).as("n_members"))
-      val out = labels.join(sizes, col("lab") === col("lab2"))
+      val res = labels.join(sizes, col("lab") === col("lab2"))
         .select(col("node").as("part"), col("lab").as("community"),
           col("n_members"))
         .orderBy("part")
-        .localCheckpoint(true)
-      lastMat.unpersist()
-      edges.unpersist()
-      out
-    },
+      val fin = lastMat
+      (res, () => { fin.unpersist(); edges.unpersist() })
+  }
+
+  val q152LabelCommunities = QueryDef(
+    "q152_label_communities",
+    checkpointed(q152Interior),
     Some("""WITH
            |li AS (SELECT l_orderkey AS ok, l_partkey AS p FROM lineitem),
            |pairs AS (SELECT a.p AS u, b.p AS v
@@ -576,9 +611,8 @@ object Graph {
     * graph; existing edges leave via a left-anti equi-join; degrees
     * attach by two equi-joins on the pair endpoints. Every shuffle key
     * (center, pair, endpoint) scales with the edge set. */
-  val q98LinkPrediction = QueryDef(
-    "q98_link_prediction",
-    (s, d) => {
+  private[graft] def q98Interior(s: SparkSession, d: String)
+      : (DataFrame, () => Unit) = {
       val li = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
       val pairs = li.as("a").join(li.hint("shuffle_hash").as("b"),
@@ -614,13 +648,15 @@ object Graph {
         .select(col("u"), col("v"), col("common_neighbors"), col("aa_micro"),
           r6(col("common_neighbors").cast("double") /
             (col("du") + col("dv") - col("common_neighbors"))).as("jaccard"))
-      val out = scored.orderBy(col("common_neighbors").desc,
+      val res = scored.orderBy(col("common_neighbors").desc,
           col("aa_micro").desc, col("u"), col("v"))
         .limit(20)
-        .localCheckpoint(true) // materialize, then free the cached graph
-      pairs.unpersist()
-      out
-    },
+      (res, () => pairs.unpersist())
+  }
+
+  val q98LinkPrediction = QueryDef(
+    "q98_link_prediction",
+    checkpointed(q98Interior),
     Some("""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS p FROM lineitem),
            |pairs AS (SELECT a.p AS u, b.p AS v
            |  FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p
@@ -661,9 +697,8 @@ object Graph {
     * lineitem; the mutual check is a self-equi-join of the (part →
     * best) table with itself on the reversed key. No global window, no
     * cartesian step. */
-  val q105MutualTop = QueryDef(
-    "q105_mutual_top_partner",
-    (s, d) => {
+  private[graft] def q105Interior(s: SparkSession, d: String)
+      : (DataFrame, () => Unit) = {
       val li = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
       // Pair counts once per UNORDERED pair (u < v), mirrored from cache
@@ -685,17 +720,19 @@ object Graph {
         .agg(min(struct((-col("n_ord")).as("nn"), col("v").as("vv")))
           .as("m"))
         .select(col("u"), col("m.vv").as("best"), (-col("m.nn")).as("n_ord"))
-      val out = best.as("x").join(best.as("y"),
+      val res = best.as("x").join(best.as("y"),
           col("x.u") === col("y.best") && col("x.best") === col("y.u") &&
             col("x.u") < col("y.u"))
         .select(col("x.u").as("part_a"), col("x.best").as("part_b"),
           col("x.n_ord").as("n_shared_orders"))
         .orderBy(col("n_shared_orders").desc, col("part_a"))
         .limit(50)
-        .localCheckpoint(true) // materialize, then free the cached counts
-      cnt.unpersist()
-      out
-    },
+      (res, () => cnt.unpersist())
+  }
+
+  val q105MutualTop = QueryDef(
+    "q105_mutual_top_partner",
+    checkpointed(q105Interior),
     Some("""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS p FROM lineitem),
            |counts AS (
            |  SELECT a.p AS u, b.p AS v, count(DISTINCT a.ok) AS n_ord
@@ -843,9 +880,8 @@ object Graph {
     * HyperBall sketch, which is the registered scale path for r ≥ 2 on
     * graphs where distinct-sets stop fitting (the d07↔d08 /
     * q54↔q59 exact↔sketch split). */
-  val q163TwoHop = QueryDef(
-    "q163_two_hop",
-    (s, d) => {
+  private[graft] def q163Interior(s: SparkSession, d: String)
+      : (DataFrame, () => Unit) = {
       val li = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
       val pairs = li.as("a").join(li.hint("shuffle_hash").as("b"),
@@ -860,15 +896,17 @@ object Graph {
         .join(edges.hint("shuffle_hash").as("e2"),
           col("e1.dst") === col("e2.src") && col("e2.dst") =!= col("e1.src"))
         .select(col("e1.src").as("src"), col("e2.dst").as("node"))
-      val out = edges.select(col("src"), col("dst").as("node"))
+      val res = edges.select(col("src"), col("dst").as("node"))
         .union(hop2)
         .groupBy("src").agg(countDistinct(col("node")).as("n_within_2"))
         .select(col("src").as("part"), col("n_within_2"))
         .orderBy("part")
-        .localCheckpoint(true)
-      edges.unpersist()
-      out
-    },
+      (res, () => edges.unpersist())
+  }
+
+  val q163TwoHop = QueryDef(
+    "q163_two_hop",
+    checkpointed(q163Interior),
     Some("""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS p FROM lineitem),
            |pairs AS (SELECT a.p AS u, b.p AS v
            |  FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p
@@ -902,9 +940,8 @@ object Graph {
     * pattern with sketches as the message payload. At 100 TB the
     * registers stream through shuffles at O(V · 2^lgK) bytes while the
     * exact form's O(Σ|B_2(v)|) pair stream does not. */
-  val q164AnfSketch = QueryDef(
-    "q164_anf_sketch",
-    (s, d) => {
+  private[graft] def q164Interior(s: SparkSession, d: String)
+      : (DataFrame, () => Unit) = {
       val li = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
       val pairs = li.as("a").join(li.hint("shuffle_hash").as("b"),
@@ -927,14 +964,16 @@ object Graph {
         .select(col("src"), col("sk"))
         .union(b1.select(col("src"), col("sk")))
         .groupBy("src").agg(expr("hll_union_agg(sk)").as("sk2"))
-      val out = b2
+      val res = b2
         .select(col("src").as("part"),
           expr("hll_sketch_estimate(sk2)").as("ball2_est"))
         .orderBy("part")
-        .localCheckpoint(true)
-      b1.unpersist(); edges.unpersist()
-      out
-    },
+      (res, () => { b1.unpersist(); edges.unpersist() })
+  }
+
+  val q164AnfSketch = QueryDef(
+    "q164_anf_sketch",
+    checkpointed(q164Interior),
     None)
 
   // --------------------------------------------------------------- q180
@@ -954,9 +993,8 @@ object Graph {
     * one TakeOrdered(20) at the end. Rows-only (sketch estimates are
     * implementation-defined); SketchSpec gates the r≤2 truncation
     * against the EXACT harmonic from degree + q163's two-hop counts. */
-  val q180HarmonicCentrality = QueryDef(
-    "q180_harmonic_centrality",
-    (s, d) => {
+  private[graft] def q180Interior(s: SparkSession, d: String)
+      : (DataFrame, () => Unit) = {
       val li = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
       val pairs = li.as("a").join(li.hint("shuffle_hash").as("b"),
@@ -990,7 +1028,7 @@ object Graph {
         .join(b1.select(col("src").as("s1"),
           expr("hll_sketch_estimate(sk)").as("e1")),
           col("src") === col("s1"))
-      val out = est.select(col("src").as("part"),
+      val res = est.select(col("src").as("part"),
           expr("cast(e1 - 1 as double)").as("reach1"),
           expr("cast(greatest(e2 - e1, 0) as double)").as("reach2"),
           expr("cast(greatest(e3 - e2, 0) as double)").as("reach3"),
@@ -1000,10 +1038,12 @@ object Graph {
             .as("harmonic"))
         .orderBy(col("harmonic").desc, col("part").asc)
         .limit(20)
-        .localCheckpoint(true)
-      b2.unpersist(); b1.unpersist(); edges.unpersist()
-      out
-    },
+      (res, () => { b2.unpersist(); b1.unpersist(); edges.unpersist() })
+  }
+
+  val q180HarmonicCentrality = QueryDef(
+    "q180_harmonic_centrality",
+    checkpointed(q180Interior),
     None)
 
   // --------------------------------------------------------------- q186
@@ -1021,9 +1061,8 @@ object Graph {
     * Scale shape: q82's two-exchange edge build; the degree table is
     * |nodes|-sized and BROADCASTS back onto the edge list twice; one
     * map-side-combined 1-row reduce. */
-  val q186Assortativity = QueryDef(
-    "q186_assortativity",
-    (s, d) => {
+  private[graft] def q186Interior(s: SparkSession, d: String)
+      : (DataFrame, () => Unit) = {
       def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
       val li = Tables.lineitem(s, d)
         .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
@@ -1038,7 +1077,7 @@ object Graph {
                    // without this Spark re-runs the wedge join per branch
       val deg = edges.groupBy(col("src").as("n"))
         .agg(count(lit(1)).as("deg"))
-      val out = edges
+      val res = edges
         .join(broadcast(deg.select(col("n").as("ns"),
           col("deg").as("dx"))), col("src") === col("ns"))
         .join(broadcast(deg.select(col("n").as("nd"),
@@ -1055,10 +1094,12 @@ object Graph {
             " / sqrt(cast(n_edges * sxx - sx * sx as double)" +
             " * cast(n_edges * syy - sy * sy as double))) as bigint)")
             .as("assortativity_micro"))
-        .localCheckpoint(true)
-      edges.unpersist()
-      out
-    },
+      (res, () => edges.unpersist())
+  }
+
+  val q186Assortativity = QueryDef(
+    "q186_assortativity",
+    checkpointed(q186Interior),
     Some("""WITH li AS (SELECT l_orderkey AS ok, l_partkey AS p
            |  FROM lineitem),
            |pairs AS (SELECT a.p AS u, b.p AS v

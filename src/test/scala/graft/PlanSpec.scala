@@ -216,11 +216,23 @@ class PlanSpec extends SparkSpec {
       "expected pair-count HashAggregate below the ranking window")
   }
 
+  /** The graph queries end in `.localCheckpoint(true)`, so their own
+    * executed plan is a `Scan ExistingRDD` — pinning THAT is vacuous
+    * (the r14 lesson). Pin the pre-checkpoint interior plan instead. */
+  private def interiorPlan(name: String): String = {
+    val (df, free) = operators.Graph.interiors(name)(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    free()
+    p
+  }
+
   test("q98: link prediction is equi-joins only — no cartesian wedge build") {
-    val p = plan("q98_link_prediction")
+    val p = interiorPlan("q98_link_prediction")
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"),
       "wedges must enumerate via the center-node equi-join")
+    assert(p.contains("BroadcastHashJoin"),
+      "the |V|-bounded degree table must broadcast onto the scored pairs")
   }
 
   test("t22: novelty joins shingles back on the posting key, no window") {
@@ -272,14 +284,18 @@ class PlanSpec extends SparkSpec {
       "series stats must broadcast back, not shuffle-join")
   }
 
-  test("q105: pair counts shuffle-hash; top-1 windows the aggregate") {
-    val p = plan("q105_mutual_top_partner")
+  test("q105: pair counts shuffle-hash; top-1 is a min-of-struct argmax") {
+    // r14 replaced the row_number window with a map-side-combinable
+    // min-of-struct argmax; pin the INTERIOR (pre-checkpoint) plan so
+    // the assertion sees the real aggregate, not the checkpoint scan
+    val p = interiorPlan("q105_mutual_top_partner")
     assert(!p.contains("CartesianProduct") &&
       !p.contains("BroadcastNestedLoopJoin"),
       "co-purchase pairing must stay an equi-join on the order key")
-    val winIdx = p.indexOf("Window")
-    assert(winIdx >= 0 && p.indexOf("HashAggregate", winIdx) >= 0,
-      "row_number must rank the aggregated pair counts, not lineitem")
+    assert("min\\(struct\\(".r.findFirstIn(p).isDefined,
+      "top-1 partner must be the min-of-struct argmax aggregate")
+    assert(!p.contains("windowspecdefinition"),
+      "the argmax must not regress to a row_number window + sort")
   }
 
   test("t23: readability is a pure projection — no exchange before sort") {
