@@ -78,6 +78,21 @@ object Bpe {
     val merges = Seq.newBuilder[Merge]
     var r = 0
     var exhausted = false
+    // AQE OFF for the loop (r15, guide §1/§2.4): the types table is a
+    // few thousand rows coalesced to 8 partitions, so each round is pure
+    // job-dispatch latency — with AQE on, every round's take(1)
+    // materializes 2-3 query stages = 2-3 job submissions (JobProfile:
+    // 100 jobs / 1.9 s of task time for a 8.8 s wall). AQE-off runs each
+    // round's whole 2-stage plan as ONE job. This is the OPPOSITE call
+    // from q96's loop, whose per-round exchanges carry real data and
+    // need AQE's partition coalescing — here the loop input is
+    // pre-coalesced and vocabulary-sized, so there is nothing for AQE to
+    // adapt. Restored via try/finally; queries run sequentially in the
+    // bench/verify session, so the scoped flip cannot leak mid-query.
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val prevAqe = spark.conf.get(aqeKey)
+    spark.conf.set(aqeKey, "false")
+    try {
     // ONE job per round: the pair-count take(1) both finds the merge and
     // materializes the current round's cache; the superseded round's
     // blocks are freed one round later (after its successor is cached)
@@ -116,6 +131,7 @@ object Bpe {
     }
     if (toFree != null) toFree.unpersist(blocking = false)
     cur.unpersist(blocking = false)
+    } finally spark.conf.set(aqeKey, prevAqe)
     merges.result()
   }
 

@@ -61,6 +61,57 @@ object Graph {
       out
     }
 
+  /** Co-purchase pair substrate shared by the family: unordered part
+    * pairs (u < v) with their DISTINCT shared-order count, built
+    * SET-FIRST (r15, guide §2.3 — the q73-r14 edge-build pattern applied
+    * to the nine queries that still self-joined): ONE exchange on the
+    * order key collapses lineitem to per-order sorted part sets
+    * (map-side-combined collect_set over the parquet-clustered key),
+    * each order emits its (u < v) pairs ROW-LOCALLY, and one
+    * count-aggregate on the pair key finishes — a plain count equals the
+    * former countDistinct(ok) because a SET emits each pair at most once
+    * per order. The former shape (lineitem self-join on ok +
+    * countDistinct) pushed the Σ fanout² co-occurrence stream through
+    * the join AND through the distinct-agg's two exchanges; here the
+    * pair stream is born after the only order-keyed exchange and
+    * partial-aggregates map-side into (u, v) counts. Per-order fan-out
+    * is order-size-bounded (≤ 7 parts per order in this schema — the
+    * ≤ 21-element struct array is nothing like q81's rejected O(deg²)
+    * per-row wedge arrays). */
+  private def copurchaseCounts(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+      .groupBy("ok").agg(sort_array(collect_set(col("p"))).as("ps"))
+      .select(explode(expr(
+        "flatten(transform(ps, (x, i) -> transform(" +
+          "slice(ps, i + 2, size(ps) - i - 1), " +
+          "y -> struct(x AS u, y AS v))))")).as("pr"))
+      .select(col("pr.u").as("u"), col("pr.v").as("v"))
+      .groupBy("u", "v").agg(count(lit(1)).as("n_ord"))
+
+  /** The ≥2-shared-orders sparsified graph — q82/q96/q98/q120/q152/
+    * q163/q164/q180/q186's substrate. */
+  private def sparsePairs(s: SparkSession, d: String): DataFrame =
+    copurchaseCounts(s, d).filter(col("n_ord") >= 2)
+
+  /** q81's Bloom sizing (r15, verdict #4): derive fpp from a byte budget
+    * instead of hard-coding 0.003 at ~12 bits/arc — at 10^10-10^11 arcs
+    * that was a 15-150 GB driver/executor allocation with no degradation
+    * path (the r14 comment promised one; no code implemented it). Bits
+    * are capped at `MaxBloomBytes`; fpp follows from the optimal-sizing
+    * identity bits = -n·ln(fpp)/ln²2 ⇒ fpp = exp(-(bits/n)·ln²2),
+    * floored at the 0.003 the measured wedge selectivity targets. More
+    * arcs ⇒ higher fpp ⇒ more surviving wedges through the exchange —
+    * the answer stays exact (the semi-join verifies); only the
+    * pre-filter's selectivity degrades, never the allocation. */
+  private[graft] val MaxBloomBytes: Long = 64L << 20
+  private[graft] def bloomFpp(nItems: Long,
+      maxBytes: Long = MaxBloomBytes): Double = {
+    val bitsPerItem = (maxBytes * 8).toDouble / math.max(nItems, 1L).toDouble
+    val ln2sq = math.log(2.0) * math.log(2.0)
+    math.max(0.003, math.exp(-bitsPerItem * ln2sq))
+  }
+
 
   // ---------------------------------------------------------------- q73
   /** PageRank over the co-purchase graph, in FIXED-POINT integer
@@ -209,18 +260,20 @@ object Graph {
     * once ids reach K. */
   private[graft] def q81Interior(s: SparkSession, d: String)
       : (DataFrame, () => Unit) = {
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-      val und = li.as("a").join(li.hint("shuffle_hash").as("b"),
-          col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
-        .select(col("a.p").as("u"), col("b.p").as("v"))
-        .distinct()
-        .persist()
+      // set-first build (r15): the count-agg IS the distinct — same
+      // (u < v) pair set as the former self-join + distinct, with the
+      // Σ fanout² co-occurrence stream born after the one order-keyed
+      // exchange instead of pushed through a join and a distinct
+      val und = copurchaseCounts(s, d).select("u", "v").persist()
       val deg = und.select(col("u").as("n"))
         .union(und.select(col("v").as("n")))
         .groupBy("n").agg(count(lit(1)).cast("long").as("dg"))
       // |V|-bounded degree table BROADCASTS onto the edge list (the q186
-      // posture) instead of re-exchanging the E-sized pair set twice
+      // posture) instead of re-exchanging the E-sized pair set twice.
+      // Deliberately a ONE-SHOT O(V) broadcast per query — unlike q73's
+      // removed hazard, which was a broadcast PER ROUND inside the loop;
+      // at a V past the 8 GB relation cap, drop the hint and take the
+      // two E-sized exchanges instead (ADVICE r14, documented trade).
       val keyed = und
         .join(broadcast(deg.select(col("n").as("u"), col("dg").as("du"))),
           Seq("u"))
@@ -254,19 +307,19 @@ object Graph {
       // Bloom pre-filter (r14, guide §3.2): ~95% of wedges never close
       // (1.88M triangles from ~40M wedges at sf0.1), yet every wedge
       // previously crossed the closing semi-join's exchange. A Bloom
-      // filter over the E-sized arc key set (fpp 0.3% ≈ 12 bits/arc,
-      // sized from the measured arc count so it scales with E, broadcast
-      // once) drops definitely-unclosed wedges BEFORE the exchange; the
-      // semi-join below still verifies exactly, so false positives cost
-      // only their shuffle bytes and the result is bit-identical. The
-      // probe key is a codegen xxhash64; only the O(1) bloom lookup is a
-      // (deterministic) lambda. At corpus scales where 12 bits/arc
-      // exceeds the broadcast budget, the bits-per-arc constant shrinks
-      // (higher fpp = more survivors, same answer) — the filter degrades
-      // gracefully, never wrongly.
+      // filter over the E-sized arc key set (target fpp 0.3% ≈ 12
+      // bits/arc) drops definitely-unclosed wedges BEFORE the exchange;
+      // the semi-join below still verifies exactly, so false positives
+      // cost only their shuffle bytes and the result is bit-identical.
+      // The probe key is a codegen xxhash64; only the O(1) bloom lookup
+      // is a (deterministic) lambda. Sizing is BYTE-BUDGETED (r15,
+      // verdict #4): bloomFpp caps the sketch at MaxBloomBytes, so at
+      // 10^10-10^11 arcs the fpp rises (more surviving wedges, same
+      // exact answer) instead of the driver allocating 15-150 GB — the
+      // one count() here both fills the arc cache and sizes the filter.
       val nArcs = math.max(arcs.count(), 1024L)
       val arcBloom = arcs.select(xxhash64(col("src"), col("dst")).as("k"))
-        .stat.bloomFilter("k", nArcs, 0.003)
+        .stat.bloomFilter("k", nArcs, bloomFpp(nArcs))
       val arcBloomB = s.sparkContext.broadcast(arcBloom)
       val mightClose = udf((k: Long) => arcBloomB.value.mightContainLong(k))
       val openWedges = wedges
@@ -330,15 +383,9 @@ object Graph {
     * RDD (q73's lineage-cut contract). Per-round traffic is O(V). */
   private[graft] def q82Interior(s: SparkSession, d: String)
       : (DataFrame, () => Unit) = {
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-      // ≥2 shared orders: count distinct co-occurrences per pair, then
-      // symmetrize; one exchange on the pair key, one on src.
-      val pairs = li.as("a").join(li.hint("shuffle_hash").as("b"),
-          col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
-        .groupBy(col("a.p").as("u"), col("b.p").as("v"))
-        .agg(countDistinct(col("a.ok")).as("n_ord"))
-        .filter(col("n_ord") >= 2)
+      // ≥2 shared orders (set-first build, r15), then symmetrize: one
+      // exchange on the order key, one on the pair key, one on src.
+      val pairs = sparsePairs(s, d)
       val edges = pairs.select(col("u").as("src"), col("v").as("dst"))
         .union(pairs.select(col("v").as("src"), col("u").as("dst")))
         .persist()
@@ -401,13 +448,7 @@ object Graph {
     * lineage cuts; nothing driver-sized ever collects. */
   private[graft] def q96Interior(s: SparkSession, d: String)
       : (DataFrame, () => Unit) = {
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-      val pairs = li.as("a").join(li.hint("shuffle_hash").as("b"),
-          col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
-        .groupBy(col("a.p").as("u"), col("b.p").as("v"))
-        .agg(countDistinct(col("a.ok")).as("n_ord"))
-        .filter(col("n_ord") >= 2)
+      val pairs = sparsePairs(s, d)
       def star(e: org.apache.spark.sql.DataFrame, large: Boolean) = {
         val n = e.select(col("lo").as("u"), col("hi").as("v"))
           .union(e.select(col("hi").as("u"), col("lo").as("v")))
@@ -513,13 +554,7 @@ object Graph {
     * (node, label) pairs; nothing driver-sized ever collects. */
   private[graft] def q152Interior(s: SparkSession, d: String)
       : (DataFrame, () => Unit) = {
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-      val pairs = li.as("a").join(li.hint("shuffle_hash").as("b"),
-          col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
-        .groupBy(col("a.p").as("u"), col("b.p").as("v"))
-        .agg(countDistinct(col("a.ok")).as("n_ord"))
-        .filter(col("n_ord") >= 2)
+      val pairs = sparsePairs(s, d)
       val edges = materialize(s,
         pairs.select(col("u").as("src"), col("v").as("dst"))
           .union(pairs.select(col("v").as("src"), col("u").as("dst"))))
@@ -613,13 +648,7 @@ object Graph {
     * (center, pair, endpoint) scales with the edge set. */
   private[graft] def q98Interior(s: SparkSession, d: String)
       : (DataFrame, () => Unit) = {
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-      val pairs = li.as("a").join(li.hint("shuffle_hash").as("b"),
-          col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
-        .groupBy(col("a.p").as("u"), col("b.p").as("v"))
-        .agg(countDistinct(col("a.ok")).as("n_ord"))
-        .filter(col("n_ord") >= 2)
+      val pairs = sparsePairs(s, d)
         .select("u", "v")
         .persist()
       val edges = pairs.select(col("u").as("src"), col("v").as("dst"))
@@ -640,7 +669,9 @@ object Graph {
           sum("aa_w").as("aa_micro"))
         .join(pairs, Seq("u", "v"), "left_anti")
         // |V|-bounded degree table broadcasts (q186 posture) instead of
-        // re-exchanging the scored pair set twice (r14)
+        // re-exchanging the scored pair set twice (r14). One-shot per
+        // query — not q73's per-round hazard; past the 8 GB relation
+        // cap, drop the hint and take the two exchanges (ADVICE r14).
         .join(broadcast(deg.select(col("n").as("u"), col("dg").as("du"))),
           "u")
         .join(broadcast(deg.select(col("n").as("v"), col("dg").as("dv"))),
@@ -699,18 +730,11 @@ object Graph {
     * cartesian step. */
   private[graft] def q105Interior(s: SparkSession, d: String)
       : (DataFrame, () => Unit) = {
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
       // Pair counts once per UNORDERED pair (u < v), mirrored from cache
-      // (r14): the former a≠b join emitted every co-occurrence twice
-      // into the countDistinct's two exchanges; counting half and
-      // unioning the flipped copy halves the aggregated bytes — the
-      // counts are symmetric by construction.
-      val cnt = li.as("a").join(li.hint("shuffle_hash").as("b"),
-          col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
-        .groupBy(col("a.p").as("u"), col("b.p").as("v"))
-        .agg(countDistinct(col("a.ok")).as("n_ord"))
-        .persist()
+      // (r14): counting half and unioning the flipped copy halves the
+      // bytes through the count's exchange — the counts are symmetric by
+      // construction. Set-first build (r15): see copurchaseCounts.
+      val cnt = copurchaseCounts(s, d).persist()
       val counts = cnt.unionByName(
         cnt.select(col("v").as("u"), col("u").as("v"), col("n_ord")))
       // top-1 partner via min-of-struct argmax — both agg levels combine
@@ -770,17 +794,13 @@ object Graph {
     * left-semi equi-joins of the edge list against the survivor set —
     * O(E) per round, the d03/q96 iterate-a-bounded-op posture with
     * materialize/unpersist hygiene; the fixpoint check is a 1-row
-    * count (the q96 signature pattern). */
+    * count (the q96 signature pattern). Cores are NESTED, so the k=3
+    * peel starts from the k=2 fixpoint instead of the full graph —
+    * identical fixpoints (peeling is confluent), ~half the rounds. */
   val q120KCore = QueryDef(
     "q120_kcore",
     (s, d) => {
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-      val pairs = li.as("a").join(li.hint("shuffle_hash").as("b"),
-          col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
-        .groupBy(col("a.p").as("u"), col("b.p").as("v"))
-        .agg(countDistinct(col("a.ok")).as("n_ord"))
-        .filter(col("n_ord") >= 2)
+      val pairs = sparsePairs(s, d)
         .select("u", "v")
       // materialize + edge count in ONE action per step (the former
       // materialize-then-recount pair was two jobs per peel round, r14)
@@ -790,11 +810,21 @@ object Graph {
         (out, out.count())
       }
       val (edges0, nEdges0) = matCounted(pairs)
+      // k-cores are NESTED (3-core ⊆ 2-core ⊆ G): each k's peel starts
+      // from the PREVIOUS k's fixpoint instead of the full graph (r15,
+      // guide §1 / dispatch-floor item). Peeling is confluent — the
+      // k-core is the unique maximal subgraph of min degree ≥ k, and
+      // removing a node of degree < k can never evict a k-core member —
+      // so 3-core(2-core(G)) = 3-core(G): identical results with ~half
+      // the peel rounds (and their job dispatches), and later rounds
+      // scan the already-shrunk core.
+      var start = edges0
+      var startEdges = nEdges0
       val rows = Seq(2, 3).map { k =>
-        var edges = edges0
+        var edges = start
         var lastMat: org.apache.spark.sql.DataFrame = null
         var prevEdges = -1L
-        var nEdges = nEdges0
+        var nEdges = startEdges
         var it = 0
         while (nEdges != prevEdges && it < KCoreRounds) {
           val deg = edges.select(col("u").as("node"))
@@ -804,7 +834,7 @@ object Graph {
           val (next, nNext) = matCounted(
             edges.join(keep, edges("u") === keep("node"), "left_semi")
               .join(keep, edges("v") === keep("node"), "left_semi"))
-          if (lastMat != null) lastMat.unpersist()
+          if ((lastMat != null) && (lastMat ne start)) lastMat.unpersist()
           lastMat = next
           edges = next
           prevEdges = nEdges
@@ -814,9 +844,14 @@ object Graph {
         val nNodes = edges.select(col("u").as("node"))
           .union(edges.select(col("v").as("node")))
           .distinct().count()
-        if (lastMat != null) lastMat.unpersist()
+        // hand this k-core to the next k as its start; free the previous
+        // start unless it is the base graph (freed once at the end)
+        if ((start ne edges0) && (start ne edges)) start.unpersist()
+        start = edges
+        startEdges = nEdges
         (k, nNodes, nEdges)
       }
+      if (start ne edges0) start.unpersist()
       edges0.unpersist()
       import s.implicits._
       rows.toDF("k", "n_nodes", "n_edges")
@@ -882,13 +917,7 @@ object Graph {
     * q54↔q59 exact↔sketch split). */
   private[graft] def q163Interior(s: SparkSession, d: String)
       : (DataFrame, () => Unit) = {
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-      val pairs = li.as("a").join(li.hint("shuffle_hash").as("b"),
-          col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
-        .groupBy(col("a.p").as("u"), col("b.p").as("v"))
-        .agg(countDistinct(col("a.ok")).as("n_ord"))
-        .filter(col("n_ord") >= 2)
+      val pairs = sparsePairs(s, d)
       val edges = pairs.select(col("u").as("src"), col("v").as("dst"))
         .union(pairs.select(col("v").as("src"), col("u").as("dst")))
         .persist()
@@ -942,13 +971,7 @@ object Graph {
     * exact form's O(Σ|B_2(v)|) pair stream does not. */
   private[graft] def q164Interior(s: SparkSession, d: String)
       : (DataFrame, () => Unit) = {
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-      val pairs = li.as("a").join(li.hint("shuffle_hash").as("b"),
-          col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
-        .groupBy(col("a.p").as("u"), col("b.p").as("v"))
-        .agg(countDistinct(col("a.ok")).as("n_ord"))
-        .filter(col("n_ord") >= 2)
+      val pairs = sparsePairs(s, d)
       val edges = pairs.select(col("u").as("src"), col("v").as("dst"))
         .union(pairs.select(col("v").as("src"), col("u").as("dst")))
         .persist()
@@ -995,13 +1018,7 @@ object Graph {
     * against the EXACT harmonic from degree + q163's two-hop counts. */
   private[graft] def q180Interior(s: SparkSession, d: String)
       : (DataFrame, () => Unit) = {
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-      val pairs = li.as("a").join(li.hint("shuffle_hash").as("b"),
-          col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
-        .groupBy(col("a.p").as("u"), col("b.p").as("v"))
-        .agg(countDistinct(col("a.ok")).as("n_ord"))
-        .filter(col("n_ord") >= 2)
+      val pairs = sparsePairs(s, d)
       val edges = pairs.select(col("u").as("src"), col("v").as("dst"))
         .union(pairs.select(col("v").as("src"), col("u").as("dst")))
         .persist()
@@ -1064,13 +1081,7 @@ object Graph {
   private[graft] def q186Interior(s: SparkSession, d: String)
       : (DataFrame, () => Unit) = {
       def dec(c: org.apache.spark.sql.Column) = c.cast("decimal(38,0)")
-      val li = Tables.lineitem(s, d)
-        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
-      val pairs = li.as("a").join(li.hint("shuffle_hash").as("b"),
-          col("a.ok") === col("b.ok") && col("a.p") < col("b.p"))
-        .groupBy(col("a.p").as("u"), col("b.p").as("v"))
-        .agg(countDistinct(col("a.ok")).as("n_ord"))
-        .filter(col("n_ord") >= 2)
+      val pairs = sparsePairs(s, d)
       val edges = pairs.select(col("u").as("src"), col("v").as("dst"))
         .union(pairs.select(col("v").as("src"), col("u").as("dst")))
         .persist() // referenced by the degree agg AND the edge reduce —

@@ -496,29 +496,46 @@ object Relational3 {
     * value-asc tie-break) instead — reproducible on any engine and any
     * partitioning.
     *
-    * Scale shape: the exact percentiles sort per group (the price of
-    * exactness — q86 is the registered sketch twin for the 100 TB
-    * path); the mode side is a map-side-combined hash-agg to the
-    * (group, distinct value) domain followed by a max_by over the
-    * per-group counts — no window, no re-shuffle past the agg. */
+    * Scale shape (r15, guide §2.3/§1): ONE corpus scan collapses to the
+    * (flag, distinct price) HISTOGRAM — a codegen hash-agg whose partial
+    * phase runs inside the scan tasks — and every statistic derives from
+    * it in one linear pipeline: the exact interpolated percentiles via
+    * the frequency-weighted `percentile(v, p, cnt)` (the same
+    * PercentileBase evaluation as percentile_cont — probe-verified
+    * bit-identical on the corpus and at an exact cume boundary),
+    * percentile_disc by its ANSI definition (smallest value with
+    * cume_dist ≥ p) as a cumulative window over the histogram, and the
+    * mode as the same count-desc/value-asc argmax. The former two-branch
+    * form scanned lineitem twice and built the percentile's value→count
+    * maps from every raw row inside a single scan task (sf0.1 lineitem
+    * is one parquet split: ~15 CPU-s serialized); the histogram form
+    * feeds them |distinct prices| rows spread across the post-exchange
+    * partitions. Exactness still costs the per-group distinct-value
+    * state — q86 stays the registered sketch twin for 100 TB. */
   val q91OrderStats = QueryDef(
     "q91_order_stats",
     (s, d) => {
-      val li = Tables.lineitem(s, d)
-      val stats = li.groupBy("l_returnflag")
-        .agg(count(lit(1)).as("n"),
-          r4(expr("percentile_cont(0.25) WITHIN GROUP (ORDER BY l_extendedprice)"))
-            .as("p25_cont"),
-          r4(expr("percentile_cont(0.5) WITHIN GROUP (ORDER BY l_extendedprice)"))
-            .as("median_price"),
-          expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_extendedprice)")
-            .as("p90_disc"))
-      val mode = li.groupBy("l_returnflag", "l_extendedprice").count()
+      import org.apache.spark.sql.expressions.Window
+      val hist = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag"), col("l_extendedprice"))
+        .agg(count(lit(1)).as("cnt"))
+      val wc = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wt = Window.partitionBy("l_returnflag")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      hist
+        .withColumn("rs", sum("cnt").over(wc))
+        .withColumn("tot", sum("cnt").over(wt))
         .groupBy("l_returnflag")
-        .agg(max_by(col("l_extendedprice"),
-            struct(col("count"), col("l_extendedprice") * -1)).as("mode_price"),
-          max("count").as("mode_n"))
-      stats.join(mode, "l_returnflag").orderBy("l_returnflag")
+        .agg(sum("cnt").as("n"),
+          r4(expr("percentile(l_extendedprice, 0.25, cnt)")).as("p25_cont"),
+          r4(expr("percentile(l_extendedprice, 0.5, cnt)")).as("median_price"),
+          min(when(col("rs").cast("double") / col("tot").cast("double")
+            >= 0.9, col("l_extendedprice"))).as("p90_disc"),
+          max_by(col("l_extendedprice"),
+            struct(col("cnt"), col("l_extendedprice") * -1)).as("mode_price"),
+          max("cnt").as("mode_n"))
+        .orderBy("l_returnflag")
     },
     Some("""WITH modes AS (
            |  SELECT l_returnflag, l_extendedprice, count(*) AS c
